@@ -1,13 +1,345 @@
 package graft
-import org.apache.spark.sql.{SparkSession, DataFrame}
-/** Driver contract — see /root/repo/SURVEY.md §7 + the builder prompt. */
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+
+import graft.cdc.EnvelopeOps
+import graft.ops.{Enrich, LatestByKey, Notify, Predicates, Reconcile, Windows}
+
+/** Driver contract — see /root/repo/SURVEY.md §7 + the builder prompt.
+  *
+  * Each entry in [[queries]] is one operator from SURVEY §2 (or a
+  * scale-extension operator) expressed over the driver's parquet corpus;
+  * [[oracleSql]] carries the DuckDB-equivalent SQL for hash verification.
+  * Column names/aliases match between the two by construction (the driver
+  * sorts columns by name before hashing).
+  */
 object SparkEntry {
+
+  // ---- thresholds (analog of reference application.conf values, scaled to
+  //      the test corpus's value range 0..~330) -------------------------------
+  val HighValueThreshold = 200.0   // analog of ₦500,000 (inclusive >=)
+  val VelocityWindowSec  = 3600    // analog of 60 s (corpus is ~30 days sparse)
+  val VelocityMinTxns    = 2L      // analog of >=5
+  val DailySpendAlert    = 150.0   // analog of ₦1,000,000 / 24 h (~p90 of daily sums)
+  val DormancyGap        = "48 hours" // analog of 30-day inactivity gap
+  val DormancyGapUs      = 48L * 3600 * 1000000 // same gap in epoch-micros
+
   /** Flagship query on /root/testdata/sf0.001; driver smoke-checks rows>0. */
   def entry(spark: SparkSession): DataFrame =
-    spark.read.parquet("/root/testdata/sf0.001/lineitem.parquet").limit(1)
-  /** One entry per implemented operator from SURVEY.md §2. */
-  def queries: Map[String, (SparkSession, String) => DataFrame] = Map()
+    queries("q_high_value_enrich")(spark, "/root/testdata/sf0.001")
+
+  // ---- shared building blocks ----------------------------------------------
+
+  private def parsed(s: SparkSession, dir: String): DataFrame =
+    EnvelopeOps.parsedTransactions(Tables.events(s, dir))
+
+  private def upserts(s: SparkSession, dir: String): DataFrame =
+    EnvelopeOps.upsertsOnly(parsed(s, dir))
+
+  private def completed(s: SparkSession, dir: String): DataFrame =
+    upserts(s, dir).filter(Predicates.isCompleted(col("status")))
+
+  /** One per implemented operator from SURVEY.md §2. */
+  def queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    // S4 + P1-P5: envelope synthesis -> typed parse (conversions of §1.2)
+    "q_envelope_parse" -> ((s, dir) => parsed(s, dir)),
+
+    // P2/P4: tombstone + validity filtering (keeps c/u/r, drops d)
+    "q_cdc_upserts_only" -> ((s, dir) => upserts(s, dir)),
+
+    // P6: domain predicates isDebit/isCompleted
+    "q_debit_filter" -> ((s, dir) =>
+      upserts(s, dir)
+        .filter(Predicates.isDebit(col("txn_type")) &&
+          Predicates.isCompleted(col("status")))
+        .select("txn_id", "account_id", "txn_type", "amount", "event_time_ms")),
+
+    // P7: inclusive >= high-value threshold
+    "q_high_value_filter" -> ((s, dir) =>
+      completed(s, dir)
+        .filter(Predicates.isHighValue(col("amount"), HighValueThreshold))
+        .select("txn_id", "account_id", "amount", "currency", "event_time_ms")),
+
+    // F1: formatAmount — ₦/ISO prefix + thousands-grouped 2 dp
+    "q_format_amount" -> ((s, dir) =>
+      upserts(s, dir)
+        .withColumn("amount_scaled", round(col("amount") * 1001, 2))
+        .select(col("txn_id"), col("currency"), col("amount_scaled"),
+          Notify.formatAmount(col("amount_scaled"), col("currency")).as("formatted"))),
+
+    // F2: formatTimestampMs — Africa/Lagos display rendering
+    "q_format_ts" -> ((s, dir) =>
+      upserts(s, dir)
+        .select(col("txn_id"),
+          Notify.formatTimestampMs(col("event_time_ms")).as("lagos_ts"))),
+
+    // S3: JSON serde round-trip (permissive parse -> re-serialize)
+    "q_json_roundtrip" -> ((s, dir) =>
+      Tables.events(s, dir)
+        .select(col("event_id"),
+          from_json(col("props"), org.apache.spark.sql.types.StructType(Seq(
+            org.apache.spark.sql.types.StructField("k",
+              org.apache.spark.sql.types.IntegerType)))).getField("k").as("k"))
+        .withColumn("rejson", to_json(struct(col("k").as("k"))))),
+
+    // J2: KTable materialization — latest row per key (deterministic tiebreak)
+    "q_latest_by_key" -> ((s, dir) =>
+      LatestByKey.latest(upserts(s, dir), Seq("account_id"),
+          Seq(col("event_time_us"), col("txn_id")))
+        .select(col("account_id"), col("txn_id").as("last_txn_id"),
+          col("amount").as("last_amount"),
+          col("event_time_ms").as("last_event_time_ms"))),
+
+    // J1: high-value stream enriched against the account dimension
+    // (broadcast hash join; "N/A" fallback on missing dim row)
+    "q_high_value_enrich" -> ((s, dir) => {
+      val hv = completed(s, dir)
+        .filter(Predicates.isHighValue(col("amount"), HighValueThreshold))
+      Enrich.withDim(hv,
+          Tables.customer(s, dir).withColumnRenamed("c_custkey", "account_id"),
+          "account_id")
+        .select(col("txn_id"), col("account_id"), col("amount"), col("currency"),
+          coalesce(col("c_name"), lit("N/A")).as("account_name"),
+          coalesce(col("c_mktsegment"), lit("N/A")).as("segment"),
+          Notify.formatAmount(col("amount"), col("currency")).as("formatted_amount"),
+          col("event_time_ms"))
+    }),
+
+    // J3: declared-but-unwired second hop — customer -> nation
+    "q_two_hop_enrich" -> ((s, dir) => {
+      val hv = completed(s, dir)
+        .filter(Predicates.isHighValue(col("amount"), HighValueThreshold))
+      Enrich.twoHop(hv, "account_id",
+          Tables.customer(s, dir), "c_custkey",
+          Tables.nation(s, dir), "c_nationkey", "n_nationkey")
+        .select(col("txn_id"), col("account_id"), col("amount"),
+          coalesce(col("c_name"), lit("N/A")).as("customer_name"),
+          coalesce(col("n_name"), lit("N/A")).as("nation_name"))
+    }),
+
+    // W1: velocity fraud check — tumbling window count >= threshold
+    "q_velocity_count" -> ((s, dir) =>
+      Windows.velocityCount(upserts(s, dir), VelocityWindowSec, VelocityMinTxns)),
+
+    // W2: daily spend — 24 h tumbling debit sum >= threshold + Lagos label
+    "q_daily_spend_sum" -> ((s, dir) =>
+      Windows.dailySpend(
+        completed(s, dir).filter(Predicates.isDebit(col("txn_type"))),
+        DailySpendAlert)),
+
+    // W3: dormancy — session windows (gap inactivity), single-event flag
+    "q_dormancy_session" -> ((s, dir) =>
+      Windows.dormancySessions(upserts(s, dir), DormancyGap)),
+
+    // O1: balance reconciliation — per-account ordered scan w/ lag()
+    "q_balance_reconcile" -> ((s, dir) => Reconcile.reconcile(completed(s, dir))),
+
+    // O2: notification JSON assembly (deterministic id; uuid()/now() live
+    // only in the streaming sinks, excluded from verification)
+    "q_notification_json" -> ((s, dir) => {
+      val hv = completed(s, dir)
+        .filter(Predicates.isHighValue(col("amount"), HighValueThreshold))
+      val enriched = Enrich.withDim(hv,
+        Tables.customer(s, dir).withColumnRenamed("c_custkey", "account_id"),
+        "account_id")
+      val fmt = Notify.formatAmount(col("amount"), col("currency"))
+      enriched.select(
+        col("txn_id"),
+        Notify.notificationJson(
+          idPrefix = "HV",
+          notificationType = "HIGH_VALUE_ALERT",
+          severity = "HIGH",
+          channel = "BOTH",
+          entityId = col("txn_id"),
+          accountId = col("account_id"),
+          subject = lit("High value transaction alert"),
+          body = concat(lit("Account "), col("account_id"), lit(" spent "), fmt),
+          metadata = map(
+            lit("amount"), fmt,
+            lit("currency"), col("currency"),
+            lit("accountName"), coalesce(col("c_name"), lit("N/A")))
+        ).as("notification"))
+    }),
+  )
+
+  // ---- DuckDB oracle SQL ----------------------------------------------------
+
+  /** Shared CTE prelude: the same envelope analog mapping as
+    * [[graft.cdc.EnvelopeOps]] (flat form — DuckDB verifies outputs, not the
+    * nested round-trip, which is Spark-side behavior under test). */
+  private val P =
+    """WITH txns AS (
+      |  SELECT event_id AS txn_id,
+      |         user_id AS account_id,
+      |         'TXN-' || event_id AS txn_ref,
+      |         CASE event_type WHEN 'purchase' THEN 'DEBIT' WHEN 'click' THEN 'TRANSFER_OUT'
+      |              WHEN 'error' THEN 'FEE' WHEN 'signup' THEN 'CREDIT' ELSE 'TRANSFER_IN' END AS txn_type,
+      |         value AS amount,
+      |         CASE user_id % 3 WHEN 0 THEN 'USD' WHEN 1 THEN 'NGN' ELSE 'EUR' END AS currency,
+      |         CASE WHEN event_type = 'error' THEN 'FAILED' ELSE 'COMPLETED' END AS status,
+      |         epoch_us(CAST(ts AS TIMESTAMP)) // 1000 AS event_time_ms,
+      |         epoch_us(CAST(ts AS TIMESTAMP)) AS event_time_us,
+      |         CASE event_id % 10 WHEN 0 THEN 'd' WHEN 1 THEN 'u' WHEN 2 THEN 'r' ELSE 'c' END AS op
+      |  FROM events
+      |), upserts AS (
+      |  SELECT * FROM txns WHERE op <> 'd' AND account_id <> 0
+      |), completed AS (
+      |  SELECT * FROM upserts WHERE status = 'COMPLETED'
+      |)
+      |""".stripMargin
+
+  /** DuckDB rendering of [[graft.ops.Notify.formatAmount]] (DuckDB's fmt
+    * format() lacks thousands grouping for floats, so group the integer part
+    * and append the 2-dp fraction). */
+  private def sqlFormatted(amount: String, currency: String): String =
+    s"(CASE WHEN $currency = 'NGN' THEN '₦' ELSE $currency || ' ' END" +
+      s" || format('{:,}', CAST(floor($amount) AS BIGINT)) || '.'" +
+      s" || lpad(CAST(CAST(round(($amount - floor($amount)) * 100) AS BIGINT) AS VARCHAR), 2, '0'))"
+
   /** For each key in queries, equivalent ANSI SQL runnable by DuckDB on
     * the same parquet tables. Omit for non-SQL-expressible ops. */
-  def oracleSql: Map[String, String] = Map()
+  def oracleSql: Map[String, String] = Map(
+    "q_envelope_parse" -> (P +
+      "SELECT txn_id, account_id, txn_ref, txn_type, amount, currency, status, event_time_ms, event_time_us, op FROM txns"),
+
+    "q_cdc_upserts_only" -> (P +
+      "SELECT txn_id, account_id, txn_ref, txn_type, amount, currency, status, event_time_ms, event_time_us, op FROM upserts"),
+
+    "q_debit_filter" -> (P +
+      """SELECT txn_id, account_id, txn_type, amount, event_time_ms FROM upserts
+        |WHERE txn_type IN ('DEBIT','TRANSFER_OUT','FEE','LOAN_REPAYMENT') AND status = 'COMPLETED'""".stripMargin),
+
+    "q_high_value_filter" -> (P +
+      s"SELECT txn_id, account_id, amount, currency, event_time_ms FROM completed WHERE amount >= $HighValueThreshold"),
+
+    "q_format_amount" -> (P +
+      """SELECT txn_id, currency, amount_scaled,
+        |  CASE WHEN currency = 'NGN' THEN '₦' ELSE currency || ' ' END
+        |    || format('{:,}', CAST(floor(amount_scaled) AS BIGINT)) || '.'
+        |    || lpad(CAST(CAST(round((amount_scaled - floor(amount_scaled)) * 100) AS BIGINT) AS VARCHAR), 2, '0')
+        |    AS formatted
+        |FROM (SELECT txn_id, currency, round(amount * 1001, 2) AS amount_scaled FROM upserts)""".stripMargin),
+
+    "q_format_ts" -> (P +
+      """SELECT txn_id,
+        |  strftime(make_timestamp(event_time_ms * 1000) + INTERVAL 1 HOUR, '%Y-%m-%d %H:%M:%S') || ' WAT' AS lagos_ts
+        |FROM upserts""".stripMargin),
+
+    "q_json_roundtrip" ->
+      """SELECT event_id,
+        |       CAST(json_extract(props, '$.k') AS INTEGER) AS k,
+        |       '{"k":' || CAST(json_extract(props, '$.k') AS INTEGER) || '}' AS rejson
+        |FROM events""".stripMargin,
+
+    "q_latest_by_key" -> (P +
+      """SELECT account_id, txn_id AS last_txn_id, amount AS last_amount, event_time_ms AS last_event_time_ms
+        |FROM (SELECT *, row_number() OVER (PARTITION BY account_id ORDER BY event_time_us DESC, txn_id DESC) AS rn
+        |      FROM upserts) WHERE rn = 1""".stripMargin),
+
+    "q_high_value_enrich" -> (P +
+      s"""SELECT txn_id, account_id, amount, currency,
+         |  coalesce(c_name, 'N/A') AS account_name,
+         |  coalesce(c_mktsegment, 'N/A') AS segment,
+         |  ${sqlFormatted("amount", "currency")} AS formatted_amount,
+         |  event_time_ms
+         |FROM completed LEFT JOIN customer ON account_id = c_custkey
+         |WHERE amount >= $HighValueThreshold""".stripMargin),
+
+    "q_two_hop_enrich" -> (P +
+      s"""SELECT txn_id, account_id, amount,
+         |  coalesce(c_name, 'N/A') AS customer_name,
+         |  coalesce(n_name, 'N/A') AS nation_name
+         |FROM completed
+         |LEFT JOIN customer ON account_id = c_custkey
+         |LEFT JOIN nation ON c_nationkey = n_nationkey
+         |WHERE amount >= $HighValueThreshold""".stripMargin),
+
+    "q_velocity_count" -> (P +
+      s"""SELECT account_id,
+         |  (event_time_ms // ${VelocityWindowSec}000) * ${VelocityWindowSec}000 AS window_start_ms,
+         |  (event_time_ms // ${VelocityWindowSec}000) * ${VelocityWindowSec}000 + ${VelocityWindowSec}000 AS window_end_ms,
+         |  CAST(count(*) AS BIGINT) AS n_txns
+         |FROM upserts GROUP BY 1, 2, 3 HAVING count(*) >= $VelocityMinTxns""".stripMargin),
+
+    "q_daily_spend_sum" -> (P +
+      s"""SELECT account_id,
+         |  (event_time_ms // 86400000) * 86400000 AS day_start_ms,
+         |  strftime(make_timestamp((event_time_ms // 86400000) * 86400000 * 1000) + INTERVAL 1 HOUR, '%Y-%m-%d') AS lagos_date,
+         |  round(sum(amount), 2) AS total_spend,
+         |  CAST(count(*) AS BIGINT) AS n_txns
+         |FROM completed
+         |WHERE txn_type IN ('DEBIT','TRANSFER_OUT','FEE','LOAN_REPAYMENT')
+         |GROUP BY 1, 2, 3 HAVING round(sum(amount), 2) >= $DailySpendAlert""".stripMargin),
+
+    "q_dormancy_session" -> (P +
+      s""", ordered AS (
+         |  SELECT account_id, txn_id, event_time_us,
+         |    CASE WHEN lag(event_time_us) OVER w IS NULL THEN 1
+         |         WHEN event_time_us - lag(event_time_us) OVER w >= $DormancyGapUs THEN 1
+         |         ELSE 0 END AS new_sess
+         |  FROM upserts
+         |  WINDOW w AS (PARTITION BY account_id ORDER BY event_time_us, txn_id)
+         |), sess AS (
+         |  SELECT *, sum(new_sess) OVER (PARTITION BY account_id ORDER BY event_time_us, txn_id
+         |                               ROWS UNBOUNDED PRECEDING) AS sess_id
+         |  FROM ordered
+         |)
+         |SELECT account_id,
+         |  min(event_time_us) // 1000 AS session_start_ms,
+         |  (max(event_time_us) + $DormancyGapUs) // 1000 AS session_end_ms,
+         |  CAST(count(*) AS BIGINT) AS n_events,
+         |  count(*) = 1 AS is_dormant
+         |FROM sess GROUP BY account_id, sess_id""".stripMargin),
+
+    "q_balance_reconcile" -> (P +
+      s""", signedt AS (
+         |  SELECT txn_id, account_id, event_time_ms, event_time_us,
+         |    CASE WHEN txn_type IN ('DEBIT','TRANSFER_OUT','FEE','LOAN_REPAYMENT')
+         |         THEN -amount ELSE amount END AS signed_amount
+         |  FROM completed
+         |), bal AS (
+         |  SELECT *,
+         |    round(sum(signed_amount) OVER (PARTITION BY account_id ORDER BY event_time_us, txn_id
+         |                                  ROWS UNBOUNDED PRECEDING), 2) + 0.0 AS balance_after
+         |  FROM signedt
+         |), bb AS (
+         |  SELECT *,
+         |    round(balance_after - signed_amount
+         |          + CASE WHEN txn_id % 97 = 0 THEN ${Reconcile.InjectedError} ELSE 0.0 END, 2) + 0.0 AS balance_before,
+         |    lag(balance_after) OVER (PARTITION BY account_id ORDER BY event_time_us, txn_id) AS stored_balance
+         |  FROM bal
+         |), disc AS (
+         |  SELECT *,
+         |    CASE WHEN stored_balance IS NULL THEN 0.0
+         |         ELSE round(abs(balance_before - stored_balance), 2) END AS discrepancy
+         |  FROM bb
+         |)
+         |SELECT txn_id, account_id, event_time_ms, balance_before, balance_after, stored_balance, discrepancy,
+         |  CASE WHEN stored_balance IS NULL THEN 'BOOTSTRAP'
+         |       WHEN discrepancy > ${Reconcile.ToleranceNgn} THEN 'DISCREPANCY'
+         |       ELSE 'BALANCE_UPDATE' END AS recon_status,
+         |  CASE WHEN stored_balance IS NOT NULL AND discrepancy > ${Reconcile.ToleranceNgn}
+         |       THEN 'HIGH' ELSE 'LOW' END AS severity
+         |FROM disc""".stripMargin),
+
+    "q_notification_json" -> (P +
+      s""", enriched AS (
+         |  SELECT txn_id, account_id, amount, currency,
+         |    coalesce(c_name, 'N/A') AS account_name,
+         |    ${sqlFormatted("amount", "currency")} AS fmt
+         |  FROM completed LEFT JOIN customer ON account_id = c_custkey
+         |  WHERE amount >= $HighValueThreshold
+         |)
+         |SELECT txn_id,
+         |  '{"notificationId":"HV-' || txn_id
+         |    || '","notificationType":"HIGH_VALUE_ALERT","severity":"HIGH","channel":"BOTH","accountId":'
+         |    || account_id
+         |    || ',"subject":"High value transaction alert","body":"Account ' || account_id
+         |    || ' spent ' || fmt
+         |    || '","metadata":{"amount":"' || fmt
+         |    || '","currency":"' || currency
+         |    || '","accountName":"' || account_name || '"}}' AS notification
+         |FROM enriched""".stripMargin),
+  )
 }

@@ -1,0 +1,38 @@
+package graft.ops
+
+import org.apache.spark.sql.{Column, DataFrame}
+import org.apache.spark.sql.expressions.Window
+import org.apache.spark.sql.functions._
+
+/** KTable analog: "latest row per key" over a CDC upsert stream
+  * (reference `topology/ABBankTopology.java:119-123,140-144` — a KTable
+  * materialization into a KV store).
+  *
+  * Scale posture: ONE hash shuffle on the key, then a per-partition sort +
+  * running `row_number` — no `collect_list`, no second shuffle, no driver
+  * work. At 100 TB this is the minimal-cost shape: Exchange(key) feeds a
+  * WindowExec whose state is a single row per key. Ordering carries an
+  * explicit tiebreak so Spark and the DuckDB oracle agree deterministically
+  * (SURVEY §7.5).
+  */
+object LatestByKey {
+
+  /** Keep the newest row per `keys`, newest defined by `orderDesc` columns
+    * compared descending with later columns as tiebreaks. */
+  def latest(df: DataFrame, keys: Seq[String], orderDesc: Seq[Column]): DataFrame = {
+    val w = Window.partitionBy(keys.map(col): _*).orderBy(orderDesc.map(_.desc): _*)
+    df.withColumn("__rn", row_number().over(w))
+      .filter(col("__rn") === 1)
+      .drop("__rn")
+  }
+
+  /** Same via `max_by(struct(*), ord)` — a partial-aggregating alternative
+    * (map-side combine halves the shuffle volume when keys repeat a lot).
+    * `ord` must be totally ordered per key (use a struct of ts + id). */
+  def latestByMaxBy(df: DataFrame, keys: Seq[String], ord: Column): DataFrame = {
+    val valueCols = df.columns.filterNot(keys.contains)
+    df.groupBy(keys.map(col): _*)
+      .agg(max_by(struct(valueCols.map(col): _*), ord).as("__latest"))
+      .select(keys.map(col) ++ valueCols.map(c => col(s"__latest.$c").as(c)): _*)
+  }
+}

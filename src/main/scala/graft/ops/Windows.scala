@@ -1,0 +1,83 @@
+package graft.ops
+
+import org.apache.spark.sql.DataFrame
+import org.apache.spark.sql.functions._
+
+/** Windowed aggregations (reference W1-W3, all tumbling/session with NO
+  * grace — late data outside the window is dropped, so the batch form is
+  * exact: every window is closed).
+  *
+  * All window arithmetic is done on integer epoch units (`ts_us`/`ms`), and
+  * window identity is emitted as epoch-millis longs — engine-agnostic, so
+  * the DuckDB oracle reproduces boundaries bit-for-bit (no timestamp-type
+  * coercion hazards). Spark's `window()` aligns tumbling windows to the
+  * epoch, i.e. start = floor(ts_ms / size_ms) * size_ms — same formula the
+  * oracle uses.
+  *
+  * Scale posture: each query is ONE hash shuffle on (key, window) with
+  * map-side partial aggregation; session windows shuffle on key only and
+  * merge per-partition. No collect, no driver loops; AQE coalesces the
+  * post-shuffle partitions at small SF and splits skewed keys at large SF.
+  */
+object Windows {
+
+  /** W1 velocity: tumbling `windowSec` count per account; alert when
+    * count >= `minTxns` (reference `topology/ABBankTopology.java:173-180`,
+    * 60 s / >=5 at production config). Emitted on window close (append
+    * semantics — the documented intent; SURVEY §2.5). */
+  def velocityCount(txns: DataFrame, windowSec: Int, minTxns: Long): DataFrame =
+    txns
+      .groupBy(
+        col("account_id"),
+        window(timestamp_micros(col("event_time_us")), s"$windowSec seconds").as("w"))
+      .agg(count(lit(1)).as("n_txns"))
+      .filter(col("n_txns") >= minTxns)
+      .select(
+        col("account_id"),
+        unix_millis(col("w.start")).as("window_start_ms"),
+        unix_millis(col("w.end")).as("window_end_ms"),
+        col("n_txns"))
+
+  /** W2 daily spend: 24 h tumbling sum of completed debit amounts per
+    * account; alert when total >= `alertThreshold`
+    * (reference `topology/ABBankTopology.java:385-400`). Sum rounded to the
+    * money precision (2 dp) — input amounts are exact 2-dp values, so the
+    * rounded sum is engine-exact. Includes the Lagos-local date label the
+    * reference stamps on the alert (F6). */
+  def dailySpend(completedDebits: DataFrame, alertThreshold: Double): DataFrame =
+    completedDebits
+      .groupBy(
+        col("account_id"),
+        window(timestamp_micros(col("event_time_us")), "1 day").as("w"))
+      .agg(round(sum(col("amount")), 2).as("total_spend"), count(lit(1)).as("n_txns"))
+      .filter(col("total_spend") >= alertThreshold)
+      .select(
+        col("account_id"),
+        unix_millis(col("w.start")).as("day_start_ms"),
+        Notify.lagosDate(unix_millis(col("w.start"))).as("lagos_date"),
+        col("total_spend"),
+        col("n_txns"))
+
+  /** W3 dormancy: session windows with `gap` inactivity
+    * (reference `topology/ABBankTopology.java:333-342`, 30-day gap at
+    * production config). Emits every closed session with its event count and
+    * a dormancy flag for single-event sessions — the documented alert intent
+    * ("session closes having had only one event", README:73-80; we take the
+    * append-mode reading per SURVEY §2.5).
+    *
+    * Session identity: start = first event, end = last event + gap; an event
+    * exactly `gap` after the previous one starts a NEW session (half-open
+    * window), which the lag-based oracle mirrors with `diff >= gap`. */
+  def dormancySessions(txns: DataFrame, gap: String): DataFrame =
+    txns
+      .groupBy(
+        col("account_id"),
+        session_window(timestamp_micros(col("event_time_us")), gap).as("w"))
+      .agg(count(lit(1)).as("n_events"))
+      .select(
+        col("account_id"),
+        unix_millis(col("w.start")).as("session_start_ms"),
+        unix_millis(col("w.end")).as("session_end_ms"),
+        col("n_events"),
+        (col("n_events") === 1).as("is_dormant"))
+}
