@@ -4,7 +4,12 @@ import org.apache.spark.sql.{DataFrame, SparkSession}
 import org.apache.spark.sql.functions._
 
 import graft.cdc.EnvelopeOps
+import graft.dedup.{Dedup, MinHashLSH}
+import graft.functions.GraftFunctions
+import graft.multimodal.Multimodal
 import graft.ops.{Enrich, LatestByKey, Notify, Predicates, Reconcile, Windows}
+import graft.sim.Similarity
+import graft.text.TextAnalysis
 
 /** Driver contract — see /root/repo/SURVEY.md §7 + the builder prompt.
   *
@@ -24,6 +29,15 @@ object SparkEntry {
   val DailySpendAlert    = 150.0   // analog of ₦1,000,000 / 24 h (~p90 of daily sums)
   val DormancyGap        = "48 hours" // analog of 30-day inactivity gap
   val DormancyGapUs      = 48L * 3600 * 1000000 // same gap in epoch-micros
+
+  // ---- extension-operator knobs (tuned to the corpus distributions) --------
+  val JaccardThreshold   = 0.5    // exact n-gram pairs (planted near-dups ~0.95)
+  val JaccardMaxDocId    = 200L   // bounded candidate set for the oracle path
+  val MinhashEstThreshold = 0.7   // banding est-jaccard cut
+  val EmbDupThreshold    = 0.45   // cosine near-dup cut (corpus max ~0.51)
+  val EmbDupMaxVecId     = 500L
+  val SimNumQueries      = 10L    // ANN query set = vec_id < 10
+  val SimTopK            = 5
 
   /** Flagship query on /root/testdata/sf0.001; driver smoke-checks rows>0. */
   def entry(spark: SparkSession): DataFrame =
@@ -161,6 +175,55 @@ object SparkEntry {
             lit("accountName"), coalesce(col("c_name"), lit("N/A")))
         ).as("notification"))
     }),
+
+    // ---- LLM-data-pipeline extensions (SURVEY §7.2 step 8) -----------------
+
+    // Text analysis: stopword-profile language ID (argmax w/ fixed tiebreak)
+    "q_text_langid" -> ((s, dir) => TextAnalysis.langId(Tables.documents(s, dir))),
+
+    // Text analysis: structural quality scoring
+    "q_text_quality" -> ((s, dir) => TextAnalysis.quality(Tables.documents(s, dir))),
+
+    // Text analysis: whitespace / regex-subword / BPE-estimate token counts
+    "q_token_count" -> ((s, dir) => TextAnalysis.tokenCounts(Tables.documents(s, dir))),
+
+    // Text analysis: FNV-1a64 fingerprints via custom codegen'd Expression
+    // (engine-defined hash — property-tested, no SQL oracle)
+    "q_doc_fingerprint" -> ((s, dir) => {
+      GraftFunctions.register(s)
+      TextAnalysis.fingerprints(Tables.documents(s, dir))
+    }),
+
+    // Dedup: exact (digest-grouped keep-min)
+    "q_dedup_exact" -> ((s, dir) => Dedup.exact(Tables.documents(s, dir))),
+
+    // Dedup: exact n-gram Jaccard pairs via inverted shingle index
+    "q_dedup_ngram_jaccard" -> ((s, dir) =>
+      Dedup.ngramJaccardPairs(Tables.documents(s, dir), JaccardThreshold, JaccardMaxDocId)),
+
+    // Dedup: MinHash signatures + LSH banding candidates (engine-defined
+    // hash — property-tested, no SQL oracle)
+    "q_dedup_minhash" -> ((s, dir) =>
+      MinHashLSH.candidatePairs(Tables.documents(s, dir), MinhashEstThreshold)),
+
+    // Dedup: SimHash bit-vote fingerprints + chunk-bucketed hamming pairs
+    // (engine-defined hash — property-tested, no SQL oracle)
+    "q_dedup_simhash" -> ((s, dir) => MinHashLSH.simhashPairs(Tables.documents(s, dir))),
+
+    // Dedup: embedding-cosine near-dup pairs (exact, bounded)
+    "q_dedup_embedding" -> ((s, dir) =>
+      Dedup.embeddingNearDupPairs(Tables.embeddings(s, dir), EmbDupThreshold, EmbDupMaxVecId)),
+
+    // Similarity: brute-force cosine top-k (broadcast queries, no shuffle)
+    "q_sim_bruteforce_topk" -> ((s, dir) =>
+      Similarity.bruteForceTopK(Tables.embeddings(s, dir), SimNumQueries, SimTopK)),
+
+    // Similarity: IVF-style pruned ANN (recall-tested vs brute force)
+    "q_sim_ivf_topk" -> ((s, dir) =>
+      Similarity.ivfTopK(Tables.embeddings(s, dir), SimNumQueries, SimTopK)),
+
+    // Multimodal: binary payload + metadata -> batched stub-decode features
+    "q_multimodal_meta" -> ((s, dir) => Multimodal.decodeFeatures(s, Tables.documents(s, dir))),
   )
 
   // ---- DuckDB oracle SQL ----------------------------------------------------
@@ -341,5 +404,101 @@ object SparkEntry {
          |    || '","currency":"' || currency
          |    || '","accountName":"' || account_name || '"}}' AS notification
          |FROM enriched""".stripMargin),
+
+    "q_text_langid" -> {
+      val scoreExprs = TextAnalysis.langOrder.map { l =>
+        val set = TextAnalysis.stopwords(l).map(w => s"'$w'").mkString("[", ", ", "]")
+        s"len(list_filter(w, x -> list_contains($set, x))) * 1.0 / len(w) AS raw_$l"
+      }.mkString(",\n         ")
+      val pred = TextAnalysis.langOrder.map { l =>
+        val others = TextAnalysis.langOrder.filter(_ != l)
+          .map(o => s"raw_$l >= raw_$o").mkString(" AND ")
+        s"WHEN $others THEN '$l'"
+      }.mkString(" ")
+      s"""WITH d AS (SELECT doc_id, string_split(text, ' ') AS w FROM documents),
+         |s AS (SELECT doc_id,
+         |  $scoreExprs
+         |FROM d)
+         |SELECT doc_id,
+         |  ${TextAnalysis.langOrder.map(l => s"round(raw_$l, 6) AS score_$l").mkString(", ")},
+         |  CASE $pred ELSE 'zh' END AS pred_lang
+         |FROM s""".stripMargin
+    },
+
+    "q_text_quality" ->
+      """WITH d AS (
+        |  SELECT doc_id, string_split(text, ' ') AS w,
+        |         CAST(length(text) AS BIGINT) AS n_chars_actual,
+        |         CAST(len(string_split(text, ' ')) AS BIGINT) AS n_tokens
+        |  FROM documents
+        |), f AS (
+        |  SELECT doc_id, n_chars_actual, n_tokens,
+        |    round((n_chars_actual - (n_tokens - 1)) * 1.0 / n_tokens, 6) AS avg_token_len,
+        |    round(len(list_filter(w, x -> list_contains(['the','a','of','and','to','in','is'], x))) * 1.0 / n_tokens, 6) AS stopword_ratio
+        |  FROM d
+        |)
+        |SELECT doc_id, n_chars_actual, n_tokens, avg_token_len, stopword_ratio,
+        |  round(least(n_tokens / 100.0, 1.0) * 0.5
+        |        + least(avg_token_len / 8.0, 1.0) * 0.3
+        |        + stopword_ratio * 0.2, 6) AS quality_score
+        |FROM f""".stripMargin,
+
+    "q_token_count" ->
+      """SELECT doc_id,
+        |  CAST(len(string_split(text, ' ')) AS BIGINT) AS ws_tokens,
+        |  CAST(len(regexp_extract_all(text, '[a-z]+|[0-9]+|[^a-z0-9 ]+')) AS BIGINT) AS subword_tokens,
+        |  CAST(ceil(length(text) / 4.0) AS BIGINT) AS est_bpe_tokens
+        |FROM documents""".stripMargin,
+
+    "q_dedup_exact" ->
+      """SELECT min(doc_id) AS keep_doc_id, CAST(count(*) AS BIGINT) AS n_copies
+        |FROM documents GROUP BY lower(trim(text))""".stripMargin,
+
+    "q_dedup_ngram_jaccard" ->
+      s"""WITH d AS (SELECT doc_id, string_split(text, ' ') AS w FROM documents WHERE doc_id < $JaccardMaxDocId),
+         |sh AS (SELECT DISTINCT doc_id, w[i] || ' ' || w[i+1] || ' ' || w[i+2] AS shingle
+         |       FROM (SELECT doc_id, w, unnest(generate_series(1, greatest(len(w) - 2, 0))) AS i FROM d)),
+         |sz AS (SELECT doc_id, count(*) AS n_sh FROM sh GROUP BY 1),
+         |inter AS (SELECT a.doc_id AS doc_a, b.doc_id AS doc_b, CAST(count(*) AS BIGINT) AS n_inter
+         |          FROM sh a JOIN sh b ON a.shingle = b.shingle AND a.doc_id < b.doc_id GROUP BY 1, 2),
+         |j AS (SELECT doc_a, doc_b, n_inter,
+         |        round(n_inter * 1.0 / (x.n_sh + y.n_sh - n_inter), 6) AS jaccard
+         |      FROM inter JOIN sz x ON doc_a = x.doc_id JOIN sz y ON doc_b = y.doc_id)
+         |SELECT doc_a, doc_b, n_inter, jaccard FROM j WHERE jaccard >= $JaccardThreshold""".stripMargin,
+
+    "q_dedup_embedding" ->
+      s"""WITH e AS (SELECT vec_id, CAST(embedding AS DOUBLE[]) AS v
+         |           FROM embeddings WHERE vec_id < $EmbDupMaxVecId),
+         |n AS (SELECT vec_id, v, sqrt(list_dot_product(v, v)) AS norm FROM e),
+         |p AS (SELECT a.vec_id AS vec_a, b.vec_id AS vec_b,
+         |        round(list_dot_product(a.v, b.v) / (a.norm * b.norm), 6) AS cos_sim
+         |      FROM n a JOIN n b ON a.vec_id < b.vec_id)
+         |SELECT vec_a, vec_b, cos_sim FROM p WHERE cos_sim >= $EmbDupThreshold""".stripMargin,
+
+    "q_sim_bruteforce_topk" ->
+      s"""WITH e AS (SELECT vec_id, CAST(embedding AS DOUBLE[]) AS v FROM embeddings),
+         |n AS (SELECT vec_id, v, sqrt(list_dot_product(v, v)) AS norm FROM e),
+         |q AS (SELECT vec_id AS q_id, v AS qv, norm AS qnorm FROM n WHERE vec_id < $SimNumQueries),
+         |sims AS (SELECT q_id, vec_id AS neighbor_id,
+         |           round(list_dot_product(qv, v) / (qnorm * norm), 6) AS cos_sim
+         |         FROM n CROSS JOIN q WHERE vec_id <> q_id),
+         |r AS (SELECT *, CAST(row_number() OVER (PARTITION BY q_id ORDER BY cos_sim DESC, neighbor_id) AS BIGINT) AS rank
+         |      FROM sims)
+         |SELECT q_id, neighbor_id, cos_sim, rank FROM r WHERE rank <= $SimTopK""".stripMargin,
+
+    "q_multimodal_meta" ->
+      """WITH b AS (
+        |  SELECT doc_id, text,
+        |    list_sum([ascii(substring(text, i, 1)) for i in generate_series(1, length(text))]) AS byte_sum
+        |  FROM documents
+        |)
+        |SELECT doc_id,
+        |  CAST(length(text) AS BIGINT) AS byte_len,
+        |  CAST(64 + doc_id % 512 AS INTEGER) AS width,
+        |  CAST(64 + (doc_id * 7) % 512 AS INTEGER) AS height,
+        |  'fake-rgb' AS format,
+        |  round(byte_sum * 1.0 / greatest(length(text), 1), 4) AS avg_byte,
+        |  CAST(byte_sum % 256 AS BIGINT) AS checksum
+        |FROM b""".stripMargin,
   )
 }

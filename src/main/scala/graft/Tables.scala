@@ -29,11 +29,13 @@ object Tables {
     */
   def events(spark: SparkSession, sfDir: String): DataFrame = {
     spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
-    table(spark, sfDir, "events")
-      .withColumnRenamed("ts", "ts_ns")
-      .withColumn("ts_us", expr("ts_ns div 1000"))
-      .withColumn("event_ts", timestamp_micros(col("ts_us")))
+    deriveEventTime(table(spark, sfDir, "events").withColumnRenamed("ts", "ts_ns"))
   }
+
+  /** Derive micros + timestamp event-time columns from a raw `ts_ns` long. */
+  def deriveEventTime(df: DataFrame): DataFrame =
+    df.withColumn("ts_us", expr("ts_ns div 1000"))
+      .withColumn("event_ts", timestamp_micros(col("ts_us")))
 
   def customer(spark: SparkSession, sfDir: String): DataFrame =
     table(spark, sfDir, "customer")

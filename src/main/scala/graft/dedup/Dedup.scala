@@ -1,0 +1,87 @@
+package graft.dedup
+
+import org.apache.spark.sql.DataFrame
+import org.apache.spark.sql.expressions.Window
+import org.apache.spark.sql.functions._
+
+/** Exact + exact-similarity deduplication over `documents`
+  * (LLM-data-pipeline extension set).
+  *
+  * Scale posture: exact dedup groups on a 256-bit digest of the normalized
+  * text, NOT the text itself — at 100 TB the shuffle then moves 32 bytes +
+  * id per row instead of whole documents. N-gram Jaccard is computed via an
+  * inverted shingle index (explode -> equi-join on shingle -> count), which
+  * is linear in total postings, never a quadratic document cross-join; the
+  * candidate generation for unbounded corpora is MinHash banding
+  * ([[MinHashLSH]]) — the exact variant here is the verifier/oracle path.
+  */
+object Dedup {
+
+  /** Exact dedup: keep the smallest doc_id per normalized-text group.
+    * Digest-grouped (sha2-256) so the wide text column never shuffles. */
+  def exact(documents: DataFrame): DataFrame =
+    documents
+      .groupBy(sha2(lower(trim(col("text"))), 256).as("__digest"))
+      .agg(min("doc_id").as("keep_doc_id"), count(lit(1)).as("n_copies"))
+      .select("keep_doc_id", "n_copies")
+
+  /** Word 3-gram shingle set per document (distinct), as (doc_id, shingle)
+    * postings. Documents shorter than `n` words yield no postings. */
+  def shingles(documents: DataFrame, n: Int = 3): DataFrame =
+    documents
+      .select(col("doc_id"), split(col("text"), " ").as("__w"))
+      .select(col("doc_id"),
+        explode(array_distinct(expr(
+          s"""CASE WHEN size(__w) >= $n
+             |THEN transform(sequence(0, size(__w) - $n), i -> concat_ws(' ', slice(__w, i + 1, $n)))
+             |ELSE array() END""".stripMargin))).as("shingle"))
+
+  /** Exact pairwise n-gram Jaccard >= `threshold` via inverted index.
+    * `maxDocId` bounds the candidate set for the oracle-checked query; the
+    * unbounded path goes through MinHash banding first. */
+  def ngramJaccardPairs(documents: DataFrame, threshold: Double,
+      maxDocId: Long, n: Int = 3): DataFrame = {
+    val docs = documents.filter(col("doc_id") < maxDocId)
+    val sh = shingles(docs, n)
+    val sizes = sh.groupBy("doc_id").agg(count(lit(1)).as("n_sh"))
+
+    val inter = sh.as("a")
+      .join(sh.as("b"),
+        col("a.shingle") === col("b.shingle") && col("a.doc_id") < col("b.doc_id"))
+      .groupBy(col("a.doc_id").as("doc_a"), col("b.doc_id").as("doc_b"))
+      .agg(count(lit(1)).as("n_inter"))
+
+    inter
+      .join(broadcast(sizes.withColumnRenamed("doc_id", "doc_a")
+        .withColumnRenamed("n_sh", "n_a")), "doc_a")
+      .join(broadcast(sizes.withColumnRenamed("doc_id", "doc_b")
+        .withColumnRenamed("n_sh", "n_b")), "doc_b")
+      .withColumn("jaccard",
+        round(col("n_inter") / (col("n_a") + col("n_b") - col("n_inter")), 6))
+      .filter(col("jaccard") >= threshold)
+      .select("doc_a", "doc_b", "n_inter", "jaccard")
+  }
+
+  /** Embedding-cosine near-duplicate pairs (exact, bounded candidate set).
+    * Norms are precomputed per vector (one pass) so the pair stage is a
+    * single fused dot product. The unbounded scale path buckets by
+    * random-hyperplane LSH first ([[graft.sim.Similarity.lshTopK]] uses the
+    * same signatures). */
+  def embeddingNearDupPairs(embeddings: DataFrame, threshold: Double,
+      maxVecId: Long): DataFrame = {
+    val e = embeddings
+      .filter(col("vec_id") < maxVecId)
+      .select(col("vec_id"), col("embedding").cast("array<double>").as("v"))
+      .withColumn("norm", sqrt(expr(
+        "aggregate(zip_with(v, v, (x, y) -> x * y), 0D, (acc, x) -> acc + x)")))
+
+    e.as("a").join(e.as("b"), col("a.vec_id") < col("b.vec_id"))
+      .select(
+        col("a.vec_id").as("vec_a"),
+        col("b.vec_id").as("vec_b"),
+        round(
+          expr("aggregate(zip_with(a.v, b.v, (x, y) -> x * y), 0D, (acc, x) -> acc + x)")
+            / (col("a.norm") * col("b.norm")), 6).as("cos_sim"))
+      .filter(col("cos_sim") >= threshold)
+  }
+}

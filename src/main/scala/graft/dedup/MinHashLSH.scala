@@ -1,0 +1,108 @@
+package graft.dedup
+
+import org.apache.spark.sql.DataFrame
+import org.apache.spark.sql.functions._
+
+/** MinHash + LSH banding and SimHash near-dup candidate generation
+  * (LLM-data-pipeline extension set; engine-side only — hash-dependent, so
+  * verified by property tests rather than a SQL oracle).
+  *
+  * Scale posture (the whole point of these operators): candidate pairs come
+  * from equi-joins on (band, bucket) keys — cost is linear in postings and
+  * in bucket collision counts, never O(n²) document pairs. Signatures are
+  * built with ONE explode + ONE groupBy (64 min-aggregates evaluated
+  * map-side), i.e. a single shuffle of (doc_id, shingle-hash) pairs.
+  */
+object MinHashLSH {
+
+  val NumPerms = 64
+  val Bands = 16           // 16 bands x 4 rows: catches J >= ~0.7 w.h.p.
+  val RowsPerBand: Int = NumPerms / Bands
+  val MersennePrime = 2147483647L // 2^31 - 1
+
+  /** Deterministic permutation parameters (odd multiplier, fixed-stride
+    * offset) — stable across runs and partitions. */
+  private def perm(i: Int): (Long, Long) =
+    (2L * i + 1, (i * 0x9E3779B9L) & 0x7fffffffL)
+
+  /** (doc_id, sig array<long>[64]) — minhash signature over word 3-gram
+    * shingles. Base hash = murmur3 (`hash`) of the shingle, folded to 31
+    * bits; perm_i(h) = (a_i*h + b_i) mod (2^31-1). */
+  def signatures(documents: DataFrame): DataFrame = {
+    val sh = Dedup.shingles(documents)
+      .withColumn("h31", (hash(col("shingle")).cast("long")
+        .bitwiseAND(lit(0x7fffffffL))))
+    val minCols = (0 until NumPerms).map { i =>
+      val (a, b) = perm(i)
+      min((col("h31") * a + b) % MersennePrime).as(s"m$i")
+    }
+    sh.groupBy("doc_id")
+      .agg(minCols.head, minCols.tail: _*)
+      .select(col("doc_id"),
+        array((0 until NumPerms).map(i => col(s"m$i")): _*).as("sig"))
+  }
+
+  /** Candidate pairs from banding + signature-agreement estimate.
+    * Emits pairs with estimated Jaccard >= `threshold`. */
+  def candidatePairs(documents: DataFrame, threshold: Double): DataFrame = {
+    val sigs = signatures(documents)
+
+    val bandCols = (0 until Bands).map { b =>
+      val elems = (0 until RowsPerBand)
+        .map(r => s"sig[${b * RowsPerBand + r}]").mkString(", ")
+      struct(lit(b).as("band"), expr(s"xxhash64($elems)").as("bucket"))
+    }
+    val banded = sigs.select(col("doc_id"), explode(array(bandCols: _*)).as("bk"))
+      .select(col("doc_id"), col("bk.band").as("band"), col("bk.bucket").as("bucket"))
+
+    val cand = banded.as("a")
+      .join(banded.as("b"),
+        col("a.band") === col("b.band") && col("a.bucket") === col("b.bucket") &&
+          col("a.doc_id") < col("b.doc_id"))
+      .select(col("a.doc_id").as("doc_a"), col("b.doc_id").as("doc_b"))
+      .distinct()
+
+    cand
+      .join(sigs.withColumnRenamed("doc_id", "doc_a").withColumnRenamed("sig", "sig_a"), "doc_a")
+      .join(sigs.withColumnRenamed("doc_id", "doc_b").withColumnRenamed("sig", "sig_b"), "doc_b")
+      .withColumn("est_jaccard", round(expr(
+        s"aggregate(zip_with(sig_a, sig_b, (x, y) -> IF(x = y, 1.0D, 0.0D)), 0D, (acc, x) -> acc + x) / $NumPerms"), 6))
+      .filter(col("est_jaccard") >= threshold)
+      .select("doc_a", "doc_b", "est_jaccard")
+  }
+
+  /** 64-bit SimHash per document from per-word xxhash64 bit votes, computed
+    * entirely in codegen'd higher-order functions (no explode — one pass per
+    * row). */
+  def simhash(documents: DataFrame): DataFrame =
+    documents.select(
+      col("doc_id"),
+      expr(
+        """aggregate(
+          |  transform(sequence(0, 63), j ->
+          |    IF(aggregate(split(text, ' '), 0L,
+          |         (acc, w) -> acc + IF((shiftright(xxhash64(w), j) & 1) = 1, 1L, -1L)) > 0,
+          |       shiftleft(1L, j), 0L)),
+          |  0L, (acc, x) -> acc + x)""".stripMargin).as("simhash"))
+
+  /** SimHash near-dup pairs: bucket on 16-bit chunks (a pair within hamming
+    * distance 3 shares at least one of 4 chunks; we use distance <= `maxHamming`),
+    * then verify with bit_count(xor). */
+  def simhashPairs(documents: DataFrame, maxHamming: Int = 6): DataFrame = {
+    val sh = simhash(documents)
+    val chunked = sh.select(col("doc_id"), col("simhash"),
+        explode(array((0 until 4).map(k =>
+          struct(lit(k).as("k"),
+            expr(s"(shiftright(simhash, ${k * 16}) & 65535)").as("chunk"))): _*)).as("c"))
+      .select(col("doc_id"), col("simhash"), col("c.k").as("k"), col("c.chunk").as("chunk"))
+
+    chunked.as("a")
+      .join(chunked.as("b"),
+        col("a.k") === col("b.k") && col("a.chunk") === col("b.chunk") &&
+          col("a.doc_id") < col("b.doc_id"))
+      .select(col("a.doc_id").as("doc_a"), col("b.doc_id").as("doc_b"),
+        expr("bit_count(a.simhash ^ b.simhash)").as("hamming"))
+      .distinct()
+      .filter(col("hamming") <= maxHamming)
+  }
+}

@@ -1,0 +1,67 @@
+package graft.functions
+
+import org.apache.spark.sql.SparkSession
+import org.apache.spark.sql.catalyst.analysis.TypeCheckResult
+import org.apache.spark.sql.catalyst.expressions.{Expression, UnaryExpression}
+import org.apache.spark.sql.catalyst.expressions.codegen.{CodegenContext, ExprCode}
+import org.apache.spark.sql.types.{AbstractDataType, DataType, LongType, StringType}
+import org.apache.spark.unsafe.types.UTF8String
+
+/** FNV-1a 64-bit hash kernel, callable from generated Java code. */
+object Fnv1a64Helper {
+  final val Offset = 0xcbf29ce484222325L
+  final val Prime  = 0x100000001b3L
+
+  def hash(s: UTF8String): Long = hashBytes(s.getBytes)
+
+  def hashBytes(bytes: Array[Byte]): Long = {
+    var h = Offset
+    var i = 0
+    while (i < bytes.length) {
+      h ^= (bytes(i) & 0xffL)
+      h *= Prime
+      i += 1
+    }
+    h
+  }
+}
+
+/** Document fingerprinting primitive: FNV-1a 64 over the UTF-8 bytes of a
+  * string, as a native Catalyst `Expression` with whole-stage codegen
+  * (`doGenCode` emits a static call — no UDF/serialization overhead, stays
+  * inside the codegen'd stage).
+  *
+  * The reference has no fingerprinting surface; this is part of the
+  * LLM-data-pipeline extension set (text fingerprinting for dedup at scale).
+  * FNV-1a is engine-independent and stable across runs/partitions — unlike
+  * `hash()`/`xxhash64`, its definition is a published constant-multiply
+  * fold, so fingerprints are reproducible outside Spark too.
+  */
+case class Fnv1a64(child: Expression) extends UnaryExpression {
+
+  override def checkInputDataTypes(): TypeCheckResult =
+    if (child.dataType == StringType) TypeCheckResult.TypeCheckSuccess
+    else TypeCheckResult.TypeCheckFailure(
+      s"graft_fnv64 requires a string argument, got ${child.dataType.catalogString}")
+
+  override def dataType: DataType = LongType
+  override def prettyName: String = "graft_fnv64"
+
+  override protected def nullSafeEval(input: Any): Any =
+    Fnv1a64Helper.hash(input.asInstanceOf[UTF8String])
+
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
+    defineCodeGen(ctx, ev, c => s"graft.functions.Fnv1a64Helper.hash($c)")
+
+  override protected def withNewChildInternal(newChild: Expression): Fnv1a64 =
+    copy(child = newChild)
+}
+
+/** Session registration for graft's custom functions — after this,
+  * `expr("graft_fnv64(text)")` (and SQL) resolve, including inside
+  * higher-order-function lambdas. */
+object GraftFunctions {
+  def register(spark: SparkSession): Unit =
+    spark.sessionState.functionRegistry.createOrReplaceTempFunction(
+      "graft_fnv64", exprs => Fnv1a64(exprs.head), "built-in")
+}

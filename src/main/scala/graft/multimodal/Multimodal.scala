@@ -1,0 +1,67 @@
+package graft.multimodal
+
+import org.apache.spark.sql.{DataFrame, Dataset, SparkSession}
+import org.apache.spark.sql.functions._
+
+/** Multimodal column plumbing (LLM-data-pipeline extension set).
+  *
+  * Media travel as opaque `binary` columns beside a typed metadata struct;
+  * decode / feature-extraction runs as a batched partition-level transform
+  * (`mapPartitions` over a typed Dataset — the Scala analog of a
+  * Pandas-batch UDF: one JVM-side loop per partition, vectorizable,
+  * no per-row closure dispatch through the optimizer).
+  *
+  * The container has no image/audio codecs, so the decode kernel is a
+  * clearly-marked DETERMINISTIC STUB (`FakeDecoder`): it computes real
+  * byte-level features so the Spark-side plumbing — schema, binary
+  * encoding, batch shape, partition parallelism — is fully exercised and
+  * oracle-checkable; swapping in a real JNI/codec decoder changes only the
+  * kernel body.
+  */
+object Multimodal {
+
+  /** One media row: payload + typed metadata (the production schema shape). */
+  case class MediaRow(doc_id: Long, payload: Array[Byte],
+      width: Int, height: Int, format: String)
+
+  /** Extracted features (what a real decoder would hand to the model). */
+  case class MediaFeatures(doc_id: Long, byte_len: Long, width: Int,
+      height: Int, format: String, avg_byte: Double, checksum: Long)
+
+  /** ==== STUB ==== deterministic fake decoder: real byte statistics in
+    * place of pixel decoding. Replace body with a codec call in production. */
+  object FakeDecoder {
+    def decode(r: MediaRow): MediaFeatures = {
+      var sum = 0L
+      var i = 0
+      while (i < r.payload.length) { sum += r.payload(i) & 0xff; i += 1 }
+      val n = math.max(r.payload.length, 1)
+      MediaFeatures(
+        doc_id = r.doc_id,
+        byte_len = r.payload.length.toLong,
+        width = r.width, height = r.height, format = r.format,
+        // round at the money precision the oracle uses
+        avg_byte = BigDecimal(sum.toDouble / n)
+          .setScale(4, BigDecimal.RoundingMode.HALF_UP).toDouble,
+        checksum = sum % 256)
+    }
+  }
+
+  /** documents -> media rows: the text's UTF-8 bytes stand in for an image
+    * payload; width/height are deterministic metadata. */
+  def asMedia(documents: DataFrame): DataFrame =
+    documents.select(
+      col("doc_id"),
+      encode(col("text"), "UTF-8").as("payload"),
+      (lit(64) + col("doc_id") % 512).cast("int").as("width"),
+      (lit(64) + (col("doc_id") * 7) % 512).cast("int").as("height"),
+      lit("fake-rgb").as("format"))
+
+  /** Batched partition-level decode: the mapPartitions seam where a real
+    * codec would run. Output is a flat feature frame. */
+  def decodeFeatures(spark: SparkSession, documents: DataFrame): DataFrame = {
+    import spark.implicits._
+    val media: Dataset[MediaRow] = asMedia(documents).as[MediaRow]
+    media.mapPartitions(_.map(FakeDecoder.decode)).toDF()
+  }
+}

@@ -1,0 +1,92 @@
+package graft.sim
+
+import org.apache.spark.sql.{Column, DataFrame}
+import org.apache.spark.sql.expressions.Window
+import org.apache.spark.sql.functions._
+
+/** Approximate-nearest-neighbor search over an embedding column
+  * (LLM-data-pipeline extension set).
+  *
+  * Scale posture: the query set is broadcast (it is small by definition);
+  * candidate vectors NEVER shuffle for brute force — one scan, a broadcast
+  * nested-loop with a fused codegen'd dot product, then a per-query top-k
+  * (tiny shuffle of k rows per partition per query via window on q_id).
+  * The 100 TB path is [[ivfTopK]]: a coarse quantizer prunes the scan to
+  * nprobe cells, turning O(N) per query into O(N * nprobe / cells).
+  */
+object Similarity {
+
+  /** Codegen'd dot product over two array<double> columns. */
+  def dot(a: String, b: String): Column =
+    expr(s"aggregate(zip_with($a, $b, (x, y) -> x * y), 0D, (acc, x) -> acc + x)")
+
+  /** Project to (id, v: array<double>, norm). Norms are computed once per
+    * vector so every later similarity is a single dot product. */
+  def withNorm(embeddings: DataFrame, idCol: String = "vec_id"): DataFrame =
+    embeddings
+      .select(col(idCol), col("embedding").cast("array<double>").as("v"))
+      .withColumn("norm", sqrt(expr(
+        "aggregate(zip_with(v, v, (x, y) -> x * y), 0D, (acc, x) -> acc + x)")))
+
+  /** Brute-force cosine top-k: for each query vector (vec_id < numQueries),
+    * the k nearest other vectors. Rank is deterministic: (rounded sim DESC,
+    * vec_id ASC). */
+  def bruteForceTopK(embeddings: DataFrame, numQueries: Long, k: Int): DataFrame = {
+    val all = withNorm(embeddings)
+    val queries = all.filter(col("vec_id") < numQueries)
+      .select(col("vec_id").as("q_id"), col("v").as("qv"), col("norm").as("qnorm"))
+
+    val sims = all.join(broadcast(queries), col("vec_id") =!= col("q_id"))
+      .select(col("q_id"), col("vec_id").as("neighbor_id"),
+        round(dot("qv", "v") / (col("qnorm") * col("norm")), 6).as("cos_sim"))
+
+    val w = Window.partitionBy(col("q_id"))
+      .orderBy(col("cos_sim").desc, col("neighbor_id"))
+    sims.withColumn("rank", row_number().over(w).cast("long"))
+      .filter(col("rank") <= k)
+  }
+
+  /** IVF-style ANN: coarse "centroids" (deterministic subsample — a real
+    * build would k-means; the operator shape is identical), every vector
+    * assigned to its nearest centroid (one broadcast pass), queries probe
+    * the `nprobe` nearest cells and exact-rerank only those candidates.
+    *
+    * Returns the same shape as [[bruteForceTopK]] — recall measured against
+    * it in tests. */
+  def ivfTopK(embeddings: DataFrame, numQueries: Long, k: Int,
+      centroidStride: Int = 37, nprobe: Int = 8): DataFrame = {
+    val all = withNorm(embeddings)
+    val centroids = all.filter(col("vec_id") % centroidStride === 0)
+      .select(col("vec_id").as("c_id"), col("v").as("cv"), col("norm").as("cnorm"))
+
+    // assign every vector to its nearest centroid (broadcast NL + argmax)
+    val assignW = Window.partitionBy(col("vec_id"))
+      .orderBy(col("__csim").desc, col("c_id"))
+    val assigned = all.join(broadcast(centroids))
+      .withColumn("__csim", dot("v", "cv") / (col("norm") * col("cnorm")))
+      .withColumn("__rn", row_number().over(assignW))
+      .filter(col("__rn") === 1)
+      .select(col("vec_id"), col("v"), col("norm"), col("c_id").as("cell"))
+
+    // queries probe their nprobe nearest cells
+    val queries = all.filter(col("vec_id") < numQueries)
+      .select(col("vec_id").as("q_id"), col("v").as("qv"), col("norm").as("qnorm"))
+    val probeW = Window.partitionBy(col("q_id"))
+      .orderBy(col("__qcsim").desc, col("c_id"))
+    val probes = queries.join(broadcast(centroids))
+      .withColumn("__qcsim", dot("qv", "cv") / (col("qnorm") * col("cnorm")))
+      .withColumn("__rn", row_number().over(probeW))
+      .filter(col("__rn") <= nprobe)
+      .select(col("q_id"), col("qv"), col("qnorm"), col("c_id").as("cell"))
+
+    // exact rerank within probed cells only
+    val w = Window.partitionBy(col("q_id"))
+      .orderBy(col("cos_sim").desc, col("neighbor_id"))
+    assigned.join(probes, Seq("cell"))
+      .filter(col("vec_id") =!= col("q_id"))
+      .select(col("q_id"), col("vec_id").as("neighbor_id"),
+        round(dot("qv", "v") / (col("qnorm") * col("norm")), 6).as("cos_sim"))
+      .withColumn("rank", row_number().over(w).cast("long"))
+      .filter(col("rank") <= k)
+  }
+}

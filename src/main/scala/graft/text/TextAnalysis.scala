@@ -1,0 +1,101 @@
+package graft.text
+
+import org.apache.spark.sql.{Column, DataFrame}
+import org.apache.spark.sql.functions._
+
+/** Text-analysis operators over the `documents` table (LLM-data-pipeline
+  * extension set): language ID, quality scoring, token counting,
+  * fingerprinting.
+  *
+  * Everything is built-in Catalyst expressions (higher-order array
+  * functions) plus the custom [[graft.functions.Fnv1a64]] expression —
+  * fully codegen'd, no UDFs, embarrassingly parallel per row: at 100 TB
+  * these run as a single scan stage with zero shuffle.
+  */
+object TextAnalysis {
+
+  /** Tiny per-language stopword profiles for the n-gram/stopword heuristic.
+    * (Real corpora would use larger profiles; the operator shape — per-row
+    * array intersection ratios + argmax — is the same.) */
+  val stopwords: Map[String, Seq[String]] = Map(
+    "en" -> Seq("the", "a", "of", "and", "to", "in", "is"),
+    "fr" -> Seq("le", "la", "et", "de", "un", "les", "des"),
+    "es" -> Seq("el", "la", "y", "de", "en", "los", "que"),
+    "de" -> Seq("der", "die", "und", "das", "ein", "ist", "nicht"),
+    "zh" -> Seq("的", "是", "了", "在", "和", "有", "我"))
+
+  /** Deterministic language order for argmax tie-breaking. */
+  val langOrder: Seq[String] = Seq("en", "fr", "es", "de", "zh")
+
+  private def sqlList(ws: Seq[String]): String =
+    ws.map(w => s"'$w'").mkString("array(", ", ", ")")
+
+  /** Fraction of whitespace tokens that hit `lang`'s stopword profile. */
+  def stopwordRatio(words: Column, lang: String): Column = {
+    val arr = sqlList(stopwords(lang))
+    expr(s"size(filter(__words, x -> array_contains($arr, x)))") / size(words)
+  }
+
+  /** Language-ID by stopword-profile ratio with first-max tie-break in
+    * [[langOrder]]. Input must expose a `__words` array column. */
+  def predictLang: Column = {
+    val scores = langOrder.map(l => l -> col(s"score_$l"))
+    // first language whose score >= all others (deterministic argmax)
+    scores.foldRight(lit(langOrder.last)) { case ((l, s), rest) =>
+      when(scores.filter(_._1 != l).map(_._2).foldLeft(lit(true))((acc, o) => acc && s >= o), l)
+        .otherwise(rest)
+    }
+  }
+
+  /** doc_id, per-language ratios (6 dp), predicted language. */
+  def langId(documents: DataFrame): DataFrame = {
+    val withWords = documents
+      .withColumn("__words", split(col("text"), " "))
+    val withScores = langOrder.foldLeft(withWords)((df, l) =>
+      df.withColumn(s"score_$l", stopwordRatio(col("__words"), l)))
+    withScores
+      .withColumn("pred_lang", predictLang)
+      .select(Seq(col("doc_id")) ++
+        langOrder.map(l => round(col(s"score_$l"), 6).as(s"score_$l")) :+
+        col("pred_lang"): _*)
+  }
+
+  /** Quality scoring: structural ratios blended into a [0,1] score.
+    * Weights are arbitrary but fixed; the operator shape (cheap per-row
+    * features -> bounded score -> filter) is the production pattern. */
+  def quality(documents: DataFrame): DataFrame =
+    documents
+      .withColumn("__words", split(col("text"), " "))
+      .withColumn("n_chars_actual", length(col("text")).cast("long"))
+      .withColumn("n_tokens", size(col("__words")).cast("long"))
+      .withColumn("avg_token_len",
+        round((col("n_chars_actual") - (col("n_tokens") - 1)) / col("n_tokens"), 6))
+      .withColumn("stopword_ratio", round(stopwordRatio(col("__words"), "en"), 6))
+      .withColumn("quality_score",
+        round(
+          least(col("n_tokens") / 100.0, lit(1.0)) * 0.5 +
+          least(col("avg_token_len") / 8.0, lit(1.0)) * 0.3 +
+          col("stopword_ratio") * 0.2, 6))
+      .select("doc_id", "n_chars_actual", "n_tokens", "avg_token_len",
+        "stopword_ratio", "quality_score")
+
+  /** Token counting: whitespace tokens, regex word/punct tokens (BPE-ish
+    * pre-tokenization), and the chars/4 BPE estimate. */
+  def tokenCounts(documents: DataFrame): DataFrame =
+    documents
+      .withColumn("ws_tokens", size(split(col("text"), " ")).cast("long"))
+      .withColumn("subword_tokens",
+        expr("size(regexp_extract_all(text, '[a-z]+|[0-9]+|[^a-z0-9 ]+', 0))").cast("long"))
+      .withColumn("est_bpe_tokens", ceil(length(col("text")) / 4.0).cast("long"))
+      .select("doc_id", "ws_tokens", "subword_tokens", "est_bpe_tokens")
+
+  /** Document fingerprints via the custom FNV-1a 64 Catalyst expression:
+    * whole-document fingerprint + min token fingerprint (a 1-perm minhash —
+    * the rolling/winnowed variant lives in dedup.MinHashLSH). Requires
+    * [[graft.functions.GraftFunctions.register]]. */
+  def fingerprints(documents: DataFrame): DataFrame =
+    documents.select(
+      col("doc_id"),
+      expr("graft_fnv64(text)").as("doc_fp"),
+      expr("array_min(transform(split(text, ' '), w -> graft_fnv64(w)))").as("min_token_fp"))
+}

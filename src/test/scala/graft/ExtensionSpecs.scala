@@ -1,0 +1,165 @@
+package graft
+
+import org.apache.spark.sql.functions._
+
+import graft.dedup.{Dedup, MinHashLSH}
+import graft.functions.{Fnv1a64Helper, GraftFunctions}
+import graft.multimodal.Multimodal
+import graft.sim.Similarity
+import graft.text.TextAnalysis
+
+class Fnv1a64Spec extends SparkSpecBase {
+  import spark.implicits._
+
+  test("matches published FNV-1a 64 test vectors") {
+    // vectors from the public FNV reference (Fowler/Noll/Vo)
+    assert(Fnv1a64Helper.hashBytes(Array.empty) === 0xcbf29ce484222325L)
+    assert(Fnv1a64Helper.hashBytes("a".getBytes("UTF-8")) === 0xaf63dc4c8601ec8cL)
+    assert(Fnv1a64Helper.hashBytes("foobar".getBytes("UTF-8")) === 0x85944171f73967e8L)
+  }
+
+  test("expression evaluates through codegen and handles null") {
+    GraftFunctions.register(spark)
+    val got = Seq(Some("foobar"), None: Option[String]).toDF("t")
+      .selectExpr("graft_fnv64(t)").as[Option[Long]].collect()
+    assert(got(0) === Some(0x85944171f73967e8L))
+    assert(got(1) === None)
+  }
+
+  test("property: equals a straight fold over UTF-8 bytes") {
+    GraftFunctions.register(spark)
+    val samples = Seq("", "x", "hello world", "ünïcödé ₦", "a" * 1000)
+    val df = samples.toDF("t")
+    val got = df.selectExpr("graft_fnv64(t)").as[Long].collect()
+    val want = samples.map(s => Fnv1a64Helper.hashBytes(s.getBytes("UTF-8")))
+    assert(got.toSeq === want)
+  }
+}
+
+class DedupSpec extends SparkSpecBase {
+  import spark.implicits._
+
+  private def docs(rows: (Long, String)*) = rows.toDF("doc_id", "text")
+
+  test("exact dedup keeps min doc_id per normalized text") {
+    val got = Dedup.exact(docs(
+        (5L, "Hello World"), (2L, "hello world  "), (9L, "other")))
+      .as[(Long, Long)].collect().toMap
+    // trim-lower normalization: doc 5 "Hello World" != doc 2 "hello world  "?
+    // lower(trim("Hello World")) == lower(trim("hello world  ")) == "hello world"
+    assert(got === Map(2L -> 2L, 9L -> 1L))
+  }
+
+  test("ngram jaccard: identical docs -> 1.0, overlapping -> between, disjoint absent") {
+    val a = "w1 w2 w3 w4 w5"
+    val b = "w1 w2 w3 w4 w6" // 3-shingles: {123,234,345} vs {123,234,346}: j = 2/4
+    val got = Dedup.ngramJaccardPairs(
+        docs((1L, a), (2L, a), (3L, b), (4L, "z1 z2 z3 z4 z5")), 0.4, 100L)
+      .select("doc_a", "doc_b", "jaccard").as[(Long, Long, Double)].collect()
+      .map(r => (r._1, r._2) -> r._3).toMap
+    assert(got((1L, 2L)) === 1.0)
+    assert(got((1L, 3L)) === 0.5)
+    assert(!got.contains((1L, 4L)))
+  }
+
+  test("minhash: identical docs collide in every band with est 1.0") {
+    val text = (1 to 30).map(i => s"w$i").mkString(" ")
+    val got = MinHashLSH.candidatePairs(
+        docs((1L, text), (2L, text), (3L, (40 to 80).map(i => s"v$i").mkString(" "))), 0.9)
+      .as[(Long, Long, Double)].collect()
+    assert(got.toSeq === Seq((1L, 2L, 1.0)))
+  }
+
+  test("simhash: identical docs at hamming 0; unrelated docs far apart") {
+    val text = (1 to 30).map(i => s"w$i").mkString(" ")
+    val other = (100 to 160).map(i => s"u$i").mkString(" ")
+    val sh = MinHashLSH.simhash(docs((1L, text), (2L, text), (3L, other)))
+      .as[(Long, Long)].collect().toMap
+    assert(sh(1L) === sh(2L))
+    assert(java.lang.Long.bitCount(sh(1L) ^ sh(3L)) > 10)
+    val pairs = MinHashLSH.simhashPairs(docs((1L, text), (2L, text)), 0)
+      .as[(Long, Long, Int)].collect()
+    assert(pairs.toSeq === Seq((1L, 2L, 0)))
+  }
+
+  test("embedding near-dup finds the planted duplicate vector") {
+    val v = Array.tabulate(8)(i => (i + 1).toFloat)
+    val w = Array.tabulate(8)(i => -(i + 1).toFloat)
+    val df = Seq((1L, v), (2L, v.map(x => x * 2f)), (3L, w))
+      .toDF("vec_id", "embedding")
+    val got = Dedup.embeddingNearDupPairs(df, 0.99, 100L)
+      .select("vec_a", "vec_b").as[(Long, Long)].collect()
+    assert(got.toSeq === Seq((1L, 2L))) // colinear -> cos 1; opposite -> -1
+  }
+}
+
+class SimilaritySpec extends SparkSpecBase {
+  import spark.implicits._
+
+  test("brute force top-k ranks by cosine with deterministic tiebreak") {
+    val q = Array(1f, 0f)
+    val df = Seq(
+      (0L, q),                      // the query itself (excluded)
+      (10L, Array(2f, 0f)),         // cos 1.0
+      (11L, Array(1f, 1f)),         // cos ~0.707
+      (12L, Array(0f, 1f)),         // cos 0
+      (13L, Array(-1f, 0f)))        // cos -1
+      .toDF("vec_id", "embedding")
+    val got = Similarity.bruteForceTopK(df, numQueries = 1, k = 3)
+      .orderBy("rank").select("neighbor_id").as[Long].collect()
+    assert(got.toSeq === Seq(10L, 11L, 12L))
+  }
+
+  test("IVF recall@5 vs brute force >= 0.6 on sf0.001 embeddings") {
+    val emb = Tables.embeddings(spark, sf0001)
+    val bf = Similarity.bruteForceTopK(emb, 10, 5)
+      .select("q_id", "neighbor_id").as[(Long, Long)].collect().toSet
+    val ivf = Similarity.ivfTopK(emb, 10, 5)
+      .select("q_id", "neighbor_id").as[(Long, Long)].collect().toSet
+    val recall = (bf & ivf).size.toDouble / bf.size
+    assert(recall >= 0.6, s"recall $recall")
+  }
+}
+
+class TextAnalysisSpec extends SparkSpecBase {
+  import spark.implicits._
+
+  test("language ID picks the profile with the highest stopword ratio") {
+    val df = Seq(
+      (1L, "the cat and the dog of a house is to be"),
+      (2L, "le chat et la maison de un chien les arbres")).toDF("doc_id", "text")
+    val got = TextAnalysis.langId(df)
+      .select("doc_id", "pred_lang").as[(Long, String)].collect().toMap
+    assert(got(1L) === "en")
+    assert(got(2L) === "fr")
+  }
+
+  test("token counts: whitespace, regex subwords, bpe estimate") {
+    val df = Seq((1L, "ab cd, ef 12")).toDF("doc_id", "text")
+    val got = TextAnalysis.tokenCounts(df).head()
+    assert(got.getAs[Long]("ws_tokens") === 4L)       // ab | cd, | ef | 12
+    assert(got.getAs[Long]("subword_tokens") === 5L)  // ab, cd, ",", ef, 12
+    assert(got.getAs[Long]("est_bpe_tokens") === 3L)  // ceil(12/4)
+  }
+
+  test("quality score is bounded [0,1] on the corpus") {
+    val q = TextAnalysis.quality(Tables.documents(spark, sf0001))
+    val mm = q.agg(min("quality_score"), max("quality_score")).head()
+    assert(mm.getDouble(0) >= 0.0 && mm.getDouble(1) <= 1.0)
+  }
+}
+
+class MultimodalSpec extends SparkSpecBase {
+  import spark.implicits._
+
+  test("stub decode: byte stats + metadata survive the mapPartitions seam") {
+    val df = Seq((3L, "abc")).toDF("doc_id", "text")
+    val got = Multimodal.decodeFeatures(spark, df).head()
+    assert(got.getAs[Long]("byte_len") === 3L)
+    assert(got.getAs[Long]("checksum") === (97 + 98 + 99) % 256)
+    assert(got.getAs[Double]("avg_byte") === 98.0)
+    assert(got.getAs[Int]("width") === 64 + 3)
+    assert(got.getAs[Int]("height") === 64 + 21)
+    assert(got.getAs[String]("format") === "fake-rgb")
+  }
+}

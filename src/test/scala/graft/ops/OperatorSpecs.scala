@@ -1,0 +1,152 @@
+package graft.ops
+
+import graft.SparkSpecBase
+import org.apache.spark.sql.functions._
+
+/** Per-operator behavior tests mirroring the reference's covered behaviors
+  * plus its coverage gaps (SURVEY §5): threshold boundaries, window
+  * boundaries, reconciliation discrepancy path. */
+class PredicatesSpec extends SparkSpecBase {
+  import spark.implicits._
+
+  test("debit/credit type sets match the reference (TransactionEvent.java:66-81)") {
+    val df = Seq("DEBIT", "TRANSFER_OUT", "FEE", "LOAN_REPAYMENT", "CREDIT",
+      "TRANSFER_IN", "INTEREST", "UNKNOWN").toDF("t")
+    val debits = df.filter(Predicates.isDebit($"t")).as[String].collect().toSet
+    val credits = df.filter(Predicates.isCredit($"t")).as[String].collect().toSet
+    assert(debits === Set("DEBIT", "TRANSFER_OUT", "FEE", "LOAN_REPAYMENT"))
+    assert(credits === Set("CREDIT", "TRANSFER_IN", "INTEREST"))
+  }
+
+  test("high-value threshold is inclusive >= (reference boundary tests :296-316)") {
+    val df = Seq(199.99, 200.0, 200.01).toDF("amount")
+    val kept = df.filter(Predicates.isHighValue($"amount", 200.0))
+      .as[Double].collect().sorted
+    assert(kept.toSeq === Seq(200.0, 200.01))
+  }
+}
+
+class NotifySpec extends SparkSpecBase {
+  import spark.implicits._
+
+  test("formatAmount: ₦ for NGN, ISO prefix otherwise, grouping + 2 dp, null -> 0.00") {
+    val df = Seq(
+      (Some(1234567.891), "NGN"),
+      (Some(500.0), "USD"),
+      (None: Option[Double], "NGN")).toDF("amount", "currency")
+    val got = df.select(Notify.formatAmount($"amount", $"currency")).as[String].collect()
+    assert(got(0) === "₦1,234,567.89")
+    assert(got(1) === "USD 500.00")
+    assert(got(2) === "₦0.00")
+  }
+
+  test("formatTimestampMs: Lagos rendering (+1h), null -> N/A (CdcParser.java:30-52)") {
+    val df = Seq(Some(1700000000000L), None: Option[Long]).toDF("ms")
+    val got = df.select(Notify.formatTimestampMs($"ms")).as[String].collect()
+    assert(got(0) === "2023-11-14 23:13:20 WAT") // 22:13:20 UTC + 1h
+    assert(got(1) === "N/A")
+  }
+
+  test("fullName is null-safe concat (CustomerEvent.java:46-48)") {
+    val df = Seq(("Ada", Some("Obi")), ("Ngozi", None)).toDF("f", "l")
+    val got = df.select(Notify.fullName($"f", $"l")).as[String].collect()
+    assert(got.toSeq === Seq("Ada Obi", "Ngozi"))
+  }
+}
+
+class LatestByKeySpec extends SparkSpecBase {
+  import spark.implicits._
+
+  private val df = Seq(
+    (1L, 100L, 10L, "a"), (1L, 200L, 11L, "b"),  // key 1: ts 200 wins
+    (2L, 300L, 12L, "c"), (2L, 300L, 13L, "d")   // key 2: tie on ts -> id 13 wins
+  ).toDF("k", "ts", "id", "v")
+
+  test("latest picks newest with deterministic id tiebreak") {
+    val got = LatestByKey.latest(df, Seq("k"), Seq($"ts", $"id"))
+      .select("k", "v").as[(Long, String)].collect().toMap
+    assert(got === Map(1L -> "b", 2L -> "d"))
+  }
+
+  test("max_by variant agrees with the window variant") {
+    val a = LatestByKey.latest(df, Seq("k"), Seq($"ts", $"id"))
+      .select("k", "ts", "id", "v").collect().toSet
+    val b = LatestByKey.latestByMaxBy(df, Seq("k"), struct($"ts", $"id"))
+      .select("k", "ts", "id", "v").collect().toSet
+    assert(a === b)
+  }
+}
+
+class WindowsSpec extends SparkSpecBase {
+
+  test("velocity: count >= threshold within one tumbling window only") {
+    val base = 1700000000000000000L // window-aligned region
+    val rows = Seq(
+      (1L, base, 7L, "purchase", 1.0),
+      (2L, base + 10_000_000_000L, 7L, "purchase", 1.0),   // +10s same window
+      (3L, base + 4000_000_000_000L, 7L, "purchase", 1.0)) // +4000s other window
+    val got = Windows.velocityCount(txns(rows), windowSec = 3600, minTxns = 2L)
+      .collect()
+    assert(got.length === 1)
+    assert(got.head.getAs[Long]("n_txns") === 2L)
+    // epoch-aligned start: floor(ms / 3600000) * 3600000
+    val ms = base / 1000000
+    assert(got.head.getAs[Long]("window_start_ms") === ms / 3600000 * 3600000)
+  }
+
+  test("session windows: event exactly at gap starts a new session (half-open)") {
+    val gapNs = 48L * 3600 * 1000000000L
+    val base = 1700000000000000000L
+    val rows = Seq(
+      (1L, base, 7L, "purchase", 1.0),
+      (2L, base + gapNs - 1000, 7L, "purchase", 1.0),  // just inside -> merges
+      (3L, base + 2 * gapNs + 5000, 7L, "view", 1.0))  // far out -> new session
+    val got = Windows.dormancySessions(txns(rows), "48 hours")
+      .orderBy("session_start_ms").collect()
+    assert(got.length === 2)
+    assert(got(0).getAs[Long]("n_events") === 2L)
+    assert(!got(0).getAs[Boolean]("is_dormant"))
+    assert(got(1).getAs[Long]("n_events") === 1L)
+    assert(got(1).getAs[Boolean]("is_dormant"))
+    // end = last event + gap (ms precision)
+    val lastUs = (base + gapNs - 1000) / 1000
+    assert(got(0).getAs[Long]("session_end_ms") === (lastUs + gapNs / 1000) / 1000)
+  }
+
+  test("daily spend sums only the provided debit rows and labels Lagos date") {
+    val base = 1700006400000000000L // 2023-11-15 00:00 UTC midnight-ish region
+    val rows = Seq(
+      (1L, base, 7L, "purchase", 100.0),
+      (2L, base + 1000_000_000_000L, 7L, "purchase", 60.0))
+    val got = Windows.dailySpend(txns(rows), alertThreshold = 150.0).collect()
+    assert(got.length === 1)
+    assert(got.head.getAs[Double]("total_spend") === 160.0)
+    assert(got.head.getAs[String]("lagos_date").matches("\\d{4}-\\d{2}-\\d{2}"))
+  }
+}
+
+class ReconcileSpec extends SparkSpecBase {
+
+  test("bootstrap on first event per account; updates after (processor :72-74)") {
+    val rows = Seq(
+      (1L, 1700000000000000000L, 7L, "purchase", 100.0),
+      (2L, 1700000001000000000L, 7L, "signup", 40.0),
+      (3L, 1700000002000000000L, 8L, "view", 10.0))
+    val got = Reconcile.reconcile(txns(rows)).orderBy("txn_id").collect()
+    assert(got.map(_.getAs[String]("recon_status")).toSeq ===
+      Seq("BOOTSTRAP", "BALANCE_UPDATE", "BOOTSTRAP"))
+    // running balance: -100 (debit), then +40 credit -> -60
+    assert(got(1).getAs[Double]("balance_after") === -60.0)
+    assert(got(1).getAs[Double]("stored_balance") === -100.0)
+  }
+
+  test("injected discrepancy (txn_id % 97 == 0) is flagged HIGH beyond 0.01 tolerance") {
+    val rows = Seq(
+      (96L, 1700000000000000000L, 7L, "purchase", 10.0),
+      (97L * 97, 1700000001000000000L, 7L, "purchase", 10.0)) // 9409 % 97 == 0
+    val got = Reconcile.reconcile(txns(rows)).orderBy("txn_id").collect()
+    assert(got(1).getAs[String]("recon_status") === "DISCREPANCY")
+    assert(got(1).getAs[String]("severity") === "HIGH")
+    assert(got(1).getAs[Double]("discrepancy") === Reconcile.InjectedError)
+  }
+}
