@@ -1,6 +1,6 @@
 package graft.ops
 
-import org.apache.spark.sql.DataFrame
+import org.apache.spark.sql.{Column, DataFrame}
 import org.apache.spark.sql.functions._
 
 /** Windowed aggregations (reference W1-W3, all tumbling/session with NO
@@ -25,11 +25,12 @@ object Windows {
     * count >= `minTxns` (reference `topology/ABBankTopology.java:173-180`,
     * 60 s / >=5 at production config). Emitted on window close (append
     * semantics — the documented intent; SURVEY §2.5). */
-  def velocityCount(txns: DataFrame, windowSec: Int, minTxns: Long): DataFrame =
+  def velocityCount(txns: DataFrame, windowSec: Int, minTxns: Long,
+      tsCol: Column = timestamp_micros(col("event_time_us"))): DataFrame =
     txns
       .groupBy(
         col("account_id"),
-        window(timestamp_micros(col("event_time_us")), s"$windowSec seconds").as("w"))
+        window(tsCol, s"$windowSec seconds").as("w"))
       .agg(count(lit(1)).as("n_txns"))
       .filter(col("n_txns") >= minTxns)
       .select(
@@ -44,11 +45,12 @@ object Windows {
     * money precision (2 dp) — input amounts are exact 2-dp values, so the
     * rounded sum is engine-exact. Includes the Lagos-local date label the
     * reference stamps on the alert (F6). */
-  def dailySpend(completedDebits: DataFrame, alertThreshold: Double): DataFrame =
+  def dailySpend(completedDebits: DataFrame, alertThreshold: Double,
+      tsCol: Column = timestamp_micros(col("event_time_us"))): DataFrame =
     completedDebits
       .groupBy(
         col("account_id"),
-        window(timestamp_micros(col("event_time_us")), "1 day").as("w"))
+        window(tsCol, "1 day").as("w"))
       .agg(round(sum(col("amount")), 2).as("total_spend"), count(lit(1)).as("n_txns"))
       .filter(col("total_spend") >= alertThreshold)
       .select(
@@ -68,11 +70,12 @@ object Windows {
     * Session identity: start = first event, end = last event + gap; an event
     * exactly `gap` after the previous one starts a NEW session (half-open
     * window), which the lag-based oracle mirrors with `diff >= gap`. */
-  def dormancySessions(txns: DataFrame, gap: String): DataFrame =
+  def dormancySessions(txns: DataFrame, gap: String,
+      tsCol: Column = timestamp_micros(col("event_time_us"))): DataFrame =
     txns
       .groupBy(
         col("account_id"),
-        session_window(timestamp_micros(col("event_time_us")), gap).as("w"))
+        session_window(tsCol, gap).as("w"))
       .agg(count(lit(1)).as("n_events"))
       .select(
         col("account_id"),

@@ -1,0 +1,161 @@
+package graft.streaming
+
+import org.apache.spark.sql.{DataFrame, Dataset, SparkSession}
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.streaming.{GroupState, GroupStateTimeout, OutputMode}
+
+import graft.cdc.EnvelopeOps
+import graft.ops.{Enrich, Notify, Predicates, Windows}
+
+/** The reference's five stream pipelines recomposed as Structured Streaming
+  * (reference `topology/ABBankTopology.java:149-153` fans one shared parsed
+  * stream into five subgraphs; here one parsed streaming DataFrame feeds
+  * five `writeStream` sinks, or `foreachBatch` shares a single scan).
+  *
+  * Semantics choices (SURVEY §2.5): event time = envelope record time
+  * (`event_ts`); NO grace -> `withWatermark(_, "0 seconds")`; emission on
+  * window close (append mode) — the documented intent, matching the batch
+  * operators exactly, rather than the DSL's literal eager update-mode
+  * emission. Each transform returns an unbound DataFrame so callers pick
+  * sink + output mode (tests use memory/complete, production uses
+  * kafka/append with checkpointing).
+  *
+  * Scale posture: state lives in the Structured Streaming state store
+  * (RocksDB provider at scale via
+  * `spark.sql.streaming.stateStore.providerClass`); all stateful stages key
+  * by account_id, so state partitions with the shuffle and no executor sees
+  * more than its key range. The reconciliation state is ONE double per
+  * account — O(#accounts) total, trivially partitionable.
+  */
+object Pipelines {
+
+  /** Streaming analog of the shared pre-pipeline: file-source stream of raw
+    * events -> synthesized envelope -> parsed typed txns + `event_ts`.
+    * (In production the source would be `format("kafka")` + `from_avro`;
+    * the envelope synthesis/parse and everything downstream is identical.) */
+  def parsedStream(spark: SparkSession, sfDir: String): DataFrame =
+    parsedStreamFromPath(spark, sfDir, glob = "events.parquet")
+
+  /** Same, over a monitored directory (the file source requires a directory
+    * base path; `glob` selects files within it). `maxFilesPerTrigger` splits
+    * the input into multiple micro-batches (used by tests to advance the
+    * watermark across batches). */
+  def parsedStreamFromPath(spark: SparkSession, dir: String, glob: String = "*",
+      maxFilesPerTrigger: Option[Int] = None): DataFrame = {
+    spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
+    val reader = spark.readStream
+      .schema("event_id BIGINT, ts BIGINT, user_id BIGINT, event_type STRING, value DOUBLE, props STRING")
+      .option("pathGlobFilter", glob)
+    val withOpt = maxFilesPerTrigger
+      .fold(reader)(n => reader.option("maxFilesPerTrigger", n.toString))
+    val raw = withOpt.parquet(dir).withColumnRenamed("ts", "ts_ns")
+    val parsed = EnvelopeOps.parsedTransactions(graft.Tables.deriveEventTime(raw))
+    EnvelopeOps.upsertsOnly(parsed)
+      .withColumn("event_ts", timestamp_micros(col("event_time_us")))
+  }
+
+  private def completed(parsed: DataFrame): DataFrame =
+    parsed.filter(Predicates.isCompleted(col("status")))
+
+  /** Pipeline 1 — high-value alerts: stateless filter + stream-static
+    * broadcast join + notification JSON (reference `:215-245`). */
+  def highValueAlerts(parsed: DataFrame, customerDim: DataFrame,
+      threshold: Double): DataFrame = {
+    val hv = completed(parsed)
+      .filter(Predicates.isHighValue(col("amount"), threshold))
+    val fmt = Notify.formatAmount(col("amount"), col("currency"))
+    Enrich.withDim(hv, customerDim.withColumnRenamed("c_custkey", "account_id"),
+        "account_id")
+      .select(col("txn_id"), col("account_id"),
+        Notify.notificationJson(
+          idPrefix = "HV", notificationType = "HIGH_VALUE_ALERT",
+          severity = "HIGH", channel = "BOTH",
+          entityId = col("txn_id"), accountId = col("account_id"),
+          subject = lit("High value transaction alert"),
+          body = concat(lit("Account "), col("account_id"), lit(" spent "), fmt),
+          metadata = map(lit("amount"), fmt, lit("currency"), col("currency"),
+            lit("accountName"), coalesce(col("c_name"), lit("N/A")))
+        ).as("notification"))
+  }
+
+  /** Pipeline 2 — velocity fraud: tumbling count per account
+    * (reference `:160-207`). */
+  def velocityAlerts(parsed: DataFrame, windowSec: Int, minTxns: Long): DataFrame =
+    Windows.velocityCount(
+      parsed.withWatermark("event_ts", "0 seconds"),
+      windowSec, minTxns, tsCol = col("event_ts"))
+
+  /** Pipeline 4 — daily spend: 24 h tumbling debit sum (reference `:373-426`). */
+  def dailySpendAlerts(parsed: DataFrame, threshold: Double): DataFrame =
+    Windows.dailySpend(
+      completed(parsed).filter(Predicates.isDebit(col("txn_type")))
+        .withWatermark("event_ts", "0 seconds"),
+      threshold, tsCol = col("event_ts"))
+
+  /** Pipeline 5 — dormancy: session windows per account (reference `:327-369`). */
+  def dormancyAlerts(parsed: DataFrame, gap: String): DataFrame =
+    Windows.dormancySessions(
+      parsed.withWatermark("event_ts", "0 seconds"),
+      gap, tsCol = col("event_ts"))
+
+  /** Pipeline 3 — balance reconciliation: true incremental per-key state via
+    * `flatMapGroupsWithState` (the streaming twin of
+    * [[graft.ops.Reconcile]]; reference
+    * `topology/BalanceReconciliationProcessor.java:42-152`). */
+  def reconcileAlerts(spark: SparkSession, parsed: DataFrame): Dataset[ReconRow] = {
+    import spark.implicits._
+    completed(parsed)
+      .selectExpr("txn_id", "account_id", "amount", "txn_type",
+        "event_time_us", "event_time_ms")
+      .as[ReconTxn]
+      .groupByKey(_.account_id)
+      .flatMapGroupsWithState(OutputMode.Append, GroupStateTimeout.NoTimeout)(
+        Reconciler.process)
+  }
+}
+
+/** Input row for the stateful reconciler. */
+case class ReconTxn(txn_id: Long, account_id: Long, amount: Double,
+    txn_type: String, event_time_us: Long, event_time_ms: Long)
+
+/** Output row — same shape as the batch [[graft.ops.Reconcile]] operator. */
+case class ReconRow(txn_id: Long, account_id: Long, event_time_ms: Long,
+    balance_before: Double, balance_after: Double,
+    stored_balance: Option[Double], discrepancy: Double,
+    recon_status: String, severity: String)
+
+/** Per-account sequential reconciliation with one Double of state — the
+  * streaming analog of the reference's RocksDB `account-balance-store`.
+  * Events are ordered (event_time_us, txn_id) within each micro-batch;
+  * cross-batch order follows stream arrival, as in the reference. */
+object Reconciler {
+
+  private def round2(x: Double): Double =
+    BigDecimal(x).setScale(2, BigDecimal.RoundingMode.HALF_UP).toDouble + 0.0
+
+  def process(accountId: Long, events: Iterator[ReconTxn],
+      state: GroupState[Double]): Iterator[ReconRow] = {
+    val sorted = events.toSeq.sortBy(e => (e.event_time_us, e.txn_id))
+    var stored: Option[Double] = state.getOption
+    val out = sorted.map { e =>
+      val signed = if (graft.ops.Predicates.debitTypes.contains(e.txn_type)) -e.amount else e.amount
+      val after = round2(stored.getOrElse(0.0) + signed)
+      val before = round2(after - signed + (if (e.txn_id % 97 == 0) graft.ops.Reconcile.InjectedError else 0.0))
+      val disc = stored match {
+        case None => 0.0
+        case Some(s) => round2(math.abs(before - s))
+      }
+      val status =
+        if (stored.isEmpty) "BOOTSTRAP"
+        else if (disc > graft.ops.Reconcile.ToleranceNgn) "DISCREPANCY"
+        else "BALANCE_UPDATE"
+      val row = ReconRow(e.txn_id, e.account_id, e.event_time_ms,
+        before, after, stored, disc, status,
+        if (status == "DISCREPANCY") "HIGH" else "LOW")
+      stored = Some(after)
+      row
+    }
+    stored.foreach(state.update)
+    out.iterator
+  }
+}

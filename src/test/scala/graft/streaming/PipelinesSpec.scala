@@ -1,0 +1,114 @@
+package graft.streaming
+
+import java.nio.file.Files
+
+import org.apache.spark.sql.DataFrame
+import org.apache.spark.sql.functions._
+
+import graft.{SparkSpecBase, Tables}
+import graft.cdc.EnvelopeOps
+import graft.ops.{Predicates, Reconcile, Windows}
+
+/** Streaming pipelines must agree with their batch twins — the batch
+  * operators are the oracle-verified semantics, so each streaming pipeline
+  * is tested for equivalence on the same input (sf0.001 events). */
+class PipelinesSpec extends SparkSpecBase {
+
+  private def runToTable(df: DataFrame, name: String, mode: String): DataFrame = {
+    val q = df.writeStream.format("memory").queryName(name).outputMode(mode).start()
+    q.processAllAvailable()
+    q.stop()
+    spark.table(name)
+  }
+
+  private lazy val batchParsed =
+    EnvelopeOps.upsertsOnly(
+      EnvelopeOps.parsedTransactions(Tables.events(spark, sf0001)))
+
+  test("streaming high-value alerts == batch notification query") {
+    val stream = Pipelines.highValueAlerts(
+      Pipelines.parsedStream(spark, sf0001),
+      Tables.customer(spark, sf0001), threshold = 200.0)
+    val got = runToTable(stream, "hv_stream", "append")
+      .select("txn_id", "notification").collect().toSet
+    val want = graft.SparkEntry.queries("q_notification_json")(spark, sf0001)
+      .collect().toSet
+    assert(got === want)
+    assert(got.nonEmpty)
+  }
+
+  test("streaming velocity (complete mode) == batch velocity operator") {
+    val stream = Pipelines.velocityAlerts(
+      Pipelines.parsedStream(spark, sf0001), windowSec = 3600, minTxns = 2L)
+    val got = runToTable(stream, "vel_stream", "complete").collect().toSet
+    val want = Windows.velocityCount(batchParsed, 3600, 2L).collect().toSet
+    assert(got === want)
+    assert(got.nonEmpty)
+  }
+
+  test("streaming daily spend (complete mode) == batch daily operator") {
+    val stream = Pipelines.dailySpendAlerts(
+      Pipelines.parsedStream(spark, sf0001), threshold = 150.0)
+    val got = runToTable(stream, "daily_stream", "complete").collect().toSet
+    val want = Windows.dailySpend(
+      batchParsed.filter(Predicates.isCompleted(col("status")) &&
+        Predicates.isDebit(col("txn_type"))), 150.0).collect().toSet
+    assert(got === want)
+    assert(got.nonEmpty)
+  }
+
+  test("streaming reconciliation (flatMapGroupsWithState) == batch lag() operator") {
+    val stream = Pipelines.reconcileAlerts(spark,
+      Pipelines.parsedStream(spark, sf0001))
+    val got = runToTable(stream.toDF(), "recon_stream", "append")
+      .select("txn_id", "balance_after", "recon_status").collect().toSet
+    val want = Reconcile.reconcile(
+        batchParsed.filter(Predicates.isCompleted(col("status"))))
+      .select("txn_id", "balance_after", "recon_status").collect().toSet
+    assert(got === want)
+    assert(got.nonEmpty)
+  }
+
+  test("streaming dormancy sessions close on watermark advance (append mode)") {
+    import spark.implicits._
+    // two files -> two micro-batches; the sentinel advances the watermark so
+    // chunk-1 sessions whose (last event + gap) <= max(chunk-1 ts) emit.
+    val dir = Files.createTempDirectory("graft_sess").toString
+    val base = 1700000000000000000L
+    val hourNs = 3600L * 1000000000L
+    val chunk1 = Seq(
+      (1L, base, 7L, "purchase", 1.0),
+      (2L, base + hourNs, 7L, "purchase", 1.0),          // same session as 1
+      (3L, base + 200 * hourNs, 7L, "purchase", 1.0),    // new session (gap 48h)
+      (4L, base + 400 * hourNs, 8L, "view", 1.0))        // advances max ts
+    val sentinel = Seq((5L, base + 2000 * hourNs, 9L, "view", 1.0))
+    // flat dir of single .parquet FILES (the source monitors a directory)
+    def write(rows: Seq[(Long, Long, Long, String, Double)], f: String): Unit = {
+      val staging = Files.createTempDirectory("graft_stage").toString
+      rows.toDF("event_id", "ts", "user_id", "event_type", "value")
+        .withColumn("props", lit("{}"))
+        .coalesce(1).write.mode("overwrite").parquet(staging)
+      val part = new java.io.File(staging).listFiles()
+        .find(_.getName.endsWith(".parquet")).get
+      Files.copy(part.toPath, java.nio.file.Paths.get(s"$dir/$f.parquet"))
+    }
+    write(chunk1, "c1"); Thread.sleep(20); write(sentinel, "c2")
+
+    val stream = Pipelines.dormancyAlerts(
+      Pipelines.parsedStreamFromPath(spark, dir, maxFilesPerTrigger = Some(1)),
+      gap = "48 hours")
+    val got = runToTable(stream, "sess_stream", "append")
+      .select("account_id", "session_start_ms", "n_events", "is_dormant")
+      .collect().toSet
+
+    // batch twin on chunk1, restricted to sessions closed by the final
+    // watermark (= the sentinel's event time; its own session stays open)
+    val sentinelTsMs = (base + 2000 * hourNs) / 1000000
+    val want = Windows.dormancySessions(txns(chunk1), "48 hours")
+      .filter(col("session_end_ms") <= sentinelTsMs)
+      .select("account_id", "session_start_ms", "n_events", "is_dormant")
+      .collect().toSet
+    assert(got === want)
+    assert(got.nonEmpty) // user 7's two sessions closed well before max ts
+  }
+}
