@@ -1,0 +1,41 @@
+package graft
+
+import org.apache.spark.sql.SparkSession
+
+/** Dev tool: dump `explain("formatted")` for every query and flag
+  * scale-hostile plan shapes (cartesian products, missing pushed filters,
+  * sort-merge joins where a broadcast was intended). Run:
+  * `sbt "runMain graft.PlanAudit /root/testdata/sf0.01"` */
+object PlanAudit {
+  def main(args: Array[String]): Unit = {
+    val sfDir = args.headOption.getOrElse("/root/testdata/sf0.01")
+    val spark = SparkSession.builder()
+      .master("local[8]")
+      .config("spark.sql.shuffle.partitions", "8")
+      .config("spark.sql.adaptive.enabled", "true")
+      .config("spark.sql.session.timeZone", "UTC")
+      .config("spark.ui.enabled", "false")
+      .getOrCreate()
+    spark.sparkContext.setLogLevel("ERROR")
+
+    SparkEntry.queries.toSeq.sortBy(_._1).foreach { case (name, fn) =>
+      val df = fn(spark, sfDir)
+      val plan = df.queryExecution.explainString(
+        org.apache.spark.sql.execution.FormattedMode)
+      // real shuffles = partitioning arguments of shuffle Exchanges
+      // (BroadcastExchange is data movement but not a repartition of the
+      // big side; counted separately)
+      val shuffles = "Arguments: (hash|range)partitioning".r.findAllIn(plan).size
+      val bcasts = "BroadcastExchange".r.findAllIn(plan).size / 2 // tree + detail
+      val pushed = "PushedFilters: \\[\\w".r.findAllIn(plan).size
+      val flags = Seq(
+        "CartesianProduct" -> plan.contains("CartesianProduct"),
+        "SortMergeJoin" -> plan.contains("SortMergeJoin"))
+        .collect { case (f, true) => f }
+      println(s"== $name  shuffles=$shuffles bcast=$bcasts pushedFilterScans=$pushed " +
+        s"${if (flags.nonEmpty) "FLAGS:" + flags.mkString(",") else "clean"}")
+      if (sys.env.get("PLAN_AUDIT_FULL").contains("1")) println(plan)
+    }
+    spark.stop()
+  }
+}

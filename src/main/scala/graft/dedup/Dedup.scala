@@ -42,7 +42,8 @@ object Dedup {
   def ngramJaccardPairs(documents: DataFrame, threshold: Double,
       maxDocId: Long, n: Int = 3): DataFrame = {
     val docs = documents.filter(col("doc_id") < maxDocId)
-    val sh = shingles(docs, n)
+    // postings reused three times (sizes + both join sides): persist
+    val sh = shingles(docs, n).persist()
     val sizes = sh.groupBy("doc_id").agg(count(lit(1)).as("n_sh"))
 
     val inter = sh.as("a")

@@ -45,7 +45,11 @@ object MinHashLSH {
   /** Candidate pairs from banding + signature-agreement estimate.
     * Emits pairs with estimated Jaccard >= `threshold`. */
   def candidatePairs(documents: DataFrame, threshold: Double): DataFrame = {
-    val sigs = signatures(documents)
+    // signatures are referenced three times (banding + both sides of the
+    // verify join); persist the small (doc_id, 64-long) frame so the
+    // shingle explode + 64-way min-agg runs once (at full scale this is a
+    // materialized signature table)
+    val sigs = signatures(documents).persist()
 
     val bandCols = (0 until Bands).map { b =>
       val elems = (0 until RowsPerBand)
@@ -73,23 +77,28 @@ object MinHashLSH {
 
   /** 64-bit SimHash per document from per-word xxhash64 bit votes, computed
     * entirely in codegen'd higher-order functions (no explode — one pass per
-    * row). */
+    * row). Word hashes are computed ONCE (inner transform), then folded into
+    * 64 bit-vote counters; hashing per (word × bit) would be 64× the work. */
   def simhash(documents: DataFrame): DataFrame =
     documents.select(
       col("doc_id"),
       expr(
         """aggregate(
-          |  transform(sequence(0, 63), j ->
-          |    IF(aggregate(split(text, ' '), 0L,
-          |         (acc, w) -> acc + IF((shiftright(xxhash64(w), j) & 1) = 1, 1L, -1L)) > 0,
-          |       shiftleft(1L, j), 0L)),
-          |  0L, (acc, x) -> acc + x)""".stripMargin).as("simhash"))
+          |  transform(split(text, ' '), w -> xxhash64(w)),
+          |  array_repeat(0L, 64),
+          |  (acc, h) -> zip_with(acc, sequence(0, 63),
+          |                (a, j) -> a + IF((shiftright(h, j) & 1) = 1, 1L, -1L)),
+          |  acc -> aggregate(zip_with(acc, sequence(0, 63),
+          |                     (a, j) -> IF(a > 0, shiftleft(1L, j), 0L)),
+          |                   0L, (s, x) -> s + x))""".stripMargin).as("simhash"))
 
   /** SimHash near-dup pairs: bucket on 16-bit chunks (a pair within hamming
     * distance 3 shares at least one of 4 chunks; we use distance <= `maxHamming`),
     * then verify with bit_count(xor). */
   def simhashPairs(documents: DataFrame, maxHamming: Int = 6): DataFrame = {
-    val sh = simhash(documents)
+    // tiny (doc_id, long) frame reused on both sides of the self-join —
+    // persist so the fingerprint pass over the corpus runs once, not twice
+    val sh = simhash(documents).persist()
     val chunked = sh.select(col("doc_id"), col("simhash"),
         explode(array((0 until 4).map(k =>
           struct(lit(k).as("k"),

@@ -59,14 +59,16 @@ object Similarity {
     val centroids = all.filter(col("vec_id") % centroidStride === 0)
       .select(col("vec_id").as("c_id"), col("v").as("cv"), col("norm").as("cnorm"))
 
-    // assign every vector to its nearest centroid (broadcast NL + argmax)
-    val assignW = Window.partitionBy(col("vec_id"))
-      .orderBy(col("__csim").desc, col("c_id"))
+    // assign every vector to its nearest centroid: broadcast NL + max_by
+    // argmax — partial aggregation combines map-side, so the shuffle moves
+    // ~one row per vector, not the vector×centroid cross product (a
+    // row_number window here would shuffle + sort the full cross product)
     val assigned = all.join(broadcast(centroids))
       .withColumn("__csim", dot("v", "cv") / (col("norm") * col("cnorm")))
-      .withColumn("__rn", row_number().over(assignW))
-      .filter(col("__rn") === 1)
-      .select(col("vec_id"), col("v"), col("norm"), col("c_id").as("cell"))
+      .groupBy(col("vec_id"))
+      .agg(
+        max_by(col("c_id"), struct(col("__csim"), -col("c_id"))).as("cell"),
+        first(col("v")).as("v"), first(col("norm")).as("norm"))
 
     // queries probe their nprobe nearest cells
     val queries = all.filter(col("vec_id") < numQueries)
@@ -79,10 +81,11 @@ object Similarity {
       .filter(col("__rn") <= nprobe)
       .select(col("q_id"), col("qv"), col("qnorm"), col("c_id").as("cell"))
 
-    // exact rerank within probed cells only
+    // exact rerank within probed cells only — probes are tiny (queries ×
+    // nprobe), so broadcast them: the vector table never shuffles
     val w = Window.partitionBy(col("q_id"))
       .orderBy(col("cos_sim").desc, col("neighbor_id"))
-    assigned.join(probes, Seq("cell"))
+    assigned.join(broadcast(probes), Seq("cell"))
       .filter(col("vec_id") =!= col("q_id"))
       .select(col("q_id"), col("vec_id").as("neighbor_id"),
         round(dot("qv", "v") / (col("qnorm") * col("norm")), 6).as("cos_sim"))
