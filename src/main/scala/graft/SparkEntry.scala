@@ -224,6 +224,22 @@ object SparkEntry {
 
     // Multimodal: binary payload + metadata -> batched stub-decode features
     "q_multimodal_meta" -> ((s, dir) => Multimodal.decodeFeatures(s, Tables.documents(s, dir))),
+
+    // Skew-immune salted two-phase aggregation (== plain groupBy result)
+    "q_salt_skew_agg" -> ((s, dir) =>
+      graft.ops.Salt.saltedSumCount(upserts(s, dir), Seq("account_id"),
+          "amount", col("txn_id"), buckets = 32)
+        .select(col("account_id"), round(col("sum_amount"), 2).as("sum_amount"),
+          col("n_rows"))),
+
+    // S1/S2 serde seam: envelope -> JSON wire payload -> decode -> parse
+    // (the Kafka value-codec path; JSON stands in for Avro — no spark-avro
+    // jar in this container)
+    "q_envelope_json_serde" -> ((s, dir) =>
+      EnvelopeOps.parseTxnEnvelope(
+        EnvelopeOps.decodeJsonEnvelope(
+          EnvelopeOps.encodeJsonEnvelope(
+            EnvelopeOps.synthesizeTxnEnvelope(Tables.events(s, dir)))))),
   )
 
   // ---- DuckDB oracle SQL ----------------------------------------------------
@@ -485,6 +501,14 @@ object SparkEntry {
          |r AS (SELECT *, CAST(row_number() OVER (PARTITION BY q_id ORDER BY cos_sim DESC, neighbor_id) AS BIGINT) AS rank
          |      FROM sims)
          |SELECT q_id, neighbor_id, cos_sim, rank FROM r WHERE rank <= $SimTopK""".stripMargin,
+
+    "q_salt_skew_agg" -> (P +
+      """SELECT account_id, round(sum(amount), 2) AS sum_amount,
+        |  CAST(count(*) AS BIGINT) AS n_rows
+        |FROM upserts GROUP BY 1""".stripMargin),
+
+    "q_envelope_json_serde" -> (P +
+      "SELECT txn_id, account_id, txn_ref, txn_type, amount, currency, status, event_time_ms, event_time_us, op FROM txns"),
 
     "q_multimodal_meta" ->
       """WITH b AS (

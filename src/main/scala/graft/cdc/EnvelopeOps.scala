@@ -114,4 +114,22 @@ object EnvelopeOps {
     * callers needing upserts apply [[upsertsOnly]]. */
   def parsedTransactions(events: DataFrame): DataFrame =
     parseTxnEnvelope(synthesizeTxnEnvelope(events))
+
+  /** S1 deserialization seam: a string `payload` column carrying a
+    * JSON-encoded CDC envelope -> typed nested envelope struct. This is the
+    * exact code shape of the production Kafka source (`format("kafka")` +
+    * `from_avro(value, registrySchema)` — reference
+    * `serde/AvroSerdes.java:35-59`); the container ships no spark-avro /
+    * kafka connector jars, so the wire format here is JSON. Parse is
+    * permissive: malformed payloads become null envelopes and are dropped by
+    * [[upsertsOnly]], never failed (reference
+    * `config/ABBankStreamsConfig.java:93-94` LogAndContinueExceptionHandler). */
+  def decodeJsonEnvelope(payloads: DataFrame, payloadCol: String = "payload"): DataFrame =
+    payloads.select(
+      from_json(col(payloadCol), Schemas.transactionEnvelope).as("envelope"))
+
+  /** S2 serialization seam: envelope struct -> JSON string payload (the
+    * shape of a Kafka value sink). */
+  def encodeJsonEnvelope(env: DataFrame): DataFrame =
+    env.select(to_json(col("envelope")).as("payload"))
 }

@@ -1,0 +1,37 @@
+package graft.ops
+
+import org.apache.spark.sql.{Column, DataFrame}
+import org.apache.spark.sql.functions._
+
+/** Skew mitigation: salted two-phase aggregation.
+  *
+  * At 100 TB a handful of hot accounts can make one reducer the straggler
+  * for the whole stage. AQE's skew-join splitting covers joins; for
+  * aggregations the classic fix is salting: phase 1 aggregates on
+  * (key, salt) — spreading a hot key over `buckets` reducers — phase 2
+  * combines the per-salt partials on the key alone. Phase 2's input is at
+  * most `buckets` rows per key, so its shuffle is negligible.
+  *
+  * The salt is derived deterministically from a per-row column (hash mod
+  * buckets) — no rand(), so plans stay reproducible and retries are safe
+  * (rand() under task retry double-counts with non-idempotent sinks).
+  */
+object Salt {
+
+  def withSalt(df: DataFrame, saltSource: Column, buckets: Int): DataFrame =
+    df.withColumn("__salt", pmod(xxhash64(saltSource), lit(buckets)))
+
+  /** Salted sum+count per key. `saltSource` must vary within a key (e.g. the
+    * event id). Equivalent to `df.groupBy(keys).agg(sum, count)` — verified
+    * by tests — but immune to single-key reducer skew. */
+  def saltedSumCount(df: DataFrame, keys: Seq[String], valueCol: String,
+      saltSource: Column, buckets: Int = 32): DataFrame = {
+    val partial = withSalt(df, saltSource, buckets)
+      .groupBy((keys.map(col) :+ col("__salt")): _*)
+      .agg(sum(col(valueCol)).as("__psum"), count(lit(1)).as("__pcnt"))
+    partial
+      .groupBy(keys.map(col): _*)
+      .agg(sum(col("__psum")).as(s"sum_$valueCol"),
+        sum(col("__pcnt")).as("n_rows"))
+  }
+}

@@ -1,0 +1,83 @@
+package graft
+
+import org.apache.spark.sql.functions._
+
+import graft.cdc.EnvelopeOps
+import graft.ops.Salt
+import graft.sources.Bucketing
+
+/** Scale-mechanism specs: salting equivalence, bucketed shuffle-free joins,
+  * JSON envelope serde round-trip. */
+class SaltSpec extends SparkSpecBase {
+  import spark.implicits._
+
+  test("salted two-phase sum/count == plain groupBy (skew-immune shape)") {
+    // integer-valued doubles -> summation order cannot change the result
+    val df = (1 to 1000).map(i => (i % 3L, (i % 7).toDouble, i.toLong))
+      .toDF("k", "v", "id")
+    val plain = df.groupBy("k")
+      .agg(sum($"v").as("sum_v"), count(lit(1)).as("n_rows"))
+      .as[(Long, Double, Long)].collect().toSet
+    val salted = Salt.saltedSumCount(df, Seq("k"), "v", $"id", buckets = 8)
+      .as[(Long, Double, Long)].collect().toSet
+    assert(salted === plain)
+  }
+}
+
+class BucketingSpec extends SparkSpecBase {
+
+  test("join of co-bucketed tables plans without a shuffle Exchange") {
+    val facts = txns(Seq(
+      (1L, 1700000000000000000L, 7L, "purchase", 10.0),
+      (2L, 1700000001000000000L, 8L, "view", 20.0),
+      (3L, 1700000002000000000L, 7L, "signup", 30.0)))
+    val dim = {
+      import spark.implicits._
+      Seq((7L, "gold"), (8L, "basic")).toDF("account_id", "tier")
+    }
+    Bucketing.writeBucketed(facts, "b_txns", "account_id", 4)
+    Bucketing.writeBucketed(dim, "b_dim", "account_id", 4)
+
+    // disable broadcast so the test exercises the bucketed path, not BHJ
+    spark.conf.set("spark.sql.autoBroadcastJoinThreshold", "-1")
+    try {
+      val joined = Bucketing.read(spark, "b_txns")
+        .join(Bucketing.read(spark, "b_dim"), "account_id")
+      val plan = joined.queryExecution.executedPlan.toString
+      assert(!plan.contains("Exchange"), s"expected shuffle-free bucketed join:\n$plan")
+      assert(joined.count() === 3)
+    } finally spark.conf.set("spark.sql.autoBroadcastJoinThreshold", "10485760")
+  }
+
+  test("groupBy on the bucket key plans without a shuffle Exchange") {
+    val agg = Bucketing.read(spark, "b_txns")
+      .groupBy("account_id").agg(sum("amount").as("s"))
+    val plan = agg.queryExecution.executedPlan.toString
+    assert(!plan.contains("Exchange hashpartitioning"),
+      s"expected shuffle-free bucketed agg:\n$plan")
+    assert(agg.count() === 2)
+  }
+}
+
+class JsonEnvelopeSpec extends SparkSpecBase {
+
+  test("JSON envelope encode/decode round-trips the parsed transaction") {
+    val events = eventsDf(Seq(
+      (3L, 1700000000000000000L, 7L, "purchase", 100.5),
+      (11L, 1700000001000000000L, 8L, "signup", 20.0)))
+    val wire = EnvelopeOps.encodeJsonEnvelope(
+      EnvelopeOps.synthesizeTxnEnvelope(events))
+    val decoded = EnvelopeOps.parseTxnEnvelope(
+      EnvelopeOps.decodeJsonEnvelope(wire))
+    val direct = EnvelopeOps.parsedTransactions(events)
+    assert(decoded.collect().toSet === direct.collect().toSet)
+  }
+
+  test("malformed payloads decode to null envelopes and are dropped, not failed") {
+    import spark.implicits._
+    val wire = Seq("""not json at all""", """{"op": 7}""").toDF("payload")
+    val parsed = EnvelopeOps.parseTxnEnvelope(EnvelopeOps.decodeJsonEnvelope(wire))
+    assert(parsed.count() === 2) // permissive: rows survive as nulls
+    assert(EnvelopeOps.upsertsOnly(parsed).count() === 0) // then filtered
+  }
+}
