@@ -7,7 +7,7 @@ import graft.cdc.EnvelopeOps
 import graft.dedup.{Dedup, MinHashLSH}
 import graft.functions.GraftFunctions
 import graft.multimodal.Multimodal
-import graft.ops.{Enrich, LatestByKey, Notify, Predicates, Reconcile, Windows}
+import graft.ops.{AsOfJoin, Enrich, LatestByKey, Notify, Predicates, Reconcile, Windows}
 import graft.sim.Similarity
 import graft.text.TextAnalysis
 
@@ -240,6 +240,41 @@ object SparkEntry {
         EnvelopeOps.decodeJsonEnvelope(
           EnvelopeOps.encodeJsonEnvelope(
             EnvelopeOps.synthesizeTxnEnvelope(Tables.events(s, dir)))))),
+
+    // Temporal as-of join: each debit sees the newest CREDIT "profile
+    // version" at-or-before its own event time (union+sort+carry-forward —
+    // one shuffle, no range explosion; oracle = DuckDB's native ASOF JOIN)
+    "q_asof_enrich" -> ((s, dir) => {
+      val up = upserts(s, dir)
+      val facts = up
+        .filter(Predicates.isCompleted(col("status")) &&
+          Predicates.isDebit(col("txn_type")))
+        .select("txn_id", "account_id", "amount", "event_time_us", "event_time_ms")
+      val versions = up.filter(col("txn_type") === "CREDIT")
+        .select(col("account_id"), col("event_time_us").as("ver_ts_us"),
+          col("amount").as("profile_score"), col("txn_id").as("ver_txn_id"))
+      val deduped = LatestByKey.latest(versions,
+          Seq("account_id", "ver_ts_us"), Seq(col("ver_txn_id")))
+        .drop("ver_txn_id")
+      AsOfJoin.asOfLeft(facts, deduped, "account_id", "event_time_us", "ver_ts_us")
+        .select(col("txn_id"), col("account_id"), col("amount"),
+          expr("ver_ts_us div 1000").as("ver_ts_ms"), col("profile_score"))
+    }),
+
+    // Top-k ranking over a pre-aggregated frame (sort/limit/rank — absent
+    // from the reference, added as extension surface; the global window
+    // runs over one row per account, post-aggregation)
+    "q_topk_spenders" -> ((s, dir) => {
+      val totals = completed(s, dir)
+        .filter(Predicates.isDebit(col("txn_type")))
+        .groupBy("account_id")
+        .agg(round(sum(col("amount")), 2).as("total_spend"))
+      totals
+        .withColumn("rank", row_number().over(
+          org.apache.spark.sql.expressions.Window
+            .orderBy(col("total_spend").desc, col("account_id"))).cast("long"))
+        .filter(col("rank") <= 10)
+    }),
   )
 
   // ---- DuckDB oracle SQL ----------------------------------------------------
@@ -509,6 +544,32 @@ object SparkEntry {
 
     "q_envelope_json_serde" -> (P +
       "SELECT txn_id, account_id, txn_ref, txn_type, amount, currency, status, event_time_ms, event_time_us, op FROM txns"),
+
+    "q_asof_enrich" -> (P +
+      """, facts AS (
+        |  SELECT txn_id, account_id, amount, event_time_us, event_time_ms FROM completed
+        |  WHERE txn_type IN ('DEBIT','TRANSFER_OUT','FEE','LOAN_REPAYMENT')
+        |), vers AS (
+        |  SELECT account_id, event_time_us AS ver_ts_us, amount AS profile_score,
+        |         row_number() OVER (PARTITION BY account_id, event_time_us ORDER BY txn_id DESC) AS rn
+        |  FROM upserts WHERE txn_type = 'CREDIT'
+        |), dimd AS (SELECT account_id, ver_ts_us, profile_score FROM vers WHERE rn = 1)
+        |SELECT f.txn_id, f.account_id, f.amount,
+        |       d.ver_ts_us // 1000 AS ver_ts_ms, d.profile_score
+        |FROM facts f ASOF LEFT JOIN dimd d
+        |  ON f.account_id = d.account_id AND f.event_time_us >= d.ver_ts_us""".stripMargin),
+
+    "q_topk_spenders" -> (P +
+      """, totals AS (
+        |  SELECT account_id, round(sum(amount), 2) AS total_spend FROM completed
+        |  WHERE txn_type IN ('DEBIT','TRANSFER_OUT','FEE','LOAN_REPAYMENT')
+        |  GROUP BY 1
+        |), ranked AS (
+        |  SELECT account_id, total_spend,
+        |    CAST(row_number() OVER (ORDER BY total_spend DESC, account_id) AS BIGINT) AS rank
+        |  FROM totals
+        |)
+        |SELECT account_id, total_spend, rank FROM ranked WHERE rank <= 10""".stripMargin),
 
     "q_multimodal_meta" ->
       """WITH b AS (

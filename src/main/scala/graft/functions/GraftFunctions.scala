@@ -65,3 +65,16 @@ object GraftFunctions {
     spark.sessionState.functionRegistry.createOrReplaceTempFunction(
       "graft_fnv64", exprs => Fnv1a64(exprs.head), "built-in")
 }
+
+/** The `SparkSessionExtensions` form of the same registration, for
+  * cluster-wide installs without code changes:
+  * `--conf spark.sql.extensions=graft.functions.GraftExtensions`
+  * (or `SparkSession.builder().withExtensions(new GraftExtensions)`). */
+class GraftExtensions extends (org.apache.spark.sql.SparkSessionExtensions => Unit) {
+  override def apply(e: org.apache.spark.sql.SparkSessionExtensions): Unit =
+    e.injectFunction((
+      new org.apache.spark.sql.catalyst.FunctionIdentifier("graft_fnv64"),
+      new org.apache.spark.sql.catalyst.expressions.ExpressionInfo(
+        classOf[Fnv1a64].getCanonicalName, "graft_fnv64"),
+      (exprs: Seq[Expression]) => Fnv1a64(exprs.head)))
+}
