@@ -275,6 +275,26 @@ object SparkEntry {
             .orderBy(col("total_spend").desc, col("account_id"))).cast("long"))
         .filter(col("rank") <= 10)
     }),
+
+    // Multi-level aggregation: ROLLUP over (currency, txn_type) with
+    // grouping indicators (absent category §2.8, added as extension)
+    "q_rollup_spend" -> ((s, dir) =>
+      completed(s, dir)
+        .rollup(col("currency"), col("txn_type"))
+        .agg(round(sum(col("amount")), 2).as("total_amount"),
+          count(lit(1)).as("n_txns"))
+        .select(
+          coalesce(col("currency"), lit("ALL")).as("currency"),
+          coalesce(col("txn_type"), lit("ALL")).as("txn_type"),
+          col("total_amount"), col("n_txns"))),
+
+    // Exact distinct counts per group (approx_count_distinct is
+    // engine-specific; its <5% error is asserted in DistinctSpec)
+    "q_distinct_users" -> ((s, dir) =>
+      upserts(s, dir)
+        .groupBy("txn_type")
+        .agg(countDistinct(col("account_id")).as("n_accounts"),
+          count(lit(1)).as("n_txns"))),
   )
 
   // ---- DuckDB oracle SQL ----------------------------------------------------
@@ -471,7 +491,7 @@ object SparkEntry {
          |  $scoreExprs
          |FROM d)
          |SELECT doc_id,
-         |  ${TextAnalysis.langOrder.map(l => s"round(raw_$l, 6) AS score_$l").mkString(", ")},
+         |  ${TextAnalysis.langOrder.map(l => s"floor(raw_$l * 1000000.0) / 1000000.0 AS score_$l").mkString(", ")},
          |  CASE $pred ELSE 'zh' END AS pred_lang
          |FROM s""".stripMargin
     },
@@ -484,14 +504,14 @@ object SparkEntry {
         |  FROM documents
         |), f AS (
         |  SELECT doc_id, n_chars_actual, n_tokens,
-        |    round((n_chars_actual - (n_tokens - 1)) * 1.0 / n_tokens, 6) AS avg_token_len,
-        |    round(len(list_filter(w, x -> list_contains(['the','a','of','and','to','in','is'], x))) * 1.0 / n_tokens, 6) AS stopword_ratio
+        |    floor((n_chars_actual - (n_tokens - 1)) * 1.0 / n_tokens * 1000000.0) / 1000000.0 AS avg_token_len,
+        |    floor(len(list_filter(w, x -> list_contains(['the','a','of','and','to','in','is'], x))) * 1.0 / n_tokens * 1000000.0) / 1000000.0 AS stopword_ratio
         |  FROM d
         |)
         |SELECT doc_id, n_chars_actual, n_tokens, avg_token_len, stopword_ratio,
-        |  round(least(n_tokens / 100.0, 1.0) * 0.5
-        |        + least(avg_token_len / 8.0, 1.0) * 0.3
-        |        + stopword_ratio * 0.2, 6) AS quality_score
+        |  floor((least(n_tokens / 100.0, 1.0) * 0.5
+        |         + least(avg_token_len / 8.0, 1.0) * 0.3
+        |         + stopword_ratio * 0.2) * 1000000.0) / 1000000.0 AS quality_score
         |FROM f""".stripMargin,
 
     "q_token_count" ->
@@ -570,6 +590,19 @@ object SparkEntry {
         |  FROM totals
         |)
         |SELECT account_id, total_spend, rank FROM ranked WHERE rank <= 10""".stripMargin),
+
+    "q_rollup_spend" -> (P +
+      """SELECT coalesce(currency, 'ALL') AS currency,
+        |       coalesce(txn_type, 'ALL') AS txn_type,
+        |       round(sum(amount), 2) AS total_amount,
+        |       CAST(count(*) AS BIGINT) AS n_txns
+        |FROM completed GROUP BY ROLLUP (currency, txn_type)""".stripMargin),
+
+    "q_distinct_users" -> (P +
+      """SELECT txn_type,
+        |       CAST(count(DISTINCT account_id) AS BIGINT) AS n_accounts,
+        |       CAST(count(*) AS BIGINT) AS n_txns
+        |FROM upserts GROUP BY 1""".stripMargin),
 
     "q_multimodal_meta" ->
       """WITH b AS (

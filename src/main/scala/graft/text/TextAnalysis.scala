@@ -30,6 +30,14 @@ object TextAnalysis {
   private def sqlList(ws: Seq[String]): String =
     ws.map(w => s"'$w'").mkString("array(", ", ", ")")
 
+  /** 6-dp truncation via explicit IEEE ops (`floor(x*1e6)/1e6`). Used
+    * instead of `round()` for ratio outputs: the ratios are rationals with
+    * small denominators, so `round` regularly lands on exact half-way ties
+    * where Spark (BigDecimal-exact HALF_UP) and DuckDB (scaled-multiply)
+    * disagree by 1e-6; floor of the identical double multiply is
+    * bit-identical across engines. */
+  def floor6(c: Column): Column = floor(c * 1000000.0) / 1000000.0
+
   /** Fraction of whitespace tokens that hit `lang`'s stopword profile. */
   def stopwordRatio(words: Column, lang: String): Column = {
     val arr = sqlList(stopwords(lang))
@@ -56,7 +64,7 @@ object TextAnalysis {
     withScores
       .withColumn("pred_lang", predictLang)
       .select(Seq(col("doc_id")) ++
-        langOrder.map(l => round(col(s"score_$l"), 6).as(s"score_$l")) :+
+        langOrder.map(l => floor6(col(s"score_$l")).as(s"score_$l")) :+
         col("pred_lang"): _*)
   }
 
@@ -69,13 +77,13 @@ object TextAnalysis {
       .withColumn("n_chars_actual", length(col("text")).cast("long"))
       .withColumn("n_tokens", size(col("__words")).cast("long"))
       .withColumn("avg_token_len",
-        round((col("n_chars_actual") - (col("n_tokens") - 1)) / col("n_tokens"), 6))
-      .withColumn("stopword_ratio", round(stopwordRatio(col("__words"), "en"), 6))
+        floor6((col("n_chars_actual") - (col("n_tokens") - 1)) / col("n_tokens")))
+      .withColumn("stopword_ratio", floor6(stopwordRatio(col("__words"), "en")))
       .withColumn("quality_score",
-        round(
+        floor6(
           least(col("n_tokens") / 100.0, lit(1.0)) * 0.5 +
           least(col("avg_token_len") / 8.0, lit(1.0)) * 0.3 +
-          col("stopword_ratio") * 0.2, 6))
+          col("stopword_ratio") * 0.2))
       .select("doc_id", "n_chars_actual", "n_tokens", "avg_token_len",
         "stopword_ratio", "quality_score")
 
