@@ -277,7 +277,10 @@ object SparkEntry {
     }),
 
     // Multi-level aggregation: ROLLUP over (currency, txn_type) with
-    // grouping indicators (absent category §2.8, added as extension)
+    // grouping indicators (absent category §2.8, added as extension).
+    // round(sum(double),2) is engine-safe here because amounts are exact
+    // 2-dp values: the true total is on the 2-dp grid, and summation-order
+    // noise (~1e-9) cannot move it across a .005 rounding boundary.
     "q_rollup_spend" -> ((s, dir) =>
       completed(s, dir)
         .rollup(col("currency"), col("txn_type"))
@@ -491,27 +494,25 @@ object SparkEntry {
          |  $scoreExprs
          |FROM d)
          |SELECT doc_id,
-         |  ${TextAnalysis.langOrder.map(l => s"floor(raw_$l * 1000000.0) / 1000000.0 AS score_$l").mkString(", ")},
+         |  ${TextAnalysis.langOrder.map(l => s"${TextAnalysis.floor6Sql(s"raw_$l")} AS score_$l").mkString(", ")},
          |  CASE $pred ELSE 'zh' END AS pred_lang
          |FROM s""".stripMargin
     },
 
     "q_text_quality" ->
-      """WITH d AS (
+      s"""WITH d AS (
         |  SELECT doc_id, string_split(text, ' ') AS w,
         |         CAST(length(text) AS BIGINT) AS n_chars_actual,
         |         CAST(len(string_split(text, ' ')) AS BIGINT) AS n_tokens
         |  FROM documents
         |), f AS (
         |  SELECT doc_id, n_chars_actual, n_tokens,
-        |    floor((n_chars_actual - (n_tokens - 1)) * 1.0 / n_tokens * 1000000.0) / 1000000.0 AS avg_token_len,
-        |    floor(len(list_filter(w, x -> list_contains(['the','a','of','and','to','in','is'], x))) * 1.0 / n_tokens * 1000000.0) / 1000000.0 AS stopword_ratio
+        |    ${TextAnalysis.floor6Sql("(n_chars_actual - (n_tokens - 1)) * 1.0 / n_tokens")} AS avg_token_len,
+        |    ${TextAnalysis.floor6Sql("len(list_filter(w, x -> list_contains(['the','a','of','and','to','in','is'], x))) * 1.0 / n_tokens")} AS stopword_ratio
         |  FROM d
         |)
         |SELECT doc_id, n_chars_actual, n_tokens, avg_token_len, stopword_ratio,
-        |  floor((least(n_tokens / 100.0, 1.0) * 0.5
-        |         + least(avg_token_len / 8.0, 1.0) * 0.3
-        |         + stopword_ratio * 0.2) * 1000000.0) / 1000000.0 AS quality_score
+        |  ${TextAnalysis.floor6Sql("least(n_tokens / 100.0, 1.0) * 0.5 + least(avg_token_len / 8.0, 1.0) * 0.3 + stopword_ratio * 0.2")} AS quality_score
         |FROM f""".stripMargin,
 
     "q_token_count" ->
@@ -533,7 +534,7 @@ object SparkEntry {
          |inter AS (SELECT a.doc_id AS doc_a, b.doc_id AS doc_b, CAST(count(*) AS BIGINT) AS n_inter
          |          FROM sh a JOIN sh b ON a.shingle = b.shingle AND a.doc_id < b.doc_id GROUP BY 1, 2),
          |j AS (SELECT doc_a, doc_b, n_inter,
-         |        round(n_inter * 1.0 / (x.n_sh + y.n_sh - n_inter), 6) AS jaccard
+         |        floor((n_inter * 1.0 / (x.n_sh + y.n_sh - n_inter)) * 1000000.0) / 1000000.0 AS jaccard
          |      FROM inter JOIN sz x ON doc_a = x.doc_id JOIN sz y ON doc_b = y.doc_id)
          |SELECT doc_a, doc_b, n_inter, jaccard FROM j WHERE jaccard >= $JaccardThreshold""".stripMargin,
 
@@ -615,7 +616,7 @@ object SparkEntry {
         |  CAST(64 + doc_id % 512 AS INTEGER) AS width,
         |  CAST(64 + (doc_id * 7) % 512 AS INTEGER) AS height,
         |  'fake-rgb' AS format,
-        |  round(byte_sum * 1.0 / greatest(length(text), 1), 4) AS avg_byte,
+        |  floor(byte_sum * 1.0 / greatest(length(text), 1) * 10000.0) / 10000.0 AS avg_byte,
         |  CAST(byte_sum % 256 AS BIGINT) AS checksum
         |FROM b""".stripMargin,
   )

@@ -57,8 +57,11 @@ object Dedup {
         .withColumnRenamed("n_sh", "n_a")), "doc_a")
       .join(broadcast(sizes.withColumnRenamed("doc_id", "doc_b")
         .withColumnRenamed("n_sh", "n_b")), "doc_b")
-      .withColumn("jaccard",
-        round(col("n_inter") / (col("n_a") + col("n_b") - col("n_inter")), 6))
+      // floor6, not round: jaccard is a small-denominator rational, so
+      // round() can land on exact half-way ties where Spark and DuckDB
+      // disagree (see TextAnalysis.floor6)
+      .withColumn("jaccard", graft.text.TextAnalysis.floor6(
+        col("n_inter") / (col("n_a") + col("n_b") - col("n_inter"))))
       .filter(col("jaccard") >= threshold)
       .select("doc_a", "doc_b", "n_inter", "jaccard")
   }

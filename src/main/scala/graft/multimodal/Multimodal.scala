@@ -40,9 +40,10 @@ object Multimodal {
         doc_id = r.doc_id,
         byte_len = r.payload.length.toLong,
         width = r.width, height = r.height, format = r.format,
-        // round at the money precision the oracle uses
-        avg_byte = BigDecimal(sum.toDouble / n)
-          .setScale(4, BigDecimal.RoundingMode.HALF_UP).toDouble,
+        // floor-truncate at 4 dp with the same IEEE ops as the oracle —
+        // sum/n is a small-denominator rational, so round() could land on
+        // half-way ties where JVM and DuckDB rounding disagree
+        avg_byte = math.floor(sum.toDouble / n * 10000.0) / 10000.0,
         checksum = sum % 256)
     }
   }

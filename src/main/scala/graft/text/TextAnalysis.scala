@@ -38,10 +38,13 @@ object TextAnalysis {
     * bit-identical across engines. */
   def floor6(c: Column): Column = floor(c * 1000000.0) / 1000000.0
 
+  /** The DuckDB rendering of [[floor6]] — keep the two in lockstep. */
+  def floor6Sql(e: String): String = s"floor(($e) * 1000000.0) / 1000000.0"
+
   /** Fraction of whitespace tokens that hit `lang`'s stopword profile. */
   def stopwordRatio(words: Column, lang: String): Column = {
-    val arr = sqlList(stopwords(lang))
-    expr(s"size(filter(__words, x -> array_contains($arr, x)))") / size(words)
+    val profile = array(stopwords(lang).map(lit): _*)
+    size(filter(words, w => array_contains(profile, w))) / size(words)
   }
 
   /** Language-ID by stopword-profile ratio with first-max tie-break in
