@@ -298,6 +298,9 @@ object SparkEntry {
         .groupBy("txn_type")
         .agg(countDistinct(col("account_id")).as("n_accounts"),
           count(lit(1)).as("n_txns"))),
+
+    // PII scrubbing: regex redaction + counts at scan speed (no shuffle)
+    "q_text_scrub" -> ((s, dir) => TextAnalysis.piiScrub(Tables.documents(s, dir))),
   )
 
   // ---- DuckDB oracle SQL ----------------------------------------------------
@@ -604,6 +607,21 @@ object SparkEntry {
         |       CAST(count(DISTINCT account_id) AS BIGINT) AS n_accounts,
         |       CAST(count(*) AS BIGINT) AS n_txns
         |FROM upserts GROUP BY 1""".stripMargin),
+
+    "q_text_scrub" -> {
+      val e = TextAnalysis.EmailPattern
+      val p = TextAnalysis.PhonePattern
+      s"""WITH t AS (
+         |  SELECT doc_id,
+         |    text || ' contact u' || doc_id || '@mail.com or +234-80' || doc_id || '-55' AS text2
+         |  FROM documents
+         |)
+         |SELECT doc_id,
+         |  CAST(len(regexp_extract_all(text2, '$e')) AS BIGINT) AS n_emails,
+         |  CAST(len(regexp_extract_all(text2, '$p')) AS BIGINT) AS n_phones,
+         |  regexp_replace(regexp_replace(text2, '$e', '<EMAIL>', 'g'), '$p', '<PHONE>', 'g') AS scrubbed
+         |FROM t""".stripMargin
+    },
 
     "q_multimodal_meta" ->
       """WITH b AS (

@@ -98,6 +98,43 @@ object Pipelines {
       parsed.withWatermark("event_ts", "0 seconds"),
       gap, tsCol = col("event_ts"))
 
+  /** CDC delivery is at-least-once (reference
+    * `config/ABBankStreamsConfig.java:85-86`): replays duplicate the same
+    * transaction id. This stage makes downstream processing
+    * effectively-once: duplicates within the watermark horizon are dropped,
+    * and the per-id state is expired BY the watermark
+    * (`dropDuplicatesWithinWatermark`) — bounded state, unlike a plain
+    * streaming dropDuplicates which retains every id forever. */
+  def dedupedStream(parsed: DataFrame, watermarkDelay: String = "1 hour"): DataFrame =
+    parsed
+      .withWatermark("event_ts", watermarkDelay)
+      .dropDuplicatesWithinWatermark("txn_id")
+
+  /** Topological fan-out (reference `topology/ABBankTopology.java:149-153`:
+    * one shared parsed stream feeds five subgraphs). For stateless sinks
+    * the Spark analog is ONE streaming query whose `foreachBatch` persists
+    * each micro-batch and writes every output from that single scan —
+    * the source is read once per batch, not once per sink. Stateful
+    * pipelines (windows/reconcile) keep their own queries so each owns its
+    * state store. */
+  def fanOutStateless(parsed: DataFrame, customerDim: DataFrame,
+      threshold: Double, outBase: String)
+      : org.apache.spark.sql.streaming.StreamingQuery =
+    parsed.writeStream
+      .outputMode("append")
+      .foreachBatch { (batch: DataFrame, id: Long) =>
+        batch.persist()
+        try {
+          batch.write.mode("append").parquet(s"$outBase/parsed")
+          highValueAlerts(batch, customerDim, threshold)
+            .write.mode("append").parquet(s"$outBase/hv_alerts")
+          batch.filter(Predicates.isDebit(col("txn_type")))
+            .write.mode("append").parquet(s"$outBase/debits")
+        } finally batch.unpersist()
+        ()
+      }
+      .start()
+
   /** Pipeline 3 — balance reconciliation: true incremental per-key state via
     * `flatMapGroupsWithState` (the streaming twin of
     * [[graft.ops.Reconcile]]; reference

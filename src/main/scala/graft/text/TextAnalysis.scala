@@ -100,6 +100,32 @@ object TextAnalysis {
       .withColumn("est_bpe_tokens", ceil(length(col("text")) / 4.0).cast("long"))
       .select("doc_id", "ws_tokens", "subword_tokens", "est_bpe_tokens")
 
+  /** PII patterns shared by the scrubber and its oracle (kept to syntax
+    * with identical semantics in Java regex and RE2). */
+  val EmailPattern = "[a-z0-9._%+-]+@[a-z0-9.-]+\\.[a-z]{2,}"
+  val PhonePattern = "\\+[0-9][0-9-]{6,}"
+
+  /** PII scrubbing: redact emails/phone numbers, count redactions.
+    * The corpus has no PII, so deterministic synthetic contact strings are
+    * appended first — the operator (regex redaction over a text column at
+    * scan speed, zero shuffle) is the production shape. */
+  def piiScrub(documents: DataFrame): DataFrame =
+    documents
+      .withColumn("text2", concat(col("text"),
+        lit(" contact u"), col("doc_id"), lit("@mail.com or +234-80"),
+        col("doc_id"), lit("-55")))
+      .select(
+        col("doc_id"),
+        // Column API, not expr(): SQL-literal backslash unescaping would
+        // silently alter the pattern
+        size(regexp_extract_all(col("text2"), lit(EmailPattern), lit(0)))
+          .cast("long").as("n_emails"),
+        size(regexp_extract_all(col("text2"), lit(PhonePattern), lit(0)))
+          .cast("long").as("n_phones"),
+        regexp_replace(
+          regexp_replace(col("text2"), EmailPattern, "<EMAIL>"),
+          PhonePattern, "<PHONE>").as("scrubbed"))
+
   /** Document fingerprints via the custom FNV-1a 64 Catalyst expression:
     * whole-document fingerprint + min token fingerprint (a 1-perm minhash —
     * the rolling/winnowed variant lives in dedup.MinHashLSH). Requires
