@@ -46,18 +46,46 @@ object Similarity {
       .filter(col("rank") <= k)
   }
 
-  /** IVF-style ANN: coarse "centroids" (deterministic subsample — a real
-    * build would k-means; the operator shape is identical), every vector
-    * assigned to its nearest centroid (one broadcast pass), queries probe
-    * the `nprobe` nearest cells and exact-rerank only those candidates.
+  /** Coarse quantizer training: deterministic stride-sampled seeds refined
+    * by `iters` Lloyd passes (assign by cosine argmax, recompute each cell
+    * as the elementwise mean of its members). Each pass is one broadcast
+    * assignment + one posexplode/avg shuffle over (cell, dim) — linear in
+    * N·dim, no pairwise work. Cells that lose all members drop out. */
+  def kmeansCentroids(all: DataFrame, stride: Int, iters: Int): DataFrame = {
+    var centroids = all.filter(col("vec_id") % stride === 0)
+      .select(col("vec_id").as("c_id"), col("v").as("cv"),
+        col("norm").as("cnorm"))
+    for (_ <- 1 to iters) {
+      val assigned = all.join(broadcast(centroids))
+        .withColumn("__csim", dot("v", "cv") / (col("norm") * col("cnorm")))
+        .groupBy(col("vec_id"))
+        .agg(max_by(col("c_id"), struct(col("__csim"), -col("c_id"))).as("c_id"),
+          first(col("v")).as("v"))
+      centroids = assigned
+        .select(col("c_id"), posexplode(col("v")).as(Seq("pos", "x")))
+        .groupBy("c_id", "pos").agg(avg(col("x")).as("x"))
+        .groupBy("c_id")
+        .agg(expr("transform(array_sort(collect_list(struct(pos, x))), s -> s.x)")
+          .as("cv"))
+        .withColumn("cnorm", sqrt(expr(
+          "aggregate(zip_with(cv, cv, (x, y) -> x * y), 0D, (acc, x) -> acc + x)")))
+    }
+    centroids
+  }
+
+  /** IVF-style ANN: k-means coarse centroids (stride seeds + Lloyd
+    * refinement), every vector assigned to its nearest centroid (one
+    * broadcast pass), queries probe the `nprobe` nearest cells and
+    * exact-rerank only those candidates.
     *
     * Returns the same shape as [[bruteForceTopK]] — recall measured against
     * it in tests. */
   def ivfTopK(embeddings: DataFrame, numQueries: Long, k: Int,
-      centroidStride: Int = 37, nprobe: Int = 8): DataFrame = {
+      centroidStride: Int = 37, nprobe: Int = 8, kmeansIters: Int = 1): DataFrame = {
     val all = withNorm(embeddings)
-    val centroids = all.filter(col("vec_id") % centroidStride === 0)
-      .select(col("vec_id").as("c_id"), col("v").as("cv"), col("norm").as("cnorm"))
+    // trained once per corpus in practice — persist the small frame so the
+    // assignment and probe stages don't re-run the Lloyd passes
+    val centroids = kmeansCentroids(all, centroidStride, kmeansIters).persist()
 
     // assign every vector to its nearest centroid: broadcast NL + max_by
     // argmax — partial aggregation combines map-side, so the shuffle moves

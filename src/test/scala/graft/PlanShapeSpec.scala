@@ -1,0 +1,59 @@
+package graft
+
+import java.nio.file.Files
+
+import org.apache.spark.sql.functions._
+
+import graft.sources.PartitionedSink
+
+/** Plan-shape regressions: the scale properties the engine promises must
+  * be visible in the physical plan, not just asserted in prose. */
+class PlanShapeSpec extends SparkSpecBase {
+
+  private def formattedPlan(df: org.apache.spark.sql.DataFrame): String =
+    df.queryExecution.explainString(org.apache.spark.sql.execution.FormattedMode)
+
+  test("high-value filter is pushed into the parquet scan through the envelope") {
+    val plan = formattedPlan(
+      SparkEntry.queries("q_high_value_filter")(spark, sf0001))
+    assert(plan.contains("PushedFilters:") &&
+      plan.contains("GreaterThanOrEqual(value,200.0)"), plan.take(2000))
+  }
+
+  test("token count reads only the columns it needs (column pruning)") {
+    val plan = formattedPlan(
+      SparkEntry.queries("q_token_count")(spark, sf0001))
+    val readSchema = plan.linesIterator.find(_.contains("ReadSchema")).get
+    assert(readSchema.contains("doc_id") && readSchema.contains("text"))
+    assert(!readSchema.contains("lang") && !readSchema.contains("source"),
+      readSchema) // untouched columns must not reach the scan
+  }
+
+  test("enrichment join broadcasts the dimension (no fact shuffle)") {
+    val plan = formattedPlan(
+      SparkEntry.queries("q_high_value_enrich")(spark, sf0001))
+    assert(plan.contains("BroadcastHashJoin"), plan.take(2000))
+    assert(!plan.contains("SortMergeJoin"))
+  }
+
+  test("partitioned sink layout prunes partitions on read") {
+    val out = Files.createTempDirectory("graft_part").toString
+    val df = txns(Seq(
+      (1L, 1700000000000000000L, 7L, "purchase", 10.0),
+      (2L, 1700300000000000000L, 8L, "view", 20.0)))
+      .withColumn("event_date",
+        to_date(timestamp_micros(col("event_time_us"))))
+    PartitionedSink.writePartitioned(df, out, Seq("event_date"))
+
+    val read = PartitionedSink.read(spark, out)
+      .filter(col("event_date") === "2023-11-14")
+    val plan = formattedPlan(read)
+    val pf = plan.linesIterator.find(_.trim.startsWith("PartitionFilters")).get
+    assert(pf.contains("event_date"), pf) // pruning predicate reached the scan
+    assert(read.count() === 1)
+
+    // one leaf dir per date, no small-file explosion (1 file per partition here)
+    val dirs = new java.io.File(out).listFiles().filter(_.isDirectory).map(_.getName)
+    assert(dirs.count(_.startsWith("event_date=")) === 2, dirs.toSeq)
+  }
+}
