@@ -301,6 +301,19 @@ object SparkEntry {
 
     // PII scrubbing: regex redaction + counts at scan speed (no shuffle)
     "q_text_scrub" -> ((s, dir) => TextAnalysis.piiScrub(Tables.documents(s, dir))),
+
+    // Pivot: currency columns x txn_type rows (explicit value list keeps
+    // the output schema static and plannable — one shuffle, map-side
+    // partials; round-safe because amounts are exact 2-dp)
+    "q_pivot_currency" -> ((s, dir) =>
+      completed(s, dir)
+        .groupBy("txn_type")
+        .pivot("currency", Seq("USD", "NGN", "EUR"))
+        .agg(round(sum(col("amount")), 2))
+        .select(col("txn_type"),
+          coalesce(col("USD"), lit(0.0)).as("usd_total"),
+          coalesce(col("NGN"), lit(0.0)).as("ngn_total"),
+          coalesce(col("EUR"), lit(0.0)).as("eur_total"))),
   )
 
   // ---- DuckDB oracle SQL ----------------------------------------------------
@@ -622,6 +635,13 @@ object SparkEntry {
          |  regexp_replace(regexp_replace(text2, '$e', '<EMAIL>', 'g'), '$p', '<PHONE>', 'g') AS scrubbed
          |FROM t""".stripMargin
     },
+
+    "q_pivot_currency" -> (P +
+      """SELECT txn_type,
+        |  coalesce(round(sum(CASE WHEN currency = 'USD' THEN amount END), 2), 0.0) AS usd_total,
+        |  coalesce(round(sum(CASE WHEN currency = 'NGN' THEN amount END), 2), 0.0) AS ngn_total,
+        |  coalesce(round(sum(CASE WHEN currency = 'EUR' THEN amount END), 2), 0.0) AS eur_total
+        |FROM completed GROUP BY 1""".stripMargin),
 
     "q_multimodal_meta" ->
       """WITH b AS (
