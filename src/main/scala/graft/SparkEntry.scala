@@ -302,6 +302,27 @@ object SparkEntry {
     // PII scrubbing: regex redaction + counts at scan speed (no shuffle)
     "q_text_scrub" -> ((s, dir) => TextAnalysis.piiScrub(Tables.documents(s, dir))),
 
+    // Interval (range) join: debits counted against credits of the same
+    // account within ±1 h — bucketized candidate generation, never a
+    // per-key cross product (stream-stream twin in Pipelines)
+    "q_interval_join" -> ((s, dir) => {
+      val up = upserts(s, dir)
+      val debits = up
+        .filter(Predicates.isCompleted(col("status")) &&
+          Predicates.isDebit(col("txn_type")))
+        .select("txn_id", "account_id", "event_time_us")
+      val credits = up.filter(Predicates.isCredit(col("txn_type")))
+        .select(col("txn_id").as("credit_txn_id"), col("account_id"),
+          col("event_time_us").as("credit_ts_us"))
+      val hourUs = 3600000000L
+      val counts = graft.ops.IntervalJoin.inner(debits, credits,
+          "account_id", "event_time_us", "credit_ts_us", -hourUs, hourUs)
+        .groupBy("txn_id").agg(count(lit(1)).as("n_nearby_credits"))
+      debits.join(counts, Seq("txn_id"), "left")
+        .select(col("txn_id"), col("account_id"),
+          coalesce(col("n_nearby_credits"), lit(0L)).as("n_nearby_credits"))
+    }),
+
     // Pivot: currency columns x txn_type rows (explicit value list keeps
     // the output schema static and plannable — one shuffle, map-side
     // partials; round-safe because amounts are exact 2-dp)
@@ -635,6 +656,17 @@ object SparkEntry {
          |  regexp_replace(regexp_replace(text2, '$e', '<EMAIL>', 'g'), '$p', '<PHONE>', 'g') AS scrubbed
          |FROM t""".stripMargin
     },
+
+    "q_interval_join" -> (P +
+      """SELECT f.txn_id, f.account_id, CAST(count(e.ctxn) AS BIGINT) AS n_nearby_credits
+        |FROM (SELECT txn_id, account_id, event_time_us FROM completed
+        |      WHERE txn_type IN ('DEBIT','TRANSFER_OUT','FEE','LOAN_REPAYMENT')) f
+        |LEFT JOIN (SELECT txn_id AS ctxn, account_id AS cacct, event_time_us AS cts
+        |           FROM upserts WHERE txn_type IN ('CREDIT','TRANSFER_IN','INTEREST')) e
+        |  ON f.account_id = e.cacct
+        |  AND e.cts >= f.event_time_us - 3600000000
+        |  AND e.cts <= f.event_time_us + 3600000000
+        |GROUP BY 1, 2""".stripMargin),
 
     "q_pivot_currency" -> (P +
       """SELECT txn_type,

@@ -135,6 +135,28 @@ object Pipelines {
       }
       .start()
 
+  /** Stream–stream windowed join (absent from the reference — Kafka
+    * Streams would need a windowed KStream join; SURVEY §2.3): debit and
+    * credit streams of the same account matched within ±`toleranceSec`.
+    * Watermarks on both sides + the time-bound join condition let Spark
+    * expire join state; inner matches emit as they arrive. */
+  def creditDebitPairs(debits: DataFrame, credits: DataFrame,
+      toleranceSec: Long): DataFrame = {
+    val d = debits
+      .select(col("txn_id"), col("account_id"), col("event_ts"))
+      .withWatermark("event_ts", "0 seconds")
+    val c = credits
+      .select(col("txn_id").as("credit_txn_id"),
+        col("account_id").as("credit_account_id"),
+        col("event_ts").as("credit_ts"))
+      .withWatermark("credit_ts", "0 seconds")
+    d.join(c,
+      col("account_id") === col("credit_account_id") &&
+        col("credit_ts") >= col("event_ts") - expr(s"INTERVAL $toleranceSec SECONDS") &&
+        col("credit_ts") <= col("event_ts") + expr(s"INTERVAL $toleranceSec SECONDS"))
+      .select("txn_id", "credit_txn_id", "account_id")
+  }
+
   /** Pipeline 3 — balance reconciliation: true incremental per-key state via
     * `flatMapGroupsWithState` (the streaming twin of
     * [[graft.ops.Reconcile]]; reference

@@ -1,0 +1,65 @@
+package graft.ops
+
+import org.apache.spark.sql.functions._
+
+import graft.{SparkSpecBase, Tables}
+import graft.cdc.EnvelopeOps
+import graft.streaming.Pipelines
+
+class IntervalJoinSpec extends SparkSpecBase {
+  import spark.implicits._
+
+  test("bucketized interval join == naive range-filtered join") {
+    val left = Seq((1L, 7L, 1000L), (2L, 7L, 5000L), (3L, 8L, 1000L))
+      .toDF("lid", "k", "lts")
+    val right = Seq((10L, 7L, 900L), (11L, 7L, 2000L), (12L, 7L, 9000L),
+      (13L, 9L, 1000L)).toDF("rid", "k", "rts")
+
+    val got = IntervalJoin.inner(left, right, "k", "lts", "rts", -500L, 1500L)
+      .select("lid", "rid").as[(Long, Long)].collect().toSet
+    val naive = left.as("l").join(right.as("r"),
+        $"l.k" === $"r.k" && $"rts" >= $"lts" - 500 && $"rts" <= $"lts" + 1500)
+      .select("lid", "rid").as[(Long, Long)].collect().toSet
+    assert(got === naive)
+    assert(got === Set((1L, 10L), (1L, 11L))) // boundary: 900 >= 1000-500
+  }
+
+  test("interval spanning bucket boundaries still matches (replication covers edges)") {
+    // w = 1000; left ts 999 with window [999, 2999] spans buckets 0..2
+    val left = Seq((1L, 7L, 999L)).toDF("lid", "k", "lts")
+    val right = Seq((10L, 7L, 1000L), (11L, 7L, 2999L), (12L, 7L, 3000L))
+      .toDF("rid", "k", "rts")
+    val got = IntervalJoin.inner(left, right, "k", "lts", "rts", 0L, 2000L)
+      .select("rid").as[Long].collect().toSet
+    assert(got === Set(10L, 11L)) // 3000 > 999+2000 excluded
+  }
+
+  test("stream-stream windowed join emits the same pairs as the batch interval join") {
+    val parsedBatch = EnvelopeOps.upsertsOnly(
+      EnvelopeOps.parsedTransactions(Tables.events(spark, sf0001)))
+    val debitsB = parsedBatch
+      .filter(Predicates.isCompleted(col("status")) &&
+        Predicates.isDebit(col("txn_type")))
+      .select("txn_id", "account_id", "event_time_us")
+    val creditsB = parsedBatch.filter(Predicates.isCredit(col("txn_type")))
+      .select(col("txn_id").as("credit_txn_id"), col("account_id"),
+        col("event_time_us").as("credit_ts_us"))
+    val want = IntervalJoin.inner(debitsB, creditsB, "account_id",
+        "event_time_us", "credit_ts_us", -3600000000L, 3600000000L)
+      .select("txn_id", "credit_txn_id").as[(Long, Long)].collect().toSet
+
+    val parsedS = Pipelines.parsedStream(spark, sf0001)
+    val pairs = Pipelines.creditDebitPairs(
+      parsedS.filter(Predicates.isCompleted(col("status")) &&
+        Predicates.isDebit(col("txn_type"))),
+      parsedS.filter(Predicates.isCredit(col("txn_type"))),
+      toleranceSec = 3600L)
+    val q = pairs.writeStream.format("memory").queryName("ss_join")
+      .outputMode("append").start()
+    q.processAllAvailable(); q.stop()
+    val got = spark.table("ss_join").select("txn_id", "credit_txn_id")
+      .as[(Long, Long)].collect().toSet
+    assert(got === want)
+    assert(got.nonEmpty)
+  }
+}
