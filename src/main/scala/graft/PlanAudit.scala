@@ -22,6 +22,9 @@ object PlanAudit {
       val shuffles = "Arguments: (hash|range)partitioning".r.findAllIn(plan).size
       val bcasts = "BroadcastExchange".r.findAllIn(plan).size / 2 // tree + detail
       val pushed = "PushedFilters: \\[\\w".r.findAllIn(plan).size
+      // SortMergeJoin is a review prompt, not an error: wrong where a
+      // broadcast was intended (dimension enrichment), correct for
+      // large-large co-partitioned joins (e.g. the bucketized interval join)
       val flags = Seq(
         "CartesianProduct" -> plan.contains("CartesianProduct"),
         "SortMergeJoin" -> plan.contains("SortMergeJoin"))

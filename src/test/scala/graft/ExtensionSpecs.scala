@@ -70,6 +70,16 @@ class DedupSpec extends SparkSpecBase {
     assert(got.toSeq === Seq((1L, 2L, 1.0)))
   }
 
+  test("custom Aggregator signatures == 64-min-agg signatures") {
+    val docs = Tables.documents(spark, sf0001).limit(100)
+    val a = MinHashLSH.signatures(docs)
+      .collect().map(r => r.getLong(0) -> r.getSeq[Long](1)).toMap
+    val b = MinHashLSH.signaturesViaAggregator(docs)
+      .collect().map(r => r.getLong(0) -> r.getSeq[Long](1)).toMap
+    assert(a === b)
+    assert(a.nonEmpty)
+  }
+
   test("simhash: identical docs at hamming 0; unrelated docs far apart") {
     val text = (1 to 30).map(i => s"w$i").mkString(" ")
     val other = (100 to 160).map(i => s"u$i").mkString(" ")
