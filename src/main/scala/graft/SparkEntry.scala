@@ -225,6 +225,9 @@ object SparkEntry {
     // Multimodal: binary payload + metadata -> batched stub-decode features
     "q_multimodal_meta" -> ((s, dir) => Multimodal.decodeFeatures(s, Tables.documents(s, dir))),
 
+    // Multimodal: frame sampling (1 -> N controlled explosion + pad-resize)
+    "q_multimodal_frames" -> ((s, dir) => Multimodal.sampleFrames(Tables.documents(s, dir))),
+
     // Skew-immune salted two-phase aggregation (== plain groupBy result)
     "q_salt_skew_agg" -> ((s, dir) =>
       graft.ops.Salt.saltedSumCount(upserts(s, dir), Seq("account_id"),
@@ -656,6 +659,19 @@ object SparkEntry {
          |  regexp_replace(regexp_replace(text2, '$e', '<EMAIL>', 'g'), '$p', '<PHONE>', 'g') AS scrubbed
          |FROM t""".stripMargin
     },
+
+    "q_multimodal_frames" ->
+      """WITH f AS (
+        |  SELECT doc_id, text,
+        |         unnest(generate_series(1, CAST(ceil(length(text) / 64.0) AS INT))) AS i
+        |  FROM documents
+        |)
+        |SELECT doc_id,
+        |  CAST(i - 1 AS BIGINT) AS frame_idx,
+        |  substring(text, (i - 1) * 64 + 1, 64) AS frame,
+        |  CAST(length(substring(text, (i - 1) * 64 + 1, 64)) AS BIGINT) AS frame_len,
+        |  rpad(substring(text, (i - 1) * 64 + 1, 64), 64, '.') AS frame_resized
+        |FROM f""".stripMargin,
 
     "q_interval_join" -> (P +
       """SELECT f.txn_id, f.account_id, CAST(count(e.ctxn) AS BIGINT) AS n_nearby_credits

@@ -58,6 +58,24 @@ object Multimodal {
       (lit(64) + (col("doc_id") * 7) % 512).cast("int").as("height"),
       lit("fake-rgb").as("format"))
 
+  /** Frame sampling: one media payload -> N fixed-stride frames with a
+    * "resize" (pad-to-width) pass — the video-frame-extraction shape: a
+    * controlled 1->N explosion at scan time (no shuffle; downstream ops
+    * key on (doc_id, frame_idx)). Text bytes stand in for the bitstream;
+    * a real implementation swaps `substring` for a demuxer call in the
+    * same transform position. */
+  def sampleFrames(documents: DataFrame, frameWidth: Int = 64): DataFrame =
+    documents
+      .select(col("doc_id"),
+        posexplode(expr(
+          s"""transform(
+             |  sequence(0, cast(ceil(length(text) / $frameWidth.0D) as int) - 1),
+             |  i -> substring(text, i * $frameWidth + 1, $frameWidth))""".stripMargin)))
+      .select(col("doc_id"), col("pos").cast("long").as("frame_idx"),
+        col("col").as("frame"))
+      .withColumn("frame_len", length(col("frame")).cast("long"))
+      .withColumn("frame_resized", rpad(col("frame"), frameWidth, "."))
+
   /** Batched partition-level decode: the mapPartitions seam where a real
     * codec would run. Output is a flat feature frame. */
   def decodeFeatures(spark: SparkSession, documents: DataFrame): DataFrame = {

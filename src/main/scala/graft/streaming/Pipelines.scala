@@ -157,6 +157,21 @@ object Pipelines {
       .select("txn_id", "credit_txn_id", "account_id")
   }
 
+  /** Pipeline 5 alternative — dormancy with state + event-time timers
+    * (see [[DormancyDetector]]): alerts fire exactly when the watermark
+    * closes a single-event session. */
+  def dormancyTimeoutAlerts(spark: SparkSession, parsed: DataFrame,
+      gapUs: Long): Dataset[DormancyAlert] = {
+    import spark.implicits._
+    parsed
+      .withWatermark("event_ts", "0 seconds")
+      .selectExpr("txn_id", "account_id", "event_time_us", "event_ts")
+      .as[DormTxn]
+      .groupByKey(_.account_id)
+      .flatMapGroupsWithState(OutputMode.Append,
+        GroupStateTimeout.EventTimeTimeout)(DormancyDetector.process(gapUs))
+  }
+
   /** Pipeline 3 — balance reconciliation: true incremental per-key state via
     * `flatMapGroupsWithState` (the streaming twin of
     * [[graft.ops.Reconcile]]; reference
@@ -170,6 +185,63 @@ object Pipelines {
       .groupByKey(_.account_id)
       .flatMapGroupsWithState(OutputMode.Append, GroupStateTimeout.NoTimeout)(
         Reconciler.process)
+  }
+}
+
+/** Dormancy alert emitted when a session CLOSES having had exactly one
+  * event — the reference's documented intent (README:73-80), which its
+  * eager DSL emission only approximates (SURVEY §2.5). */
+case class DormancyAlert(account_id: Long, session_start_ms: Long,
+    n_events: Long)
+
+/** Per-account session state for the timeout-based dormancy detector. */
+case class SessionState(startUs: Long, lastUs: Long, n: Long)
+
+/** Input row for the dormancy detector — carries the watermarked
+  * `event_ts` column through the typed projection (dropping it would
+  * detach the watermark from the stateful operator). */
+case class DormTxn(txn_id: Long, account_id: Long, event_time_us: Long,
+    event_ts: java.sql.Timestamp)
+
+/** Timeout-driven dormancy: sessions are tracked in `GroupState` and the
+  * alert fires from the EVENT-TIME TIMEOUT callback when the watermark
+  * passes (last event + gap) — i.e., exactly at session close, with state
+  * freed on firing. The third stateful-processing pattern after the
+  * running-balance scan and watermarked windows: state + timers.
+  */
+object DormancyDetector {
+  import org.apache.spark.sql.streaming.GroupState
+
+  def process(gapUs: Long)(accountId: Long, events: Iterator[DormTxn],
+      state: GroupState[SessionState]): Iterator[DormancyAlert] = {
+    if (events.isEmpty && state.hasTimedOut) {
+      // session closed: alert iff it contained exactly one event
+      val s = state.get
+      state.remove()
+      if (s.n == 1) Iterator.single(DormancyAlert(accountId, s.startUs / 1000, s.n))
+      else Iterator.empty
+    } else {
+      val sorted = events.toSeq.sortBy(e => (e.event_time_us, e.txn_id))
+      var closed = List.empty[DormancyAlert]
+      var cur = state.getOption
+      sorted.foreach { e =>
+        cur match {
+          case Some(s) if e.event_time_us - s.lastUs < gapUs =>
+            cur = Some(SessionState(s.startUs, e.event_time_us, s.n + 1))
+          case Some(s) =>
+            // gap exceeded within the batch: the old session closed
+            if (s.n == 1) closed ::= DormancyAlert(accountId, s.startUs / 1000, s.n)
+            cur = Some(SessionState(e.event_time_us, e.event_time_us, 1))
+          case None =>
+            cur = Some(SessionState(e.event_time_us, e.event_time_us, 1))
+        }
+      }
+      cur.foreach { s =>
+        state.update(s)
+        state.setTimeoutTimestamp((s.lastUs + gapUs) / 1000) // epoch millis
+      }
+      closed.reverseIterator
+    }
   }
 }
 

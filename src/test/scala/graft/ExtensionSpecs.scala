@@ -162,6 +162,16 @@ class TextAnalysisSpec extends SparkSpecBase {
 class MultimodalSpec extends SparkSpecBase {
   import spark.implicits._
 
+  test("frame sampling: full tiling, last partial frame, pad-resize") {
+    val df = Seq((1L, "a" * 130)).toDF("doc_id", "text") // 64 + 64 + 2
+    val got = Multimodal.sampleFrames(df).orderBy("frame_idx").collect()
+    assert(got.length === 3)
+    assert(got.map(_.getAs[Long]("frame_len")).toSeq === Seq(64L, 64L, 2L))
+    assert(got(2).getAs[String]("frame_resized") === "aa" + "." * 62)
+    // frames reassemble to the original payload
+    assert(got.map(_.getAs[String]("frame")).mkString === "a" * 130)
+  }
+
   test("stub decode: byte stats + metadata survive the mapPartitions seam") {
     val df = Seq((3L, "abc")).toDF("doc_id", "text")
     val got = Multimodal.decodeFeatures(spark, df).head()
