@@ -38,6 +38,12 @@ for name, sql in sorted(oracle.items()):
         print(f"FAIL {name}: columns {list(got.columns)} vs {list(want.columns)}"); fail += 1; continue
     if len(got) != len(want):
         print(f"FAIL {name}: rows {len(got)} vs {len(want)}"); fail += 1; continue
+    # arrays/objects aren't sortable/hashable -> compare stringified
+    for c in got.columns:
+        if got[c].dtype == object:
+            got[c] = got[c].astype(str)
+        if want[c].dtype == object:
+            want[c] = want[c].astype(str)
     g = got.sort_values(by=list(got.columns), ignore_index=True)
     w = want.sort_values(by=list(want.columns), ignore_index=True)
     # normalize dtypes: compare stringified values (like a value hash would)

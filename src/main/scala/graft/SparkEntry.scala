@@ -222,6 +222,10 @@ object SparkEntry {
     "q_sim_ivf_topk" -> ((s, dir) =>
       Similarity.ivfTopK(Tables.embeddings(s, dir), SimNumQueries, SimTopK)),
 
+    // Embedding storage: per-vector int8 range quantization + error bound
+    "q_embed_quantize" -> ((s, dir) =>
+      Similarity.quantizeInt8(Tables.embeddings(s, dir))),
+
     // Multimodal: binary payload + metadata -> batched stub-decode features
     "q_multimodal_meta" -> ((s, dir) => Multimodal.decodeFeatures(s, Tables.documents(s, dir))),
 
@@ -659,6 +663,26 @@ object SparkEntry {
          |  regexp_replace(regexp_replace(text2, '$e', '<EMAIL>', 'g'), '$p', '<PHONE>', 'g') AS scrubbed
          |FROM t""".stripMargin
     },
+
+    "q_embed_quantize" ->
+      """WITH e AS (
+        |  SELECT vec_id, CAST(embedding AS DOUBLE[]) AS v FROM embeddings
+        |), s AS (
+        |  SELECT vec_id, v,
+        |         list_min(v) AS vmin, list_max(v) AS vmax,
+        |         greatest((list_max(v) - list_min(v)) / 256.0, 1e-12) AS scale
+        |  FROM e
+        |), q AS (
+        |  SELECT vec_id, v, vmin, vmax, scale,
+        |         list_transform(v, x -> least(CAST(floor((x - vmin) / scale) AS BIGINT), 255)) AS q
+        |  FROM s
+        |)
+        |SELECT vec_id, vmin, vmax,
+        |  CAST(list_sum(q) AS BIGINT) AS q_sum,
+        |  CAST(list_max(q) AS BIGINT) AS q_max,
+        |  list_max(list_transform(list_zip(v, q),
+        |    p -> abs(p[1] - (vmin + (p[2] + 0.5) * scale)))) AS max_abs_err
+        |FROM q""".stripMargin,
 
     "q_multimodal_frames" ->
       """WITH f AS (

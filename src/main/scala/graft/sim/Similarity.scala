@@ -46,6 +46,34 @@ object Similarity {
       .filter(col("rank") <= k)
   }
 
+  /** Int8 range quantization of an embedding column — the storage play for
+    * 100 TB embedding tables (4 bytes -> 1 byte per dimension; search runs
+    * on the quantized vectors, exact rerank on the float originals).
+    * Per-vector affine quantization: q_i = floor((x_i - min) / scale),
+    * scale = (max - min) / 256 — all explicit IEEE ops so the DuckDB
+    * oracle reproduces values bit-for-bit. Reports the max absolute
+    * dequantization error per vector (bounded by scale). */
+  def quantizeInt8(embeddings: DataFrame): DataFrame =
+    embeddings
+      .select(col("vec_id"), col("embedding").cast("array<double>").as("v"))
+      .withColumn("vmin", array_min(col("v")))
+      .withColumn("vmax", array_max(col("v")))
+      .withColumn("scale",
+        greatest((col("vmax") - col("vmin")) / 256.0, lit(1e-12)))
+      .withColumn("q", expr(
+        "transform(v, x -> least(cast(floor((x - vmin) / scale) as bigint), 255L))"))
+      .withColumn("max_abs_err", expr(
+        """aggregate(zip_with(v, q, (x, qi) -> abs(x - (vmin + (qi + 0.5D) * scale))),
+          | 0D, (acc, e) -> greatest(acc, e))""".stripMargin))
+      // raw doubles are safe to emit: every op above is a fixed-order IEEE
+      // expression evaluated identically by the DuckDB oracle (no
+      // aggregation reordering, no engine-specific rounding). The codes
+      // are emitted as exact integer aggregates rather than an array
+      // column (array-typed outputs don't hash uniformly across engines).
+      .withColumn("q_sum", expr("aggregate(q, 0L, (a, x) -> a + x)"))
+      .withColumn("q_max", array_max(col("q")))
+      .select("vec_id", "vmin", "vmax", "q_sum", "q_max", "max_abs_err")
+
   /** Coarse quantizer training: deterministic stride-sampled seeds refined
     * by `iters` Lloyd passes (assign by cosine argmax, recompute each cell
     * as the elementwise mean of its members). Each pass is one broadcast

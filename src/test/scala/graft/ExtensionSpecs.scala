@@ -120,6 +120,18 @@ class SimilaritySpec extends SparkSpecBase {
     assert(got.toSeq === Seq(10L, 11L, 12L))
   }
 
+  test("int8 quantization: codes bounded, error within one quantization step") {
+    val got = Similarity.quantizeInt8(Tables.embeddings(spark, sf0001)).collect()
+    assert(got.nonEmpty)
+    got.foreach { r =>
+      val vmin = r.getAs[Double]("vmin"); val vmax = r.getAs[Double]("vmax")
+      val step = math.max((vmax - vmin) / 256.0, 1e-12)
+      assert(r.getAs[Long]("q_max") <= 255L)
+      assert(r.getAs[Double]("max_abs_err") <= step * 0.5 + 1e-9,
+        s"err ${r.getAs[Double]("max_abs_err")} vs step $step")
+    }
+  }
+
   test("IVF recall@5 vs brute force >= 0.6 on sf0.001 embeddings") {
     val emb = Tables.embeddings(spark, sf0001)
     val bf = Similarity.bruteForceTopK(emb, 10, 5)
