@@ -223,6 +223,7 @@ object SparkEntry {
       Similarity.ivfTopK(Tables.embeddings(s, dir), SimNumQueries, SimTopK)),
 
     // Embedding storage: per-vector int8 range quantization + error bound
+
     "q_embed_quantize" -> ((s, dir) =>
       Similarity.quantizeInt8(Tables.embeddings(s, dir))),
 
@@ -309,6 +310,10 @@ object SparkEntry {
     // PII scrubbing: regex redaction + counts at scan speed (no shuffle)
     "q_text_scrub" -> ((s, dir) => TextAnalysis.piiScrub(Tables.documents(s, dir))),
 
+    // Capstone composition: language gate + quality gate + dedup keepers
+    "q_corpus_curate" -> ((s, dir) =>
+      TextAnalysis.curate(Tables.documents(s, dir), lang = "en", minQuality = 0.5)),
+
     // Interval (range) join: debits counted against credits of the same
     // account within ±1 h — bucketized candidate generation, never a
     // per-key cross product (stream-stream twin in Pipelines)
@@ -369,6 +374,22 @@ object SparkEntry {
       |  SELECT * FROM upserts WHERE status = 'COMPLETED'
       |)
       |""".stripMargin
+
+  /** DuckDB fragments of the language-ID heuristic, shared by the langid
+    * and corpus-curation oracles. */
+  private lazy val sqlLangScores: String = TextAnalysis.langOrder.map { l =>
+    val set = TextAnalysis.stopwords(l).map(w => s"'$w'").mkString("[", ", ", "]")
+    s"len(list_filter(w, x -> list_contains($set, x))) * 1.0 / len(w) AS raw_$l"
+  }.mkString(",\n  ")
+
+  private lazy val sqlLangPred: String = {
+    val arms = TextAnalysis.langOrder.map { l =>
+      val others = TextAnalysis.langOrder.filter(_ != l)
+        .map(o => s"raw_$l >= raw_$o").mkString(" AND ")
+      s"WHEN $others THEN '$l'"
+    }.mkString(" ")
+    s"CASE $arms ELSE 'zh' END"
+  }
 
   /** DuckDB rendering of [[graft.ops.Notify.formatAmount]] (DuckDB's fmt
     * format() lacks thousands grouping for floats, so group the integer part
@@ -523,25 +544,15 @@ object SparkEntry {
          |    || '","accountName":"' || account_name || '"}}' AS notification
          |FROM enriched""".stripMargin),
 
-    "q_text_langid" -> {
-      val scoreExprs = TextAnalysis.langOrder.map { l =>
-        val set = TextAnalysis.stopwords(l).map(w => s"'$w'").mkString("[", ", ", "]")
-        s"len(list_filter(w, x -> list_contains($set, x))) * 1.0 / len(w) AS raw_$l"
-      }.mkString(",\n         ")
-      val pred = TextAnalysis.langOrder.map { l =>
-        val others = TextAnalysis.langOrder.filter(_ != l)
-          .map(o => s"raw_$l >= raw_$o").mkString(" AND ")
-        s"WHEN $others THEN '$l'"
-      }.mkString(" ")
+    "q_text_langid" ->
       s"""WITH d AS (SELECT doc_id, string_split(text, ' ') AS w FROM documents),
          |s AS (SELECT doc_id,
-         |  $scoreExprs
+         |  $sqlLangScores
          |FROM d)
          |SELECT doc_id,
          |  ${TextAnalysis.langOrder.map(l => s"${TextAnalysis.floor6Sql(s"raw_$l")} AS score_$l").mkString(", ")},
-         |  CASE $pred ELSE 'zh' END AS pred_lang
-         |FROM s""".stripMargin
-    },
+         |  $sqlLangPred AS pred_lang
+         |FROM s""".stripMargin,
 
     "q_text_quality" ->
       s"""WITH d AS (
@@ -663,6 +674,31 @@ object SparkEntry {
          |  regexp_replace(regexp_replace(text2, '$e', '<EMAIL>', 'g'), '$p', '<PHONE>', 'g') AS scrubbed
          |FROM t""".stripMargin
     },
+
+    "q_corpus_curate" ->
+      s"""WITH d AS (
+         |  SELECT doc_id, text, string_split(text, ' ') AS w,
+         |         CAST(length(text) AS BIGINT) AS n_chars_actual,
+         |         CAST(len(string_split(text, ' ')) AS BIGINT) AS n_tokens
+         |  FROM documents
+         |), lang AS (
+         |  SELECT doc_id, $sqlLangPred AS pred_lang
+         |  FROM (SELECT doc_id, $sqlLangScores FROM d)
+         |), qual AS (
+         |  SELECT doc_id, n_tokens,
+         |    ${TextAnalysis.floor6Sql("least(n_tokens / 100.0, 1.0) * 0.5 + least(avg_token_len / 8.0, 1.0) * 0.3 + stopword_ratio * 0.2")} AS quality_score
+         |  FROM (SELECT doc_id, n_tokens,
+         |          ${TextAnalysis.floor6Sql("(n_chars_actual - (n_tokens - 1)) * 1.0 / n_tokens")} AS avg_token_len,
+         |          ${TextAnalysis.floor6Sql("len(list_filter(w, x -> list_contains(['the','a','of','and','to','in','is'], x))) * 1.0 / n_tokens")} AS stopword_ratio
+         |        FROM d)
+         |), keep AS (
+         |  SELECT min(doc_id) AS doc_id FROM documents GROUP BY lower(trim(text))
+         |)
+         |SELECT q.doc_id, l.pred_lang, q.quality_score, q.n_tokens
+         |FROM qual q
+         |JOIN lang l USING (doc_id)
+         |JOIN keep k ON q.doc_id = k.doc_id
+         |WHERE l.pred_lang = 'en' AND q.quality_score >= 0.5""".stripMargin,
 
     "q_embed_quantize" ->
       """WITH e AS (

@@ -126,6 +126,22 @@ object TextAnalysis {
           regexp_replace(col("text2"), EmailPattern, "<EMAIL>"),
           PhonePattern, "<PHONE>").as("scrubbed"))
 
+  /** End-to-end corpus curation — the training-data pipeline this library
+    * exists for, composed from the library's own operators: language gate
+    * (predicted profile) ∧ quality gate (score >= threshold) ∧ exact-dedup
+    * keeper set (left-semi join against [[graft.dedup.Dedup.exact]]).
+    * Two scan-stage passes + one tiny semi join; at 100 TB each gate is a
+    * pushed filter and the keeper set is a digest join — no wide shuffle. */
+  def curate(documents: DataFrame, lang: String, minQuality: Double): DataFrame = {
+    val gates = quality(documents)
+      .join(langId(documents).select(col("doc_id"), col("pred_lang")), "doc_id")
+      .filter(col("pred_lang") === lang && col("quality_score") >= minQuality)
+    val keepers = graft.dedup.Dedup.exact(documents)
+      .select(col("keep_doc_id").as("doc_id"))
+    gates.join(keepers, Seq("doc_id"), "left_semi")
+      .select("doc_id", "pred_lang", "quality_score", "n_tokens")
+  }
+
   /** Document fingerprints via the custom FNV-1a 64 Catalyst expression:
     * whole-document fingerprint + min token fingerprint (a 1-perm minhash —
     * the rolling/winnowed variant lives in dedup.MinHashLSH). Requires
