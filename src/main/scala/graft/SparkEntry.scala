@@ -105,6 +105,22 @@ object SparkEntry {
           col("amount").as("last_amount"),
           col("event_time_ms").as("last_event_time_ms"))),
 
+    // J2b: KTable with tombstones APPLIED — a key whose newest version is
+    // a delete vanishes from the materialized table
+    "q_latest_with_tombstones" -> ((s, dir) =>
+      LatestByKey.latestWithTombstones(
+          parsed(s, dir).filter(col("account_id").isNotNull && col("account_id") =!= 0),
+          Seq("account_id"), Seq(col("event_time_us"), col("txn_id")))
+        .select(col("account_id"), col("txn_id").as("last_txn_id"),
+          col("amount").as("last_amount"), col("op").as("last_op"))),
+
+    // SCD2: CDC changelog -> dimension history with validity intervals
+    "q_scd2_history" -> ((s, dir) =>
+      LatestByKey.scd2(upserts(s, dir), Seq("account_id"),
+          Seq(col("event_time_us"), col("txn_id")), "event_time_ms")
+        .select("txn_id", "account_id", "amount", "valid_from_ms",
+          "valid_to_ms", "is_current")),
+
     // J1: high-value stream enriched against the account dimension
     // (broadcast hash join; "N/A" fallback on missing dim row)
     "q_high_value_enrich" -> ((s, dir) => {
@@ -438,6 +454,20 @@ object SparkEntry {
       """SELECT account_id, txn_id AS last_txn_id, amount AS last_amount, event_time_ms AS last_event_time_ms
         |FROM (SELECT *, row_number() OVER (PARTITION BY account_id ORDER BY event_time_us DESC, txn_id DESC) AS rn
         |      FROM upserts) WHERE rn = 1""".stripMargin),
+
+    "q_latest_with_tombstones" -> (P +
+      """SELECT account_id, txn_id AS last_txn_id, amount AS last_amount, op AS last_op
+        |FROM (SELECT *, row_number() OVER (PARTITION BY account_id ORDER BY event_time_us DESC, txn_id DESC) AS rn
+        |      FROM txns WHERE account_id <> 0)
+        |WHERE rn = 1 AND op <> 'd'""".stripMargin),
+
+    "q_scd2_history" -> (P +
+      """SELECT txn_id, account_id, amount,
+        |  event_time_ms AS valid_from_ms,
+        |  lead(event_time_ms) OVER w AS valid_to_ms,
+        |  lead(event_time_ms) OVER w IS NULL AS is_current
+        |FROM upserts
+        |WINDOW w AS (PARTITION BY account_id ORDER BY event_time_us, txn_id)""".stripMargin),
 
     "q_high_value_enrich" -> (P +
       s"""SELECT txn_id, account_id, amount, currency,

@@ -26,6 +26,29 @@ object LatestByKey {
       .drop("__rn")
   }
 
+  /** KTable semantics with tombstones applied: the latest version per key
+    * wins, and if that version is a delete (`op = 'd'`) the key is REMOVED
+    * from the materialized table — Kafka Streams' actual tombstone
+    * behavior, which the reference sidesteps by filtering deletes upstream
+    * (`topology/ABBankTopology.java:89-92`). Same single-shuffle shape as
+    * [[latest]]; the op filter runs after the argmax. */
+  def latestWithTombstones(df: DataFrame, keys: Seq[String],
+      orderDesc: Seq[Column], opCol: String = "op"): DataFrame =
+    latest(df, keys, orderDesc).filter(col(opCol) =!= "d")
+
+  /** SCD type-2 history: every change-event becomes a dimension version
+    * with a validity interval — valid_from = its event time, valid_to =
+    * the NEXT version's event time (null while current). The standard
+    * CDC-to-warehouse materialization, complementing the latest-only view.
+    * One shuffle + one windowed `lead()` pass. */
+  def scd2(df: DataFrame, keys: Seq[String], orderBy: Seq[Column],
+      validFromCol: String): DataFrame = {
+    val w = Window.partitionBy(keys.map(col): _*).orderBy(orderBy: _*)
+    df.withColumn("valid_from_ms", col(validFromCol))
+      .withColumn("valid_to_ms", lead(col(validFromCol), 1).over(w))
+      .withColumn("is_current", col("valid_to_ms").isNull)
+  }
+
   /** Same via `max_by(struct(*), ord)` — a partial-aggregating alternative
     * (map-side combine halves the shuffle volume when keys repeat a lot).
     * `ord` must be totally ordered per key (use a struct of ts + id). */

@@ -68,6 +68,29 @@ class LatestByKeySpec extends SparkSpecBase {
     assert(got === Map(1L -> "b", 2L -> "d"))
   }
 
+  test("tombstone-aware latest removes keys whose newest version is a delete") {
+    import org.apache.spark.sql.functions.lit
+    val cdc = Seq(
+      (1L, 100L, 10L, "c"), (1L, 200L, 11L, "d"),  // key 1: delete wins -> gone
+      (2L, 100L, 12L, "d"), (2L, 200L, 13L, "u")   // key 2: update wins -> kept
+    ).toDF("k", "ts", "id", "op")
+    val got = LatestByKey.latestWithTombstones(cdc, Seq("k"), Seq($"ts", $"id"))
+      .select("k", "id").as[(Long, Long)].collect().toMap
+    assert(got === Map(2L -> 13L))
+  }
+
+  test("scd2 assigns contiguous validity intervals with one current version per key") {
+    val cdc = Seq(
+      (1L, 7L, 100L, 10L), (2L, 7L, 200L, 20L), (3L, 7L, 300L, 30L))
+      .toDF("id", "k", "ms", "v")
+    val got = LatestByKey.scd2(cdc, Seq("k"), Seq($"ms", $"id"), "ms")
+      .orderBy("ms").collect()
+    assert(got.map(r => Option(r.getAs[Any]("valid_to_ms"))).toSeq ===
+      Seq(Some(200L), Some(300L), None))
+    assert(got.map(_.getAs[Boolean]("is_current")).toSeq ===
+      Seq(false, false, true))
+  }
+
   test("max_by variant agrees with the window variant") {
     val a = LatestByKey.latest(df, Seq("k"), Seq($"ts", $"id"))
       .select("k", "ts", "id", "v").collect().toSet
