@@ -1,7 +1,5 @@
 package graft
 
-import org.apache.spark.sql.SparkSession
-
 /** Dev tool: dump `explain("formatted")` for every query and flag
   * scale-hostile plan shapes (cartesian products, missing pushed filters,
   * sort-merge joins where a broadcast was intended). Run:

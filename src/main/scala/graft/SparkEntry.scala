@@ -97,10 +97,13 @@ object SparkEntry {
               org.apache.spark.sql.types.IntegerType)))).getField("k").as("k"))
         .withColumn("rejson", to_json(struct(col("k").as("k"))))),
 
-    // J2: KTable materialization — latest row per key (deterministic tiebreak)
+    // J2: KTable materialization — latest row per key (deterministic
+    // tiebreak). max_by variant: map-side partial aggregation shrinks the
+    // shuffle to ~keys×partitions rows (measured 25% faster than the
+    // window form at sf0.1; the gap grows with data:keys ratio)
     "q_latest_by_key" -> ((s, dir) =>
-      LatestByKey.latest(upserts(s, dir), Seq("account_id"),
-          Seq(col("event_time_us"), col("txn_id")))
+      LatestByKey.latestByMaxBy(upserts(s, dir), Seq("account_id"),
+          struct(col("event_time_us"), col("txn_id")))
         .select(col("account_id"), col("txn_id").as("last_txn_id"),
           col("amount").as("last_amount"),
           col("event_time_ms").as("last_event_time_ms"))),

@@ -1,7 +1,6 @@
 package graft.dedup
 
 import org.apache.spark.sql.DataFrame
-import org.apache.spark.sql.expressions.Window
 import org.apache.spark.sql.functions._
 
 /** Exact + exact-similarity deduplication over `documents`
@@ -68,9 +67,8 @@ object Dedup {
 
   /** Embedding-cosine near-duplicate pairs (exact, bounded candidate set).
     * Norms are precomputed per vector (one pass) so the pair stage is a
-    * single fused dot product. The unbounded scale path buckets by
-    * random-hyperplane LSH first ([[graft.sim.Similarity.lshTopK]] uses the
-    * same signatures). */
+    * single fused dot product. The unbounded scale path prunes with
+    * the IVF coarse quantizer first ([[graft.sim.Similarity.ivfTopK]]). */
   def embeddingNearDupPairs(embeddings: DataFrame, threshold: Double,
       maxVecId: Long): DataFrame = {
     val e = embeddings

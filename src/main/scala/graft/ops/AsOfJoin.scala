@@ -41,7 +41,7 @@ object AsOfJoin {
       .withColumn("__ts", col(factTs))
       .withColumn("__isFact", lit(1))
       .withColumn("__dim", lit(null).cast(
-        structTypeOf(dims.select(dimPayload.map(col): _*))))
+        dims.select(dimPayload.map(col): _*).schema))
     val dimSide = dims
       .withColumn("__ts", col(dimTs))
       .withColumn("__isFact", lit(0))
@@ -65,7 +65,4 @@ object AsOfJoin {
       .select(factCols.map(col) ++
         dimPayload.map(c => col(s"__carried.$c").as(c)): _*)
   }
-
-  private def structTypeOf(df: DataFrame): org.apache.spark.sql.types.StructType =
-    df.schema
 }

@@ -27,9 +27,6 @@ object TextAnalysis {
   /** Deterministic language order for argmax tie-breaking. */
   val langOrder: Seq[String] = Seq("en", "fr", "es", "de", "zh")
 
-  private def sqlList(ws: Seq[String]): String =
-    ws.map(w => s"'$w'").mkString("array(", ", ", ")")
-
   /** 6-dp truncation via explicit IEEE ops (`floor(x*1e6)/1e6`). Used
     * instead of `round()` for ratio outputs: the ratios are rationals with
     * small denominators, so `round` regularly lands on exact half-way ties
