@@ -47,6 +47,20 @@ class NotifySpec extends SparkSpecBase {
     assert(got(1) === "N/A")
   }
 
+  test("notification JSON serializes compactly with ordered fields and metadata map") {
+    val df = Seq((42L, 7L)).toDF("txn_id", "account_id")
+    val got = df.select(Notify.notificationJson(
+      idPrefix = "HV", notificationType = "HIGH_VALUE_ALERT",
+      severity = "HIGH", channel = "BOTH",
+      entityId = $"txn_id", accountId = $"account_id",
+      subject = lit("s"), body = lit("b"),
+      metadata = map(lit("k1"), lit("v1"), lit("k2"), lit("v2")))).as[String].head()
+    assert(got ===
+      """{"notificationId":"HV-42","notificationType":"HIGH_VALUE_ALERT",""" +
+      """"severity":"HIGH","channel":"BOTH","accountId":7,"subject":"s",""" +
+      """"body":"b","metadata":{"k1":"v1","k2":"v2"}}""")
+  }
+
   test("fullName is null-safe concat (CustomerEvent.java:46-48)") {
     val df = Seq(("Ada", Some("Obi")), ("Ngozi", None)).toDF("f", "l")
     val got = df.select(Notify.fullName($"f", $"l")).as[String].collect()
