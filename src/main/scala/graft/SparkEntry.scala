@@ -213,6 +213,13 @@ object SparkEntry {
       TextAnalysis.fingerprints(Tables.documents(s, dir))
     }),
 
+    // Text analysis: winnowed rolling-hash fingerprints (custom codegen'd
+    // Expression; engine-defined — property-tested, no SQL oracle)
+    "q_doc_winnow" -> ((s, dir) => {
+      GraftFunctions.register(s)
+      TextAnalysis.winnowFingerprints(Tables.documents(s, dir))
+    }),
+
     // Dedup: exact (digest-grouped keep-min)
     "q_dedup_exact" -> ((s, dir) => Dedup.exact(Tables.documents(s, dir))),
 

@@ -61,9 +61,20 @@ case class Fnv1a64(child: Expression) extends UnaryExpression {
   * `expr("graft_fnv64(text)")` (and SQL) resolve, including inside
   * higher-order-function lambdas. */
 object GraftFunctions {
-  def register(spark: SparkSession): Unit =
+  def register(spark: SparkSession): Unit = {
     spark.sessionState.functionRegistry.createOrReplaceTempFunction(
       "graft_fnv64", exprs => Fnv1a64(exprs.head), "built-in")
+    spark.sessionState.functionRegistry.createOrReplaceTempFunction(
+      "graft_winnow", {
+        case Seq(t) => Winnow(t, k = 8, w = 16)
+        case Seq(t, kE, wE) =>
+          Winnow(t,
+            kE.eval().asInstanceOf[Number].intValue(),
+            wE.eval().asInstanceOf[Number].intValue())
+        case exprs => throw new IllegalArgumentException(
+          s"graft_winnow takes 1 or 3 arguments, got ${exprs.size}")
+      }, "built-in")
+  }
 }
 
 /** The `SparkSessionExtensions` form of the same registration, for

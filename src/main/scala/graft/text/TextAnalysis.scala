@@ -148,4 +148,19 @@ object TextAnalysis {
       col("doc_id"),
       expr("graft_fnv64(text)").as("doc_fp"),
       expr("array_min(transform(split(text, ' '), w -> graft_fnv64(w)))").as("min_token_fp"))
+
+  /** Winnowed rolling-hash fingerprints (custom codegen'd expression
+    * [[graft.functions.Winnow]]): any substring of >= w+k-1 chars shared by
+    * two documents yields a shared fingerprint — the containment-detection
+    * primitive for plagiarism/near-dup at corpus scale. Emitted as scalar
+    * summaries (array outputs don't hash uniformly across engines);
+    * pairwise overlap runs on the exploded fingerprints. */
+  def winnowFingerprints(documents: DataFrame, k: Int = 8, w: Int = 16): DataFrame =
+    documents
+      .withColumn("__fps", expr(s"graft_winnow(text, $k, $w)"))
+      .select(col("doc_id"),
+        size(col("__fps")).cast("long").as("n_fps"),
+        array_min(col("__fps")).as("fp_min"),
+        // xor-fold, not sum: full-range 64-bit values overflow ANSI addition
+        expr("aggregate(__fps, 0L, (a, x) -> a ^ x)").as("fp_xor"))
 }

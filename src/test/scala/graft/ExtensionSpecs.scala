@@ -26,6 +26,31 @@ class Fnv1a64Spec extends SparkSpecBase {
     assert(got(1) === None)
   }
 
+  test("winnow: shared substring >= w+k-1 chars guarantees a shared fingerprint") {
+    GraftFunctions.register(spark)
+    val shared = "the quick brown fox jumps over the lazy dog today" // 49 chars
+    val df = Seq(
+      (1L, s"prefix one $shared suffix alpha"),
+      (2L, s"completely different head $shared and tail"),
+      (3L, "zzzz qqqq xxxx wwww vvvv uuuu tttt ssss rrrr nnnn mmmm kkkk"))
+      .toDF("doc_id", "text")
+    val fps = df.selectExpr("doc_id", "graft_winnow(text, 8, 16) AS fps")
+      .as[(Long, Seq[Long])].collect().toMap
+    assert((fps(1L).toSet & fps(2L).toSet).nonEmpty)  // shared 49 >= 16+8-1
+    assert((fps(1L).toSet & fps(3L).toSet).isEmpty)   // nothing in common
+  }
+
+  test("winnow: deterministic, sorted-distinct, empty below k chars") {
+    GraftFunctions.register(spark)
+    val df = Seq((1L, "abcdefgh-abcdefgh"), (2L, "abcdefgh-abcdefgh"), (3L, "ab"))
+      .toDF("doc_id", "text")
+    val fps = df.selectExpr("doc_id", "graft_winnow(text, 8, 4) AS fps")
+      .as[(Long, Seq[Long])].collect().toMap
+    assert(fps(1L) === fps(2L))
+    assert(fps(1L) === fps(1L).distinct.sorted)
+    assert(fps(3L).isEmpty)
+  }
+
   test("property: equals a straight fold over UTF-8 bytes") {
     GraftFunctions.register(spark)
     val samples = Seq("", "x", "hello world", "ünïcödé ₦", "a" * 1000)
