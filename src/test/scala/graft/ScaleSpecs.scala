@@ -59,6 +59,20 @@ class BucketingSpec extends SparkSpecBase {
   }
 }
 
+class SqlSurfaceSpec extends SparkSpecBase {
+
+  test("ad-hoc SQL over registered corpus views, incl. custom functions") {
+    Tables.registerViews(spark, sf0001)
+    val joined = spark.sql(
+      """SELECT t.txn_type, count(*) AS n, count(DISTINCT c.c_mktsegment) AS segs
+        |FROM transactions t JOIN customer c ON t.account_id = c.c_custkey
+        |WHERE t.op <> 'd' GROUP BY 1 ORDER BY 1""".stripMargin)
+    assert(joined.count() === 5) // one row per txn type
+    val fp = spark.sql("SELECT graft_fnv64(text) AS h FROM documents LIMIT 3")
+    assert(fp.count() === 3)
+  }
+}
+
 class JsonEnvelopeSpec extends SparkSpecBase {
 
   test("JSON envelope encode/decode round-trips the parsed transaction") {
