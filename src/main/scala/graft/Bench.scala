@@ -28,8 +28,10 @@ object Bench {
 
     // min of two runs per query: single-JVM scheduling noise is ±30% on the
     // multi-stage queries; the min is the reproducible cost
-    val results = SparkEntry.queries.keys.toSeq.sorted
-      .map(n => n -> math.min(runOnce(n), runOnce(n)))
+    val results = SparkEntry.queries.keys.toSeq.sorted.map { n =>
+      val ok = Seq(runOnce(n), runOnce(n)).filter(_ >= 0)
+      n -> (if (ok.isEmpty) -1.0 else ok.min) // -1 only if BOTH runs failed
+    }
     val qs = results.map { case (k, v) => "\"" + k + "\":" + v }
       .mkString("{", ",", "}")
     val total = results.map(_._2).sum

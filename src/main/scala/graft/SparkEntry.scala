@@ -798,7 +798,7 @@ object SparkEntry {
         |  FROM documents
         |)
         |SELECT doc_id,
-        |  CAST(length(text) AS BIGINT) AS byte_len,
+        |  CAST(octet_length(CAST(text AS BLOB)) AS BIGINT) AS byte_len,
         |  CAST(64 + doc_id % 512 AS INTEGER) AS width,
         |  CAST(64 + (doc_id * 7) % 512 AS INTEGER) AS height,
         |  'fake-rgb' AS format,

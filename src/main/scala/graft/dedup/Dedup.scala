@@ -71,11 +71,8 @@ object Dedup {
     * the IVF coarse quantizer first ([[graft.sim.Similarity.ivfTopK]]). */
   def embeddingNearDupPairs(embeddings: DataFrame, threshold: Double,
       maxVecId: Long): DataFrame = {
-    val e = embeddings
-      .filter(col("vec_id") < maxVecId)
-      .select(col("vec_id"), col("embedding").cast("array<double>").as("v"))
-      .withColumn("norm", sqrt(expr(
-        "aggregate(zip_with(v, v, (x, y) -> x * y), 0D, (acc, x) -> acc + x)")))
+    val e = graft.sim.Similarity.withNorm(
+      embeddings.filter(col("vec_id") < maxVecId))
 
     e.as("a").join(e.as("b"), col("a.vec_id") < col("b.vec_id"))
       .select(

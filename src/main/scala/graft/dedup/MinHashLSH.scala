@@ -87,6 +87,10 @@ object MinHashLSH {
   /** Candidate pairs from banding + signature-agreement estimate.
     * Emits pairs with estimated Jaccard >= `threshold`. */
   def candidatePairs(documents: DataFrame, threshold: Double): DataFrame = {
+    // Referenced three times (banding + both sides of the verify join).
+    // Ownership note: blocks stay cached until LRU eviction — long-lived
+    // sessions calling this repeatedly should wrap with their own
+    // unpersist after materializing.
     // signatures are referenced three times (banding + both sides of the
     // verify join); persist the small (doc_id, 64-long) frame so the
     // shingle explode + 64-way min-agg runs once (at full scale this is a
@@ -134,10 +138,14 @@ object MinHashLSH {
           |                     (a, j) -> IF(a > 0, shiftleft(1L, j), 0L)),
           |                   0L, (s, x) -> s + x))""".stripMargin).as("simhash"))
 
-  /** SimHash near-dup pairs: bucket on 16-bit chunks (a pair within hamming
-    * distance 3 shares at least one of 4 chunks; we use distance <= `maxHamming`),
-    * then verify with bit_count(xor). */
-  def simhashPairs(documents: DataFrame, maxHamming: Int = 6): DataFrame = {
+  /** SimHash near-dup pairs: bucket on 16-bit chunks, then verify with
+    * bit_count(xor). Recall guarantee comes from the pigeonhole: a pair
+    * within hamming distance 3 MUST share one of the 4 chunks, so the
+    * default threshold is 3 — raising `maxHamming` above chunks-1 silently
+    * loses pairs whose differing bits spread across all chunks. */
+  def simhashPairs(documents: DataFrame, maxHamming: Int = 3): DataFrame = {
+    require(maxHamming <= 3,
+      "4-chunk bucketing only guarantees recall for hamming <= 3")
     // tiny (doc_id, long) frame reused on both sides of the self-join —
     // persist so the fingerprint pass over the corpus runs once, not twice
     val sh = simhash(documents).persist()

@@ -61,19 +61,26 @@ case class Fnv1a64(child: Expression) extends UnaryExpression {
   * `expr("graft_fnv64(text)")` (and SQL) resolve, including inside
   * higher-order-function lambdas. */
 object GraftFunctions {
+  private[functions] def requireArity(name: String, exprs: Seq[Expression], n: Int): Unit =
+    require(exprs.size == n, s"$name takes $n argument(s), got ${exprs.size}")
+
+  private[functions] def buildWinnow(exprs: Seq[Expression]): Winnow = exprs match {
+    case Seq(t) => Winnow(t, k = 8, w = 16)
+    case Seq(t, kE, wE) =>
+      Winnow(t,
+        kE.eval().asInstanceOf[Number].intValue(),
+        wE.eval().asInstanceOf[Number].intValue())
+    case _ => throw new IllegalArgumentException(
+      s"graft_winnow takes 1 or 3 arguments, got ${exprs.size}")
+  }
+
   def register(spark: SparkSession): Unit = {
     spark.sessionState.functionRegistry.createOrReplaceTempFunction(
-      "graft_fnv64", exprs => Fnv1a64(exprs.head), "built-in")
+      "graft_fnv64",
+      exprs => { requireArity("graft_fnv64", exprs, 1); Fnv1a64(exprs.head) },
+      "built-in")
     spark.sessionState.functionRegistry.createOrReplaceTempFunction(
-      "graft_winnow", {
-        case Seq(t) => Winnow(t, k = 8, w = 16)
-        case Seq(t, kE, wE) =>
-          Winnow(t,
-            kE.eval().asInstanceOf[Number].intValue(),
-            wE.eval().asInstanceOf[Number].intValue())
-        case exprs => throw new IllegalArgumentException(
-          s"graft_winnow takes 1 or 3 arguments, got ${exprs.size}")
-      }, "built-in")
+      "graft_winnow", buildWinnow, "built-in")
   }
 }
 
@@ -82,10 +89,16 @@ object GraftFunctions {
   * `--conf spark.sql.extensions=graft.functions.GraftExtensions`
   * (or `SparkSession.builder().withExtensions(new GraftExtensions)`). */
 class GraftExtensions extends (org.apache.spark.sql.SparkSessionExtensions => Unit) {
-  override def apply(e: org.apache.spark.sql.SparkSessionExtensions): Unit =
+  override def apply(e: org.apache.spark.sql.SparkSessionExtensions): Unit = {
     e.injectFunction((
       new org.apache.spark.sql.catalyst.FunctionIdentifier("graft_fnv64"),
       new org.apache.spark.sql.catalyst.expressions.ExpressionInfo(
         classOf[Fnv1a64].getCanonicalName, "graft_fnv64"),
-      (exprs: Seq[Expression]) => Fnv1a64(exprs.head)))
+      (exprs: Seq[Expression]) => { GraftFunctions.requireArity("graft_fnv64", exprs, 1); Fnv1a64(exprs.head) }))
+    e.injectFunction((
+      new org.apache.spark.sql.catalyst.FunctionIdentifier("graft_winnow"),
+      new org.apache.spark.sql.catalyst.expressions.ExpressionInfo(
+        classOf[Winnow].getCanonicalName, "graft_winnow"),
+      (exprs: Seq[Expression]) => GraftFunctions.buildWinnow(exprs)))
+  }
 }

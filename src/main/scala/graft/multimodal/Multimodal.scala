@@ -29,7 +29,10 @@ object Multimodal {
       height: Int, format: String, avg_byte: Double, checksum: Long)
 
   /** ==== STUB ==== deterministic fake decoder: real byte statistics in
-    * place of pixel decoding. Replace body with a codec call in production. */
+    * place of pixel decoding. Replace body with a codec call in production.
+    * Features are computed over UTF-8 PAYLOAD BYTES; the DuckDB oracle's
+    * per-character ascii() arithmetic agrees only for ASCII corpora (which
+    * this one is — multi-byte text would need a byte-level oracle). */
   object FakeDecoder {
     def decode(r: MediaRow): MediaFeatures = {
       var sum = 0L
@@ -68,9 +71,10 @@ object Multimodal {
     documents
       .select(col("doc_id"),
         posexplode(expr(
-          s"""transform(
+          s"""CASE WHEN length(text) > 0 THEN transform(
              |  sequence(0, cast(ceil(length(text) / $frameWidth.0D) as int) - 1),
-             |  i -> substring(text, i * $frameWidth + 1, $frameWidth))""".stripMargin)))
+             |  i -> substring(text, i * $frameWidth + 1, $frameWidth))
+             |ELSE array() END""".stripMargin)))
       .select(col("doc_id"), col("pos").cast("long").as("frame_idx"),
         col("col").as("frame"))
       .withColumn("frame_len", length(col("frame")).cast("long"))

@@ -36,6 +36,8 @@ object AsOfJoin {
       factTs: String, dimTs: String): DataFrame = {
     val dimPayload = dims.columns.filterNot(_ == key).toSeq
     val factCols = facts.columns.toSeq
+    val overlap = factCols.toSet.intersect(dimPayload.toSet)
+    require(overlap.isEmpty, s"alias dim-side columns first: $overlap")
 
     val factSide = facts
       .withColumn("__ts", col(factTs))
