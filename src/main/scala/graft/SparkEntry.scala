@@ -248,8 +248,13 @@ object SparkEntry {
     "q_sim_ivf_topk" -> ((s, dir) =>
       Similarity.ivfTopK(Tables.embeddings(s, dir), SimNumQueries, SimTopK)),
 
-    // Embedding storage: per-vector int8 range quantization + error bound
+    // Similarity: sign-random-projection LSH with multi-probe (training-
+    // free scale path; recall-tested vs brute force — on this near-
+    // orthogonal corpus IVF prunes better, see Scaladoc)
+    "q_sim_lsh_topk" -> ((s, dir) =>
+      Similarity.lshTopK(Tables.embeddings(s, dir), SimNumQueries, SimTopK)),
 
+    // Embedding storage: per-vector int8 range quantization + error bound
     "q_embed_quantize" -> ((s, dir) =>
       Similarity.quantizeInt8(Tables.embeddings(s, dir))),
 

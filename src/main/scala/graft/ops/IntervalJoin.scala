@@ -23,7 +23,11 @@ object IntervalJoin {
 
   /** Inner interval join. Column names of `left` and `right` must be
     * disjoint apart from `key` (pre-alias the right side) — avoids Spark's
-    * self-join reference ambiguity when both sides derive from one plan. */
+    * self-join reference ambiguity when both sides derive from one plan.
+    * Timestamps are assumed non-negative (epoch units): bucket ids use
+    * truncating `div`, which only agrees with floor-division at >= 0
+    * (`leftTs + lowerUs` may dip below zero harmlessly — negative buckets
+    * can only match right rows that don't exist). */
   def inner(left: DataFrame, right: DataFrame, key: String,
       leftTs: String, rightTs: String, lowerUs: Long, upperUs: Long): DataFrame = {
     require(upperUs > lowerUs, "empty interval")

@@ -46,6 +46,49 @@ object Similarity {
       .filter(col("rank") <= k)
   }
 
+  /** Sign-random-projection LSH for cosine: `nBits` deterministic
+    * pseudo-random hyperplanes (components derived from xxhash64(bit, dim)
+    * — stable across runs/partitions, no stored model), bucket = the sign
+    * bit-vector. Vectors within a small angle agree on most sign bits, so
+    * probing the exact bucket (plus optionally 1-bit-flip neighbors) finds
+    * near neighbors while scanning only a 2^nBits-th of the corpus. The
+    * companion scale path to [[ivfTopK]]: LSH needs no training pass at
+    * all, IVF gives tighter candidate sets. */
+  def lshBucket(v: String, nBits: Int): org.apache.spark.sql.Column =
+    expr(
+      s"""aggregate(sequence(0, ${nBits - 1}), 0L, (acc, b) ->
+         |  acc + IF(aggregate(zip_with($v, sequence(0, size($v) - 1),
+         |             (x, d) -> x * (cast(xxhash64(b, d) as double) / 9.223372036854776E18)),
+         |           0D, (a, p) -> a + p) > 0, shiftleft(1L, b), 0L))""".stripMargin)
+
+  /** LSH-bucketed cosine top-k: bucket all vectors and the query set with
+    * [[lshBucket]], rerank exactly within shared buckets only. Candidates
+    * come from one equi-join on the bucket id — no cross product. Recall
+    * is probabilistic (rises with fewer bits / more probes); measured
+    * against brute force in tests. */
+  def lshTopK(embeddings: DataFrame, numQueries: Long, k: Int,
+      nBits: Int = 4): DataFrame = {
+    val all = withNorm(embeddings).withColumn("bucket", lshBucket("v", nBits))
+    // multi-probe: each query also probes the nBits buckets one sign-flip
+    // away — boundary vectors land in adjacent buckets, and a flipped bit
+    // is exactly a hyperplane the vector sat close to
+    val queries = all.filter(col("vec_id") < numQueries)
+      .select(col("vec_id").as("q_id"), col("v").as("qv"),
+        col("norm").as("qnorm"),
+        explode(expr(
+          s"array_union(array(bucket), transform(sequence(0, ${nBits - 1}), b -> bucket ^ shiftleft(1L, b)))"))
+          .as("bucket"))
+
+    val w = Window.partitionBy(col("q_id"))
+      .orderBy(col("cos_sim").desc, col("neighbor_id"))
+    all.join(broadcast(queries), Seq("bucket"))
+      .filter(col("vec_id") =!= col("q_id"))
+      .select(col("q_id"), col("vec_id").as("neighbor_id"),
+        round(dot("qv", "v") / (col("qnorm") * col("norm")), 6).as("cos_sim"))
+      .withColumn("rank", row_number().over(w).cast("long"))
+      .filter(col("rank") <= k)
+  }
+
   /** Int8 range quantization of an embedding column — the storage play for
     * 100 TB embedding tables (4 bytes -> 1 byte per dimension; search runs
     * on the quantized vectors, exact rerank on the float originals).

@@ -32,6 +32,31 @@ class AsOfJoinSpec extends SparkSpecBase {
     assert(got.count() === facts.count())
     assert(got.select("fact_id").distinct().count() === facts.count())
   }
+
+  test("randomized: union+carry-forward == naive filter+argmax on 3 seeds") {
+    import org.apache.spark.sql.functions._
+    for (seed <- Seq(1, 7, 42)) {
+      val rnd = new scala.util.Random(seed)
+      val rf = (1 to 200).map(i =>
+        (i.toLong, (rnd.nextInt(5) + 1).toLong, rnd.nextInt(1000).toLong))
+      val rd = (1 to 60).map(i =>
+        ((rnd.nextInt(5) + 1).toLong, rnd.nextInt(1000).toLong, s"v$i"))
+        .distinct.groupBy(t => (t._1, t._2)).map(_._2.head).toSeq // unique (k, dts)
+      val f = rf.toDF("fact_id", "k", "fts")
+      val d = rd.toDF("k", "dts", "ver")
+
+      val got = AsOfJoin.asOfLeft(f, d, "k", "fts", "dts")
+        .select("fact_id", "ver").as[(Long, Option[String])].collect().toMap
+
+      // naive oracle: per fact, max-dts dim with dts <= fts
+      val naive = f.as("f").join(d.as("d"),
+          $"f.k" === $"d.k" && $"dts" <= $"fts", "left")
+        .groupBy($"fact_id")
+        .agg(max_by($"ver", $"dts").as("ver"))
+        .as[(Long, Option[String])].collect().toMap
+      assert(got === naive, s"seed $seed")
+    }
+  }
 }
 
 class GraftExtensionsSpec extends SparkSpecBase {

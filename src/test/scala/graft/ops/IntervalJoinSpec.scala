@@ -34,6 +34,25 @@ class IntervalJoinSpec extends SparkSpecBase {
     assert(got === Set(10L, 11L)) // 3000 > 999+2000 excluded
   }
 
+  test("randomized: bucketized == naive range join on 3 seeds (incl. negative offsets)") {
+    for (seed <- Seq(2, 11, 99)) {
+      val rnd = new scala.util.Random(seed)
+      val lf = (1 to 150).map(i =>
+        (i.toLong, (rnd.nextInt(4) + 1).toLong, rnd.nextInt(10000).toLong))
+        .toDF("lid", "k", "lts")
+      val rt = (1 to 150).map(i =>
+        (1000L + i, (rnd.nextInt(4) + 1).toLong, rnd.nextInt(10000).toLong))
+        .toDF("rid", "k", "rts")
+      val (lo, hi) = (-700L, 300L)
+      val got = IntervalJoin.inner(lf, rt, "k", "lts", "rts", lo, hi)
+        .select("lid", "rid").as[(Long, Long)].collect().toSet
+      val naive = lf.as("l").join(rt.as("r"),
+          $"l.k" === $"r.k" && $"rts" >= $"lts" + lo && $"rts" <= $"lts" + hi)
+        .select("lid", "rid").as[(Long, Long)].collect().toSet
+      assert(got === naive, s"seed $seed")
+    }
+  }
+
   test("stream-stream windowed join emits the same pairs as the batch interval join") {
     val parsedBatch = EnvelopeOps.upsertsOnly(
       EnvelopeOps.parsedTransactions(Tables.events(spark, sf0001)))
