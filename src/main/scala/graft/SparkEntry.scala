@@ -341,6 +341,18 @@ object SparkEntry {
     // PII scrubbing: regex redaction + counts at scan speed (no shuffle)
     "q_text_scrub" -> ((s, dir) => TextAnalysis.piiScrub(Tables.documents(s, dir))),
 
+    // Analytic statistics per group: exact median (sort-based), mean,
+    // sample stddev — rounded coarsely enough (4 dp) that the engines'
+    // different accumulation orders cannot flip a digit
+    "q_stats_summary" -> ((s, dir) =>
+      completed(s, dir)
+        .groupBy("txn_type")
+        .agg(
+          round(median(col("amount")), 4).as("med_amount"),
+          round(avg(col("amount")), 4).as("avg_amount"),
+          round(stddev_samp(col("amount")), 4).as("std_amount"),
+          count(lit(1)).as("n_txns"))),
+
     // Capstone composition: language gate + quality gate + dedup keepers
     "q_corpus_curate" -> ((s, dir) =>
       TextAnalysis.curate(Tables.documents(s, dir), lang = "en", minQuality = 0.5)),
@@ -719,6 +731,14 @@ object SparkEntry {
          |  regexp_replace(regexp_replace(text2, '$e', '<EMAIL>', 'g'), '$p', '<PHONE>', 'g') AS scrubbed
          |FROM t""".stripMargin
     },
+
+    "q_stats_summary" -> (P +
+      """SELECT txn_type,
+        |  round(median(amount), 4) AS med_amount,
+        |  round(avg(amount), 4) AS avg_amount,
+        |  round(stddev_samp(amount), 4) AS std_amount,
+        |  CAST(count(*) AS BIGINT) AS n_txns
+        |FROM completed GROUP BY 1""".stripMargin),
 
     "q_corpus_curate" ->
       s"""WITH d AS (
