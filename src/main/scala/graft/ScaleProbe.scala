@@ -1,0 +1,71 @@
+package graft
+
+import org.apache.spark.sql.DataFrame
+import org.apache.spark.sql.functions._
+
+/** Dev tool: probe operator scaling beyond the test corpus by generating
+  * a deterministic N-row synthetic event stream in-memory (no disk, no
+  * testdata mutation) and timing the core keyed operators on it — plus a
+  * hot-key skew trial comparing plain vs salted aggregation.
+  *
+  * Run: `sbt "runMain graft.ScaleProbe 10000000"`
+  */
+object ScaleProbe {
+
+  def synthEvents(spark: org.apache.spark.sql.SparkSession, n: Long,
+      users: Long): DataFrame =
+    Tables.deriveEventTime(spark.range(n)
+      .select(
+        col("id").as("event_id"),
+        // ~30 days of event time, deterministic pseudo-random spacing
+        (lit(1700000000000000000L) +
+          pmod(xxhash64(col("id")), lit(2592000L)) * 1000000000L).as("ts_ns"),
+        pmod(xxhash64(col("id"), lit(1)), lit(users)).as("user_id"),
+        element_at(array(lit("purchase"), lit("click"), lit("error"),
+          lit("signup"), lit("view")),
+          (pmod(xxhash64(col("id"), lit(2)), lit(5)) + 1).cast("int")).as("event_type"),
+        (pmod(xxhash64(col("id"), lit(3)), lit(32767)) / 100.0).as("value"),
+        lit("""{"k": 1}""").as("props")))
+
+  def main(args: Array[String]): Unit = {
+    val n = args.headOption.map(_.toLong).getOrElse(10000000L)
+    val spark = GraftSession.create(appName = "graft-scale-probe")
+    spark.sparkContext.setLogLevel("ERROR")
+
+    def time(name: String)(df: => DataFrame): Unit = {
+      val runs = (1 to 2).map { _ =>
+        val t0 = System.nanoTime()
+        df.write.format("noop").mode("overwrite").save()
+        (System.nanoTime() - t0) / 1e9
+      }
+      println(f"PROBE $name rows=$n min_sec=${runs.min}%.2f")
+    }
+
+    val parsed = cdc.EnvelopeOps.upsertsOnly(
+      cdc.EnvelopeOps.parsedTransactions(synthEvents(spark, n, users = 10000)))
+
+    time("envelope_parse")(parsed)
+    time("latest_by_key")(ops.LatestByKey.latestByMaxBy(parsed,
+      Seq("account_id"), struct(col("event_time_us"), col("txn_id"))))
+    time("daily_spend")(ops.Windows.dailySpend(
+      parsed.filter(ops.Predicates.isCompleted(col("status")) &&
+        ops.Predicates.isDebit(col("txn_type"))), 150.0))
+    time("velocity_1h")(ops.Windows.velocityCount(parsed, 3600, 2L))
+    time("balance_reconcile")(ops.Reconcile.reconcile(
+      parsed.filter(ops.Predicates.isCompleted(col("status")))))
+
+    // hot-key skew: 90% of rows on one key — plain groupBy puts them on
+    // one reducer; salted two-phase spreads them over 32
+    val skewed = spark.range(n).select(
+      when(pmod(col("id"), lit(10)) < 7, lit(0L))
+        .otherwise(pmod(xxhash64(col("id")), lit(1000L))).as("k"),
+      (pmod(xxhash64(col("id"), lit(9)), lit(1000L)) * 1.0).as("v"),
+      col("id"))
+    time("skew_plain_groupby")(
+      skewed.groupBy("k").agg(sum(col("v")).as("sum_v"), count(lit(1)).as("n_rows")))
+    time("skew_salted_2phase")(
+      ops.Salt.saltedSumCount(skewed, Seq("k"), "v", col("id"), buckets = 32))
+
+    spark.stop()
+  }
+}

@@ -98,12 +98,15 @@ object SparkEntry {
         .withColumn("rejson", to_json(struct(col("k").as("k"))))),
 
     // J2: KTable materialization — latest row per key (deterministic
-    // tiebreak). max_by variant: map-side partial aggregation shrinks the
-    // shuffle to ~keys×partitions rows (measured 25% faster than the
-    // window form at sf0.1; the gap grows with data:keys ratio)
+    // tiebreak). max_by with a NARROW pre-projected payload: the agg
+    // buffer copies the carried struct on every better row, so projecting
+    // first matters — measured at 10M rows: 0.8s narrow max_by vs 0.9s
+    // window vs 6.8s max_by over the full wide row (see LatestByKey doc)
     "q_latest_by_key" -> ((s, dir) =>
-      LatestByKey.latestByMaxBy(upserts(s, dir), Seq("account_id"),
-          struct(col("event_time_us"), col("txn_id")))
+      LatestByKey.latestByMaxBy(
+          upserts(s, dir).select("account_id", "txn_id", "amount",
+            "event_time_ms", "event_time_us"),
+          Seq("account_id"), struct(col("event_time_us"), col("txn_id")))
         .select(col("account_id"), col("txn_id").as("last_txn_id"),
           col("amount").as("last_amount"),
           col("event_time_ms").as("last_event_time_ms"))),

@@ -50,8 +50,15 @@ object LatestByKey {
   }
 
   /** Same via `max_by(struct(*), ord)` — a partial-aggregating alternative
-    * (map-side combine halves the shuffle volume when keys repeat a lot).
-    * `ord` must be totally ordered per key (use a struct of ts + id). */
+    * (map-side combine shrinks the shuffle to ~keys×partitions rows).
+    * `ord` must be totally ordered per key (use a struct of ts + id).
+    *
+    * Measured tradeoff (10M rows × 10k keys, local[32]): the max_by agg
+    * buffer copies the whole carried struct on every better-ordered row,
+    * so PRE-PROJECT to the columns you need — narrow max_by 0.8s,
+    * window-row_number 0.9s, max_by over the full wide row 6.8s. Prefer
+    * this variant for narrow payloads / high key-repeat ratios; prefer
+    * [[latest]] when many wide columns must survive. */
   def latestByMaxBy(df: DataFrame, keys: Seq[String], ord: Column): DataFrame = {
     val valueCols = df.columns.filterNot(keys.contains)
     df.groupBy(keys.map(col): _*)

@@ -12,6 +12,14 @@ import org.apache.spark.sql.functions._
   * combines the per-salt partials on the key alone. Phase 2's input is at
   * most `buckets` rows per key, so its shuffle is negligible.
   *
+  * Measured caveat (ScaleProbe, 10M rows with a 70%-hot key): for
+  * ALGEBRAIC aggregates (sum/count/min/max) Spark's map-side partial
+  * aggregation already pre-combines the hot key per partition, so plain
+  * groupBy beat the salted form (0.46s vs 0.60s) — salting there only
+  * adds a shuffle. Salting earns its keep where no partial combine
+  * exists: holistic per-key computations (collect-based sketches,
+  * UDAF buffers too large to combine map-side) and pre-join spreading.
+  *
   * The salt is derived deterministically from a per-row column (hash mod
   * buckets) — no rand(), so plans stay reproducible and retries are safe
   * (rand() under task retry double-counts with non-idempotent sinks).
