@@ -54,6 +54,25 @@ object ScaleProbe {
     time("balance_reconcile")(ops.Reconcile.reconcile(
       parsed.filter(ops.Predicates.isCompleted(col("status")))))
 
+    // streaming state throughput: synth events -> parquet -> file stream
+    // in 4 micro-batches -> flatMapGroupsWithState reconciliation
+    {
+      val dir = java.nio.file.Files.createTempDirectory("graft_sprobe").toString
+      val streamN = math.min(n, 2000000L)
+      synthEvents(spark, streamN, users = 10000)
+        .select("event_id", "ts_ns", "user_id", "event_type", "value", "props")
+        .withColumnRenamed("ts_ns", "ts")
+        .repartition(4).write.parquet(s"$dir/in")
+      val t0 = System.nanoTime()
+      val q = streaming.Pipelines.reconcileAlerts(spark,
+          streaming.Pipelines.parsedStreamFromPath(spark, s"$dir/in",
+            maxFilesPerTrigger = Some(1)))
+        .toDF().writeStream.format("noop").outputMode("append").start()
+      q.processAllAvailable(); q.stop()
+      val sec = (System.nanoTime() - t0) / 1e9
+      println(f"PROBE streaming_reconcile rows=$streamN sec=$sec%.2f rate=${streamN / sec}%.0f rows/s")
+    }
+
     // hot-key skew: 90% of rows on one key — plain groupBy puts them on
     // one reducer; salted two-phase spreads them over 32
     val skewed = spark.range(n).select(
