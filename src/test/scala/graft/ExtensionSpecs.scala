@@ -87,6 +87,14 @@ class DedupSpec extends SparkSpecBase {
     assert(!got.contains((1L, 4L)))
   }
 
+  test("dup clusters: transitive closure over multi-hop chains, min-label keeper") {
+    val pairs = Seq((5L, 9L), (9L, 2L), (7L, 8L)).toDF("doc_a", "doc_b")
+    val got = Dedup.dupClusters(pairs)
+      .as[(Long, Long)].collect().toMap
+    // chain 5-9-2 collapses to cluster 2 (min label); 7-8 to cluster 7
+    assert(got === Map(5L -> 2L, 9L -> 2L, 2L -> 2L, 7L -> 7L, 8L -> 7L))
+  }
+
   test("minhash: identical docs collide in every band with est 1.0") {
     val text = (1 to 30).map(i => s"w$i").mkString(" ")
     val got = MinHashLSH.candidatePairs(
@@ -230,5 +238,18 @@ class MultimodalSpec extends SparkSpecBase {
     assert(got.getAs[Int]("width") === 64 + 3)
     assert(got.getAs[Int]("height") === 64 + 21)
     assert(got.getAs[String]("format") === "fake-rgb")
+  }
+}
+
+class QuantizedSearchSpec extends SparkSpecBase {
+  import spark.implicits._
+
+  test("search on int8 codes reranks to recall 1.0 vs brute force at 2x") {
+    val emb = Tables.embeddings(spark, sf0001)
+    val bf = Similarity.bruteForceTopK(emb, 10, 5)
+      .select("q_id", "neighbor_id").as[(Long, Long)].collect().toSet
+    val qz = Similarity.quantizedTopK(emb, 10, 5, rerankFactor = 2)
+      .select("q_id", "neighbor_id").as[(Long, Long)].collect().toSet
+    assert(qz === bf) // quantization error << neighbor gaps on this corpus
   }
 }
