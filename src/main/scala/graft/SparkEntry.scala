@@ -235,6 +235,13 @@ object SparkEntry {
     "q_dedup_minhash" -> ((s, dir) =>
       MinHashLSH.candidatePairs(Tables.documents(s, dir), MinhashEstThreshold)),
 
+    // Dedup: winnow-fingerprint containment candidates (substring reuse
+    // that size-skewed Jaccard misses; engine-defined hash, rows-only)
+    "q_dedup_containment" -> ((s, dir) => {
+      GraftFunctions.register(s)
+      MinHashLSH.winnowContainmentPairs(Tables.documents(s, dir), minShared = 5)
+    }),
+
     // Dedup: pairs -> connected duplicate clusters (keeper = min doc_id
     // per component; exact pairs as input so the oracle can reproduce the
     // transitive closure with a recursive CTE)

@@ -87,14 +87,12 @@ object MinHashLSH {
   /** Candidate pairs from banding + signature-agreement estimate.
     * Emits pairs with estimated Jaccard >= `threshold`. */
   def candidatePairs(documents: DataFrame, threshold: Double): DataFrame = {
-    // Referenced three times (banding + both sides of the verify join).
-    // Ownership note: blocks stay cached until LRU eviction — long-lived
-    // sessions calling this repeatedly should wrap with their own
-    // unpersist after materializing.
-    // signatures are referenced three times (banding + both sides of the
+    // Signatures are referenced three times (banding + both sides of the
     // verify join); persist the small (doc_id, 64-long) frame so the
     // shingle explode + 64-way min-agg runs once (at full scale this is a
-    // materialized signature table)
+    // materialized signature table). Ownership note: blocks stay cached
+    // until LRU eviction — long-lived sessions calling this repeatedly
+    // should unpersist after materializing.
     val sigs = signatures(documents).persist()
 
     val bandCols = (0 until Bands).map { b =>
@@ -119,6 +117,26 @@ object MinHashLSH {
         s"aggregate(zip_with(sig_a, sig_b, (x, y) -> IF(x = y, 1.0D, 0.0D)), 0D, (acc, x) -> acc + x) / $NumPerms"), 6))
       .filter(col("est_jaccard") >= threshold)
       .select("doc_a", "doc_b", "est_jaccard")
+  }
+
+  /** Containment candidates from winnowing fingerprints: documents sharing
+    * >= `minShared` winnowed rolling-hash fingerprints
+    * ([[graft.functions.Winnow]]) — catches substring CONTAINMENT that
+    * set-overlap measures miss when document sizes differ a lot (a 100-word
+    * quote inside a 10k-word document barely moves Jaccard but is
+    * guaranteed shared winnow fingerprints). Inverted-index equi-join on
+    * the fingerprint, linear in postings. Requires
+    * [[graft.functions.GraftFunctions.register]]. */
+  def winnowContainmentPairs(documents: DataFrame, minShared: Long,
+      k: Int = 16, w: Int = 16): DataFrame = {
+    val fps = documents
+      .select(col("doc_id"), explode(expr(s"graft_winnow(text, $k, $w)")).as("fp"))
+    fps.as("a")
+      .join(fps.as("b"),
+        col("a.fp") === col("b.fp") && col("a.doc_id") < col("b.doc_id"))
+      .groupBy(col("a.doc_id").as("doc_a"), col("b.doc_id").as("doc_b"))
+      .agg(count(lit(1)).as("n_shared_fps"))
+      .filter(col("n_shared_fps") >= minShared)
   }
 
   /** 64-bit SimHash per document from per-word xxhash64 bit votes, computed

@@ -98,6 +98,23 @@ object Pipelines {
       parsed.withWatermark("event_ts", "0 seconds"),
       gap, tsCol = col("event_ts"))
 
+  /** Streaming KTable maintenance: the continuously-updated latest row per
+    * account (reference `topology/ABBankTopology.java:119-123` — the KTable
+    * the enrichment join reads). An update-mode aggregation with `max_by`:
+    * each micro-batch re-emits only the keys whose latest version changed;
+    * state = one narrow struct per key. Run with `outputMode("update")`
+    * into an upsert-capable sink (or complete mode for a full snapshot). */
+  def latestTable(parsed: DataFrame): DataFrame =
+    parsed
+      .select("account_id", "txn_id", "amount", "event_time_ms", "event_time_us")
+      .groupBy(col("account_id"))
+      .agg(max_by(
+        struct(col("txn_id"), col("amount"), col("event_time_ms")),
+        struct(col("event_time_us"), col("txn_id"))).as("l"))
+      .select(col("account_id"), col("l.txn_id").as("last_txn_id"),
+        col("l.amount").as("last_amount"),
+        col("l.event_time_ms").as("last_event_time_ms"))
+
   /** CDC delivery is at-least-once (reference
     * `config/ABBankStreamsConfig.java:85-86`): replays duplicate the same
     * transaction id. This stage makes downstream processing

@@ -95,6 +95,17 @@ class DedupSpec extends SparkSpecBase {
     assert(got === Map(5L -> 2L, 9L -> 2L, 2L -> 2L, 7L -> 7L, 8L -> 7L))
   }
 
+  test("winnow containment: a long quote inside a much larger doc is caught") {
+    GraftFunctions.register(spark)
+    val quote = (1 to 20).map(i => s"quoted$i").mkString(" ") // ~160 chars
+    val host = (1 to 200).map(i => s"host$i").mkString(" ") + " " + quote
+    val other = (1 to 220).map(i => s"east$i").mkString(" ")
+    val pairs = MinHashLSH.winnowContainmentPairs(
+        docs((1L, quote), (2L, host), (3L, other)), minShared = 3, k = 8)
+      .select("doc_a", "doc_b").as[(Long, Long)].collect().toSet
+    assert(pairs === Set((1L, 2L))) // quote ⊂ host; `other` unrelated
+  }
+
   test("minhash: identical docs collide in every band with est 1.0") {
     val text = (1 to 30).map(i => s"w$i").mkString(" ")
     val got = MinHashLSH.candidatePairs(
