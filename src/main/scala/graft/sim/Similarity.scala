@@ -97,14 +97,7 @@ object Similarity {
     * oracle reproduces values bit-for-bit. Reports the max absolute
     * dequantization error per vector (bounded by scale). */
   def quantizeInt8(embeddings: DataFrame): DataFrame =
-    embeddings
-      .select(col("vec_id"), col("embedding").cast("array<double>").as("v"))
-      .withColumn("vmin", array_min(col("v")))
-      .withColumn("vmax", array_max(col("v")))
-      .withColumn("scale",
-        greatest((col("vmax") - col("vmin")) / 256.0, lit(1e-12)))
-      .withColumn("q", expr(
-        "transform(v, x -> least(cast(floor((x - vmin) / scale) as bigint), 255L))"))
+    quantizeCodesWithVectors(embeddings)
       .withColumn("max_abs_err", expr(
         """aggregate(zip_with(v, q, (x, qi) -> abs(x - (vmin + (qi + 0.5D) * scale))),
           | 0D, (acc, e) -> greatest(acc, e))""".stripMargin))
@@ -148,37 +141,53 @@ object Similarity {
       col("scale") * col("q_scale") *
         (codeDot.cast("double") + lit(0.5) * col("qsum") +
           lit(0.5) * col("q_qsum") + lit(0.25) * d)
+    // the candidate window shuffles ONLY (q_id, vec_id, score) scalars —
+    // carrying the float vectors and code arrays through the shuffle+sort
+    // would move more bytes than brute force and defeat the codes' purpose
     val candW = Window.partitionBy(col("q_id"))
       .orderBy(col("__qcos").desc, col("vec_id"))
-    val cands = withCodes.join(broadcast(queries), col("vec_id") =!= col("q_id"))
+    val cands = withCodes.join(broadcast(queries.drop("qv", "qnorm")),
+        col("vec_id") =!= col("q_id"))
       .withColumn("__qcos", approxDot / (col("dqnorm") * col("q_dqnorm")))
+      .select("q_id", "vec_id", "__qcos")
       .withColumn("__rn", row_number().over(candW))
       .filter(col("__rn") <= k * rerankFactor)
 
-    // stage 2: exact rerank of the small candidate set
+    // stage 2: join the float vectors back for ONLY the survivors, rerank
+    val qv = all.select(col("vec_id").as("q_id"), col("v").as("qv"),
+      col("norm").as("qnorm"))
     val w = Window.partitionBy(col("q_id"))
       .orderBy(col("cos_sim").desc, col("neighbor_id"))
     cands
+      .join(all, "vec_id")
+      .join(broadcast(qv), "q_id")
       .select(col("q_id"), col("vec_id").as("neighbor_id"),
         round(dot("qv", "v") / (col("qnorm") * col("norm")), 6).as("cos_sim"))
       .withColumn("rank", row_number().over(w).cast("long"))
       .filter(col("rank") <= k)
   }
 
-  /** (vec_id, q codes, vmin, scale, qsum = Σq, dqnorm = ‖dequant(q)‖) —
-    * everything stage-1 search needs, precomputed once per vector. */
-  private def quantizeCodes(embeddings: DataFrame): DataFrame =
+  /** ONE definition of the affine int8 quantization (vmin/vmax/scale/q) —
+    * shared by the oracle-verified [[quantizeInt8]] and the search path so
+    * the two can never desynchronize. */
+  private def quantizeCodesWithVectors(embeddings: DataFrame): DataFrame =
     embeddings
       .select(col("vec_id"), col("embedding").cast("array<double>").as("v"))
       .withColumn("vmin", array_min(col("v")))
+      .withColumn("vmax", array_max(col("v")))
       .withColumn("scale",
-        greatest((array_max(col("v")) - col("vmin")) / 256.0, lit(1e-12)))
+        greatest((col("vmax") - col("vmin")) / 256.0, lit(1e-12)))
       .withColumn("q", expr(
         "transform(v, x -> least(cast(floor((x - vmin) / scale) as bigint), 255L))"))
+
+  /** (vec_id, q codes, vmin, scale, qsum = Σq, dqnorm = ‖dequant(q)‖) —
+    * everything stage-1 search needs, precomputed once per vector. */
+  private def quantizeCodes(embeddings: DataFrame): DataFrame =
+    quantizeCodesWithVectors(embeddings)
       .withColumn("qsum", expr("aggregate(q, 0L, (a, x) -> a + x)").cast("double"))
       .withColumn("dqnorm", sqrt(expr(
         "aggregate(q, 0D, (a, x) -> a + (vmin + (x + 0.5D) * scale) * (vmin + (x + 0.5D) * scale))")))
-      .drop("v")
+      .drop("v", "vmax")
 
   /** Coarse quantizer training: deterministic stride-sampled seeds refined
     * by `iters` Lloyd passes (assign by cosine argmax, recompute each cell
@@ -186,7 +195,12 @@ object Similarity {
     * assignment + one posexplode/avg shuffle over (cell, dim) — linear in
     * N·dim, no pairwise work. Cells that lose all members drop out. */
   def kmeansCentroids(all: DataFrame, stride: Int, iters: Int): DataFrame = {
-    var centroids = all.filter(col("vec_id") % stride === 0)
+    // seed every stride-th row BY ORDINAL (raw id % stride would yield zero
+    // seeds for sparse/offset id spaces and silently empty results)
+    val ordW = Window.orderBy(col("vec_id"))
+    var centroids = all
+      .withColumn("__ord", row_number().over(ordW))
+      .filter((col("__ord") - 1) % stride === 0)
       .select(col("vec_id").as("c_id"), col("v").as("cv"),
         col("norm").as("cnorm"))
     for (_ <- 1 to iters) {
@@ -218,7 +232,9 @@ object Similarity {
       centroidStride: Int = 37, nprobe: Int = 8, kmeansIters: Int = 1): DataFrame = {
     val all = withNorm(embeddings)
     // trained once per corpus in practice — persist the small frame so the
-    // assignment and probe stages don't re-run the Lloyd passes
+    // assignment and probe stages don't re-run the Lloyd passes (ownership:
+    // cached until LRU eviction; long-lived sessions should unpersist after
+    // materializing, same policy as the dedup signature caches)
     val centroids = kmeansCentroids(all, centroidStride, kmeansIters).persist()
 
     // assign every vector to its nearest centroid: broadcast NL + max_by

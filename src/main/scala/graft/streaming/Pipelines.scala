@@ -105,15 +105,13 @@ object Pipelines {
     * state = one narrow struct per key. Run with `outputMode("update")`
     * into an upsert-capable sink (or complete mode for a full snapshot). */
   def latestTable(parsed: DataFrame): DataFrame =
-    parsed
-      .select("account_id", "txn_id", "amount", "event_time_ms", "event_time_us")
-      .groupBy(col("account_id"))
-      .agg(max_by(
-        struct(col("txn_id"), col("amount"), col("event_time_ms")),
-        struct(col("event_time_us"), col("txn_id"))).as("l"))
-      .select(col("account_id"), col("l.txn_id").as("last_txn_id"),
-        col("l.amount").as("last_amount"),
-        col("l.event_time_ms").as("last_event_time_ms"))
+    graft.ops.LatestByKey.latestByMaxBy(
+        parsed.select("account_id", "txn_id", "amount",
+          "event_time_ms", "event_time_us"),
+        Seq("account_id"), struct(col("event_time_us"), col("txn_id")))
+      .select(col("account_id"), col("txn_id").as("last_txn_id"),
+        col("amount").as("last_amount"),
+        col("event_time_ms").as("last_event_time_ms"))
 
   /** CDC delivery is at-least-once (reference
     * `config/ABBankStreamsConfig.java:85-86`): replays duplicate the same
@@ -135,22 +133,33 @@ object Pipelines {
     * pipelines (windows/reconcile) keep their own queries so each owns its
     * state store. */
   def fanOutStateless(parsed: DataFrame, customerDim: DataFrame,
-      threshold: Double, outBase: String)
-      : org.apache.spark.sql.streaming.StreamingQuery =
-    parsed.writeStream
+      threshold: Double, outBase: String,
+      checkpoint: Option[String] = None)
+      : org.apache.spark.sql.streaming.StreamingQuery = {
+    // Idempotent on retry/restart: each sink writes the micro-batch into
+    // its batch_id=<id> partition with dynamic overwrite, so replaying a
+    // batch replaces rather than duplicates (the batchId is the retry key)
+    def writeIdempotent(df: DataFrame, id: Long, path: String): Unit =
+      df.withColumn("batch_id", lit(id))
+        .write.mode("overwrite")
+        .option("partitionOverwriteMode", "dynamic")
+        .partitionBy("batch_id")
+        .parquet(path)
+    val writer = parsed.writeStream
       .outputMode("append")
       .foreachBatch { (batch: DataFrame, id: Long) =>
         batch.persist()
         try {
-          batch.write.mode("append").parquet(s"$outBase/parsed")
-          highValueAlerts(batch, customerDim, threshold)
-            .write.mode("append").parquet(s"$outBase/hv_alerts")
-          batch.filter(Predicates.isDebit(col("txn_type")))
-            .write.mode("append").parquet(s"$outBase/debits")
+          writeIdempotent(batch, id, s"$outBase/parsed")
+          writeIdempotent(highValueAlerts(batch, customerDim, threshold),
+            id, s"$outBase/hv_alerts")
+          writeIdempotent(batch.filter(Predicates.isDebit(col("txn_type"))),
+            id, s"$outBase/debits")
         } finally batch.unpersist()
         ()
       }
-      .start()
+    checkpoint.fold(writer)(c => writer.option("checkpointLocation", c)).start()
+  }
 
   /** Stream–stream windowed join (absent from the reference — Kafka
     * Streams would need a windowed KStream join; SURVEY §2.3): debit and
@@ -255,7 +264,9 @@ object DormancyDetector {
       }
       cur.foreach { s =>
         state.update(s)
-        state.setTimeoutTimestamp((s.lastUs + gapUs) / 1000) // epoch millis
+        // ceil to millis: floor would fire up to 1ms early (and below
+        // the watermark for sub-ms gaps, crashing the query)
+        state.setTimeoutTimestamp((s.lastUs + gapUs + 999) / 1000)
       }
       closed.reverseIterator
     }
