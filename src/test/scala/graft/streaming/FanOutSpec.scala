@@ -51,5 +51,13 @@ class FanOutSpec extends SparkSpecBase {
     val debitsN = spark.read.parquet(s"$outBase/debits").count()
     assert(parsedN > 0 && debitsN > 0 && debitsN < parsedN)
     assert(hvN === 12) // matches the batch notification query at sf0.001
+
+    // idempotency: a full reprocess (fresh checkpoint, same batch ids)
+    // OVERWRITES the batch partitions instead of appending duplicates
+    val q2 = Pipelines.fanOutStateless(Pipelines.parsedStream(spark, sf0001),
+      Tables.customer(spark, sf0001), threshold = 200.0, outBase)
+    q2.processAllAvailable(); q2.stop()
+    assert(spark.read.parquet(s"$outBase/parsed").count() === parsedN)
+    assert(spark.read.parquet(s"$outBase/hv_alerts").count() === hvN)
   }
 }
