@@ -1,0 +1,53 @@
+#!/usr/bin/env python3
+"""Adversarial spot-checks with INDEPENDENTLY-written SQL (deliberately not
+the oracle text): cross-validates invariants of a Verify output dir.
+Usage: python3 scripts/spot_check.py <sfDir> <verifyOutDir>"""
+import sys, glob
+import duckdb
+import pandas as pd
+
+sfdir, outdir = sys.argv[1], sys.argv[2]
+con = duckdb.connect()
+for t in ['events', 'customer', 'nation', 'documents', 'embeddings']:
+    con.execute(f"CREATE VIEW {t} AS SELECT * FROM read_parquet('{sfdir}/{t}.parquet')")
+
+def sp(q):
+    return pd.concat(map(pd.read_parquet, glob.glob(f'{outdir}/{q}/*.parquet')))
+
+ok = True
+def check(name, cond):
+    global ok
+    print(('OK  ' if cond else 'FAIL'), name)
+    ok = ok and cond
+
+r = sp('q_balance_reconcile')
+expect = con.sql("""
+WITH c AS (SELECT event_id, row_number() OVER (PARTITION BY user_id
+  ORDER BY epoch_us(CAST(ts AS TIMESTAMP)), event_id) rn
+  FROM events WHERE event_id % 10 != 0 AND user_id != 0 AND event_type != 'error')
+SELECT count(*) FROM c WHERE event_id % 97 = 0 AND rn > 1""").fetchone()[0]
+check('reconcile: DISCREPANCY count == injected-error rows past bootstrap',
+      (r.recon_status == 'DISCREPANCY').sum() == expect)
+
+v = sp('q_velocity_count')
+c0, c1 = con.sql("""
+WITH u AS (SELECT user_id, epoch_us(CAST(ts AS TIMESTAMP))//1000//3600000 AS b
+  FROM events WHERE event_id % 10 != 0 AND user_id != 0)
+SELECT count(*), sum(n) FROM (SELECT count(*) n FROM u GROUP BY user_id, b
+  HAVING count(*) >= 2)""").fetchone()
+check('velocity: window count and event total', (len(v), v.n_txns.sum()) == (c0, int(c1)))
+
+s2 = sp('q_scd2_history')
+cur = s2[s2.is_current].groupby('account_id').size()
+check('scd2: exactly one current version per account',
+      bool((cur == 1).all()) and len(cur) == s2.account_id.nunique())
+
+tk = sp('q_topk_spenders')
+top = con.sql("""
+SELECT user_id FROM events WHERE event_id % 10 != 0 AND user_id != 0
+  AND event_type IN ('purchase','click')
+GROUP BY 1 ORDER BY round(sum(value), 2) DESC, user_id LIMIT 10""").df()
+check('topk: set equals independent ranking', set(tk.account_id) == set(top.user_id))
+
+print('RESULT:', 'ALL OK' if ok else 'FAIL')
+sys.exit(0 if ok else 1)
