@@ -3,7 +3,7 @@ package graft
 import org.apache.spark.sql.{DataFrame, SparkSession}
 import org.apache.spark.sql.functions._
 
-import graft.cdc.EnvelopeOps
+import graft.cdc.{DimensionCdc, EnvelopeOps}
 import graft.dedup.{Dedup, MinHashLSH}
 import graft.functions.GraftFunctions
 import graft.multimodal.Multimodal
@@ -152,6 +152,52 @@ object SparkEntry {
         .select(col("txn_id"), col("account_id"), col("amount"),
           coalesce(col("c_name"), lit("N/A")).as("customer_name"),
           coalesce(col("n_name"), lit("N/A")).as("nation_name"))
+    }),
+
+    // J2 over a true CDC changelog: the ACCOUNTS KTable of the reference
+    // (`topology/ABBankTopology.java:107-125`) — synthesized envelope
+    // versions -> JSON wire payload -> from_json(accountEnvelope) -> typed
+    // rows -> latest-by-key with tombstones applied
+    "q_cdc_account_dim" -> ((s, dir) =>
+      DimensionCdc.accountsDim(Tables.customer(s, dir))
+        .select("account_id", "customer_id", "account_number", "account_type",
+          "balance", "currency", "account_status", "cdc_ts_us")),
+
+    // J1 against the CDC-built dimension: high-value transactions left-join
+    // the accounts KTable (the reference's actual enrichment data flow —
+    // `topology/ABBankTopology.java:233-240`; deleted accounts fall back to
+    // "N/A" like missing KV-store rows)
+    "q_enrich_cdc_dim" -> ((s, dir) => {
+      val hv = completed(s, dir)
+        .filter(Predicates.isHighValue(col("amount"), HighValueThreshold))
+      Enrich.withDim(hv, DimensionCdc.accountsDim(Tables.customer(s, dir)),
+          "account_id")
+        .select(col("txn_id"), col("account_id"), col("amount"),
+          coalesce(col("account_number"), lit("N/A")).as("account_number"),
+          coalesce(col("customer_id"), lit(-1L)).as("customer_id"),
+          coalesce(col("balance"), lit(-1.0)).as("account_balance"),
+          coalesce(col("account_status"), lit("N/A")).as("account_status"))
+    }),
+
+    // J1+J3 full reference flow: transactions -> accounts KTable (CDC) ->
+    // customers KTable (CDC), surfacing getFullName/contact info
+    // (reference builds both KTables at `ABBankTopology.java:107-144`)
+    "q_enrich_cdc_two_hop" -> ((s, dir) => {
+      val hv = completed(s, dir)
+        .filter(Predicates.isHighValue(col("amount"), HighValueThreshold))
+      val acct = DimensionCdc.accountsDim(Tables.customer(s, dir))
+        .select("account_id", "customer_id", "account_number")
+      val cust = DimensionCdc.customersDim(Tables.customer(s, dir))
+        .select("customer_id", "first_name", "last_name", "email", "segment")
+      hv.join(broadcast(acct), Seq("account_id"), "left")
+        .join(broadcast(cust), Seq("customer_id"), "left")
+        .select(col("txn_id"), col("account_id"), col("amount"),
+          coalesce(col("account_number"), lit("N/A")).as("account_number"),
+          when(col("first_name").isNull, lit("N/A"))
+            .otherwise(Notify.fullName(col("first_name"), col("last_name")))
+            .as("customer_name"),
+          coalesce(col("email"), lit("N/A")).as("email"),
+          coalesce(col("segment"), lit("N/A")).as("segment"))
     }),
 
     // W1: velocity fraud check — tumbling window count >= threshold
@@ -470,6 +516,49 @@ object SparkEntry {
        |      FROM inter JOIN sz x ON doc_a = x.doc_id JOIN sz y ON doc_b = y.doc_id),
        |jpairs AS (SELECT * FROM jall WHERE jaccard >= $JaccardThreshold)""".stripMargin
 
+  /** DuckDB CTEs reproducing the synthesized ACCOUNTS CDC changelog + its
+    * latest-per-key KTable reduction (the flat twin of
+    * [[graft.cdc.DimensionCdc.accountsDim]] — the nested JSON serde round
+    * trip is Spark-side behavior under test). */
+  private val sqlAcctDim =
+    """acct_ver AS (
+      |  SELECT c_custkey AS account_id, c_custkey AS customer_id,
+      |         'ACCT-' || c_custkey AS account_number,
+      |         CASE WHEN c_custkey % 2 = 0 THEN 'SAVINGS' ELSE 'CURRENT' END AS account_type,
+      |         c_acctbal + v * 100.0 AS balance,
+      |         CASE c_custkey % 3 WHEN 0 THEN 'USD' WHEN 1 THEN 'NGN' ELSE 'EUR' END AS currency,
+      |         CASE WHEN c_custkey % 11 = 0 THEN 'INACTIVE' ELSE 'ACTIVE' END AS account_status,
+      |         (c_custkey * 10 + v) * 1000000 AS cdc_ts_us,
+      |         CASE WHEN c_custkey % 13 = 0 AND v = c_custkey % 3 THEN 'd'
+      |              WHEN v = 0 THEN 'c' ELSE 'u' END AS op
+      |  FROM (SELECT c_custkey, c_acctbal, unnest(generate_series(0, c_custkey % 3)) AS v FROM customer)
+      |),
+      |acct_dim AS (
+      |  SELECT * FROM (SELECT *, row_number() OVER (PARTITION BY account_id ORDER BY cdc_ts_us DESC) AS rn
+      |                 FROM acct_ver)
+      |  WHERE rn = 1 AND op <> 'd'
+      |)""".stripMargin
+
+  /** Same for the synthesized CUSTOMERS changelog
+    * ([[graft.cdc.DimensionCdc.customersDim]]). */
+  private val sqlCustDim =
+    """cust_ver AS (
+      |  SELECT c_custkey AS customer_id,
+      |         'F' || (c_custkey % 100) AS first_name,
+      |         'L' || c_custkey AS last_name,
+      |         'c' || c_custkey || '.v' || v || '@abbank.example' AS email,
+      |         c_mktsegment AS segment,
+      |         (c_custkey * 10 + v) * 1000000 + 500000 AS cdc_ts_us,
+      |         CASE WHEN c_custkey % 17 = 0 AND v = c_custkey % 2 THEN 'd'
+      |              WHEN v = 0 THEN 'c' ELSE 'u' END AS op
+      |  FROM (SELECT c_custkey, c_mktsegment, unnest(generate_series(0, c_custkey % 2)) AS v FROM customer)
+      |),
+      |cust_dim AS (
+      |  SELECT * FROM (SELECT *, row_number() OVER (PARTITION BY customer_id ORDER BY cdc_ts_us DESC) AS rn
+      |                 FROM cust_ver)
+      |  WHERE rn = 1 AND op <> 'd'
+      |)""".stripMargin
+
   /** DuckDB rendering of [[graft.ops.Notify.formatAmount]] (DuckDB's fmt
     * format() lacks thousands grouping for floats, so group the integer part
     * and append the 2-dp fraction). */
@@ -549,6 +638,33 @@ object SparkEntry {
          |LEFT JOIN customer ON account_id = c_custkey
          |LEFT JOIN nation ON c_nationkey = n_nationkey
          |WHERE amount >= $HighValueThreshold""".stripMargin),
+
+    "q_cdc_account_dim" ->
+      (s"WITH $sqlAcctDim\n" +
+        """SELECT account_id, customer_id, account_number, account_type,
+          |       balance, currency, account_status, cdc_ts_us
+          |FROM acct_dim""".stripMargin),
+
+    "q_enrich_cdc_dim" -> (P + s", $sqlAcctDim\n" +
+      s"""SELECT txn_id, t.account_id, amount,
+         |  coalesce(account_number, 'N/A') AS account_number,
+         |  coalesce(d.customer_id, -1) AS customer_id,
+         |  coalesce(balance, -1.0) AS account_balance,
+         |  coalesce(account_status, 'N/A') AS account_status
+         |FROM completed t LEFT JOIN acct_dim d ON t.account_id = d.account_id
+         |WHERE amount >= $HighValueThreshold""".stripMargin),
+
+    "q_enrich_cdc_two_hop" -> (P + s", $sqlAcctDim,\n$sqlCustDim\n" +
+      s"""SELECT t.txn_id, t.account_id, t.amount,
+         |  coalesce(a.account_number, 'N/A') AS account_number,
+         |  CASE WHEN c.first_name IS NULL THEN 'N/A'
+         |       ELSE c.first_name || ' ' || c.last_name END AS customer_name,
+         |  coalesce(c.email, 'N/A') AS email,
+         |  coalesce(c.segment, 'N/A') AS segment
+         |FROM completed t
+         |LEFT JOIN acct_dim a ON t.account_id = a.account_id
+         |LEFT JOIN cust_dim c ON a.customer_id = c.customer_id
+         |WHERE t.amount >= $HighValueThreshold""".stripMargin),
 
     "q_velocity_count" -> (P +
       s"""SELECT account_id,

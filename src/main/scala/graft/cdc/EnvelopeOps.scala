@@ -124,9 +124,10 @@ object EnvelopeOps {
     * permissive: malformed payloads become null envelopes and are dropped by
     * [[upsertsOnly]], never failed (reference
     * `config/ABBankStreamsConfig.java:93-94` LogAndContinueExceptionHandler). */
-  def decodeJsonEnvelope(payloads: DataFrame, payloadCol: String = "payload"): DataFrame =
+  def decodeJsonEnvelope(payloads: DataFrame, payloadCol: String = "payload",
+      schema: org.apache.spark.sql.types.StructType = Schemas.transactionEnvelope): DataFrame =
     payloads.select(
-      from_json(col(payloadCol), Schemas.transactionEnvelope).as("envelope"))
+      from_json(col(payloadCol), schema).as("envelope"))
 
   /** S2 serialization seam: envelope struct -> JSON string payload (the
     * shape of a Kafka value sink). */
