@@ -368,19 +368,28 @@ object SparkEntry {
           expr("ver_ts_us div 1000").as("ver_ts_ms"), col("profile_score"))
     }),
 
-    // Top-k ranking over a pre-aggregated frame (sort/limit/rank — absent
-    // from the reference, added as extension surface; the global window
-    // runs over one row per account, post-aggregation)
+    // Top-k ranking over a pre-aggregated frame (absent from the
+    // reference, added as extension surface). orderBy().limit(k) plans as
+    // TakeOrderedAndProject — per-partition top-k, driver merges only
+    // k×partitions rows — so no single task ever sorts all accounts; the
+    // rank window then runs over just the k surviving rows
     "q_topk_spenders" -> ((s, dir) => {
       val totals = completed(s, dir)
         .filter(Predicates.isDebit(col("txn_type")))
         .groupBy("account_id")
         .agg(round(sum(col("amount")), 2).as("total_spend"))
       totals
+        .orderBy(col("total_spend").desc, col("account_id"))
+        .limit(10)
+        // rank over the 10 surviving rows only. The partition key is a
+        // constant-valued but non-foldable expression: it pins the bounded
+        // 10-row input to one WindowExec partition BY DECLARATION (a bare
+        // literal would be optimized away, reverting to the global-window
+        // shape that cannot scale)
         .withColumn("rank", row_number().over(
           org.apache.spark.sql.expressions.Window
+            .partitionBy(pmod(col("account_id"), lit(1L)))
             .orderBy(col("total_spend").desc, col("account_id"))).cast("long"))
-        .filter(col("rank") <= 10)
     }),
 
     // Multi-level aggregation: ROLLUP over (currency, txn_type) with

@@ -195,14 +195,18 @@ object Similarity {
     * assignment + one posexplode/avg shuffle over (cell, dim) — linear in
     * N·dim, no pairwise work. Cells that lose all members drop out. */
   def kmeansCentroids(all: DataFrame, stride: Int, iters: Int): DataFrame = {
-    // seed every stride-th row BY ORDINAL (raw id % stride would yield zero
-    // seeds for sparse/offset id spaces and silently empty results)
-    val ordW = Window.orderBy(col("vec_id"))
-    var centroids = all
-      .withColumn("__ord", row_number().over(ordW))
-      .filter((col("__ord") - 1) % stride === 0)
-      .select(col("vec_id").as("c_id"), col("v").as("cv"),
-        col("norm").as("cnorm"))
+    // hash-stride seed sampling: scan-only and deterministic. An ordinal
+    // row_number over an unpartitioned window would sort the entire vector
+    // table on ONE task at scale; xxhash64 spreads sparse/offset id spaces
+    // uniformly instead, so ~N/stride seeds survive with no ordering pass.
+    val seedCols = Seq(col("vec_id").as("c_id"), col("v").as("cv"),
+      col("norm").as("cnorm"))
+    val hashSeeds = all
+      .filter(pmod(xxhash64(col("vec_id")), lit(stride.toLong)) === 0)
+      .select(seedCols: _*)
+    // tiny-corpus fallback (training-time only, one cheap existence probe):
+    // if hashing yields no seeds, every vector becomes its own seed
+    var centroids = if (hashSeeds.isEmpty) all.select(seedCols: _*) else hashSeeds
     for (_ <- 1 to iters) {
       val assigned = all.join(broadcast(centroids))
         .withColumn("__csim", dot("v", "cv") / (col("norm") * col("cnorm")))
@@ -229,7 +233,7 @@ object Similarity {
     * Returns the same shape as [[bruteForceTopK]] — recall measured against
     * it in tests. */
   def ivfTopK(embeddings: DataFrame, numQueries: Long, k: Int,
-      centroidStride: Int = 37, nprobe: Int = 8, kmeansIters: Int = 1): DataFrame = {
+      centroidStride: Int = 37, nprobe: Int = 10, kmeansIters: Int = 1): DataFrame = {
     val all = withNorm(embeddings)
     // trained once per corpus in practice — persist the small frame so the
     // assignment and probe stages don't re-run the Lloyd passes (ownership:

@@ -188,14 +188,15 @@ class SimilaritySpec extends SparkSpecBase {
     assert(lsh.size <= bf.size)
   }
 
-  test("IVF recall@5 vs brute force >= 0.6 on sf0.001 embeddings") {
+  test("IVF recall@5 vs brute force >= 0.8 on sf0.001 embeddings") {
     val emb = Tables.embeddings(spark, sf0001)
     val bf = Similarity.bruteForceTopK(emb, 10, 5)
       .select("q_id", "neighbor_id").as[(Long, Long)].collect().toSet
     val ivf = Similarity.ivfTopK(emb, 10, 5)
       .select("q_id", "neighbor_id").as[(Long, Long)].collect().toSet
     val recall = (bf & ivf).size.toDouble / bf.size
-    assert(recall >= 0.6, s"recall $recall")
+    info(s"IVF recall@5 = $recall")
+    assert(recall >= 0.8, s"recall $recall")
   }
 }
 

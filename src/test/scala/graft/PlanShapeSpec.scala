@@ -36,6 +36,28 @@ class PlanShapeSpec extends SparkSpecBase {
     assert(!plan.contains("SortMergeJoin"))
   }
 
+  test("top-k spenders plans as TakeOrderedAndProject, not a global sort") {
+    val plan = formattedPlan(
+      SparkEntry.queries("q_topk_spenders")(spark, sf0001))
+    assert(plan.contains("TakeOrderedAndProject"), plan.take(2000))
+  }
+
+  test("k-means seeding is scan-only (no window, no global sort)") {
+    val all = graft.sim.Similarity.withNorm(Tables.embeddings(spark, sf0001))
+    val plan = formattedPlan(
+      graft.sim.Similarity.kmeansCentroids(all, stride = 37, iters = 0))
+    assert(!plan.contains("Window"), plan.take(2000))
+    assert(!plan.contains("Sort"), plan.take(2000))
+  }
+
+  test("CDC-dim enrichment broadcasts the accounts KTable") {
+    val plan = formattedPlan(
+      SparkEntry.queries("q_enrich_cdc_dim")(spark, sf0001))
+    assert(plan.contains("BroadcastHashJoin"), plan.take(2000))
+    assert(!plan.contains("SortMergeJoin"))
+    assert(!plan.contains("CartesianProduct"))
+  }
+
   test("partitioned sink layout prunes partitions on read") {
     val out = Files.createTempDirectory("graft_part").toString
     val df = txns(Seq(
