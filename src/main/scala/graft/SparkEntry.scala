@@ -299,9 +299,13 @@ object SparkEntry {
     // (engine-defined hash — property-tested, no SQL oracle)
     "q_dedup_simhash" -> ((s, dir) => MinHashLSH.simhashPairs(Tables.documents(s, dir))),
 
-    // Dedup: embedding-cosine near-dup pairs (exact, bounded)
+    // Dedup: embedding-cosine near-dup pairs — banded sign-LSH candidates
+    // (equi-join, no cross product) + exact cosine verify; the DuckDB
+    // oracle recomputes the same result as bounded all-pairs
     "q_dedup_embedding" -> ((s, dir) =>
-      Dedup.embeddingNearDupPairs(Tables.embeddings(s, dir), EmbDupThreshold, EmbDupMaxVecId)),
+      Dedup.embeddingNearDupPairsBanded(
+        Tables.embeddings(s, dir).filter(col("vec_id") < EmbDupMaxVecId),
+        EmbDupThreshold)),
 
     // Similarity: brute-force cosine top-k (broadcast queries, no shuffle)
     "q_sim_bruteforce_topk" -> ((s, dir) =>
@@ -824,6 +828,20 @@ object SparkEntry {
          |SELECT vec_a, vec_b, cos_sim FROM p WHERE cos_sim >= $EmbDupThreshold""".stripMargin,
 
     "q_sim_bruteforce_topk" ->
+      s"""WITH e AS (SELECT vec_id, CAST(embedding AS DOUBLE[]) AS v FROM embeddings),
+         |n AS (SELECT vec_id, v, sqrt(list_dot_product(v, v)) AS norm FROM e),
+         |q AS (SELECT vec_id AS q_id, v AS qv, norm AS qnorm FROM n WHERE vec_id < $SimNumQueries),
+         |sims AS (SELECT q_id, vec_id AS neighbor_id,
+         |           round(list_dot_product(qv, v) / (qnorm * norm), 6) AS cos_sim
+         |         FROM n CROSS JOIN q WHERE vec_id <> q_id),
+         |r AS (SELECT *, CAST(row_number() OVER (PARTITION BY q_id ORDER BY cos_sim DESC, neighbor_id) AS BIGINT) AS rank
+         |      FROM sims)
+         |SELECT q_id, neighbor_id, cos_sim, rank FROM r WHERE rank <= $SimTopK""".stripMargin,
+
+    // the two-stage quantized search reproduces brute force EXACTLY at the
+    // shipped rerank factor (recall 1.0, same deterministic tiebreak), so
+    // the brute-force SQL is its oracle too
+    "q_sim_quantized_topk" ->
       s"""WITH e AS (SELECT vec_id, CAST(embedding AS DOUBLE[]) AS v FROM embeddings),
          |n AS (SELECT vec_id, v, sqrt(list_dot_product(v, v)) AS norm FROM e),
          |q AS (SELECT vec_id AS q_id, v AS qv, norm AS qnorm FROM n WHERE vec_id < $SimNumQueries),

@@ -107,10 +107,11 @@ object Dedup {
     labels.select(col("node").as("doc_id"), col("label").as("cluster_id"))
   }
 
-  /** Embedding-cosine near-duplicate pairs (exact, bounded candidate set).
-    * Norms are precomputed per vector (one pass) so the pair stage is a
-    * single fused dot product. The unbounded scale path prunes with
-    * the IVF coarse quantizer first ([[graft.sim.Similarity.ivfTopK]]). */
+  /** Embedding-cosine near-duplicate pairs (exact all-pairs, bounded
+    * candidate set). Norms are precomputed per vector (one pass) so the
+    * pair stage is a single fused dot product. This is the TEST-ORACLE
+    * path only — the registered query is [[embeddingNearDupPairsBanded]],
+    * whose candidate stage is an equi-join, not a cross product. */
   def embeddingNearDupPairs(embeddings: DataFrame, threshold: Double,
       maxVecId: Long): DataFrame = {
     val e = graft.sim.Similarity.withNorm(
@@ -123,6 +124,58 @@ object Dedup {
         round(
           expr("aggregate(zip_with(a.v, b.v, (x, y) -> x * y), 0D, (acc, x) -> acc + x)")
             / (col("a.norm") * col("b.norm")), 6).as("cos_sim"))
+      .filter(col("cos_sim") >= threshold)
+  }
+
+  /** Embedding near-dup pairs via BANDED sign-LSH candidates + exact
+    * cosine verification — the MinHash-banding pattern transplanted to
+    * vectors, so the plan never contains a cross product:
+    *
+    *   1. one 32-bit sign signature per vector ([[graft.sim.Similarity
+    *      .lshBucket]] hyperplanes), split into `nBands` bands of
+    *      `bitsPerBand` bits;
+    *   2. candidates = pairs sharing ANY band's bucket — an equi-join on
+    *      (band, bucket) over SCALAR postings (the float vectors do not
+    *      travel to the candidate stage), deduplicated;
+    *   3. exact verify: join the vectors back for candidates only, keep
+    *      cos >= threshold. The emitted similarity is exact — banding only
+    *      bounds recall.
+    *
+    * Miss probability per pair at cosine s is (1 - p^r)^b with
+    * p = 1 - arccos(s)/pi — at the shipped r=2,b=16 and s=0.45 that is
+    * ~1.5e-4 (verified equal to the exact path on the test corpus). At
+    * production scale raise r to prune harder and b to hold recall. */
+  def embeddingNearDupPairsBanded(embeddings: DataFrame, threshold: Double,
+      nBands: Int = 16, bitsPerBand: Int = 2): DataFrame = {
+    val e = graft.sim.Similarity.withNorm(embeddings)
+      .withColumn("__sig",
+        graft.sim.Similarity.lshBucket("v", nBands * bitsPerBand))
+    val mask = (1L << bitsPerBand) - 1
+    val posted = e.select(col("vec_id"),
+      explode(expr(
+        s"""transform(sequence(0, ${nBands - 1}), b ->
+           |  named_struct('band', b,
+           |    'bucket', shiftright(__sig, cast(b * $bitsPerBand as int)) & ${mask}L))"""
+          .stripMargin)).as("bb"))
+      .select(col("vec_id"), col("bb.band").as("band"),
+        col("bb.bucket").as("bucket"))
+
+    val cands = posted.as("a")
+      .join(posted.as("b"),
+        col("a.band") === col("b.band") && col("a.bucket") === col("b.bucket") &&
+          col("a.vec_id") < col("b.vec_id"))
+      .select(col("a.vec_id").as("vec_a"), col("b.vec_id").as("vec_b"))
+      .distinct()
+
+    cands
+      .join(e.select(col("vec_id").as("vec_a"), col("v").as("va"),
+        col("norm").as("na")), "vec_a")
+      .join(e.select(col("vec_id").as("vec_b"), col("v").as("vb"),
+        col("norm").as("nb")), "vec_b")
+      .select(col("vec_a"), col("vec_b"),
+        round(
+          expr("aggregate(zip_with(va, vb, (x, y) -> x * y), 0D, (acc, x) -> acc + x)")
+            / (col("na") * col("nb")), 6).as("cos_sim"))
       .filter(col("cos_sim") >= threshold)
   }
 }

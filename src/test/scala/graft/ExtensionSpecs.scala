@@ -145,6 +145,21 @@ class DedupSpec extends SparkSpecBase {
       .select("vec_a", "vec_b").as[(Long, Long)].collect()
     assert(got.toSeq === Seq((1L, 2L))) // colinear -> cos 1; opposite -> -1
   }
+
+  test("banded near-dup == exact all-pairs on the test corpus; no cross product") {
+    val emb = Tables.embeddings(spark, sf0001)
+      .filter(org.apache.spark.sql.functions.col("vec_id") < 500)
+    val banded = Dedup.embeddingNearDupPairsBanded(emb, 0.45)
+    val exact = Dedup.embeddingNearDupPairs(emb, 0.45, 500L)
+    val b = banded.as[(Long, Long, Double)].collect().toSet
+    val e = exact.as[(Long, Long, Double)].collect().toSet
+    assert(b === e) // candidate stage lost no true pair; verify stage exact
+    assert(e.nonEmpty)
+    val plan = banded.queryExecution.explainString(
+      org.apache.spark.sql.execution.FormattedMode)
+    assert(!plan.contains("BroadcastNestedLoopJoin"), plan.take(1500))
+    assert(!plan.contains("CartesianProduct"))
+  }
 }
 
 class SimilaritySpec extends SparkSpecBase {
