@@ -281,6 +281,16 @@ object SparkEntry {
     "q_dedup_minhash" -> ((s, dir) =>
       MinHashLSH.candidatePairs(Tables.documents(s, dir), MinhashEstThreshold)),
 
+    // Dedup: the full MinHash composition with exact verification —
+    // banding candidates, then exact Jaccard computed ONLY for candidates;
+    // equals the exhaustive answer on this corpus (planted dups sit at
+    // ~0.95 against a 16x4 banding S-curve), so the exact-Jaccard oracle
+    // verifies the hash-defined candidate stage end to end
+    "q_dedup_minhash_verified" -> ((s, dir) =>
+      MinHashLSH.verifiedPairs(
+        Tables.documents(s, dir).filter(col("doc_id") < JaccardMaxDocId),
+        JaccardThreshold)),
+
     // Dedup: winnow-fingerprint containment candidates (substring reuse
     // that size-skewed Jaccard misses; engine-defined hash, rows-only)
     "q_dedup_containment" -> ((s, dir) => {
@@ -804,6 +814,12 @@ object SparkEntry {
         |FROM documents GROUP BY lower(trim(text))""".stripMargin,
 
     "q_dedup_ngram_jaccard" ->
+      (sqlJaccardCtes + s"""
+         |SELECT doc_a, doc_b, n_inter, jaccard FROM jpairs""".stripMargin),
+
+    // banding recall is 1.0 for the planted dups (see verifiedPairs doc),
+    // so candidates ∩ exact-verify == the exhaustive exact answer
+    "q_dedup_minhash_verified" ->
       (sqlJaccardCtes + s"""
          |SELECT doc_a, doc_b, n_inter, jaccard FROM jpairs""".stripMargin),
 

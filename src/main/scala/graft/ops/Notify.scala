@@ -45,7 +45,7 @@ object Notify {
     * a struct serialized to compact JSON. `notificationId` is deterministic
     * (type prefix + entity id) instead of the reference's `UUID.randomUUID`
     * and `generatedAt=now()` is omitted, so output is hash-comparable; the
-    * streaming pipelines re-add uuid()/now() at the sink (nondeterministic
+    * streaming sinks re-add both via [[dispatchStamp]] (nondeterministic
     * fields excluded from verification per SURVEY §7.5).
     *
     * `metadata` is an ordered string->string map, matching the reference's
@@ -69,4 +69,14 @@ object Notify {
       subject.as("subject"),
       body.as("body"),
       metadata.as("metadata")))
+
+  /** F9 dispatch stamping (reference `model/NotificationEvent.java:70-71`:
+    * `UUID.randomUUID` + `generatedAt = Instant.now()` per notification).
+    * Applied AT THE STREAMING SINK, never in the transforms, so every
+    * transform stays deterministic and hash-comparable — the stamp columns
+    * are the only nondeterministic fields and are excluded from any
+    * equivalence compare. */
+  def dispatchStamp(df: org.apache.spark.sql.DataFrame): org.apache.spark.sql.DataFrame =
+    df.withColumn("notification_uuid", expr("uuid()"))
+      .withColumn("generated_at_ms", unix_millis(current_timestamp()))
 }

@@ -151,7 +151,11 @@ object Pipelines {
         batch.persist()
         try {
           writeIdempotent(batch, id, s"$outBase/parsed")
-          writeIdempotent(highValueAlerts(batch, customerDim, threshold),
+          // F9: uuid + generatedAt stamped only here at the sink — the
+          // transform output stays deterministic (reference
+          // `model/NotificationEvent.java:70-71`)
+          writeIdempotent(
+            Notify.dispatchStamp(highValueAlerts(batch, customerDim, threshold)),
             id, s"$outBase/hv_alerts")
           writeIdempotent(batch.filter(Predicates.isDebit(col("txn_type"))),
             id, s"$outBase/debits")

@@ -114,6 +114,19 @@ class DedupSpec extends SparkSpecBase {
     assert(got.toSeq === Seq((1L, 2L, 1.0)))
   }
 
+  test("verifiedPairs (banding + exact verify) == exhaustive exact Jaccard") {
+    val near = (1 to 40).map(i => s"w$i").mkString(" ")
+    val nearB = ((1 to 38).map(i => s"w$i") :+ "x1" :+ "x2").mkString(" ")
+    val far = (100 to 140).map(i => s"u$i").mkString(" ")
+    val d = docs((1L, near), (2L, near), (3L, nearB), (4L, far))
+    val v = MinHashLSH.verifiedPairs(d, 0.5)
+      .select("doc_a", "doc_b", "jaccard").as[(Long, Long, Double)].collect().toSet
+    val e = Dedup.ngramJaccardPairs(d, 0.5, 100L)
+      .select("doc_a", "doc_b", "jaccard").as[(Long, Long, Double)].collect().toSet
+    assert(v === e)
+    assert(v.map(p => (p._1, p._2)).contains((1L, 2L)))
+  }
+
   test("custom Aggregator signatures == 64-min-agg signatures") {
     val docs = Tables.documents(spark, sf0001).limit(100)
     val a = MinHashLSH.signatures(docs)

@@ -47,10 +47,20 @@ class FanOutSpec extends SparkSpecBase {
     q.processAllAvailable(); q.stop()
 
     val parsedN = spark.read.parquet(s"$outBase/parsed").count()
-    val hvN = spark.read.parquet(s"$outBase/hv_alerts").count()
+    val hv = spark.read.parquet(s"$outBase/hv_alerts")
+    val hvN = hv.count()
     val debitsN = spark.read.parquet(s"$outBase/debits").count()
     assert(parsedN > 0 && debitsN > 0 && debitsN < parsedN)
     assert(hvN === 12) // matches the batch notification query at sf0.001
+
+    // F9: the sink stamps a fresh uuid + generatedAt per notification
+    // (reference NotificationEvent.java:70-71); both excluded from any
+    // equivalence compare — the deterministic payload columns are what
+    // the count above verifies
+    assert(hv.filter(col("notification_uuid").isNull ||
+      col("generated_at_ms").isNull).count() === 0)
+    assert(hv.select("notification_uuid").distinct().count() === hvN)
+    assert(hv.filter(col("generated_at_ms") <= 0L).count() === 0)
 
     // idempotency: a full reprocess (fresh checkpoint, same batch ids)
     // OVERWRITES the batch partitions instead of appending duplicates
