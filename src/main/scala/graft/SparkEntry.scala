@@ -346,6 +346,20 @@ object SparkEntry {
     // Multimodal: frame sampling (1 -> N controlled explosion + pad-resize)
     "q_multimodal_frames" -> ((s, dir) => Multimodal.sampleFrames(Tables.documents(s, dir))),
 
+    // Training prep: GPT-style sequence packing — per-shard concat-then-
+    // chunk layout; one hash shuffle on shard, partitioned running sum
+    "q_seq_pack" -> ((s, dir) =>
+      graft.text.TrainingPrep.packSequences(Tables.documents(s, dir),
+        maxTokens = 256)),
+
+    // Training prep: deterministic id-keyed train/val/test split (scan-only)
+    "q_train_val_split" -> ((s, dir) =>
+      graft.text.TrainingPrep.trainValSplit(Tables.documents(s, dir))),
+
+    // Training prep: TF-IDF top terms per doc (two aggs + broadcast df)
+    "q_tfidf_terms" -> ((s, dir) =>
+      graft.text.TrainingPrep.tfidfTopTerms(Tables.documents(s, dir))),
+
     // Skew-immune salted two-phase aggregation (== plain groupBy result)
     "q_salt_skew_agg" -> ((s, dir) =>
       graft.ops.Salt.saltedSumCount(upserts(s, dir), Seq("account_id"),
@@ -428,6 +442,12 @@ object SparkEntry {
         .groupBy("txn_type")
         .agg(countDistinct(col("account_id")).as("n_accounts"),
           count(lit(1)).as("n_txns"))),
+
+    // Frequency analysis: exact top-5 accounts per txn_type (partitioned
+    // top-k; the approximate CMS twin is property-tested in SketchesSpec)
+    "q_heavy_hitters" -> ((s, dir) =>
+      graft.ops.Sketches.heavyHitters(upserts(s, dir), "txn_type",
+        "account_id", k = 5)),
 
     // PII scrubbing: regex redaction + counts at scan speed (no shuffle)
     "q_text_scrub" -> ((s, dir) => TextAnalysis.piiScrub(Tables.documents(s, dir))),
@@ -868,6 +888,42 @@ object SparkEntry {
          |      FROM sims)
          |SELECT q_id, neighbor_id, cos_sim, rank FROM r WHERE rank <= $SimTopK""".stripMargin,
 
+    "q_seq_pack" ->
+      """WITH d AS (
+        |  SELECT doc_id, doc_id % 8 AS shard,
+        |         CAST(ceil(length(text) / 4.0) AS BIGINT) AS n_tokens
+        |  FROM documents
+        |), o AS (
+        |  SELECT *, sum(n_tokens) OVER (PARTITION BY shard ORDER BY doc_id
+        |                                ROWS UNBOUNDED PRECEDING) AS end_offset
+        |  FROM d
+        |)
+        |SELECT doc_id, shard, n_tokens,
+        |  end_offset - n_tokens AS start_offset, end_offset,
+        |  (end_offset - n_tokens) // 256 AS first_seq,
+        |  (end_offset - 1) // 256 AS last_seq,
+        |  (end_offset - n_tokens) // 256 <> (end_offset - 1) // 256 AS straddles
+        |FROM o""".stripMargin,
+
+    "q_train_val_split" ->
+      """SELECT doc_id, doc_id % 100 AS split_key,
+        |  CASE WHEN doc_id % 100 < 90 THEN 'train'
+        |       WHEN doc_id % 100 < 95 THEN 'val' ELSE 'test' END AS split,
+        |  CAST(ceil(length(text) / 4.0) AS BIGINT) AS n_tokens
+        |FROM documents""".stripMargin,
+
+    "q_tfidf_terms" ->
+      s"""WITH t AS (SELECT doc_id, unnest(string_split(text, ' ')) AS term FROM documents),
+         |tf AS (SELECT doc_id, term, CAST(count(*) AS BIGINT) AS tf FROM t GROUP BY 1, 2),
+         |dfr AS (SELECT term, CAST(count(DISTINCT doc_id) AS BIGINT) AS df FROM t GROUP BY 1),
+         |n AS (SELECT CAST(count(DISTINCT doc_id) AS BIGINT) AS n_docs FROM documents),
+         |s AS (SELECT doc_id, tf.term, tf, df,
+         |        ${TextAnalysis.floor6Sql("tf * ln((n_docs + 1) / (df + 1.0))")} AS tfidf
+         |      FROM tf JOIN dfr USING (term) CROSS JOIN n),
+         |r AS (SELECT *, CAST(row_number() OVER (PARTITION BY doc_id ORDER BY tfidf DESC, term) AS BIGINT) AS term_rank
+         |      FROM s)
+         |SELECT doc_id, term, tf, df, tfidf, term_rank FROM r WHERE term_rank <= 3""".stripMargin,
+
     "q_salt_skew_agg" -> (P +
       """SELECT account_id, round(sum(amount), 2) AS sum_amount,
         |  CAST(count(*) AS BIGINT) AS n_rows
@@ -929,6 +985,15 @@ object SparkEntry {
          |  regexp_replace(regexp_replace(text2, '$e', '<EMAIL>', 'g'), '$p', '<PHONE>', 'g') AS scrubbed
          |FROM t""".stripMargin
     },
+
+    "q_heavy_hitters" -> (P +
+      """, hh AS (
+        |  SELECT txn_type, account_id, CAST(count(*) AS BIGINT) AS n
+        |  FROM upserts GROUP BY 1, 2
+        |)
+        |SELECT txn_type, account_id, n,
+        |  CAST(row_number() OVER (PARTITION BY txn_type ORDER BY n DESC, account_id) AS BIGINT) AS rank
+        |FROM hh QUALIFY rank <= 5""".stripMargin),
 
     "q_stats_summary" -> (P +
       """SELECT txn_type,

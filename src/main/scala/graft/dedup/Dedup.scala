@@ -92,15 +92,19 @@ object Dedup {
           .withColumnRenamed("label", "dst_label"), "dst")
         .groupBy(col("src").as("node"))
         .agg(min(col("dst_label")).as("neighbor_label"))
+      // the convergence flag rides on the update itself (a label only ever
+      // decreases, so changed == neighbor_label < label) — one action per
+      // round, no extra old-vs-new join
       val next = labels.join(neighborMin, Seq("node"), "left")
         .select(col("node"),
           least(col("label"), coalesce(col("neighbor_label"), col("label")))
-            .as("label"))
+            .as("label"),
+          coalesce(col("neighbor_label") < col("label"), lit(false))
+            .as("__chg"))
         .persist()
-      changed = next.as("n").join(labels.as("o"), Seq("node"))
-        .filter(col("n.label") =!= col("o.label")).count()
+      changed = next.filter(col("__chg")).count()
       labels.unpersist()
-      labels = next
+      labels = next.drop("__chg")
       round += 1
     }
     edges.unpersist()

@@ -78,6 +78,29 @@ object Pipelines {
         ).as("notification"))
   }
 
+  /** Pipeline 1 against the CDC-BUILT accounts KTable — the reference's
+    * actual enrichment data flow (`topology/ABBankTopology.java:233-240`
+    * joins the high-value stream to the KTable built from the ACCOUNTS CDC
+    * topic at `:107-125`). The dimension side is
+    * [[graft.cdc.DimensionCdc.accountsDim]]: envelope versions through the
+    * wire serde, latest-by-key, tombstones applied. In a micro-batch
+    * engine the KTable is re-read per batch (stream-static join semantics);
+    * a continuously-maintained variant upserts via [[latestTable]]-style
+    * update mode. Deleted accounts fall back to "N/A" like missing
+    * KV-store rows (`:252-253`). */
+  def highValueCdcEnriched(parsed: DataFrame, customerTable: DataFrame,
+      threshold: Double): DataFrame = {
+    val hv = completed(parsed)
+      .filter(Predicates.isHighValue(col("amount"), threshold))
+    Enrich.withDim(hv, graft.cdc.DimensionCdc.accountsDim(customerTable),
+        "account_id")
+      .select(col("txn_id"), col("account_id"), col("amount"),
+        coalesce(col("account_number"), lit("N/A")).as("account_number"),
+        coalesce(col("customer_id"), lit(-1L)).as("customer_id"),
+        coalesce(col("balance"), lit(-1.0)).as("account_balance"),
+        coalesce(col("account_status"), lit("N/A")).as("account_status"))
+  }
+
   /** Pipeline 2 — velocity fraud: tumbling count per account
     * (reference `:160-207`). */
   def velocityAlerts(parsed: DataFrame, windowSec: Int, minTxns: Long): DataFrame =

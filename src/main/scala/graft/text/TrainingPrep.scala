@@ -1,0 +1,95 @@
+package graft.text
+
+import org.apache.spark.sql.{Column, DataFrame}
+import org.apache.spark.sql.expressions.Window
+import org.apache.spark.sql.functions._
+
+/** Training-corpus preparation operators (LLM-data-pipeline extension set):
+  * sequence packing, deterministic splits, TF-IDF term weighting.
+  *
+  * Scale posture: packing and splitting are scan + one partitioned window
+  * (keyed by shard — no global ordering anywhere); TF-IDF is two hash
+  * aggregations (term frequencies, document frequencies) and a broadcast
+  * of the tiny df table. All arithmetic is integer or fixed-order IEEE so
+  * the DuckDB oracle reproduces values exactly.
+  */
+object TrainingPrep {
+
+  /** Estimated BPE token count (same ceil(chars/4) estimator as
+    * [[TextAnalysis.tokenCounts]]). */
+  def estTokens(text: Column): Column =
+    ceil(length(text) / 4.0).cast("long")
+
+  /** GPT-style sequence packing: documents are concatenated per shard (in
+    * deterministic doc_id order) into one token stream, which is chunked
+    * into fixed `maxTokens` training sequences. A document whose span
+    * crosses a chunk boundary straddles two (or more) sequences — the
+    * standard concat-then-chunk pretraining layout, not greedy binning.
+    *
+    * Emits each document's token offsets within its shard stream and the
+    * first/last sequence index it lands in. One hash shuffle on `shard`,
+    * then a partitioned running-sum window — each shard's stream is
+    * independent, so the layout parallelizes to any number of shards. */
+  def packSequences(documents: DataFrame, maxTokens: Long,
+      nShards: Int = 8): DataFrame = {
+    val w = Window.partitionBy(col("shard"))
+      .orderBy(col("doc_id"))
+      .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    documents
+      .select(col("doc_id"), (col("doc_id") % nShards).as("shard"),
+        estTokens(col("text")).as("n_tokens"))
+      .withColumn("end_offset", sum(col("n_tokens")).over(w))
+      .withColumn("start_offset", col("end_offset") - col("n_tokens"))
+      .withColumn("first_seq", expr(s"start_offset div $maxTokens"))
+      .withColumn("last_seq", expr(s"(end_offset - 1) div $maxTokens"))
+      .withColumn("straddles", col("first_seq") =!= col("last_seq"))
+      .select("doc_id", "shard", "n_tokens", "start_offset", "end_offset",
+        "first_seq", "last_seq", "straddles")
+  }
+
+  /** Deterministic train/val/test split: assignment is a pure function of
+    * the id (`doc_id mod 100` against cumulative percentage cuts), so any
+    * re-run of the pipeline — on any cluster layout — lands every document
+    * in the same split, with no stored split table and no RNG state.
+    * Scan-only, zero shuffle. For adversarial id layouts, pre-mix ids with
+    * a bijective hash before the mod; the plain mod keeps the oracle
+    * engine-exact here. */
+  def trainValSplit(documents: DataFrame, trainPct: Int = 90,
+      valPct: Int = 5): DataFrame =
+    documents.select(col("doc_id"),
+      (col("doc_id") % 100).as("split_key"),
+      when(col("doc_id") % 100 < trainPct, "train")
+        .when(col("doc_id") % 100 < trainPct + valPct, "val")
+        .otherwise("test").as("split"),
+      estTokens(col("text")).as("n_tokens"))
+
+  /** TF-IDF top-`k` terms per document over whitespace tokens:
+    * tf = term count in doc, df = #docs containing the term,
+    * idf = ln((N+1)/(df+1)) (add-one smoothed), score = tf*idf truncated
+    * to 6 dp ([[TextAnalysis.floor6]] — ties between engines' ln are a
+    * ULP-level risk that truncation absorbs; the rank tiebreak is (score
+    * DESC, term ASC) so ordering is total regardless).
+    *
+    * Two aggregations (per-doc-term tf; per-term df) + a broadcast of the
+    * df table (vocabulary-sized, orders smaller than the corpus) + one
+    * per-doc window for the top-k. The corpus text never shuffles — only
+    * (doc_id, term, count) postings do. */
+  def tfidfTopTerms(documents: DataFrame, k: Int = 3): DataFrame = {
+    val terms = documents
+      .select(col("doc_id"), explode(split(col("text"), " ")).as("term"))
+    val tf = terms.groupBy("doc_id", "term").agg(count(lit(1)).as("tf"))
+    val df = terms.select("doc_id", "term").distinct()
+      .groupBy("term").agg(count(lit(1)).as("df"))
+    val n = documents.select(countDistinct(col("doc_id")).as("n_docs"))
+
+    val w = Window.partitionBy(col("doc_id"))
+      .orderBy(col("tfidf").desc, col("term"))
+    tf.join(broadcast(df), "term")
+      .crossJoin(broadcast(n))
+      .withColumn("tfidf", TextAnalysis.floor6(
+        col("tf") * log((col("n_docs") + 1) / (col("df") + 1.0))))
+      .withColumn("term_rank", row_number().over(w).cast("long"))
+      .filter(col("term_rank") <= k)
+      .select("doc_id", "term", "tf", "df", "tfidf", "term_rank")
+  }
+}

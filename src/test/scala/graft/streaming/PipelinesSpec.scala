@@ -37,6 +37,19 @@ class PipelinesSpec extends SparkSpecBase {
     assert(got.nonEmpty)
   }
 
+  test("streaming CDC-dim enrichment == batch q_enrich_cdc_dim (stream-KTable join)") {
+    val stream = Pipelines.highValueCdcEnriched(
+      Pipelines.parsedStream(spark, sf0001),
+      Tables.customer(spark, sf0001), threshold = 200.0)
+    val got = runToTable(stream, "hv_cdc_stream", "append").collect().toSet
+    val want = graft.SparkEntry.queries("q_enrich_cdc_dim")(spark, sf0001)
+      .collect().toSet
+    assert(got === want)
+    assert(got.nonEmpty)
+    // tombstoned accounts surface with the KV-store-miss fallback
+    assert(got.exists(_.getAs[String]("account_number") == "N/A"))
+  }
+
   test("streaming velocity (complete mode) == batch velocity operator") {
     val stream = Pipelines.velocityAlerts(
       Pipelines.parsedStream(spark, sf0001), windowSec = 3600, minTxns = 2L)

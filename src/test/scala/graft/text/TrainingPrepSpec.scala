@@ -1,0 +1,55 @@
+package graft.text
+
+import graft.SparkSpecBase
+import org.apache.spark.sql.functions._
+
+class TrainingPrepSpec extends SparkSpecBase {
+  import spark.implicits._
+
+  private def docs(rows: (Long, String)*) = rows.toDF("doc_id", "text")
+
+  test("sequence packing: concat-then-chunk offsets, straddle detection") {
+    // one shard (ids 0,8,16 ≡ 0 mod 8); token counts 3, 2, 3 at maxTokens 4
+    val d = docs(
+      (0L, "abcdefghijk"),  // ceil(11/4) = 3 tokens -> [0, 3)   seq 0
+      (8L, "abcdefgh"),     // ceil(8/4)  = 2 tokens -> [3, 5)   seqs 0-1 straddle
+      (16L, "abcdefghijk")) // 3 tokens             -> [5, 8)   seq 1
+    val got = TrainingPrep.packSequences(d, maxTokens = 4, nShards = 8)
+      .orderBy("doc_id")
+      .select("doc_id", "start_offset", "end_offset", "first_seq", "last_seq", "straddles")
+      .as[(Long, Long, Long, Long, Long, Boolean)].collect()
+    assert(got(0) === ((0L, 0L, 3L, 0L, 0L, false)))
+    assert(got(1) === ((8L, 3L, 5L, 0L, 1L, true)))
+    assert(got(2) === ((16L, 5L, 8L, 1L, 1L, false)))
+  }
+
+  test("sequence packing parallelizes per shard: offsets restart in each shard") {
+    val d = docs((1L, "abcd"), (9L, "abcd"), (2L, "abcd"))
+    val got = TrainingPrep.packSequences(d, maxTokens = 100, nShards = 8)
+      .select("doc_id", "shard", "start_offset")
+      .as[(Long, Long, Long)].collect().map(r => r._1 -> (r._2, r._3)).toMap
+    assert(got(1L) === ((1L, 0L))) // shard 1 stream starts at 0
+    assert(got(9L) === ((1L, 1L))) // second doc in shard 1
+    assert(got(2L) === ((2L, 0L))) // shard 2 stream starts at 0 independently
+  }
+
+  test("train/val/test split boundaries at 90/95 are exact and deterministic") {
+    val d = docs((89L, "x"), (90L, "x"), (94L, "x"), (95L, "x"), (189L, "x"))
+    val got = TrainingPrep.trainValSplit(d)
+      .select("doc_id", "split").as[(Long, String)].collect().toMap
+    assert(got(89L) === "train" && got(189L) === "train") // same key mod 100
+    assert(got(90L) === "val" && got(94L) === "val")
+    assert(got(95L) === "test")
+  }
+
+  test("tfidf: a doc's distinctive term outranks corpus-wide terms") {
+    val d = docs(
+      (1L, "the cat sat"),
+      (2L, "the dog sat"),
+      (3L, "the zebra zebra ran"))
+    val top = TrainingPrep.tfidfTopTerms(d, k = 1)
+      .select("doc_id", "term").as[(Long, String)].collect().toMap
+    assert(top(1L) === "cat")   // unique to doc 1
+    assert(top(3L) === "zebra") // tf 2 x rare beats shared terms
+  }
+}
