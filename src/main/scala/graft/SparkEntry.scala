@@ -244,6 +244,109 @@ object SparkEntry {
         ).as("notification"))
     }),
 
+    // O2 × pipeline 1 (velocity): FRAUD_ALERT notification JSON
+    // (reference `topology/ABBankTopology.java:181-205`)
+    "q_velocity_alert_json" -> ((s, dir) => {
+      val v = Windows.velocityCount(upserts(s, dir), VelocityWindowSec, VelocityMinTxns)
+      v.select(col("account_id"), col("window_start_ms"),
+        Notify.notificationJson(
+          idPrefix = "FRAUD",
+          notificationType = "FRAUD_ALERT",
+          severity = "CRITICAL",
+          channel = "BOTH",
+          entityId = concat(col("account_id"), lit("-"), col("window_start_ms")),
+          accountId = col("account_id"),
+          subject = lit("Suspicious activity detected on your account"),
+          body = concat(lit("We detected "), col("n_txns"),
+            lit(s" transactions on your account within $VelocityWindowSec seconds starting at "),
+            Notify.formatTimestampMs(col("window_start_ms")),
+            lit(". Contact AB Bank immediately if this was not you.")),
+          metadata = map(
+            lit("windowStartMs"), col("window_start_ms").cast("string"),
+            lit("windowEndMs"), col("window_end_ms").cast("string"),
+            lit("transactionCount"), col("n_txns").cast("string"),
+            lit("windowSizeSec"), lit(VelocityWindowSec.toString))
+        ).as("notification"))
+    }),
+
+    // O2 × pipeline 4 (dormancy): DORMANCY_ALERT notification JSON
+    // (reference `topology/ABBankTopology.java:343-367`)
+    "q_dormancy_alert_json" -> ((s, dir) => {
+      val d = Windows.dormancySessions(upserts(s, dir), DormancyGap)
+        .filter(col("is_dormant"))
+      d.select(col("account_id"), col("session_start_ms"),
+        Notify.notificationJson(
+          idPrefix = "DORM",
+          notificationType = "DORMANCY_ALERT",
+          severity = "LOW",
+          channel = "EMAIL",
+          entityId = concat(col("account_id"), lit("-"), col("session_start_ms")),
+          accountId = col("account_id"),
+          subject = lit("Your AB Bank account has been inactive"),
+          body = concat(lit("Your AB Bank account (ID: "), col("account_id"),
+            lit(") has had no follow-up activity. Make at least one transaction to keep it active.")),
+          metadata = map(
+            lit("sessionStartMs"), col("session_start_ms").cast("string"),
+            lit("sessionEndMs"), col("session_end_ms").cast("string"))
+        ).as("notification"))
+    }),
+
+    // O2 × pipeline 5 (daily spend): DAILY_SPEND_SUMMARY notification JSON
+    // (reference `topology/ABBankTopology.java:401-424`)
+    "q_daily_spend_json" -> ((s, dir) => {
+      val d = Windows.dailySpend(
+        completed(s, dir).filter(Predicates.isDebit(col("txn_type"))),
+        DailySpendAlert)
+      val fmt = Notify.formatAmount(col("total_spend"), lit("NGN"))
+      d.select(col("account_id"), col("day_start_ms"),
+        Notify.notificationJson(
+          idPrefix = "DS",
+          notificationType = "DAILY_SPEND_SUMMARY",
+          severity = "MEDIUM",
+          channel = "SMS",
+          entityId = concat(col("account_id"), lit("-"), col("day_start_ms")),
+          accountId = col("account_id"),
+          subject = concat(lit("Daily spend alert - "), col("lagos_date")),
+          body = concat(lit("AB Bank: your total debits on "), col("lagos_date"),
+            lit(" reached "), fmt,
+            lit(s", exceeding your alert threshold of ${"₦"}${DailySpendAlert.formatted("%.2f")}. Reply STOP to unsubscribe.")),
+          metadata = map(
+            lit("date"), col("lagos_date"),
+            lit("totalDebit"), col("total_spend").cast("string"),
+            lit("thresholdNgn"), lit(DailySpendAlert.formatted("%.2f")))
+        ).as("notification"))
+    }),
+
+    // O2 × pipeline 3 (reconciliation): BALANCE_UPDATE discrepancy JSON
+    // (reference `topology/BalanceReconciliationProcessor.java:95-144`;
+    // discrepancy branch — severity HIGH, channel BOTH)
+    "q_reconcile_alert_json" -> ((s, dir) => {
+      val r = Reconcile.reconcile(completed(s, dir))
+        .filter(col("recon_status") === "DISCREPANCY")
+      def ngn(c: org.apache.spark.sql.Column) = Notify.formatAmount(c, lit("NGN"))
+      r.select(col("txn_id"), col("account_id"),
+        Notify.notificationJson(
+          idPrefix = "RECON",
+          notificationType = "BALANCE_UPDATE",
+          severity = "HIGH",
+          channel = "BOTH",
+          entityId = col("txn_id"),
+          accountId = col("account_id"),
+          subject = lit("Balance discrepancy detected"),
+          body = concat(lit("AB Bank detected a balance discrepancy on account "),
+            col("account_id"),
+            lit(". Our records show: "), ngn(col("stored_balance")),
+            lit(". Reported balance before this transaction: "), ngn(col("balance_before")),
+            lit(". Difference: "), ngn(col("discrepancy")),
+            lit(". Our team will investigate.")),
+          metadata = map(
+            lit("balanceBefore"), col("balance_before").cast("string"),
+            lit("balanceAfter"), col("balance_after").cast("string"),
+            lit("discrepancyAmount"), col("discrepancy").cast("string"),
+            lit("hasDiscrepancy"), lit("true"))
+        ).as("notification"))
+    }),
+
     // ---- LLM-data-pipeline extensions (SURVEY §7.2 step 8) -----------------
 
     // Text analysis: stopword-profile language ID (argmax w/ fixed tiebreak)
@@ -610,6 +713,18 @@ object SparkEntry {
       s" || format('{:,}', CAST(floor($amount) AS BIGINT)) || '.'" +
       s" || lpad(CAST(CAST(round(($amount - floor($amount)) * 100) AS BIGINT) AS VARCHAR), 2, '0'))"
 
+  /** NGN-only signed rendering of formatAmount (balances can be negative;
+    * DuckDB format() has no signed thousands-grouping for floats). */
+  private def sqlNgnSigned(amount: String): String =
+    s"('₦' || CASE WHEN $amount < 0 THEN '-' ELSE '' END" +
+      s" || format('{:,}', CAST(floor(abs($amount)) AS BIGINT)) || '.'" +
+      s" || lpad(CAST(CAST(round((abs($amount) - floor(abs($amount))) * 100) AS BIGINT) AS VARCHAR), 2, '0'))"
+
+  /** Lagos-rendered timestamp string (the DuckDB twin of
+    * [[graft.ops.Notify.formatTimestampMs]]). */
+  private def sqlLagosTs(epochMs: String): String =
+    s"(strftime(make_timestamp(($epochMs) * 1000) + INTERVAL 1 HOUR, '%Y-%m-%d %H:%M:%S') || ' WAT')"
+
   /** For each key in queries, equivalent ANSI SQL runnable by DuckDB on
     * the same parquet tables. Omit for non-SQL-expressible ops. */
   def oracleSql: Map[String, String] = Map(
@@ -795,6 +910,116 @@ object SparkEntry {
          |    || '","currency":"' || currency
          |    || '","accountName":"' || account_name || '"}}' AS notification
          |FROM enriched""".stripMargin),
+
+    "q_velocity_alert_json" -> (P +
+      s""", vel AS (
+         |  SELECT account_id,
+         |    (event_time_ms // ${VelocityWindowSec}000) * ${VelocityWindowSec}000 AS window_start_ms,
+         |    (event_time_ms // ${VelocityWindowSec}000) * ${VelocityWindowSec}000 + ${VelocityWindowSec}000 AS window_end_ms,
+         |    CAST(count(*) AS BIGINT) AS n_txns
+         |  FROM upserts GROUP BY 1, 2, 3 HAVING count(*) >= $VelocityMinTxns
+         |)
+         |SELECT account_id, window_start_ms,
+         |  '{"notificationId":"FRAUD-' || account_id || '-' || window_start_ms
+         |    || '","notificationType":"FRAUD_ALERT","severity":"CRITICAL","channel":"BOTH","accountId":'
+         |    || account_id
+         |    || ',"subject":"Suspicious activity detected on your account","body":"We detected '
+         |    || n_txns || ' transactions on your account within $VelocityWindowSec seconds starting at '
+         |    || ${sqlLagosTs("window_start_ms")}
+         |    || '. Contact AB Bank immediately if this was not you.","metadata":{"windowStartMs":"'
+         |    || window_start_ms || '","windowEndMs":"' || window_end_ms
+         |    || '","transactionCount":"' || n_txns
+         |    || '","windowSizeSec":"$VelocityWindowSec"}}' AS notification
+         |FROM vel""".stripMargin),
+
+    "q_dormancy_alert_json" -> (P +
+      s""", ordered AS (
+         |  SELECT account_id, txn_id, event_time_us,
+         |    CASE WHEN lag(event_time_us) OVER w IS NULL THEN 1
+         |         WHEN event_time_us - lag(event_time_us) OVER w >= $DormancyGapUs THEN 1
+         |         ELSE 0 END AS new_sess
+         |  FROM upserts
+         |  WINDOW w AS (PARTITION BY account_id ORDER BY event_time_us, txn_id)
+         |), sess AS (
+         |  SELECT *, sum(new_sess) OVER (PARTITION BY account_id ORDER BY event_time_us, txn_id
+         |                               ROWS UNBOUNDED PRECEDING) AS sess_id
+         |  FROM ordered
+         |), dorm AS (
+         |  SELECT account_id,
+         |    min(event_time_us) // 1000 AS session_start_ms,
+         |    (max(event_time_us) + $DormancyGapUs) // 1000 AS session_end_ms
+         |  FROM sess GROUP BY account_id, sess_id HAVING count(*) = 1
+         |)
+         |SELECT account_id, session_start_ms,
+         |  '{"notificationId":"DORM-' || account_id || '-' || session_start_ms
+         |    || '","notificationType":"DORMANCY_ALERT","severity":"LOW","channel":"EMAIL","accountId":'
+         |    || account_id
+         |    || ',"subject":"Your AB Bank account has been inactive","body":"Your AB Bank account (ID: '
+         |    || account_id
+         |    || ') has had no follow-up activity. Make at least one transaction to keep it active.","metadata":{"sessionStartMs":"'
+         |    || session_start_ms || '","sessionEndMs":"' || session_end_ms
+         |    || '"}}' AS notification
+         |FROM dorm""".stripMargin),
+
+    "q_daily_spend_json" -> (P +
+      s""", daily AS (
+         |  SELECT account_id,
+         |    (event_time_ms // 86400000) * 86400000 AS day_start_ms,
+         |    strftime(make_timestamp((event_time_ms // 86400000) * 86400000 * 1000) + INTERVAL 1 HOUR, '%Y-%m-%d') AS lagos_date,
+         |    round(sum(amount), 2) AS total_spend
+         |  FROM completed
+         |  WHERE txn_type IN ('DEBIT','TRANSFER_OUT','FEE','LOAN_REPAYMENT')
+         |  GROUP BY 1, 2, 3 HAVING round(sum(amount), 2) >= $DailySpendAlert
+         |)
+         |SELECT account_id, day_start_ms,
+         |  '{"notificationId":"DS-' || account_id || '-' || day_start_ms
+         |    || '","notificationType":"DAILY_SPEND_SUMMARY","severity":"MEDIUM","channel":"SMS","accountId":'
+         |    || account_id
+         |    || ',"subject":"Daily spend alert - ' || lagos_date
+         |    || '","body":"AB Bank: your total debits on ' || lagos_date
+         |    || ' reached ' || ${sqlNgnSigned("total_spend")}
+         |    || ', exceeding your alert threshold of ₦${DailySpendAlert.formatted("%.2f")}. Reply STOP to unsubscribe.","metadata":{"date":"'
+         |    || lagos_date || '","totalDebit":"' || CAST(total_spend AS VARCHAR)
+         |    || '","thresholdNgn":"${DailySpendAlert.formatted("%.2f")}"}}' AS notification
+         |FROM daily""".stripMargin),
+
+    "q_reconcile_alert_json" -> (P +
+      s""", signedt AS (
+         |  SELECT txn_id, account_id, event_time_ms, event_time_us,
+         |    CASE WHEN txn_type IN ('DEBIT','TRANSFER_OUT','FEE','LOAN_REPAYMENT')
+         |         THEN -amount ELSE amount END AS signed_amount
+         |  FROM completed
+         |), bal AS (
+         |  SELECT *,
+         |    round(sum(signed_amount) OVER (PARTITION BY account_id ORDER BY event_time_us, txn_id
+         |                                  ROWS UNBOUNDED PRECEDING), 2) + 0.0 AS balance_after
+         |  FROM signedt
+         |), bb AS (
+         |  SELECT *,
+         |    round(balance_after - signed_amount
+         |          + CASE WHEN txn_id % 97 = 0 THEN ${Reconcile.InjectedError} ELSE 0.0 END, 2) + 0.0 AS balance_before,
+         |    lag(balance_after) OVER (PARTITION BY account_id ORDER BY event_time_us, txn_id) AS stored_balance
+         |  FROM bal
+         |), disc AS (
+         |  SELECT *, round(abs(balance_before - stored_balance), 2) AS discrepancy
+         |  FROM bb WHERE stored_balance IS NOT NULL
+         |), alerts AS (
+         |  SELECT * FROM disc WHERE discrepancy > ${Reconcile.ToleranceNgn}
+         |)
+         |SELECT txn_id, account_id,
+         |  '{"notificationId":"RECON-' || txn_id
+         |    || '","notificationType":"BALANCE_UPDATE","severity":"HIGH","channel":"BOTH","accountId":'
+         |    || account_id
+         |    || ',"subject":"Balance discrepancy detected","body":"AB Bank detected a balance discrepancy on account '
+         |    || account_id
+         |    || '. Our records show: ' || ${sqlNgnSigned("stored_balance")}
+         |    || '. Reported balance before this transaction: ' || ${sqlNgnSigned("balance_before")}
+         |    || '. Difference: ' || ${sqlNgnSigned("discrepancy")}
+         |    || '. Our team will investigate.","metadata":{"balanceBefore":"'
+         |    || CAST(balance_before AS VARCHAR) || '","balanceAfter":"' || CAST(balance_after AS VARCHAR)
+         |    || '","discrepancyAmount":"' || CAST(discrepancy AS VARCHAR)
+         |    || '","hasDiscrepancy":"true"}}' AS notification
+         |FROM alerts""".stripMargin),
 
     "q_text_langid" ->
       s"""WITH d AS (SELECT doc_id, string_split(text, ' ') AS w FROM documents),
