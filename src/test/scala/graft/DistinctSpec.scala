@@ -18,6 +18,22 @@ class DistinctSpec extends SparkSpecBase {
       s"approx $approx vs exact $exact")
   }
 
+  test("percentile_approx brackets the exact median within the value spread") {
+    val ev = Tables.events(spark, sf0001)
+    val row = ev.agg(
+      median(col("value")).as("exact"),
+      percentile_approx(col("value"), lit(0.5), lit(1000)).as("approx"),
+      expr("percentile(value, 0.25)").as("q1"),
+      expr("percentile(value, 0.75)").as("q3")).head()
+    val exact = row.getAs[Double]("exact")
+    val approx = row.getAs[Double]("approx")
+    val iqr = row.getAs[Double]("q3") - row.getAs[Double]("q1")
+    // the sketch (KLL-style) returns a real sample value near the median:
+    // at accuracy 1000 on 1k rows it must land well inside the IQR
+    assert(math.abs(approx - exact) <= iqr * 0.1,
+      s"approx median $approx vs exact $exact (iqr $iqr)")
+  }
+
   test("rollup emits leaf, per-currency subtotal, and grand total levels") {
     val df = SparkEntry.queries("q_rollup_spend")(spark, sf0001)
     val rows = df.collect()
