@@ -163,6 +163,26 @@ object SparkEntry {
         .select("account_id", "customer_id", "account_number", "account_type",
           "balance", "currency", "account_status", "cdc_ts_us")),
 
+    // J2 over the CUSTOMERS CDC changelog (the second KTable the reference
+    // builds, `ABBankTopology.java:127-144`) — EMAIL is the versioned field
+    "q_cdc_customer_dim" -> ((s, dir) =>
+      DimensionCdc.customersDim(Tables.customer(s, dir))
+        .select("customer_id", "first_name", "last_name", "email", "segment",
+          "cdc_ts_us")),
+
+    // SCD2 over the ACCOUNTS CDC changelog: every version becomes a
+    // dimension row with a validity interval — the warehouse
+    // materialization of the same changelog the KTable reduces
+    "q_cdc_account_scd2" -> ((s, dir) => {
+      val log = DimensionCdc.accountChangelog(Tables.customer(s, dir))
+        .filter(col("op") =!= "d")
+      LatestByKey.scd2(log, Seq("account_id"), Seq(col("cdc_ts_us")),
+          "cdc_ts_us")
+        .select(col("account_id"), col("balance"), col("account_status"),
+          col("valid_from_ms").as("valid_from_us"),
+          col("valid_to_ms").as("valid_to_us"), col("is_current"))
+    }),
+
     // J1 against the CDC-built dimension: high-value transactions left-join
     // the accounts KTable (the reference's actual enrichment data flow —
     // `topology/ABBankTopology.java:233-240`; deleted accounts fall back to
@@ -802,6 +822,21 @@ object SparkEntry {
         """SELECT account_id, customer_id, account_number, account_type,
           |       balance, currency, account_status, cdc_ts_us
           |FROM acct_dim""".stripMargin),
+
+    "q_cdc_customer_dim" ->
+      (s"WITH $sqlCustDim\n" +
+        "SELECT customer_id, first_name, last_name, email, segment, cdc_ts_us FROM cust_dim"),
+
+    "q_cdc_account_scd2" ->
+      (s"WITH $sqlAcctDim,\n" +
+        """scd AS (
+          |  SELECT account_id, balance, account_status, cdc_ts_us AS valid_from_us,
+          |    lead(cdc_ts_us) OVER (PARTITION BY account_id ORDER BY cdc_ts_us) AS valid_to_us
+          |  FROM acct_ver WHERE op <> 'd'
+          |)
+          |SELECT account_id, balance, account_status, valid_from_us, valid_to_us,
+          |  valid_to_us IS NULL AS is_current
+          |FROM scd""".stripMargin),
 
     "q_enrich_cdc_dim" -> (P + s", $sqlAcctDim\n" +
       s"""SELECT txn_id, t.account_id, amount,

@@ -133,4 +133,30 @@ object EnvelopeOps {
     * shape of a Kafka value sink). */
   def encodeJsonEnvelope(env: DataFrame): DataFrame =
     env.select(to_json(col("envelope")).as("payload"))
+
+  /** S3 robustness: decode a payload stream AND capture the undecodable
+    * payloads as a dead-letter frame. The reference only logs-and-continues
+    * (`config/ABBankStreamsConfig.java:93-94`
+    * LogAndContinueExceptionHandler); at scale you also KEEP the bad
+    * payloads — schema-drift forensics and replay-after-fix need the
+    * original bytes. One projection, two filters over it (Spark runs the
+    * shared `from_json` once per sink via plan reuse; in a `foreachBatch`
+    * fan-out persist the decoded batch and write both splits from it). */
+  def decodeWithDeadLetter(payloads: DataFrame, payloadCol: String = "payload",
+      schema: org.apache.spark.sql.types.StructType = Schemas.transactionEnvelope)
+      : (DataFrame, DataFrame) = {
+    // PERMISSIVE from_json yields an all-null struct for malformed input
+    // (never a null struct), so malformed-ness is detected the idiomatic
+    // way: a corrupt-record column inside the parse schema
+    val withCorrupt = schema.add("_corrupt_record",
+      org.apache.spark.sql.types.StringType)
+    val decoded = payloads.withColumn("__dec",
+      from_json(col(payloadCol), withCorrupt,
+        Map("mode" -> "PERMISSIVE",
+          "columnNameOfCorruptRecord" -> "_corrupt_record")))
+    (decoded.filter(col("__dec._corrupt_record").isNull)
+      .select(col("__dec").dropFields("_corrupt_record").as("envelope")),
+      decoded.filter(col("__dec._corrupt_record").isNotNull)
+        .select(col(payloadCol)))
+  }
 }

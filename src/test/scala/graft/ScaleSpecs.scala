@@ -94,4 +94,19 @@ class JsonEnvelopeSpec extends SparkSpecBase {
     assert(parsed.count() === 2) // permissive: rows survive as nulls
     assert(EnvelopeOps.upsertsOnly(parsed).count() === 0) // then filtered
   }
+
+  test("dead-letter split: good payloads decode, bad payloads kept verbatim") {
+    import spark.implicits._
+    val good = EnvelopeOps.encodeJsonEnvelope(
+      EnvelopeOps.synthesizeTxnEnvelope(eventsDf(Seq(
+        (3L, 1700000000000000000L, 7L, "purchase", 100.50)))))
+      .as[String].head()
+    val wire = Seq(good, "garbage{{{", """[1,2,3]""").toDF("payload")
+    val (decoded, dlq) = EnvelopeOps.decodeWithDeadLetter(wire)
+    assert(decoded.count() === 1)
+    assert(EnvelopeOps.parseTxnEnvelope(decoded)
+      .head().getAs[Long]("txn_id") === 3L)
+    val dead = dlq.as[String].collect().toSet
+    assert(dead === Set("garbage{{{", "[1,2,3]")) // originals, byte-for-byte
+  }
 }
