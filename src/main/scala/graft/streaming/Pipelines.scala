@@ -210,6 +210,36 @@ object Pipelines {
       .select("txn_id", "credit_txn_id", "account_id")
   }
 
+  /** Stream–stream LEFT OUTER windowed join: every debit emits — matched
+    * debits as they pair, unmatched debits with null credit columns once
+    * the watermark passes their join window and Spark can prove no credit
+    * will arrive (state for the expired window is freed at the same
+    * moment). The completeness-checking variant of [[creditDebitPairs]]:
+    * "which debits had NO nearby credit" is itself the alert condition.
+    *
+    * Watermark caveat: the global watermark is the MIN across both sides'
+    * watermark operators, each fed by its own filtered branch — if one
+    * branch's filter starves (e.g. no credits arrive), the unmatched
+    * results stall with it. Keep both filters broad enough that each side
+    * keeps observing event time, or set a nonzero delay policy. */
+  def creditDebitPairsOuter(debits: DataFrame, credits: DataFrame,
+      toleranceSec: Long): DataFrame = {
+    val d = debits
+      .select(col("txn_id"), col("account_id"), col("event_ts"))
+      .withWatermark("event_ts", "0 seconds")
+    val c = credits
+      .select(col("txn_id").as("credit_txn_id"),
+        col("account_id").as("credit_account_id"),
+        col("event_ts").as("credit_ts"))
+      .withWatermark("credit_ts", "0 seconds")
+    d.join(c,
+      col("account_id") === col("credit_account_id") &&
+        col("credit_ts") >= col("event_ts") - expr(s"INTERVAL $toleranceSec SECONDS") &&
+        col("credit_ts") <= col("event_ts") + expr(s"INTERVAL $toleranceSec SECONDS"),
+      "left_outer")
+      .select("txn_id", "credit_txn_id", "account_id")
+  }
+
   /** Pipeline 5 alternative — dormancy with state + event-time timers
     * (see [[DormancyDetector]]): alerts fire exactly when the watermark
     * closes a single-event session. */
