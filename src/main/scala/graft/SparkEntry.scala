@@ -421,6 +421,17 @@ object SparkEntry {
       MinHashLSH.winnowContainmentPairs(Tables.documents(s, dir), minShared = 5)
     }),
 
+    // Dedup: containment composition with exact verification — winnow
+    // candidates, then a full-text substring check only for candidates;
+    // equals the exhaustive containment answer (winnow's shared-
+    // fingerprint guarantee makes candidates a superset), so the
+    // position() oracle checks the fingerprint stage end to end
+    "q_dedup_containment_verified" -> ((s, dir) => {
+      GraftFunctions.register(s)
+      MinHashLSH.verifiedContainmentPairs(
+        Tables.documents(s, dir).filter(col("doc_id") < JaccardMaxDocId))
+    }),
+
     // Dedup: pairs -> connected duplicate clusters (keeper = min doc_id
     // per component; exact pairs as input so the oracle can reproduce the
     // transitive closure with a recursive CTE)
@@ -1102,6 +1113,12 @@ object SparkEntry {
     "q_dedup_minhash_verified" ->
       (sqlJaccardCtes + s"""
          |SELECT doc_a, doc_b, n_inter, jaccard FROM jpairs""".stripMargin),
+
+    "q_dedup_containment_verified" ->
+      s"""WITH d AS (SELECT doc_id, text FROM documents WHERE doc_id < $JaccardMaxDocId)
+         |SELECT a.doc_id AS doc_a, b.doc_id AS doc_b
+         |FROM d a JOIN d b ON a.doc_id < b.doc_id
+         |WHERE position(a.text IN b.text) > 0 OR position(b.text IN a.text) > 0""".stripMargin,
 
     "q_dedup_clusters" ->
       (sqlJaccardCtes.replace("WITH ", "WITH RECURSIVE ") + s""",

@@ -178,6 +178,28 @@ object MinHashLSH {
       .filter(col("n_shared_fps") >= minShared)
   }
 
+  /** Containment composition with EXACT verification: winnow-fingerprint
+    * candidates -> full-text substring check computed ONLY for candidate
+    * pairs. Winnowing guarantees shared fingerprints for any common
+    * substring spanning a window, so at `minShared` = 5 the candidates are
+    * a superset of the true full-containment pairs (verified equal to the
+    * exhaustive answer on the test corpus at every SF) — which turns the
+    * hash-defined candidate stage into an oracle-checkable operator, the
+    * same construction as [[verifiedPairs]]. Requires
+    * [[graft.functions.GraftFunctions.register]]. */
+  def verifiedContainmentPairs(documents: DataFrame,
+      minShared: Long = 5): DataFrame = {
+    val cands = winnowContainmentPairs(documents, minShared)
+      .select("doc_a", "doc_b")
+    val t = documents.select(col("doc_id"), col("text"))
+    cands
+      .join(t.select(col("doc_id").as("doc_a"), col("text").as("text_a")), "doc_a")
+      .join(t.select(col("doc_id").as("doc_b"), col("text").as("text_b")), "doc_b")
+      .filter(col("text_b").contains(col("text_a")) ||
+        col("text_a").contains(col("text_b")))
+      .select("doc_a", "doc_b")
+  }
+
   /** 64-bit SimHash per document from per-word xxhash64 bit votes, computed
     * entirely in codegen'd higher-order functions (no explode — one pass per
     * row). Word hashes are computed ONCE (inner transform), then folded into

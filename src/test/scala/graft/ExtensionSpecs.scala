@@ -106,6 +106,17 @@ class DedupSpec extends SparkSpecBase {
     assert(pairs === Set((1L, 2L))) // quote ⊂ host; `other` unrelated
   }
 
+  test("verified containment == exhaustive substring check (quote-in-host)") {
+    GraftFunctions.register(spark)
+    val quote = (1 to 20).map(i => s"quoted$i").mkString(" ")
+    val host = (1 to 200).map(i => s"host$i").mkString(" ") + " " + quote
+    val similarNotContained = (1 to 19).map(i => s"quoted$i").mkString(" ") + " tail"
+    val d = docs((1L, quote), (2L, host), (3L, similarNotContained))
+    val got = MinHashLSH.verifiedContainmentPairs(d, minShared = 3)
+      .as[(Long, Long)].collect().toSet
+    assert(got === Set((1L, 2L))) // 1⊂2 kept; 3 shares fps but fails verify
+  }
+
   test("minhash: identical docs collide in every band with est 1.0") {
     val text = (1 to 30).map(i => s"w$i").mkString(" ")
     val got = MinHashLSH.candidatePairs(
