@@ -73,6 +73,26 @@ object ScaleProbe {
       println(f"PROBE streaming_reconcile rows=$streamN sec=$sec%.2f rate=${streamN / sec}%.0f rows/s")
     }
 
+    // round-2 operators over synthetic inputs at the same row count
+    val synthDocs = spark.range(n / 10).select(
+      col("id").as("doc_id"),
+      concat_ws(" ", (0 until 40).map(i =>
+        concat(lit("w"), pmod(xxhash64(col("id"), lit(i)), lit(5000L)))): _*)
+        .as("text"))
+    time("seq_pack")(text.TrainingPrep.packSequences(synthDocs, maxTokens = 256))
+    time("train_val_split")(text.TrainingPrep.trainValSplit(synthDocs))
+    time("heavy_hitters")(ops.Sketches.heavyHitters(parsed, "txn_type",
+      "account_id", k = 5))
+    // CDC dimension build: synthetic customer table at n/10 keys through
+    // the full wire serde + latest-by-key reduction (~2 versions per key)
+    val synthCustomers = spark.range(n / 10).select(
+      col("id").as("c_custkey"),
+      concat(lit("Customer#"), col("id")).as("c_name"),
+      pmod(col("id"), lit(25L)).cast("int").as("c_nationkey"),
+      (pmod(xxhash64(col("id")), lit(100000L)) / 100.0).as("c_acctbal"),
+      lit("BUILDING").as("c_mktsegment"))
+    time("cdc_accounts_dim")(cdc.DimensionCdc.accountsDim(synthCustomers))
+
     // hot-key skew: 90% of rows on one key — plain groupBy puts them on
     // one reducer; salted two-phase spreads them over 32
     val skewed = spark.range(n).select(
