@@ -101,7 +101,11 @@ object DimensionCdc {
     * `after` is null so tombstones keep their key — Kafka keys deletes by
     * the record key; here the before-image carries it. */
   def parseAccountEnvelope(env: DataFrame): DataFrame =
-    env.filter(col("envelope").isNotNull).select(
+    // no whole-struct null filter here: Spark 4 from_json never yields a
+    // null struct (malformed -> all-null fields), and referencing the
+    // whole envelope would block Catalyst's JSON schema pruning — the
+    // key-null filter in accountsDim covers P1
+    env.select(
       coalesce(col("envelope.after.ACCOUNT_ID"), col("envelope.before.ACCOUNT_ID"))
         .cast("long").as("account_id"),
       col("envelope.after.CUSTOMER_ID").cast("long").as("customer_id"),
@@ -165,7 +169,7 @@ object DimensionCdc {
   /** Envelope -> flat typed customer row (reference
     * `model/CustomerEvent.java` conversions + `getFullName`:46-48). */
   def parseCustomerEnvelope(env: DataFrame): DataFrame =
-    env.filter(col("envelope").isNotNull).select(
+    env.select(
       coalesce(col("envelope.after.CUSTOMER_ID"), col("envelope.before.CUSTOMER_ID"))
         .cast("long").as("customer_id"),
       col("envelope.after.FIRST_NAME").as("first_name"),
