@@ -494,6 +494,14 @@ object SparkEntry {
     "q_tfidf_terms" -> ((s, dir) =>
       graft.text.TrainingPrep.tfidfTopTerms(Tables.documents(s, dir))),
 
+    // Training prep: adaptive gate at the exact corpus median token count
+    "q_token_gate_adaptive" -> ((s, dir) =>
+      graft.text.TrainingPrep.adaptiveTokenGate(Tables.documents(s, dir))),
+
+    // Training prep capstone: one-row integer-exact dataset card
+    "q_dataset_card" -> ((s, dir) =>
+      graft.text.TrainingPrep.datasetCard(Tables.documents(s, dir))),
+
     // Skew-immune salted two-phase aggregation (== plain groupBy result)
     "q_salt_skew_agg" -> ((s, dir) =>
       graft.ops.Salt.saltedSumCount(upserts(s, dir), Seq("account_id"),
@@ -1164,6 +1172,33 @@ object SparkEntry {
          |r AS (SELECT *, CAST(row_number() OVER (PARTITION BY q_id ORDER BY cos_sim DESC, neighbor_id) AS BIGINT) AS rank
          |      FROM sims)
          |SELECT q_id, neighbor_id, cos_sim, rank FROM r WHERE rank <= $SimTopK""".stripMargin,
+
+    "q_token_gate_adaptive" ->
+      """WITH t AS (SELECT doc_id, CAST(len(string_split(text, ' ')) AS BIGINT) AS n_tokens FROM documents),
+        |m AS (SELECT median(n_tokens) AS med_tokens FROM t)
+        |SELECT doc_id, n_tokens, med_tokens FROM t CROSS JOIN m
+        |WHERE n_tokens >= med_tokens""".stripMargin,
+
+    "q_dataset_card" ->
+      s"""WITH base AS (
+         |  SELECT CAST(count(*) AS BIGINT) AS n_docs,
+         |         CAST(sum(len(string_split(text, ' '))) AS BIGINT) AS total_ws_tokens,
+         |         CAST(sum(length(text)) AS BIGINT) AS total_chars
+         |  FROM documents
+         |), dup AS (
+         |  SELECT CAST(sum(n_copies - 1) AS BIGINT) AS n_dup_docs
+         |  FROM (SELECT count(*) AS n_copies FROM documents GROUP BY lower(trim(text)))
+         |), lang AS (
+         |  SELECT CAST(count(*) FILTER (WHERE pred_lang = 'en') AS BIGINT) AS n_en_docs
+         |  FROM (SELECT $sqlLangPred AS pred_lang
+         |        FROM (SELECT doc_id, $sqlLangScores FROM (SELECT doc_id, string_split(text, ' ') AS w FROM documents)))
+         |), splits AS (
+         |  SELECT CAST(count(*) FILTER (WHERE doc_id % 100 < 90) AS BIGINT) AS n_train,
+         |         CAST(count(*) FILTER (WHERE doc_id % 100 >= 90 AND doc_id % 100 < 95) AS BIGINT) AS n_val,
+         |         CAST(count(*) FILTER (WHERE doc_id % 100 >= 95) AS BIGINT) AS n_test
+         |  FROM documents
+         |)
+         |SELECT * FROM base CROSS JOIN dup CROSS JOIN lang CROSS JOIN splits""".stripMargin,
 
     "q_seq_pack" ->
       """WITH d AS (

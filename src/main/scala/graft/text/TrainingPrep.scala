@@ -63,6 +63,44 @@ object TrainingPrep {
         .otherwise("test").as("split"),
       estTokens(col("text")).as("n_tokens"))
 
+  /** Adaptive curation gate: keep documents at or above the corpus MEDIAN
+    * whitespace-token count — thresholds derived from the data itself
+    * rather than fixed constants (the standard way quality cutoffs are
+    * actually set on new corpora). The median is exact (sort-based) over
+    * integer counts, so the interpolated value is engine-exact (.0/.5);
+    * it lands in the plan as a one-row broadcast, not a driver constant. */
+  def adaptiveTokenGate(documents: DataFrame): DataFrame = {
+    val toks = documents.select(col("doc_id"),
+      size(split(col("text"), " ")).cast("long").as("n_tokens"))
+    val med = toks.agg(median(col("n_tokens")).as("med_tokens"))
+    toks.crossJoin(broadcast(med))
+      .filter(col("n_tokens") >= col("med_tokens"))
+      .select("doc_id", "n_tokens", "med_tokens")
+  }
+
+  /** One-row corpus profile — the "dataset card" numbers a training-data
+    * release ships with, all exact integers (engine-hashable): document /
+    * token / char totals, exact-duplicate surplus, language mix, split
+    * sizes. One pass per source aggregate, combined by single-row cross
+    * joins (each side is a broadcast of one row). */
+  def datasetCard(documents: DataFrame): DataFrame = {
+    val base = documents.agg(
+      count(lit(1)).as("n_docs"),
+      sum(size(split(col("text"), " "))).cast("long").as("total_ws_tokens"),
+      sum(length(col("text"))).cast("long").as("total_chars"))
+    val dups = graft.dedup.Dedup.exact(documents)
+      .agg(sum(col("n_copies") - 1).as("n_dup_docs"))
+    val langs = TextAnalysis.langId(documents)
+      .agg(sum(when(col("pred_lang") === "en", 1L).otherwise(0L)).as("n_en_docs"))
+    val splits = trainValSplit(documents)
+      .agg(
+        sum(when(col("split") === "train", 1L).otherwise(0L)).as("n_train"),
+        sum(when(col("split") === "val", 1L).otherwise(0L)).as("n_val"),
+        sum(when(col("split") === "test", 1L).otherwise(0L)).as("n_test"))
+    base.crossJoin(broadcast(dups)).crossJoin(broadcast(langs))
+      .crossJoin(broadcast(splits))
+  }
+
   /** TF-IDF top-`k` terms per document over whitespace tokens:
     * tf = term count in doc, df = #docs containing the term,
     * idf = ln((N+1)/(df+1)) (add-one smoothed), score = tf*idf truncated

@@ -42,6 +42,27 @@ class TrainingPrepSpec extends SparkSpecBase {
     assert(got(95L) === "test")
   }
 
+  test("adaptive token gate keeps exactly the at-or-above-median half") {
+    val d = docs((1L, "a"), (2L, "a b"), (3L, "a b c"), (4L, "a b c d"))
+    val got = TrainingPrep.adaptiveTokenGate(d)
+      .select("doc_id", "med_tokens").as[(Long, Double)].collect()
+    assert(got.map(_._2).forall(_ === 2.5)) // median of 1,2,3,4
+    assert(got.map(_._1).sorted.toSeq === Seq(3L, 4L))
+  }
+
+  test("dataset card: integer-exact corpus profile on a known frame") {
+    val d = docs(
+      (1L, "the cat sat"), (2L, "the cat sat"),            // exact dups
+      (91L, "le chat et le chien et le"), (96L, "xyz"))    // val + test ids
+    val row = TrainingPrep.datasetCard(d).head()
+    assert(row.getAs[Long]("n_docs") === 4L)
+    assert(row.getAs[Long]("total_ws_tokens") === 3 + 3 + 7 + 1)
+    assert(row.getAs[Long]("n_dup_docs") === 1L)
+    assert(row.getAs[Long]("n_train") === 2L)
+    assert(row.getAs[Long]("n_val") === 1L)
+    assert(row.getAs[Long]("n_test") === 1L)
+  }
+
   test("tfidf: a doc's distinctive term outranks corpus-wide terms") {
     val d = docs(
       (1L, "the cat sat"),
