@@ -22,13 +22,23 @@ object PlanAudit {
       val pushed = "PushedFilters: \\[\\w".r.findAllIn(plan).size
       // SortMergeJoin is a review prompt, not an error: wrong where a
       // broadcast was intended (dimension enrichment), correct for
-      // large-large co-partitioned joins (e.g. the bucketized interval join)
+      // large-large joins. Reviewed-and-expected cases are annotated so
+      // the audit output stays actionable (anything NOT on this list is
+      // a regression to investigate).
+      val expectedSmj = Map(
+        "q_dedup_clusters" -> "label-propagation rounds join the edge list to itself-sized label frames — large-large by design",
+        "q_interval_join" -> "bucketized range join: both sides are fact-sized, co-partitioned on (key,bucket) — large-large by design")
       val flags = Seq(
         "CartesianProduct" -> plan.contains("CartesianProduct"),
-        "SortMergeJoin" -> plan.contains("SortMergeJoin"))
+        "SortMergeJoin" -> (plan.contains("SortMergeJoin") &&
+          !expectedSmj.contains(name)))
         .collect { case (f, true) => f }
+      val note =
+        if (plan.contains("SortMergeJoin") && expectedSmj.contains(name))
+          s" [expected SMJ: ${expectedSmj(name)}]"
+        else ""
       println(s"== $name  shuffles=$shuffles bcast=$bcasts pushedFilterScans=$pushed " +
-        s"${if (flags.nonEmpty) "FLAGS:" + flags.mkString(",") else "clean"}")
+        s"${if (flags.nonEmpty) "FLAGS:" + flags.mkString(",") else "clean"}$note")
       if (sys.env.get("PLAN_AUDIT_FULL").contains("1")) println(plan)
     }
     spark.stop()
