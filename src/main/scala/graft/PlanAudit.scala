@@ -22,21 +22,30 @@ object PlanAudit {
       val pushed = "PushedFilters: \\[\\w".r.findAllIn(plan).size
       // SortMergeJoin is a review prompt, not an error: wrong where a
       // broadcast was intended (dimension enrichment), correct for
-      // large-large joins. Reviewed-and-expected cases are annotated so
-      // the audit output stays actionable (anything NOT on this list is
-      // a regression to investigate).
+      // large-large joins. Reviewed-and-expected cases carry their exact
+      // node COUNT, so a new unintended SMJ appearing in an allowlisted
+      // query (e.g. a broadcast regressing) still raises a flag.
       val expectedSmj = Map(
-        "q_dedup_clusters" -> "label-propagation rounds join the edge list to itself-sized label frames — large-large by design",
-        "q_interval_join" -> "bucketized range join: both sides are fact-sized, co-partitioned on (key,bucket) — large-large by design")
+        // label-propagation rounds join the edge list to itself-sized
+        // label frames — large-large by design, one SMJ per round pair
+        "q_dedup_clusters" -> "label propagation (large-large per round)",
+        // bucketized range join: both sides fact-sized, co-partitioned on
+        // (key, bucket) — large-large by design
+        "q_interval_join" -> "bucketized range join (large-large)")
+      // formatted explain prints each node once as a "(N) SortMergeJoin"
+      // heading — count headings, not substring occurrences
+      val smjCount = "\\(\\d+\\) SortMergeJoin".r.findAllIn(plan).size
+      // clusters is iterative: SMJ count grows with convergence rounds
+      // (up to ~2 per round, maxRounds = 10); interval join has exactly 1
+      val expectedCounts = Map("q_dedup_clusters" -> 20, "q_interval_join" -> 1)
+      val smjUnexpected = smjCount > expectedCounts.getOrElse(name, 0)
       val flags = Seq(
         "CartesianProduct" -> plan.contains("CartesianProduct"),
-        "SortMergeJoin" -> (plan.contains("SortMergeJoin") &&
-          !expectedSmj.contains(name)))
+        s"SortMergeJoin(x$smjCount)" -> smjUnexpected)
         .collect { case (f, true) => f }
-      val note =
-        if (plan.contains("SortMergeJoin") && expectedSmj.contains(name))
-          s" [expected SMJ: ${expectedSmj(name)}]"
-        else ""
+      val note = expectedSmj.get(name)
+        .filter(_ => smjCount > 0 && !smjUnexpected)
+        .fold("")(r => s" [expected SMJ x$smjCount: $r]")
       println(s"== $name  shuffles=$shuffles bcast=$bcasts pushedFilterScans=$pushed " +
         s"${if (flags.nonEmpty) "FLAGS:" + flags.mkString(",") else "clean"}$note")
       if (sys.env.get("PLAN_AUDIT_FULL").contains("1")) println(plan)

@@ -34,6 +34,12 @@ object SparkEntry {
   val JaccardThreshold   = 0.5    // exact n-gram pairs (planted near-dups ~0.95)
   val JaccardMaxDocId    = 200L   // bounded candidate set for the oracle path
   val MinhashEstThreshold = 0.7   // banding est-jaccard cut
+  val MinhashVerifyThreshold = 0.8 // verified-pairs cut — at/above the 16x4
+                                   // banding S-curve so candidate recall ~1
+                                   // and the exhaustive-oracle equality
+                                   // holds (MinHashLSH.verifiedPairs doc)
+  val ContainMinTextLen  = 120    // verified containment length gate (winnow
+                                  // fingerprint-count superset bound)
   val EmbDupThreshold    = 0.45   // cosine near-dup cut (corpus max ~0.51)
   val EmbDupMaxVecId     = 500L
   val SimNumQueries      = 10L    // ANN query set = vec_id < 10
@@ -412,7 +418,7 @@ object SparkEntry {
     "q_dedup_minhash_verified" -> ((s, dir) =>
       MinHashLSH.verifiedPairs(
         Tables.documents(s, dir).filter(col("doc_id") < JaccardMaxDocId),
-        JaccardThreshold)),
+        MinhashVerifyThreshold)),
 
     // Dedup: winnow-fingerprint containment candidates (substring reuse
     // that size-skewed Jaccard misses; engine-defined hash, rows-only)
@@ -429,7 +435,8 @@ object SparkEntry {
     "q_dedup_containment_verified" -> ((s, dir) => {
       GraftFunctions.register(s)
       MinHashLSH.verifiedContainmentPairs(
-        Tables.documents(s, dir).filter(col("doc_id") < JaccardMaxDocId))
+        Tables.documents(s, dir).filter(col("doc_id") < JaccardMaxDocId),
+        minShared = 5, minTextLen = ContainMinTextLen)
     }),
 
     // Dedup: pairs -> connected duplicate clusters (keeper = min doc_id
@@ -688,8 +695,8 @@ object SparkEntry {
   }
 
   /** DuckDB CTEs for the bounded exact n-gram Jaccard pairs, shared by the
-    * pair and cluster oracles (`jpairs` = thresholded pairs). */
-  private lazy val sqlJaccardCtes: String =
+    * pair and cluster oracles (`jpairs` = pairs at `threshold`). */
+  private def sqlJaccardCtesAt(threshold: Double): String =
     s"""WITH d AS (SELECT doc_id, string_split(text, ' ') AS w FROM documents WHERE doc_id < $JaccardMaxDocId),
        |sh AS (SELECT DISTINCT doc_id, w[i] || ' ' || w[i+1] || ' ' || w[i+2] AS shingle
        |       FROM (SELECT doc_id, w, unnest(generate_series(1, greatest(len(w) - 2, 0))) AS i FROM d)),
@@ -699,7 +706,9 @@ object SparkEntry {
        |jall AS (SELECT doc_a, doc_b, n_inter,
        |        floor((n_inter * 1.0 / (x.n_sh + y.n_sh - n_inter)) * 1000000.0) / 1000000.0 AS jaccard
        |      FROM inter JOIN sz x ON doc_a = x.doc_id JOIN sz y ON doc_b = y.doc_id),
-       |jpairs AS (SELECT * FROM jall WHERE jaccard >= $JaccardThreshold)""".stripMargin
+       |jpairs AS (SELECT * FROM jall WHERE jaccard >= $threshold)""".stripMargin
+
+  private lazy val sqlJaccardCtes: String = sqlJaccardCtesAt(JaccardThreshold)
 
   /** DuckDB CTEs reproducing the synthesized ACCOUNTS CDC changelog + its
     * latest-per-key KTable reduction (the flat twin of
@@ -1116,14 +1125,15 @@ object SparkEntry {
       (sqlJaccardCtes + s"""
          |SELECT doc_a, doc_b, n_inter, jaccard FROM jpairs""".stripMargin),
 
-    // banding recall is 1.0 for the planted dups (see verifiedPairs doc),
-    // so candidates ∩ exact-verify == the exhaustive exact answer
+    // the 0.8 cut sits above the banding S-curve, so candidate recall is
+    // ~1 and candidates ∩ exact-verify == the exhaustive exact answer
     "q_dedup_minhash_verified" ->
-      (sqlJaccardCtes + s"""
+      (sqlJaccardCtesAt(MinhashVerifyThreshold) + s"""
          |SELECT doc_a, doc_b, n_inter, jaccard FROM jpairs""".stripMargin),
 
     "q_dedup_containment_verified" ->
-      s"""WITH d AS (SELECT doc_id, text FROM documents WHERE doc_id < $JaccardMaxDocId)
+      s"""WITH d AS (SELECT doc_id, text FROM documents
+         |           WHERE doc_id < $JaccardMaxDocId AND length(text) >= $ContainMinTextLen)
          |SELECT a.doc_id AS doc_a, b.doc_id AS doc_b
          |FROM d a JOIN d b ON a.doc_id < b.doc_id
          |WHERE position(a.text IN b.text) > 0 OR position(b.text IN a.text) > 0""".stripMargin,
@@ -1203,7 +1213,7 @@ object SparkEntry {
     "q_seq_pack" ->
       """WITH d AS (
         |  SELECT doc_id, doc_id % 8 AS shard,
-        |         CAST(ceil(length(text) / 4.0) AS BIGINT) AS n_tokens
+        |         greatest(CAST(ceil(length(text) / 4.0) AS BIGINT), 1) AS n_tokens
         |  FROM documents
         |), o AS (
         |  SELECT *, sum(n_tokens) OVER (PARTITION BY shard ORDER BY doc_id
@@ -1221,7 +1231,7 @@ object SparkEntry {
       """SELECT doc_id, doc_id % 100 AS split_key,
         |  CASE WHEN doc_id % 100 < 90 THEN 'train'
         |       WHEN doc_id % 100 < 95 THEN 'val' ELSE 'test' END AS split,
-        |  CAST(ceil(length(text) / 4.0) AS BIGINT) AS n_tokens
+        |  greatest(CAST(ceil(length(text) / 4.0) AS BIGINT), 1) AS n_tokens
         |FROM documents""".stripMargin,
 
     "q_tfidf_terms" ->

@@ -54,8 +54,8 @@ object DimensionCdc {
   private def envelope(table: String, image: Column, op: Column,
       tsUs: Column, scn: Column): Column =
     struct(
-      when(op === "d", image).otherwise(when(lit(false), image)).as("before"),
-      when(op =!= "d", image).as("after"),
+      when(op === "d", image).as("before"),   // null unless a delete
+      when(op =!= "d", image).as("after"),    // null only for deletes
       sourceStruct(table, tsUs, scn).as("source"),
       op.as("op"),
       (tsUs / 1000).cast("long").as("ts_ms"),

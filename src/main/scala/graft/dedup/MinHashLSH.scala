@@ -29,8 +29,14 @@ object MinHashLSH {
   /** (doc_id, sig array<long>[64]) — minhash signature over word 3-gram
     * shingles. Base hash = murmur3 (`hash`) of the shingle, folded to 31
     * bits; perm_i(h) = (a_i*h + b_i) mod (2^31-1). */
-  def signatures(documents: DataFrame): DataFrame = {
-    val sh = Dedup.shingles(documents)
+  def signatures(documents: DataFrame): DataFrame =
+    signaturesFromShingles(Dedup.shingles(documents))
+
+  /** Same, over an existing (doc_id, shingle) postings frame — lets
+    * callers that already materialized the postings (e.g. [[verifiedPairs]])
+    * avoid re-running the shingle explode. */
+  def signaturesFromShingles(shingles: DataFrame): DataFrame = {
+    val sh = shingles
       .withColumn("h31", (hash(col("shingle")).cast("long")
         .bitwiseAND(lit(0x7fffffffL))))
     val minCols = (0 until NumPerms).map { i =>
@@ -131,15 +137,27 @@ object MinHashLSH {
     * scale shape of a production dedup pass: the quadratic stage is the
     * banding equi-join, and exact set arithmetic touches only survivors.
     *
-    * A pair at true Jaccard j escapes all 16 4-row bands with probability
-    * (1 - j^4)^16 — ~5e-12 at the planted-dup level (~0.95), so on this
-    * corpus the result EQUALS the exhaustive exact-Jaccard answer and the
-    * same DuckDB oracle verifies it (turning the hash-defined candidate
-    * stage into an oracle-checkable operator). */
+    * Recall analysis (this bounds where the exhaustive-oracle equality
+    * holds): a pair at true Jaccard j escapes all 16 4-row bands with
+    * probability (1 - j^4)^16 — ~35% at j=0.5, ~1.2% at j=0.7, ~2e-4 at
+    * j=0.8, ~5e-12 at the planted-dup level (~0.95). `threshold` should
+    * therefore sit at or above the banding S-curve's high-probability
+    * region (>= ~0.8); the registered query uses
+    * `SparkEntry.MinhashVerifyThreshold` = 0.8, where the deterministic
+    * hashes retain every corpus pair and the result EQUALS the exhaustive
+    * exact-Jaccard answer the DuckDB oracle computes. Callers passing a
+    * lower threshold get the same candidates-then-verify shape but only
+    * S-curve recall against an exhaustive ground truth.
+    *
+    * The shingle postings are built once, persisted, and reused by the
+    * signature build, the pair-size table, and both intersection join
+    * sides (ownership: cached until LRU eviction — long-lived sessions
+    * should unpersist after materializing, same policy as
+    * [[candidatePairs]]). */
   def verifiedPairs(documents: DataFrame, threshold: Double): DataFrame = {
     val sh = Dedup.shingles(documents).persist()
     val sizes = sh.groupBy("doc_id").agg(count(lit(1)).as("n_sh"))
-    val cands = bandingCandidates(signatures(documents))
+    val cands = bandingCandidates(signaturesFromShingles(sh).persist())
 
     val inter = cands
       .join(sh.withColumnRenamed("doc_id", "doc_a"), "doc_a")
@@ -180,18 +198,23 @@ object MinHashLSH {
 
   /** Containment composition with EXACT verification: winnow-fingerprint
     * candidates -> full-text substring check computed ONLY for candidate
-    * pairs. Winnowing guarantees shared fingerprints for any common
-    * substring spanning a window, so at `minShared` = 5 the candidates are
-    * a superset of the true full-containment pairs (verified equal to the
-    * exhaustive answer on the test corpus at every SF) — which turns the
-    * hash-defined candidate stage into an oracle-checkable operator, the
-    * same construction as [[verifiedPairs]]. Requires
-    * [[graft.functions.GraftFunctions.register]]. */
+    * pairs, the same construction as [[verifiedPairs]]. Requires
+    * [[graft.functions.GraftFunctions.register]].
+    *
+    * Superset bound (where the exhaustive-oracle equality holds): a
+    * contained text of length L yields at least (L - k - w + 2) / w
+    * guaranteed-shared interior fingerprints, so `minShared` = 5 needs
+    * L >= ~k + w·(minShared + 1) — documents SHORTER than `minTextLen`
+    * could be fully contained yet never become candidates. Both this
+    * operator and its oracle therefore gate on `length(text) >=
+    * minTextLen`, making the equality hold by construction rather than by
+    * corpus accident. */
   def verifiedContainmentPairs(documents: DataFrame,
-      minShared: Long = 5): DataFrame = {
-    val cands = winnowContainmentPairs(documents, minShared)
+      minShared: Long = 5, minTextLen: Int = 120): DataFrame = {
+    val docs = documents.filter(length(col("text")) >= minTextLen)
+    val cands = winnowContainmentPairs(docs, minShared)
       .select("doc_a", "doc_b")
-    val t = documents.select(col("doc_id"), col("text"))
+    val t = docs.select(col("doc_id"), col("text"))
     cands
       .join(t.select(col("doc_id").as("doc_a"), col("text").as("text_a")), "doc_a")
       .join(t.select(col("doc_id").as("doc_b"), col("text").as("text_b")), "doc_b")

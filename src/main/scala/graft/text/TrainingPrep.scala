@@ -15,10 +15,15 @@ import org.apache.spark.sql.functions._
   */
 object TrainingPrep {
 
-  /** Estimated BPE token count (same ceil(chars/4) estimator as
-    * [[TextAnalysis.tokenCounts]]). */
+  /** Estimated BPE token count: the ceil(chars/4) estimator of
+    * [[TextAnalysis.tokenCounts]] floored at 1 — every document occupies
+    * at least one token (its EOS/separator) in a packed stream. The floor
+    * also keeps the packing arithmetic engine-exact: a zero-token doc at
+    * a shard-stream start would make `(end_offset - 1) div maxTokens`
+    * negative, where Spark's `div` (truncate toward zero) and SQL floor
+    * division disagree. */
   def estTokens(text: Column): Column =
-    ceil(length(text) / 4.0).cast("long")
+    greatest(ceil(length(text) / 4.0).cast("long"), lit(1L))
 
   /** GPT-style sequence packing: documents are concatenated per shard (in
     * deterministic doc_id order) into one token stream, which is chunked
