@@ -49,3 +49,55 @@ object ConversionProps extends Properties("conversions") {
         Fnv1a64Helper.hashBytes((s + "x").getBytes("UTF-8"))
     }
 }
+
+/** Pure-model properties of the training-prep arithmetic (the Spark
+  * implementations are oracle-verified end to end; these pin the MATH the
+  * operators and their oracles share — packing contiguity, split
+  * partitioning — for all inputs, not just corpus values). */
+object TrainingPrepProps extends Properties("training-prep") {
+
+  private val MaxTokens = 256L
+  private def estTokens(len: Int): Long =
+    math.max(math.ceil(len / 4.0).toLong, 1L)
+
+  property("packing: per-shard streams are contiguous, gap-free, EOS-floored") =
+    forAll(Gen.listOf(Gen.chooseNum(0, 2000))) { lens =>
+      val toks = lens.map(estTokens)
+      val ends = toks.scanLeft(0L)(_ + _).tail
+      val starts = ends.zip(toks).map { case (e, t) => e - t }
+      toks.forall(_ >= 1) &&                                   // EOS floor
+        starts.zip(ends).forall { case (s, e) => s < e } &&    // nonempty span
+        (starts.isEmpty || starts.head == 0L) &&               // stream origin
+        starts.drop(1).zip(ends.dropRight(1))
+          .forall { case (s, e) => s == e }                    // no gaps/overlap
+    }
+
+  property("packing: first/last sequence indices exactly bracket the span") =
+    forAll(Gen.listOf(Gen.chooseNum(0, 5000))) { lens =>
+      val toks = lens.map(estTokens)
+      val ends = toks.scanLeft(0L)(_ + _).tail
+      ends.zip(toks).forall { case (e, t) =>
+        val s = e - t
+        val first = s / MaxTokens
+        val last = (e - 1) / MaxTokens
+        first <= last &&
+          first * MaxTokens <= s && s < (first + 1) * MaxTokens &&
+          last * MaxTokens < e && e <= (last + 1) * MaxTokens &&
+          ((first == last) == (t <= MaxTokens - s % MaxTokens))
+      }
+    }
+
+  property("split: every id lands in exactly one bucket with 90/5/5 cuts") =
+    forAll(Gen.chooseNum(0L, Long.MaxValue - 1)) { id =>
+      val k = id % 100
+      val buckets = Seq(k < 90, k >= 90 && k < 95, k >= 95)
+      buckets.count(identity) == 1
+    }
+
+  property("split: a full residue cycle yields exactly 90/5/5") = {
+    val ks = (0L until 100L)
+    ks.count(_ < 90) == 90 &&
+      ks.count(k => k >= 90 && k < 95) == 5 &&
+      ks.count(_ >= 95) == 5
+  }
+}
