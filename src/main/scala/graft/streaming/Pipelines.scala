@@ -136,6 +136,33 @@ object Pipelines {
         col("amount").as("last_amount"),
         col("event_time_ms").as("last_event_time_ms"))
 
+  /** Streaming ACCOUNTS KTable maintenance — the reference's accounts
+    * KTable is CONTINUOUSLY maintained from its CDC topic
+    * (`ABBankTopology.java:107-125` `.toTable(...)`); here the changelog
+    * arrives as a stream (file source standing in for Kafka), travels the
+    * same wire serde, and the latest version per account is maintained as
+    * an update-mode `max_by` aggregation — state is one narrow struct per
+    * account, re-emitting only keys whose latest version changed each
+    * micro-batch. Tombstones surface with `op = 'd'` so an upsert sink
+    * can delete the key (filtering them BEFORE the aggregation would
+    * resurrect the previous version instead — Kafka Streams' actual
+    * tombstone semantics need the delete to win the argmax). */
+  def accountsDimStream(spark: SparkSession, customerDir: String,
+      glob: String = "customer.parquet"): DataFrame = {
+    val raw = spark.readStream
+      .schema("c_custkey BIGINT, c_name STRING, c_nationkey INT, c_acctbal DOUBLE, c_mktsegment STRING")
+      .option("pathGlobFilter", glob)
+      .parquet(customerDir)
+    val changelog = graft.cdc.DimensionCdc.parseAccountEnvelope(
+      EnvelopeOps.decodeJsonEnvelope(
+        EnvelopeOps.encodeJsonEnvelope(
+          graft.cdc.DimensionCdc.synthesizeAccountEnvelope(raw)),
+        schema = graft.cdc.Schemas.accountEnvelope))
+      .filter(col("account_id").isNotNull)
+    graft.ops.LatestByKey.latestByMaxBy(changelog,
+      Seq("account_id"), struct(col("cdc_ts_us")))
+  }
+
   /** CDC delivery is at-least-once (reference
     * `config/ABBankStreamsConfig.java:85-86`): replays duplicate the same
     * transaction id. This stage makes downstream processing

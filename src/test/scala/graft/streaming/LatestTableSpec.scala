@@ -16,4 +16,19 @@ class LatestTableSpec extends SparkSpecBase {
     assert(got === want)
     assert(got.nonEmpty)
   }
+
+  test("streaming accounts KTable (complete snapshot) == batch accountsDim") {
+    import org.apache.spark.sql.functions.col
+    val stream = Pipelines.accountsDimStream(spark, sf0001)
+    val q = stream.writeStream.format("memory").queryName("acct_ktable")
+      .outputMode("complete").start()
+    q.processAllAvailable(); q.stop()
+    // apply tombstones to the snapshot the way an upsert sink would
+    val got = spark.table("acct_ktable")
+      .filter(col("op") =!= "d").drop("op").collect().toSet
+    val want = graft.cdc.DimensionCdc.accountsDim(
+      Tables.customer(spark, sf0001)).collect().toSet
+    assert(got === want)
+    assert(got.nonEmpty)
+  }
 }
