@@ -501,6 +501,21 @@ object SparkEntry {
     "q_tfidf_terms" -> ((s, dir) =>
       graft.text.TrainingPrep.tfidfTopTerms(Tables.documents(s, dir))),
 
+    // Quality rule: intra-doc 3-gram repetition ratio (boilerplate/spam
+    // signal — scan + one agg, no joins)
+    "q_repetition_filter" -> ((s, dir) =>
+      graft.text.TrainingPrep.repetitionScore(Tables.documents(s, dir))),
+
+    // Decontamination: training docs sharing any 8-gram with the eval
+    // slice, via inverted n-gram index (linear in postings)
+    "q_decontaminate" -> ((s, dir) =>
+      graft.text.TrainingPrep.decontaminate(Tables.documents(s, dir))),
+
+    // Quality score: per-doc mean unigram log-probability (perplexity
+    // proxy; vocabulary broadcast)
+    "q_unigram_logprob" -> ((s, dir) =>
+      graft.text.TrainingPrep.unigramLogProb(Tables.documents(s, dir))),
+
     // Training prep: adaptive gate at the exact corpus median token count
     "q_token_gate_adaptive" -> ((s, dir) =>
       graft.text.TrainingPrep.adaptiveTokenGate(Tables.documents(s, dir))),
@@ -1182,6 +1197,46 @@ object SparkEntry {
          |r AS (SELECT *, CAST(row_number() OVER (PARTITION BY q_id ORDER BY cos_sim DESC, neighbor_id) AS BIGINT) AS rank
          |      FROM sims)
          |SELECT q_id, neighbor_id, cos_sim, rank FROM r WHERE rank <= $SimTopK""".stripMargin,
+
+    "q_repetition_filter" ->
+      s"""WITH d AS (SELECT doc_id, string_split(text, ' ') AS w FROM documents),
+         |sh AS (SELECT doc_id,
+         |         CASE WHEN len(w) >= 3
+         |              THEN [w[i] || ' ' || w[i+1] || ' ' || w[i+2] for i in generate_series(1, len(w) - 2)]
+         |              ELSE [] END AS shs
+         |       FROM d)
+         |SELECT doc_id,
+         |  CAST(len(shs) AS BIGINT) AS n_shingles,
+         |  CAST(len(list_distinct(shs)) AS BIGINT) AS n_distinct,
+         |  ${TextAnalysis.floor6Sql("CASE WHEN len(shs) > 0 THEN (len(shs) - len(list_distinct(shs))) * 1.0 / len(shs) ELSE 0.0 END")} AS rep_ratio
+         |FROM sh""".stripMargin,
+
+    "q_decontaminate" ->
+      """WITH d AS (SELECT doc_id, string_split(text, ' ') AS w FROM documents),
+        |g AS (SELECT doc_id, unnest(list_distinct(
+        |        CASE WHEN len(w) >= 8
+        |             THEN [w[i] || ' ' || w[i+1] || ' ' || w[i+2] || ' ' || w[i+3] || ' ' || w[i+4] || ' ' || w[i+5] || ' ' || w[i+6] || ' ' || w[i+7]
+        |                   for i in generate_series(1, len(w) - 7)]
+        |             ELSE [] END)) AS gram
+        |      FROM d),
+        |tr AS (SELECT * FROM g WHERE doc_id % 50 <> 0),
+        |ev AS (SELECT DISTINCT gram FROM g WHERE doc_id % 50 = 0)
+        |SELECT doc_id, CAST(count(*) AS BIGINT) AS n_shared_ngrams
+        |FROM tr JOIN ev USING (gram) GROUP BY 1""".stripMargin,
+
+    // per-token log-probs truncate to INTEGER micro-nats before summing:
+    // integer aggregation is order-independent, where a float sum drifts
+    // in the last ulp between engines
+    "q_unigram_logprob" ->
+      """WITH t AS (SELECT doc_id, unnest(string_split(text, ' ')) AS term FROM documents),
+        |v AS (SELECT term, CAST(count(*) AS BIGINT) AS term_n FROM t GROUP BY 1),
+        |tot AS (SELECT CAST(count(*) AS BIGINT) AS total_n FROM t),
+        |lp AS (SELECT doc_id, CAST(floor(ln(term_n / CAST(total_n AS DOUBLE)) * 1e6) AS BIGINT) AS lp_micro
+        |       FROM t JOIN v USING (term) CROSS JOIN tot)
+        |SELECT doc_id, CAST(count(*) AS BIGINT) AS n_tokens,
+        |  CAST(sum(lp_micro) AS BIGINT) AS sum_lp_micro,
+        |  sum(lp_micro) / (count(*) * 1e6) AS mean_logprob
+        |FROM lp GROUP BY 1""".stripMargin,
 
     "q_token_gate_adaptive" ->
       """WITH t AS (SELECT doc_id, CAST(len(string_split(text, ' ')) AS BIGINT) AS n_tokens FROM documents),

@@ -106,6 +106,77 @@ object TrainingPrep {
       .crossJoin(broadcast(splits))
   }
 
+  /** Intra-document repetition score (Gopher-style quality rule): the
+    * fraction of word 3-gram POSITIONS whose shingle already occurred in
+    * the same document — near-1 for boilerplate/spam, near-0 for natural
+    * prose. Scan + one aggregation over (doc, shingle) postings; no
+    * joins. Documents too short for a shingle are reported with zero
+    * counts rather than dropped (a filter pipeline must SEE them). */
+  def repetitionScore(documents: DataFrame, n: Int = 3): DataFrame =
+    documents
+      .select(col("doc_id"), split(col("text"), " ").as("__w"))
+      .select(col("doc_id"), expr(
+        s"""CASE WHEN size(__w) >= $n
+           |THEN transform(sequence(0, size(__w) - $n), i -> concat_ws(' ', slice(__w, i + 1, $n)))
+           |ELSE array() END""".stripMargin).as("__sh"))
+      .select(col("doc_id"),
+        size(col("__sh")).cast("long").as("n_shingles"),
+        size(array_distinct(col("__sh"))).cast("long").as("n_distinct"))
+      .withColumn("rep_ratio", TextAnalysis.floor6(
+        when(col("n_shingles") > 0,
+          (col("n_shingles") - col("n_distinct")) / col("n_shingles"))
+          .otherwise(lit(0.0))))
+
+  /** Benchmark decontamination: training documents sharing any word
+    * `n`-gram with the held-out/eval slice (here the deterministic
+    * `doc_id % 50 == 0` sample standing in for a benchmark suite) are
+    * flagged with their overlap count — the standard n-gram
+    * decontamination pass run before pretraining. Inverted n-gram index
+    * equi-join: linear in postings, never doc×doc. */
+  def decontaminate(documents: DataFrame, n: Int = 8): DataFrame = {
+    def grams(df: DataFrame): DataFrame = df
+      .select(col("doc_id"), split(col("text"), " ").as("__w"))
+      .select(col("doc_id"), explode(array_distinct(expr(
+        s"""CASE WHEN size(__w) >= $n
+           |THEN transform(sequence(0, size(__w) - $n), i -> concat_ws(' ', slice(__w, i + 1, $n)))
+           |ELSE array() END""".stripMargin))).as("gram"))
+    val train = grams(documents.filter(col("doc_id") % 50 =!= 0))
+    val eval_ = grams(documents.filter(col("doc_id") % 50 === 0))
+      .select("gram").distinct()
+    train.join(eval_, "gram")
+      .groupBy("doc_id")
+      .agg(countDistinct(col("gram")).as("n_shared_ngrams"))
+  }
+
+  /** Unigram language-model score per document: mean log-probability of
+    * its tokens under the corpus unigram distribution — the cheap
+    * perplexity proxy used for quality filtering. Each token's
+    * log-probability is truncated to INTEGER micro-nats before the
+    * per-doc sum, so the aggregation is exact integer arithmetic —
+    * order-independent across engines and partitionings (a float sum
+    * here diverges in the last ulp between engines and can cross a
+    * truncation boundary). The mean is then ONE IEEE division of exact
+    * integers. Vocabulary counts broadcast (orders smaller than the
+    * corpus); one aggregation per side. */
+  def unigramLogProb(documents: DataFrame): DataFrame = {
+    val terms = documents
+      .select(col("doc_id"), explode(split(col("text"), " ")).as("term"))
+    val vocab = terms.groupBy("term").agg(count(lit(1)).as("term_n"))
+    val total = terms.select(count(lit(1)).as("total_n"))
+    terms
+      .join(broadcast(vocab), "term")
+      .crossJoin(broadcast(total))
+      .withColumn("__lp_micro",
+        floor(log(col("term_n") / col("total_n").cast("double")) * 1e6)
+          .cast("long"))
+      .groupBy("doc_id")
+      .agg(count(lit(1)).as("n_tokens"),
+        sum(col("__lp_micro")).as("sum_lp_micro"))
+      .withColumn("mean_logprob",
+        col("sum_lp_micro") / (col("n_tokens") * 1e6))
+      .select("doc_id", "n_tokens", "sum_lp_micro", "mean_logprob")
+  }
+
   /** TF-IDF top-`k` terms per document over whitespace tokens:
     * tf = term count in doc, df = #docs containing the term,
     * idf = ln((N+1)/(df+1)) (add-one smoothed), score = tf*idf truncated

@@ -63,6 +63,37 @@ class TrainingPrepSpec extends SparkSpecBase {
     assert(row.getAs[Long]("n_test") === 1L)
   }
 
+  test("repetition score: boilerplate scores high, prose scores zero") {
+    val loop = Seq.fill(10)("buy now cheap").mkString(" ")     // repeated trigram
+    val prose = (1 to 30).map(i => s"w$i").mkString(" ")       // all distinct
+    val got = TrainingPrep.repetitionScore(docs((1L, loop), (2L, prose), (3L, "a b")))
+      .select("doc_id", "rep_ratio").as[(Long, Double)].collect().toMap
+    assert(got(1L) > 0.8)
+    assert(got(2L) === 0.0)
+    assert(got(3L) === 0.0) // too short for a shingle: reported, not dropped
+  }
+
+  test("decontamination flags only docs sharing an 8-gram with the eval slice") {
+    val leaked = (1 to 12).map(i => s"bench$i").mkString(" ")
+    val clean = (1 to 12).map(i => s"own$i").mkString(" ")
+    // doc 50 is the eval slice (50 % 50 == 0); doc 1 contains its 8-grams
+    val got = TrainingPrep.decontaminate(
+        docs((50L, leaked), (1L, leaked + " extra"), (2L, clean)))
+      .as[(Long, Long)].collect().toMap
+    assert(got.contains(1L) && got(1L) >= 5L)
+    assert(!got.contains(2L))
+    assert(!got.contains(50L)) // the eval doc itself is not a training row
+  }
+
+  test("unigram logprob: rare-token docs score lower than common-token docs") {
+    val d = docs((1L, "the the the the"), (2L, "rare1 rare2 rare3 rare4"),
+      (3L, "the the rare5 the"))
+    val got = TrainingPrep.unigramLogProb(d)
+      .select("doc_id", "mean_logprob").as[(Long, Double)].collect().toMap
+    assert(got(2L) < got(3L) && got(3L) < got(1L))
+    assert(got.values.forall(_ < 0.0))
+  }
+
   test("tfidf: a doc's distinctive term outranks corpus-wide terms") {
     val d = docs(
       (1L, "the cat sat"),
