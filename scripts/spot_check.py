@@ -49,5 +49,32 @@ SELECT user_id FROM events WHERE event_id % 10 != 0 AND user_id != 0
 GROUP BY 1 ORDER BY round(sum(value), 2) DESC, user_id LIMIT 10""").df()
 check('topk: set equals independent ranking', set(tk.account_id) == set(top.user_id))
 
+pk = sp('q_seq_pack')
+by_shard = pk.groupby('shard').agg(tok=('n_tokens', 'sum'), end=('end_offset', 'max'))
+check('seq_pack: per-shard token sums equal the stream end (no gaps/overlap)',
+      bool((by_shard.tok == by_shard.end).all()))
+
+card = sp('q_dataset_card').iloc[0]
+ndocs = con.sql('SELECT count(*) FROM documents').fetchone()[0]
+check('dataset_card: split sizes partition the corpus and n_docs matches',
+      int(card.n_train + card.n_val + card.n_test) == ndocs
+      and int(card.n_docs) == ndocs)
+
+hh = sp('q_heavy_hitters').sort_values(['txn_type', 'rank'])
+mono = hh.groupby('txn_type').n.apply(lambda s: bool((s.diff().dropna() <= 0).all()))
+check('heavy_hitters: counts non-increasing with rank within each group',
+      bool(mono.all()))
+
+cl = sp('q_dedup_clusters')
+check('dedup_clusters: every label is the minimum doc_id of its component',
+      bool((cl.groupby('cluster_id').doc_id.min() ==
+            cl.groupby('cluster_id').cluster_id.first()).all()))
+
+cdc = sp('q_cdc_account_dim')
+tomb = con.sql('SELECT count(*) FROM customer WHERE c_custkey % 13 = 0').fetchone()[0]
+total = con.sql('SELECT count(*) FROM customer').fetchone()[0]
+check('cdc_account_dim: exactly the non-tombstoned accounts survive',
+      len(cdc) == total - tomb and cdc.account_id.is_unique)
+
 print('RESULT:', 'ALL OK' if ok else 'FAIL')
 sys.exit(0 if ok else 1)

@@ -134,6 +134,19 @@ object EnvelopeOps {
   def encodeJsonEnvelope(env: DataFrame): DataFrame =
     env.select(to_json(col("envelope")).as("payload"))
 
+  /** S2 wire shape: project any frame to the exact (key BINARY, value
+    * BINARY) schema the Kafka sink requires — when the spark-sql-kafka
+    * jar is present, `df.writeStream.format("kafka")` consumes this
+    * unchanged (`.option("topic", ...)`); until then the same frame is a
+    * byte-faithful Kafka archive under any other sink. Key = the record
+    * key rendered as UTF-8 (the reference keys by account id string —
+    * `ABBankTopology.java:101-103`); value = the JSON (prod: Avro)
+    * payload bytes. */
+  def kafkaWireFormat(df: DataFrame, keyCol: Column, valueCol: Column): DataFrame =
+    df.select(
+      keyCol.cast("string").cast("binary").as("key"),
+      valueCol.cast("string").cast("binary").as("value"))
+
   /** S3 robustness: decode a payload stream AND capture the undecodable
     * payloads as a dead-letter frame. The reference only logs-and-continues
     * (`config/ABBankStreamsConfig.java:93-94`

@@ -95,6 +95,24 @@ class JsonEnvelopeSpec extends SparkSpecBase {
     assert(EnvelopeOps.upsertsOnly(parsed).count() === 0) // then filtered
   }
 
+  test("kafka wire format: (key,value) binary schema round-trips the payload") {
+    import spark.implicits._
+    val env = EnvelopeOps.synthesizeTxnEnvelope(eventsDf(Seq(
+      (3L, 1700000000000000000L, 7L, "purchase", 100.50))))
+    val wire = EnvelopeOps.kafkaWireFormat(
+      EnvelopeOps.encodeJsonEnvelope(env)
+        .withColumn("account_id", lit(7L)),
+      keyCol = col("account_id"), valueCol = col("payload"))
+    assert(wire.schema.map(f => (f.name, f.dataType.typeName)) ===
+      Seq(("key", "binary"), ("value", "binary"))) // the kafka sink contract
+    val row = wire.head()
+    assert(new String(row.getAs[Array[Byte]]("key"), "UTF-8") === "7")
+    val back = EnvelopeOps.parseTxnEnvelope(
+      EnvelopeOps.decodeJsonEnvelope(
+        wire.select(col("value").cast("string").as("payload"))))
+    assert(back.head().getAs[Long]("txn_id") === 3L)
+  }
+
   test("dead-letter split: good payloads decode, bad payloads kept verbatim") {
     import spark.implicits._
     val good = EnvelopeOps.encodeJsonEnvelope(
