@@ -507,9 +507,14 @@ object SparkEntry {
       graft.text.TrainingPrep.repetitionScore(Tables.documents(s, dir))),
 
     // Decontamination: training docs sharing any 8-gram with the eval
-    // slice, via inverted n-gram index (linear in postings)
-    "q_decontaminate" -> ((s, dir) =>
-      graft.text.TrainingPrep.decontaminate(Tables.documents(s, dir))),
+    // slice (the deterministic doc_id % 50 == 0 sample standing in for a
+    // benchmark suite), via inverted n-gram index (linear in postings)
+    "q_decontaminate" -> ((s, dir) => {
+      val docs = Tables.documents(s, dir)
+      graft.text.TrainingPrep.decontaminate(
+        docs.filter(col("doc_id") % 50 =!= 0),
+        docs.filter(col("doc_id") % 50 === 0))
+    }),
 
     // Quality score: per-doc mean unigram log-probability (perplexity
     // proxy; vocabulary broadcast)

@@ -24,16 +24,22 @@ object Dedup {
       .agg(min("doc_id").as("keep_doc_id"), count(lit(1)).as("n_copies"))
       .select("keep_doc_id", "n_copies")
 
-  /** Word 3-gram shingle set per document (distinct), as (doc_id, shingle)
+  /** The word n-gram array expression over a pre-split `__w` column —
+    * ONE definition of the shingle arithmetic, shared by the dedup
+    * postings, the repetition filter, and decontamination (a bounds or
+    * typing fix here must not have to be repeated elsewhere). */
+  def shingleArray(n: Int): org.apache.spark.sql.Column = expr(
+    s"""CASE WHEN size(__w) >= $n
+       |THEN transform(sequence(0, size(__w) - $n), i -> concat_ws(' ', slice(__w, i + 1, $n)))
+       |ELSE array() END""".stripMargin)
+
+  /** Word n-gram shingle set per document (distinct), as (doc_id, shingle)
     * postings. Documents shorter than `n` words yield no postings. */
   def shingles(documents: DataFrame, n: Int = 3): DataFrame =
     documents
       .select(col("doc_id"), split(col("text"), " ").as("__w"))
       .select(col("doc_id"),
-        explode(array_distinct(expr(
-          s"""CASE WHEN size(__w) >= $n
-             |THEN transform(sequence(0, size(__w) - $n), i -> concat_ws(' ', slice(__w, i + 1, $n)))
-             |ELSE array() END""".stripMargin))).as("shingle"))
+        explode(array_distinct(shingleArray(n))).as("shingle"))
 
   /** Exact pairwise n-gram Jaccard >= `threshold` via inverted index.
     * `maxDocId` bounds the candidate set for the oracle-checked query; the

@@ -153,11 +153,10 @@ object Pipelines {
       .schema("c_custkey BIGINT, c_name STRING, c_nationkey INT, c_acctbal DOUBLE, c_mktsegment STRING")
       .option("pathGlobFilter", glob)
       .parquet(customerDir)
-    val changelog = graft.cdc.DimensionCdc.parseAccountEnvelope(
-      EnvelopeOps.decodeJsonEnvelope(
-        EnvelopeOps.encodeJsonEnvelope(
-          graft.cdc.DimensionCdc.synthesizeAccountEnvelope(raw)),
-        schema = graft.cdc.Schemas.accountEnvelope))
+    // the ONE wire path (synthesize -> encode -> decode -> parse) shared
+    // with the batch KTable — all lazy transforms, so it lifts to the
+    // streaming frame unchanged
+    val changelog = graft.cdc.DimensionCdc.accountChangelog(raw)
       .filter(col("account_id").isNotNull)
     graft.ops.LatestByKey.latestByMaxBy(changelog,
       Seq("account_id"), struct(col("cdc_ts_us")))

@@ -15,6 +15,11 @@ import org.apache.spark.sql.functions._
   */
 object TrainingPrep {
 
+  /** Default split percentages — shared by [[trainValSplit]], its oracle,
+    * and the ScalaCheck properties, so a cut change propagates. */
+  val TrainPct = 90
+  val ValPct = 5
+
   /** Estimated BPE token count: the ceil(chars/4) estimator of
     * [[TextAnalysis.tokenCounts]] floored at 1 — every document occupies
     * at least one token (its EOS/separator) in a packed stream. The floor
@@ -24,6 +29,12 @@ object TrainingPrep {
     * division disagree. */
   def estTokens(text: Column): Column =
     greatest(ceil(length(text) / 4.0).cast("long"), lit(1L))
+
+  /** Pure-Scala twin of [[estTokens]] for property tests and driver-side
+    * sizing math — asserted equal to the Column form in
+    * TrainingPrepSpec (keep the two in lockstep). */
+  def estTokensModel(textLen: Long): Long =
+    math.max(math.ceil(textLen / 4.0).toLong, 1L)
 
   /** GPT-style sequence packing: documents are concatenated per shard (in
     * deterministic doc_id order) into one token stream, which is chunked
@@ -59,8 +70,8 @@ object TrainingPrep {
     * Scan-only, zero shuffle. For adversarial id layouts, pre-mix ids with
     * a bijective hash before the mod; the plain mod keeps the oracle
     * engine-exact here. */
-  def trainValSplit(documents: DataFrame, trainPct: Int = 90,
-      valPct: Int = 5): DataFrame =
+  def trainValSplit(documents: DataFrame, trainPct: Int = TrainPct,
+      valPct: Int = ValPct): DataFrame =
     documents.select(col("doc_id"),
       (col("doc_id") % 100).as("split_key"),
       when(col("doc_id") % 100 < trainPct, "train")
@@ -115,10 +126,7 @@ object TrainingPrep {
   def repetitionScore(documents: DataFrame, n: Int = 3): DataFrame =
     documents
       .select(col("doc_id"), split(col("text"), " ").as("__w"))
-      .select(col("doc_id"), expr(
-        s"""CASE WHEN size(__w) >= $n
-           |THEN transform(sequence(0, size(__w) - $n), i -> concat_ws(' ', slice(__w, i + 1, $n)))
-           |ELSE array() END""".stripMargin).as("__sh"))
+      .select(col("doc_id"), graft.dedup.Dedup.shingleArray(n).as("__sh"))
       .select(col("doc_id"),
         size(col("__sh")).cast("long").as("n_shingles"),
         size(array_distinct(col("__sh"))).cast("long").as("n_distinct"))
@@ -128,21 +136,18 @@ object TrainingPrep {
           .otherwise(lit(0.0))))
 
   /** Benchmark decontamination: training documents sharing any word
-    * `n`-gram with the held-out/eval slice (here the deterministic
-    * `doc_id % 50 == 0` sample standing in for a benchmark suite) are
-    * flagged with their overlap count — the standard n-gram
-    * decontamination pass run before pretraining. Inverted n-gram index
-    * equi-join: linear in postings, never doc×doc. */
-  def decontaminate(documents: DataFrame, n: Int = 8): DataFrame = {
-    def grams(df: DataFrame): DataFrame = df
-      .select(col("doc_id"), split(col("text"), " ").as("__w"))
-      .select(col("doc_id"), explode(array_distinct(expr(
-        s"""CASE WHEN size(__w) >= $n
-           |THEN transform(sequence(0, size(__w) - $n), i -> concat_ws(' ', slice(__w, i + 1, $n)))
-           |ELSE array() END""".stripMargin))).as("gram"))
-    val train = grams(documents.filter(col("doc_id") % 50 =!= 0))
-    val eval_ = grams(documents.filter(col("doc_id") % 50 === 0))
-      .select("gram").distinct()
+    * `n`-gram with the `evalDocs` set (a benchmark suite) are flagged
+    * with their overlap count — the standard n-gram decontamination pass
+    * run before pretraining. Inverted n-gram index equi-join over
+    * [[graft.dedup.Dedup.shingles]] postings: linear in postings, never
+    * doc×doc. (The registered query passes the deterministic
+    * `doc_id % 50 == 0` slice as its stand-in benchmark.) */
+  def decontaminate(trainDocs: DataFrame, evalDocs: DataFrame,
+      n: Int = 8): DataFrame = {
+    val train = graft.dedup.Dedup.shingles(trainDocs, n)
+      .withColumnRenamed("shingle", "gram")
+    val eval_ = graft.dedup.Dedup.shingles(evalDocs, n)
+      .select(col("shingle").as("gram")).distinct()
     train.join(eval_, "gram")
       .groupBy("doc_id")
       .agg(countDistinct(col("gram")).as("n_shared_ngrams"))
@@ -162,7 +167,9 @@ object TrainingPrep {
     val terms = documents
       .select(col("doc_id"), explode(split(col("text"), " ")).as("term"))
     val vocab = terms.groupBy("term").agg(count(lit(1)).as("term_n"))
-    val total = terms.select(count(lit(1)).as("total_n"))
+    // total token count derived from the vocabulary-sized aggregate — not
+    // a second scan+explode of the full corpus
+    val total = vocab.agg(sum(col("term_n")).as("total_n"))
     terms
       .join(broadcast(vocab), "term")
       .crossJoin(broadcast(total))

@@ -50,15 +50,16 @@ object ConversionProps extends Properties("conversions") {
     }
 }
 
-/** Pure-model properties of the training-prep arithmetic (the Spark
-  * implementations are oracle-verified end to end; these pin the MATH the
-  * operators and their oracles share — packing contiguity, split
-  * partitioning — for all inputs, not just corpus values). */
+/** Properties of the training-prep arithmetic, driven by the PRODUCTION
+  * constants and the production pure-model estimator
+  * (`TrainingPrep.estTokensModel`, asserted equal to the Column form in
+  * TrainingPrepSpec) — a cut or estimator change in the operator flows
+  * into these properties rather than past them. */
 object TrainingPrepProps extends Properties("training-prep") {
+  import graft.text.TrainingPrep
 
   private val MaxTokens = 256L
-  private def estTokens(len: Int): Long =
-    math.max(math.ceil(len / 4.0).toLong, 1L)
+  private def estTokens(len: Int): Long = TrainingPrep.estTokensModel(len)
 
   property("packing: per-shard streams are contiguous, gap-free, EOS-floored") =
     forAll(Gen.listOf(Gen.chooseNum(0, 2000))) { lens =>
@@ -87,17 +88,20 @@ object TrainingPrepProps extends Properties("training-prep") {
       }
     }
 
-  property("split: every id lands in exactly one bucket with 90/5/5 cuts") =
+  property("split: every id lands in exactly one production-cut bucket") =
     forAll(Gen.chooseNum(0L, Long.MaxValue - 1)) { id =>
       val k = id % 100
-      val buckets = Seq(k < 90, k >= 90 && k < 95, k >= 95)
-      buckets.count(identity) == 1
+      val t = TrainingPrep.TrainPct
+      val v = TrainingPrep.ValPct
+      Seq(k < t, k >= t && k < t + v, k >= t + v).count(identity) == 1
     }
 
-  property("split: a full residue cycle yields exactly 90/5/5") = {
+  property("split: a full residue cycle matches the production percentages") = {
     val ks = (0L until 100L)
-    ks.count(_ < 90) == 90 &&
-      ks.count(k => k >= 90 && k < 95) == 5 &&
-      ks.count(_ >= 95) == 5
+    val t = TrainingPrep.TrainPct
+    val v = TrainingPrep.ValPct
+    ks.count(_ < t) == t &&
+      ks.count(k => k >= t && k < t + v) == v &&
+      ks.count(_ >= t + v) == 100 - t - v
   }
 }

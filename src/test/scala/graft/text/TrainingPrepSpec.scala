@@ -63,6 +63,15 @@ class TrainingPrepSpec extends SparkSpecBase {
     assert(row.getAs[Long]("n_test") === 1L)
   }
 
+  test("estTokens Column form == estTokensModel pure twin for all small lengths") {
+    val d = (0 to 60).map(n => (n.toLong, "x" * n)).toDF("doc_id", "text")
+    val got = d.select(col("doc_id"), TrainingPrep.estTokens(col("text")).as("t"))
+      .as[(Long, Long)].collect().toMap
+    (0 to 60).foreach { n =>
+      assert(got(n.toLong) === TrainingPrep.estTokensModel(n.toLong), s"len $n")
+    }
+  }
+
   test("repetition score: boilerplate scores high, prose scores zero") {
     val loop = Seq.fill(10)("buy now cheap").mkString(" ")     // repeated trigram
     val prose = (1 to 30).map(i => s"w$i").mkString(" ")       // all distinct
@@ -76,13 +85,13 @@ class TrainingPrepSpec extends SparkSpecBase {
   test("decontamination flags only docs sharing an 8-gram with the eval slice") {
     val leaked = (1 to 12).map(i => s"bench$i").mkString(" ")
     val clean = (1 to 12).map(i => s"own$i").mkString(" ")
-    // doc 50 is the eval slice (50 % 50 == 0); doc 1 contains its 8-grams
+    // doc 1 contains the benchmark doc's 8-grams; doc 2 shares none
     val got = TrainingPrep.decontaminate(
-        docs((50L, leaked), (1L, leaked + " extra"), (2L, clean)))
+        docs((1L, leaked + " extra"), (2L, clean)),
+        docs((50L, leaked)))
       .as[(Long, Long)].collect().toMap
     assert(got.contains(1L) && got(1L) >= 5L)
     assert(!got.contains(2L))
-    assert(!got.contains(50L)) // the eval doc itself is not a training row
   }
 
   test("unigram logprob: rare-token docs score lower than common-token docs") {
