@@ -521,6 +521,14 @@ object SparkEntry {
     "q_unigram_logprob" -> ((s, dir) =>
       graft.text.TrainingPrep.unigramLogProb(Tables.documents(s, dir))),
 
+    // Chunking: overlapping windows (RAG/embedding-index layout)
+    "q_doc_chunks" -> ((s, dir) =>
+      graft.text.TrainingPrep.chunkDocs(Tables.documents(s, dir))),
+
+    // Data mixing: per-language document cap (deterministic order)
+    "q_lang_cap" -> ((s, dir) =>
+      graft.text.TrainingPrep.langCap(Tables.documents(s, dir))),
+
     // Training prep: adaptive gate at the exact corpus median token count
     "q_token_gate_adaptive" -> ((s, dir) =>
       graft.text.TrainingPrep.adaptiveTokenGate(Tables.documents(s, dir))),
@@ -1242,6 +1250,31 @@ object SparkEntry {
         |  CAST(sum(lp_micro) AS BIGINT) AS sum_lp_micro,
         |  sum(lp_micro) / (count(*) * 1e6) AS mean_logprob
         |FROM lp GROUP BY 1""".stripMargin,
+
+    "q_doc_chunks" ->
+      """WITH c AS (
+        |  SELECT doc_id, text,
+        |         unnest(generate_series(0, CAST(ceil(greatest(length(text) - 64, 0) / 48.0) AS INT))) AS i
+        |  FROM documents
+        |)
+        |SELECT doc_id,
+        |  CAST(i AS BIGINT) AS chunk_idx,
+        |  CAST(i * 48 AS BIGINT) AS chunk_start,
+        |  substring(text, i * 48 + 1, 64) AS chunk,
+        |  CAST(length(substring(text, i * 48 + 1, 64)) AS BIGINT) AS chunk_len
+        |FROM c""".stripMargin,
+
+    "q_lang_cap" ->
+      s"""WITH d AS (SELECT doc_id, string_split(text, ' ') AS w FROM documents),
+         |lang AS (
+         |  SELECT doc_id, $sqlLangPred AS pred_lang
+         |  FROM (SELECT doc_id, $sqlLangScores FROM d)
+         |), ranked AS (
+         |  SELECT doc_id, pred_lang,
+         |    CAST(row_number() OVER (PARTITION BY pred_lang ORDER BY doc_id) AS BIGINT) AS lang_rank
+         |  FROM lang
+         |)
+         |SELECT doc_id, pred_lang, lang_rank FROM ranked WHERE lang_rank <= 50""".stripMargin,
 
     "q_token_gate_adaptive" ->
       """WITH t AS (SELECT doc_id, CAST(len(string_split(text, ' ')) AS BIGINT) AS n_tokens FROM documents),

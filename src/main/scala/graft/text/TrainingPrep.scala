@@ -184,6 +184,37 @@ object TrainingPrep {
       .select("doc_id", "n_tokens", "sum_lp_micro", "mean_logprob")
   }
 
+  /** Overlapping document chunking (the RAG/embedding-index layout, as
+    * opposed to [[packSequences]]' disjoint pretraining chunks): windows
+    * of `size` chars starting every `stride` chars, so consecutive
+    * chunks overlap by `size - stride`. Pure scan + a controlled 1→N
+    * explode; chunk count per doc is ceil(max(len - size, 0) / stride)
+    * + 1 (one chunk even for short docs, tail chunk may run short). */
+  def chunkDocs(documents: DataFrame, size: Int = 64,
+      stride: Int = 48): DataFrame =
+    documents
+      .select(col("doc_id"), col("text"),
+        explode(sequence(lit(0),
+          expr(s"cast(ceil(greatest(length(text) - $size, 0) / ${stride}.0) as int)")))
+          .as("chunk_idx"))
+      .select(col("doc_id"), col("chunk_idx").cast("long").as("chunk_idx"),
+        (col("chunk_idx") * stride).cast("long").as("chunk_start"),
+        expr(s"substring(text, chunk_idx * $stride + 1, $size)").as("chunk"))
+      .withColumn("chunk_len", length(col("chunk")).cast("long"))
+
+  /** Per-language cap — the data-mixing primitive: keep at most `cap`
+    * documents per predicted language (deterministic doc_id order), so a
+    * dominant language cannot swamp the mixture. One partitioned window
+    * over the language-ID output; at 100 TB the cap runs per partition
+    * key, never globally. */
+  def langCap(documents: DataFrame, cap: Int = 50): DataFrame = {
+    val w = Window.partitionBy(col("pred_lang")).orderBy(col("doc_id"))
+    TextAnalysis.langId(documents)
+      .select(col("doc_id"), col("pred_lang"))
+      .withColumn("lang_rank", row_number().over(w).cast("long"))
+      .filter(col("lang_rank") <= cap)
+  }
+
   /** TF-IDF top-`k` terms per document over whitespace tokens:
     * tf = term count in doc, df = #docs containing the term,
     * idf = ln((N+1)/(df+1)) (add-one smoothed), score = tf*idf truncated

@@ -103,6 +103,26 @@ class TrainingPrepSpec extends SparkSpecBase {
     assert(got.values.forall(_ < 0.0))
   }
 
+  test("chunking: overlapping windows cover the doc, tail runs short") {
+    val text = "a" * 100 // size 64, stride 48 -> chunks at 0 and 48
+    val got = TrainingPrep.chunkDocs(docs((1L, text)))
+      .select("chunk_idx", "chunk_start", "chunk_len")
+      .as[(Long, Long, Long)].collect().sortBy(_._1)
+    assert(got.toSeq === Seq((0L, 0L, 64L), (1L, 48L, 52L)))
+    // short doc: exactly one chunk
+    val one = TrainingPrep.chunkDocs(docs((2L, "short")))
+      .select("chunk_len").as[Long].collect()
+    assert(one.toSeq === Seq(5L))
+  }
+
+  test("language cap keeps at most N docs per language in doc_id order") {
+    val en = "the cat and the dog is in the house of the king"
+    val d = docs((1 to 6).map(i => (i.toLong, en)): _*)
+    val got = TrainingPrep.langCap(d, cap = 4)
+      .select("doc_id").as[Long].collect().sorted
+    assert(got.toSeq === Seq(1L, 2L, 3L, 4L)) // deterministic first-4
+  }
+
   test("tfidf: a doc's distinctive term outranks corpus-wide terms") {
     val d = docs(
       (1L, "the cat sat"),
