@@ -1,0 +1,64 @@
+package graft.streaming
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.streaming.StreamingQuery
+
+import graft.{GraftConfig, GraftSession, Tables}
+
+/** Application entrypoint — the analog of the reference's `main()`
+  * (`ABBankStreamProcessorApplication.java`: load config, build the
+  * topology, start, await). One shared parsed CDC stream fans into the
+  * five pipelines, each owning its sink and (for the stateful ones) its
+  * state store; thresholds come from [[GraftConfig]] (spark conf >
+  * `ABBANK_*` env vars > oracle-verified defaults).
+  *
+  * Sinks are parquet directories under `outBase` (swap for
+  * `format("kafka")` + [[graft.cdc.EnvelopeOps.kafkaWireFormat]] when the
+  * connector jar is present); each query checkpoints under
+  * `outBase/_checkpoints/<name>` so a restart resumes exactly where it
+  * stopped (RecoverySpec proves the state recovery path).
+  *
+  * Run: `spark-submit --class graft.streaming.GraftApp <jar> <srcDir> <outBase>`
+  */
+object GraftApp {
+
+  /** Start all five pipelines; returns the running queries (callers —
+    * and tests — control their lifecycle). */
+  def start(spark: SparkSession, srcDir: String, outBase: String): Seq[StreamingQuery] = {
+    val cfg = GraftConfig.load(spark)
+    val parsed = Pipelines.parsedStream(spark, srcDir)
+    val customerDim = Tables.customer(spark, srcDir)
+
+    def sink(df: DataFrame, name: String, mode: String = "append"): StreamingQuery =
+      df.writeStream
+        .outputMode(mode)
+        .option("checkpointLocation", s"$outBase/_checkpoints/$name")
+        .format("parquet")
+        .option("path", s"$outBase/$name")
+        .queryName(name)
+        .start()
+
+    Seq(
+      // 1: high-value alerts against the CDC-built accounts KTable
+      sink(Pipelines.highValueCdcEnriched(parsed, customerDim,
+        cfg.highValueThreshold), "high_value_alerts"),
+      // 2: velocity fraud (windowed count; append emits on window close)
+      sink(Pipelines.velocityAlerts(parsed, cfg.velocityWindowSec,
+        cfg.velocityMinTxns), "fraud_alerts"),
+      // 3: balance reconciliation (flatMapGroupsWithState)
+      sink(Pipelines.reconcileAlerts(spark, parsed).toDF(), "balance_updates"),
+      // 4: dormancy sessions (append on session close)
+      sink(Pipelines.dormancyAlerts(parsed, cfg.dormancyGap), "dormancy_alerts"),
+      // 5: daily spend (24h tumbling)
+      sink(Pipelines.dailySpendAlerts(parsed, cfg.dailySpendAlert), "daily_spend"))
+  }
+
+  def main(args: Array[String]): Unit = {
+    val srcDir = args.headOption.getOrElse("/root/testdata/sf0.001")
+    val outBase = args.lift(1).getOrElse("/tmp/graft_app_out")
+    val spark = GraftSession.create(appName = "graft-app")
+    val queries = start(spark, srcDir, outBase)
+    queries.foreach(_.processAllAvailable())
+    spark.streams.awaitAnyTermination()
+  }
+}

@@ -1,0 +1,41 @@
+package graft.streaming
+
+import java.nio.file.Files
+
+import graft.SparkSpecBase
+
+/** The application entrypoint must bring up all five pipelines from
+  * config and land output in every sink (the reference's `main()`
+  * smoke path). */
+class GraftAppSpec extends SparkSpecBase {
+
+  test("GraftApp starts all five pipelines and every sink receives output") {
+    val outBase = Files.createTempDirectory("graft_app").toString
+    val queries = GraftApp.start(spark, sf0001, outBase)
+    try {
+      queries.foreach(_.processAllAvailable())
+    } finally queries.foreach(_.stop())
+
+    // stateless + stateful-complete sinks land rows from the single batch;
+    // the windowed append-mode sinks (fraud/dormancy/daily) legitimately
+    // hold rows back until the watermark closes their windows — a single
+    // static batch never closes them, so assert directory creation there
+    val mustHaveRows = Seq("high_value_alerts", "balance_updates")
+    mustHaveRows.foreach { n =>
+      assert(spark.read.parquet(s"$outBase/$n").count() > 0, n)
+    }
+    val allSinks = Seq("high_value_alerts", "fraud_alerts", "balance_updates",
+      "dormancy_alerts", "daily_spend")
+    allSinks.foreach { n =>
+      assert(new java.io.File(s"$outBase/$n").exists(), s"sink dir $n")
+      assert(new java.io.File(s"$outBase/_checkpoints/$n").exists(), s"ckpt $n")
+    }
+
+    // thresholds came from GraftConfig defaults == the oracle-verified
+    // batch constants, so the high-value sink matches the batch query
+    val hv = spark.read.parquet(s"$outBase/high_value_alerts").collect().toSet
+    val want = graft.SparkEntry.queries("q_enrich_cdc_dim")(spark, sf0001)
+      .collect().toSet
+    assert(hv === want)
+  }
+}
