@@ -373,6 +373,52 @@ object SparkEntry {
         ).as("notification"))
     }),
 
+    // General analytics over the star schema's big tables (lineitem is
+    // the table the bench SF is sized by): TPC-H Q1-shaped pricing
+    // summary. Money aggregates run in DECIMAL — exact and
+    // order-independent, so engines agree regardless of partitioning —
+    // and cast to double once at the end
+    "q_pricing_summary" -> ((s, dir) => {
+      val li = Tables.table(s, dir, "lineitem")
+        .filter(col("l_shipdate") <= lit("2001-09-01"))
+      val ext = col("l_extendedprice").cast("decimal(18,2)")
+      val one = lit(1).cast("decimal(4,2)")
+      val disc = col("l_discount").cast("decimal(4,2)")
+      val tax = col("l_tax").cast("decimal(4,2)")
+      li.groupBy("l_returnflag", "l_linestatus")
+        .agg(
+          sum(col("l_quantity")).as("sum_qty"), // whole-number doubles: exact
+          sum(ext).cast("double").as("sum_base_price"),
+          sum(ext * (one - disc)).cast("double").as("sum_disc_price"),
+          sum(ext * (one - disc) * (one + tax)).cast("double").as("sum_charge"),
+          count(lit(1)).as("count_order"))
+        .withColumn("avg_qty", col("sum_qty") / col("count_order"))
+    }),
+
+    // TPC-H Q3-shaped shipping priority: selective dimension filter,
+    // two joins, decimal-exact revenue, TakeOrderedAndProject top-10
+    "q_ship_priority" -> ((s, dir) => {
+      val cust = Tables.customer(s, dir)
+        .filter(col("c_mktsegment") === "BUILDING")
+      val ord = Tables.table(s, dir, "orders")
+        .filter(col("o_orderdate") < lit("2000-03-15"))
+      val li = Tables.table(s, dir, "lineitem")
+        .filter(col("l_shipdate") > lit("2000-03-15"))
+      val rev = col("l_extendedprice").cast("decimal(18,2)") *
+        (lit(1).cast("decimal(4,2)") - col("l_discount").cast("decimal(4,2)"))
+      li.join(ord, col("l_orderkey") === col("o_orderkey"))
+        .join(broadcast(cust), col("o_custkey") === col("c_custkey"))
+        .groupBy(col("l_orderkey"), col("o_orderdate"), col("o_orderpriority"))
+        .agg(sum(rev).cast("double").as("revenue"))
+        .select(col("l_orderkey").as("orderkey"),
+          // parquet timestamp[ms] arrives as TIMESTAMP_NTZ; the session
+          // is pinned UTC so the cast is wall-clock-identity
+          unix_millis(col("o_orderdate").cast("timestamp")).as("orderdate_ms"),
+          col("o_orderpriority").as("orderpriority"), col("revenue"))
+        .orderBy(col("revenue").desc, col("orderkey"))
+        .limit(10)
+    }),
+
     // ---- LLM-data-pipeline extensions (SURVEY §7.2 step 8) -----------------
 
     // Text analysis: stopword-profile language ID (argmax w/ fixed tiebreak)
@@ -1111,6 +1157,31 @@ object SparkEntry {
          |    || '","discrepancyAmount":"' || CAST(discrepancy AS VARCHAR)
          |    || '","hasDiscrepancy":"true"}}' AS notification
          |FROM alerts""".stripMargin),
+
+    "q_pricing_summary" ->
+      """SELECT l_returnflag, l_linestatus,
+        |  sum(l_quantity) AS sum_qty,
+        |  CAST(sum(CAST(l_extendedprice AS DECIMAL(18,2))) AS DOUBLE) AS sum_base_price,
+        |  CAST(sum(CAST(l_extendedprice AS DECIMAL(18,2)) * (CAST(1 AS DECIMAL(4,2)) - CAST(l_discount AS DECIMAL(4,2)))) AS DOUBLE) AS sum_disc_price,
+        |  CAST(sum(CAST(l_extendedprice AS DECIMAL(18,2)) * (CAST(1 AS DECIMAL(4,2)) - CAST(l_discount AS DECIMAL(4,2))) * (CAST(1 AS DECIMAL(4,2)) + CAST(l_tax AS DECIMAL(4,2)))) AS DOUBLE) AS sum_charge,
+        |  CAST(count(*) AS BIGINT) AS count_order,
+        |  sum(l_quantity) / count(*) AS avg_qty
+        |FROM lineitem WHERE l_shipdate <= TIMESTAMP '2001-09-01'
+        |GROUP BY 1, 2""".stripMargin,
+
+    "q_ship_priority" ->
+      """SELECT l_orderkey AS orderkey,
+        |  epoch_ms(o_orderdate) AS orderdate_ms,
+        |  o_orderpriority AS orderpriority,
+        |  CAST(sum(CAST(l_extendedprice AS DECIMAL(18,2)) * (CAST(1 AS DECIMAL(4,2)) - CAST(l_discount AS DECIMAL(4,2)))) AS DOUBLE) AS revenue
+        |FROM lineitem
+        |JOIN orders ON l_orderkey = o_orderkey
+        |JOIN customer ON o_custkey = c_custkey
+        |WHERE c_mktsegment = 'BUILDING'
+        |  AND o_orderdate < TIMESTAMP '2000-03-15'
+        |  AND l_shipdate > TIMESTAMP '2000-03-15'
+        |GROUP BY 1, 2, 3
+        |ORDER BY revenue DESC, orderkey LIMIT 10""".stripMargin,
 
     "q_text_langid" ->
       s"""WITH d AS (SELECT doc_id, string_split(text, ' ') AS w FROM documents),
