@@ -1380,8 +1380,8 @@ object SparkEntry {
         |         greatest(CAST(ceil(length(text) / 4.0) AS BIGINT), 1) AS n_tokens
         |  FROM documents
         |), o AS (
-        |  SELECT *, sum(n_tokens) OVER (PARTITION BY shard ORDER BY doc_id
-        |                                ROWS UNBOUNDED PRECEDING) AS end_offset
+        |  SELECT *, CAST(sum(n_tokens) OVER (PARTITION BY shard ORDER BY doc_id
+        |                                     ROWS UNBOUNDED PRECEDING) AS BIGINT) AS end_offset
         |  FROM d
         |)
         |SELECT doc_id, shard, n_tokens,
