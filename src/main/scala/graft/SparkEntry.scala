@@ -431,14 +431,14 @@ object SparkEntry {
     "q_token_count" -> ((s, dir) => TextAnalysis.tokenCounts(Tables.documents(s, dir))),
 
     // Text analysis: FNV-1a64 fingerprints via custom codegen'd Expression
-    // (engine-defined hash — property-tested, no SQL oracle)
+    // — oracle replays the hash in SQL (HUGEINT mod-2^64, see SqlHash)
     "q_doc_fingerprint" -> ((s, dir) => {
       GraftFunctions.register(s)
       TextAnalysis.fingerprints(Tables.documents(s, dir))
     }),
 
     // Text analysis: winnowed rolling-hash fingerprints (custom codegen'd
-    // Expression; engine-defined — property-tested, no SQL oracle)
+    // Expression) — oracle replays the polynomial hash + window minima
     "q_doc_winnow" -> ((s, dir) => {
       GraftFunctions.register(s)
       TextAnalysis.winnowFingerprints(Tables.documents(s, dir))
@@ -495,6 +495,15 @@ object SparkEntry {
     // Dedup: SimHash bit-vote fingerprints + chunk-bucketed hamming pairs
     // (engine-defined hash — property-tested, no SQL oracle)
     "q_dedup_simhash" -> ((s, dir) => MinHashLSH.simhashPairs(Tables.documents(s, dir))),
+
+    // Dedup: SimHash composition with exact verification — 8x8-chunk
+    // hamming candidates, exact Jaccard ONLY for candidates; equals the
+    // exhaustive answer under the hamming-radius precondition asserted in
+    // SimhashVerifiedSpec (see MinHashLSH.verifiedSimhashPairs doc)
+    "q_dedup_simhash_verified" -> ((s, dir) =>
+      MinHashLSH.verifiedSimhashPairs(
+        Tables.documents(s, dir).filter(col("doc_id") < JaccardMaxDocId),
+        MinhashVerifyThreshold)),
 
     // Dedup: embedding-cosine near-dup pairs — banded sign-LSH candidates
     // (equi-join, no cross product) + exact cosine verify; the DuckDB
@@ -766,6 +775,32 @@ object SparkEntry {
       s"WHEN $others THEN '$l'"
     }.mkString(" ")
     s"CASE $arms ELSE 'zh' END"
+  }
+
+  /** DuckDB reimplementation of the engine-side 64-bit hash kernels, built
+    * from HUGEINT mod-2^64 arithmetic so the "engine-defined" fingerprint
+    * queries get REAL cross-engine oracles instead of rows-only checks.
+    * Byte access is `ord(substr(s, i, 1))`, which equals the UTF-8 byte the
+    * Spark kernels hash because the shipped corpora are pure ASCII (the
+    * Spark side is byte-correct for any input; only the ORACLE needs the
+    * ASCII precondition). */
+  private object SqlHash {
+    /** Unsigned 2^64 wrap-around constants. */
+    val U64 = "18446744073709551616::HUGEINT"
+    val I64Min = "9223372036854775808::HUGEINT"
+
+    /** Unsigned HUGEINT -> signed BIGINT (two's complement). */
+    def toSigned(h: String): String =
+      s"CAST(CASE WHEN ($h) >= $I64Min THEN ($h) - $U64 ELSE ($h) END AS BIGINT)"
+
+    /** FNV-1a 64 over the bytes of string expression `s` (ASCII oracle
+      * twin of [[graft.functions.Fnv1a64Helper]]); lambda vars must be
+      * unique per inlining site. */
+    def fnv1a64(s: String, acc: String, b: String): String =
+      s"""list_reduce(
+         |  list_prepend(14695981039346656037::HUGEINT,
+         |    list_transform(range(1, length($s)+1), __fi -> ord(substr($s, __fi, 1))::HUGEINT)),
+         |  ($acc, $b) -> (($acc // 256 * 256 + xor(($acc % 256)::BIGINT, $b::BIGINT)::HUGEINT) * 1099511628211::HUGEINT) % $U64)""".stripMargin
   }
 
   /** DuckDB CTEs for the bounded exact n-gram Jaccard pairs, shared by the
@@ -1216,6 +1251,47 @@ object SparkEntry {
         |  CAST(ceil(length(text) / 4.0) AS BIGINT) AS est_bpe_tokens
         |FROM documents""".stripMargin,
 
+    // the custom Fnv1a64 Catalyst expression replayed in SQL: HUGEINT
+    // mod-2^64 fold over the bytes (ord == UTF-8 byte on the ASCII corpus)
+    "q_doc_fingerprint" ->
+      s"""SELECT doc_id,
+         |  ${SqlHash.toSigned(SqlHash.fnv1a64("text", "__a", "__b"))} AS doc_fp,
+         |  list_min(list_transform(string_split(text, ' '),
+         |    __w -> ${SqlHash.toSigned(SqlHash.fnv1a64("__w", "__a2", "__b2"))})) AS min_token_fp
+         |FROM documents""".stripMargin,
+
+    // the Winnow expression replayed in SQL. The k-gram hash is the plain
+    // base-257 polynomial mod 2^64 (the Scala kernel's rolling update is
+    // an optimization of the same value), and the winnowed VALUE set is
+    // exactly the distinct sliding-window minima — the rightmost-tie rule
+    // picks positions, never changes the selected value — compared as
+    // SIGNED longs on both sides
+    "q_doc_winnow" -> {
+      val k = 8; val w = 16
+      val gram = s"""list_reduce(
+         |      list_prepend(0::HUGEINT,
+         |        list_transform(range(__i, __i + $k), __j -> ord(substr(text, __j, 1))::HUGEINT)),
+         |      (__a, __b) -> (__a * 257::HUGEINT + __b) % ${SqlHash.U64})""".stripMargin
+      s"""WITH h AS (
+         |  SELECT doc_id, length(text) - $k + 1 AS m,
+         |    CASE WHEN length(text) >= $k
+         |      THEN list_transform(range(1, length(text) - $k + 2), __i -> ${SqlHash.toSigned(gram)})
+         |      ELSE [] END AS hs
+         |  FROM documents
+         |), sel AS (
+         |  SELECT doc_id,
+         |    CASE WHEN m < 1 THEN []
+         |         WHEN m <= $w THEN [list_min(hs)]
+         |         ELSE list_distinct(list_transform(range(1, m - $w + 2),
+         |                __s -> list_min(list_slice(hs, __s, __s + $w - 1)))) END AS fps
+         |  FROM h
+         |)
+         |SELECT doc_id, CAST(len(fps) AS BIGINT) AS n_fps, list_min(fps) AS fp_min,
+         |  CASE WHEN len(fps) = 0 THEN 0
+         |       ELSE list_reduce(list_prepend(0::BIGINT, fps), (__a, __b) -> xor(__a, __b)) END AS fp_xor
+         |FROM sel""".stripMargin
+    },
+
     "q_dedup_exact" ->
       """SELECT min(doc_id) AS keep_doc_id, CAST(count(*) AS BIGINT) AS n_copies
         |FROM documents GROUP BY lower(trim(text))""".stripMargin,
@@ -1227,6 +1303,14 @@ object SparkEntry {
     // the 0.8 cut sits above the banding S-curve, so candidate recall is
     // ~1 and candidates ∩ exact-verify == the exhaustive exact answer
     "q_dedup_minhash_verified" ->
+      (sqlJaccardCtesAt(MinhashVerifyThreshold) + s"""
+         |SELECT doc_a, doc_b, n_inter, jaccard FROM jpairs""".stripMargin),
+
+    // same exhaustive ground truth as minhash_verified: the candidate
+    // stages differ (simhash hamming vs banding) but both compositions
+    // retain every >= 0.8 pair on this corpus, so both equal the
+    // exhaustive exact-Jaccard answer
+    "q_dedup_simhash_verified" ->
       (sqlJaccardCtesAt(MinhashVerifyThreshold) + s"""
          |SELECT doc_a, doc_b, n_inter, jaccard FROM jpairs""".stripMargin),
 

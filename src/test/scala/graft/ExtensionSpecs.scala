@@ -160,6 +160,31 @@ class DedupSpec extends SparkSpecBase {
     assert(pairs.toSeq === Seq((1L, 2L, 0)))
   }
 
+  test("verified simhash == exhaustive exact pairs; hamming precondition holds") {
+    import org.apache.spark.sql.functions.{col, expr, max => smax}
+    val bounded = Tables.documents(spark, sf0001)
+      .filter(col("doc_id") < SparkEntry.JaccardMaxDocId)
+    val exact = Dedup.ngramJaccardPairs(Tables.documents(spark, sf0001),
+      SparkEntry.MinhashVerifyThreshold, SparkEntry.JaccardMaxDocId)
+    // precondition for the oracle equality: every exact pair at the
+    // threshold sits within the 8-chunk guaranteed hamming radius (7);
+    // corpus drift breaks THIS assertion, not the silent equality
+    val sh = MinHashLSH.simhash(bounded)
+    val worst = exact
+      .join(sh.select(col("doc_id").as("doc_a"), col("simhash").as("sh_a")), "doc_a")
+      .join(sh.select(col("doc_id").as("doc_b"), col("simhash").as("sh_b")), "doc_b")
+      .agg(smax(expr("bit_count(sh_a ^ sh_b)"))).as[Int].head()
+    assert(worst <= 7, s"exact pair beyond hamming radius: $worst")
+
+    val v = MinHashLSH.verifiedSimhashPairs(bounded, SparkEntry.MinhashVerifyThreshold)
+      .select("doc_a", "doc_b", "n_inter", "jaccard")
+      .as[(Long, Long, Long, Double)].collect().toSet
+    val e = exact.select("doc_a", "doc_b", "n_inter", "jaccard")
+      .as[(Long, Long, Long, Double)].collect().toSet
+    assert(v === e)
+    assert(e.nonEmpty)
+  }
+
   test("embedding near-dup finds the planted duplicate vector") {
     val v = Array.tabulate(8)(i => (i + 1).toFloat)
     val w = Array.tabulate(8)(i => -(i + 1).toFloat)
