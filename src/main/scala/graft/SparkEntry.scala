@@ -451,8 +451,8 @@ object SparkEntry {
     "q_dedup_ngram_jaccard" -> ((s, dir) =>
       Dedup.ngramJaccardPairs(Tables.documents(s, dir), JaccardThreshold, JaccardMaxDocId)),
 
-    // Dedup: MinHash signatures + LSH banding candidates (engine-defined
-    // hash — property-tested, no SQL oracle)
+    // Dedup: MinHash signatures + LSH banding candidates — oracle replays
+    // murmur3, the perms, and the xxhash64 band buckets in SQL
     "q_dedup_minhash" -> ((s, dir) =>
       MinHashLSH.candidatePairs(Tables.documents(s, dir), MinhashEstThreshold)),
 
@@ -467,7 +467,7 @@ object SparkEntry {
         MinhashVerifyThreshold)),
 
     // Dedup: winnow-fingerprint containment candidates (substring reuse
-    // that size-skewed Jaccard misses; engine-defined hash, rows-only)
+    // that size-skewed Jaccard misses) — oracle replays the winnow hash
     "q_dedup_containment" -> ((s, dir) => {
       GraftFunctions.register(s)
       MinHashLSH.winnowContainmentPairs(Tables.documents(s, dir), minShared = 5)
@@ -493,7 +493,7 @@ object SparkEntry {
         Dedup.ngramJaccardPairs(Tables.documents(s, dir), JaccardThreshold, JaccardMaxDocId))),
 
     // Dedup: SimHash bit-vote fingerprints + chunk-bucketed hamming pairs
-    // (engine-defined hash — property-tested, no SQL oracle)
+    // — oracle replays per-word xxhash64 and the bit votes in SQL
     "q_dedup_simhash" -> ((s, dir) => MinHashLSH.simhashPairs(Tables.documents(s, dir))),
 
     // Dedup: SimHash composition with exact verification — 8x8-chunk
@@ -517,13 +517,18 @@ object SparkEntry {
     "q_sim_bruteforce_topk" -> ((s, dir) =>
       Similarity.bruteForceTopK(Tables.embeddings(s, dir), SimNumQueries, SimTopK)),
 
-    // Similarity: IVF-style pruned ANN (recall-tested vs brute force)
+    // Similarity: IVF-style pruned ANN (recall-tested vs brute force).
+    // The ONE remaining query with no SQL oracle, irreducibly: k-means
+    // centroids are floating-point MEANS, and avg() over a shuffled group
+    // is summation-order-dependent — no cross-engine bit equality exists
+    // to assert (every hash-defined query is replayed in SQL instead)
     "q_sim_ivf_topk" -> ((s, dir) =>
       Similarity.ivfTopK(Tables.embeddings(s, dir), SimNumQueries, SimTopK)),
 
     // Similarity: sign-random-projection LSH with multi-probe (training-
     // free scale path; recall-tested vs brute force — on this near-
-    // orthogonal corpus IVF prunes better, see Scaladoc)
+    // orthogonal corpus IVF prunes better, see Scaladoc). Oracle replays
+    // the whole path in SQL, xxhash64 hyperplanes included
     "q_sim_lsh_topk" -> ((s, dir) =>
       Similarity.lshTopK(Tables.embeddings(s, dir), SimNumQueries, SimTopK)),
 
@@ -801,6 +806,172 @@ object SparkEntry {
          |  list_prepend(14695981039346656037::HUGEINT,
          |    list_transform(range(1, length($s)+1), __fi -> ord(substr($s, __fi, 1))::HUGEINT)),
          |  ($acc, $b) -> (($acc // 256 * 256 + xor(($acc % 256)::BIGINT, $b::BIGINT)::HUGEINT) * 1099511628211::HUGEINT) % $U64)""".stripMargin
+
+    /** Signed BIGINT -> unsigned HUGEINT in [0, 2^64). */
+    def toUnsigned(x: String): String =
+      s"(CASE WHEN ($x) < 0 THEN ($x)::HUGEINT + $U64 ELSE ($x)::HUGEINT END)"
+
+    /** Bitwise xor of two unsigned-represented 64-bit values (via the
+      * two's-complement BIGINT round trip — same bits). */
+    def uxor(a: String, b: String): String =
+      toUnsigned(s"xor(${toSigned(a)}, ${toSigned(b)})")
+
+    /** (a * c) mod 2^64 for unsigned `a` < 2^64 and a 64-bit constant.
+      * A direct product can reach 2^128 and overflow signed INT128, so
+      * the constant is split into 32-bit halves: a*c = a*c0 + (a*c1
+      * mod 2^32)*2^32 (mod 2^64), keeping every intermediate < 2^97. */
+    def umul(a: String, c: BigInt): String = {
+      val c0 = c & 0xffffffffL
+      val c1 = c >> 32
+      if (c1 == 0) s"((($a) * $c0::HUGEINT) % $U64)"
+      else s"(((($a) * $c0::HUGEINT) + (((($a) * $c1::HUGEINT) % 4294967296::HUGEINT) * 4294967296::HUGEINT)) % $U64)"
+    }
+
+    def shr(a: String, n: Int): String =
+      s"(($a) // ${BigInt(2).pow(n)}::HUGEINT)"
+
+    /** 64-bit rotate-left: the two shifted halves occupy disjoint bit
+      * ranges, so their sum equals the bitwise or. */
+    def rotl(a: String, r: Int): String =
+      s"((${umul(a, BigInt(2).pow(r))}) + (($a) // ${BigInt(2).pow(64 - r)}::HUGEINT))"
+
+    val XxP1 = BigInt("11400714785074694791") // 0x9E3779B185EBCA87
+    val XxP2 = BigInt("14029467366897019727") // 0xC2B2AE3D27D4EB4F
+    val XxP3 = BigInt("1609587929392839161")  // 0x165667B19E3779F9
+    val XxP5 = BigInt("2870177450012600261")  // 0x27D4EB2F165667C5
+
+    /** Spark's XXH64.hashInt(input, seed) as a chain of named column
+      * steps (each step references only the previous one, so wrapping
+      * SELECTs keep the expression tree linear instead of exponential).
+      * Verified step-for-step against `xxhash64()` output in tests; for
+      * multi-arg `xxhash64(a, b)` chain two invocations — the first
+      * result is the second's seed. Returns (steps, finalCol). */
+    def xxh64IntSteps(input: String, seed: String, p: String): (Seq[(String, String)], String) = {
+      val steps = Seq(
+        s"${p}1" -> uxor(s"((($seed) + ${XxP5 + 4}::HUGEINT) % $U64)", umul(input, XxP1)),
+        s"${p}2" -> s"((${umul(rotl(s"${p}1", 23), XxP2)} + $XxP3::HUGEINT) % $U64)",
+        s"${p}3" -> uxor(s"${p}2", shr(s"${p}2", 33)),
+        s"${p}4" -> umul(s"${p}3", XxP2),
+        s"${p}5" -> uxor(s"${p}4", shr(s"${p}4", 29)),
+        s"${p}6" -> umul(s"${p}5", XxP3),
+        s"${p}7" -> uxor(s"${p}6", shr(s"${p}6", 32)))
+      (steps, s"${p}7")
+    }
+
+    /** Wrap `inner` in one SELECT per step, adding each column. */
+    def applySteps(inner: String, steps: Seq[(String, String)]): String =
+      steps.foldLeft(inner) { case (q, (c, e)) => s"SELECT *, $e AS $c FROM ($q)" }
+
+    val XxP4 = BigInt("9650029242287828579") // 0x85EBCA77C2B2AE63
+
+    /** Spark's XXH64.hashLong(input, seed) — same shape as
+      * [[xxh64IntSteps]] with the 8-byte mixing constants. */
+    def xxh64LongSteps(input: String, seed: String, p: String): (Seq[(String, String)], String) = {
+      val steps = Seq(
+        s"${p}1" -> uxor(s"((($seed) + ${XxP5 + 8}::HUGEINT) % $U64)",
+          umul(rotl(umul(input, XxP2), 31), XxP1)),
+        s"${p}2" -> s"((${umul(rotl(s"${p}1", 27), XxP1)} + $XxP4::HUGEINT) % $U64)",
+        s"${p}3" -> uxor(s"${p}2", shr(s"${p}2", 33)),
+        s"${p}4" -> umul(s"${p}3", XxP2),
+        s"${p}5" -> uxor(s"${p}4", shr(s"${p}4", 29)),
+        s"${p}6" -> umul(s"${p}5", XxP3),
+        s"${p}7" -> uxor(s"${p}6", shr(s"${p}6", 32)))
+      (steps, s"${p}7")
+    }
+
+    // 32-bit lane (murmur3): values stay in [0, 2^32), so products fit
+    // HUGEINT directly and xor can round-trip through BIGINT unsigned
+    def m32(a: String, c: BigInt): String =
+      s"((($a) * $c::HUGEINT) % 4294967296::HUGEINT)"
+    def rotl32(a: String, r: Int): String =
+      s"((${m32(a, BigInt(2).pow(r))}) + (($a) // ${BigInt(2).pow(32 - r)}::HUGEINT))"
+    def xor32(a: String, b: String): String =
+      s"xor(($a)::BIGINT, ($b)::BIGINT)::HUGEINT"
+
+    /** Spark's Murmur3_x86_32 over the bytes of string column `col`
+      * (seed 42), as one fold + fmix steps: 4-byte little-endian words
+      * and tail bytes go through the identical mixK1+mixH1 round, so one
+      * uniform list_reduce covers both; returns (foldExpr over column
+      * `col` with length column `lenCol`, fmix steps ending in `__mm`). */
+    def murmur3Fold(col: String): String = {
+      val k1 = m32(rotl32(m32("__e", BigInt(3432918353L)), 15), BigInt(461845907))
+      val mixbody = s"(((${rotl32(xor32("__a", k1), 13)}) * 5::HUGEINT + 3864292196::HUGEINT) % 4294967296::HUGEINT)"
+      s"""list_reduce(list_prepend(42::HUGEINT, list_concat(
+         |  list_transform(range(0, length($col) // 4), __j ->
+         |    (ord(substr($col, 4*__j + 1, 1)) + ord(substr($col, 4*__j + 2, 1)) * 256
+         |     + ord(substr($col, 4*__j + 3, 1)) * 65536 + ord(substr($col, 4*__j + 4, 1)) * 16777216)::HUGEINT),
+         |  list_transform(range(length($col) - length($col) % 4 + 1, length($col) + 1),
+         |    __i -> ord(substr($col, __i, 1))::HUGEINT))), (__a, __e) -> $mixbody)""".stripMargin
+    }
+
+    /** Murmur3 finalization over fold column `__m0` and byte-length
+      * column `__n`; final unsigned 32-bit hash lands in `__mm`. */
+    val murmur3FmixSteps: Seq[(String, String)] = Seq(
+      "__f1" -> xor32("__m0", "__n"),
+      "__f2" -> m32(xor32("__f1", shr("__f1", 16)), BigInt(2246822507L)),
+      "__f3" -> m32(xor32("__f2", shr("__f2", 13)), BigInt(3266489909L)),
+      "__mm" -> xor32("__f3", shr("__f3", 16)))
+
+    /** Spark's XXH64.hashUnsafeBytes over the bytes of short string
+      * column `w` (seed 42), valid for lengths < 16 — covers the one
+      * 8-byte chunk, one 4-byte chunk, and tail bytes of the reference
+      * finalization (the 32-byte stripe loop never runs). The corpus'
+      * max whitespace token is 8 bytes; lengths >= 16 would need the
+      * extra 8-byte rounds. Final unsigned hash lands in `__hu`. */
+    def xxh64ShortStringSteps: Seq[(String, String)] = {
+      def leBytes(startPlus: String, n: Int): String =
+        (0 until n).map(i =>
+          s"ord(substr(w, $startPlus${i + 1}, 1))::HUGEINT * ${BigInt(256).pow(i)}::HUGEINT")
+          .mkString("(", " + ", ")")
+      val byteFold =
+        s"""list_reduce(list_prepend(__h2,
+           |  list_transform(range((__o1)::BIGINT + 1, (__L)::BIGINT + 1), __i -> ord(substr(w, __i::INT, 1))::HUGEINT)),
+           |  (__a, __b) -> ${umul(rotl(uxor("__a", umul("__b", XxP5)), 11), XxP1)})""".stripMargin
+      Seq(
+        "__L" -> "length(w)::HUGEINT",
+        "__h0" -> s"((42::HUGEINT + $XxP5::HUGEINT + __L) % $U64)",
+        "__k8" -> s"(CASE WHEN __L >= 8 THEN ${leBytes("", 8)} ELSE 0::HUGEINT END)",
+        "__h0aux" -> uxor("__h0", umul(rotl(umul("__k8", XxP2), 31), XxP1)),
+        "__h1" -> s"(CASE WHEN __L >= 8 THEN ((${umul(rotl("__h0aux", 27), XxP1)} + $XxP4::HUGEINT) % $U64) ELSE __h0 END)",
+        "__o4" -> "(CASE WHEN __L >= 8 THEN 8::HUGEINT ELSE 0::HUGEINT END)",
+        "__k4" -> ("(CASE WHEN __L - __o4 >= 4 THEN (ord(substr(w, (__o4)::INT + 1, 1))::HUGEINT" +
+          " + ord(substr(w, (__o4)::INT + 2, 1))::HUGEINT * 256::HUGEINT" +
+          " + ord(substr(w, (__o4)::INT + 3, 1))::HUGEINT * 65536::HUGEINT" +
+          " + ord(substr(w, (__o4)::INT + 4, 1))::HUGEINT * 16777216::HUGEINT) ELSE 0::HUGEINT END)"),
+        "__h2" -> s"(CASE WHEN __L - __o4 >= 4 THEN ((${umul(rotl(uxor("__h1", umul("__k4", XxP1)), 23), XxP2)} + $XxP3::HUGEINT) % $U64) ELSE __h1 END)",
+        "__o1" -> "(CASE WHEN __L - __o4 >= 4 THEN __o4 + 4 ELSE __o4 END)",
+        "__h3" -> byteFold,
+        "__a1" -> uxor("__h3", shr("__h3", 33)),
+        "__a2" -> umul("__a1", XxP2),
+        "__a3" -> uxor("__a2", shr("__a2", 29)),
+        "__a4" -> umul("__a3", XxP3),
+        "__hu" -> uxor("__a4", shr("__a4", 32)))
+    }
+  }
+
+  /** DuckDB CTEs replaying [[graft.functions.WinnowHelper]]: base-257
+    * polynomial k-gram hashes (the rolling update is an optimization of
+    * the same value) + distinct sliding-window minima as `sel(doc_id,
+    * fps)`. Shared by the fingerprint-summary and containment oracles. */
+  private def sqlWinnowCtes(k: Int, w: Int): String = {
+    val gram = s"""list_reduce(
+       |      list_prepend(0::HUGEINT,
+       |        list_transform(range(__i, __i + $k), __j -> ord(substr(text, __j, 1))::HUGEINT)),
+       |      (__a, __b) -> (__a * 257::HUGEINT + __b) % ${SqlHash.U64})""".stripMargin
+    s"""WITH h AS (
+       |  SELECT doc_id, length(text) - $k + 1 AS m,
+       |    CASE WHEN length(text) >= $k
+       |      THEN list_transform(range(1, length(text) - $k + 2), __i -> ${SqlHash.toSigned(gram)})
+       |      ELSE [] END AS hs
+       |  FROM documents
+       |), sel AS (
+       |  SELECT doc_id,
+       |    CASE WHEN m < 1 THEN []
+       |         WHEN m <= $w THEN [list_min(hs)]
+       |         ELSE list_distinct(list_transform(range(1, m - $w + 2),
+       |                __s -> list_min(list_slice(hs, __s, __s + $w - 1)))) END AS fps
+       |  FROM h
+       |)""".stripMargin
   }
 
   /** DuckDB CTEs for the bounded exact n-gram Jaccard pairs, shared by the
@@ -1266,31 +1437,22 @@ object SparkEntry {
     // exactly the distinct sliding-window minima — the rightmost-tie rule
     // picks positions, never changes the selected value — compared as
     // SIGNED longs on both sides
-    "q_doc_winnow" -> {
-      val k = 8; val w = 16
-      val gram = s"""list_reduce(
-         |      list_prepend(0::HUGEINT,
-         |        list_transform(range(__i, __i + $k), __j -> ord(substr(text, __j, 1))::HUGEINT)),
-         |      (__a, __b) -> (__a * 257::HUGEINT + __b) % ${SqlHash.U64})""".stripMargin
-      s"""WITH h AS (
-         |  SELECT doc_id, length(text) - $k + 1 AS m,
-         |    CASE WHEN length(text) >= $k
-         |      THEN list_transform(range(1, length(text) - $k + 2), __i -> ${SqlHash.toSigned(gram)})
-         |      ELSE [] END AS hs
-         |  FROM documents
-         |), sel AS (
-         |  SELECT doc_id,
-         |    CASE WHEN m < 1 THEN []
-         |         WHEN m <= $w THEN [list_min(hs)]
-         |         ELSE list_distinct(list_transform(range(1, m - $w + 2),
-         |                __s -> list_min(list_slice(hs, __s, __s + $w - 1)))) END AS fps
-         |  FROM h
-         |)
-         |SELECT doc_id, CAST(len(fps) AS BIGINT) AS n_fps, list_min(fps) AS fp_min,
-         |  CASE WHEN len(fps) = 0 THEN 0
-         |       ELSE list_reduce(list_prepend(0::BIGINT, fps), (__a, __b) -> xor(__a, __b)) END AS fp_xor
-         |FROM sel""".stripMargin
-    },
+    "q_doc_winnow" ->
+      (sqlWinnowCtes(k = 8, w = 16) + """
+        |SELECT doc_id, CAST(len(fps) AS BIGINT) AS n_fps, list_min(fps) AS fp_min,
+        |  CASE WHEN len(fps) = 0 THEN 0
+        |       ELSE list_reduce(list_prepend(0::BIGINT, fps), (__a, __b) -> xor(__a, __b)) END AS fp_xor
+        |FROM sel""".stripMargin),
+
+    // winnow containment candidates, same fingerprint replay at the
+    // containment operator's (k=16, w=16): explode the per-doc fingerprint
+    // sets, self-join, count shared values
+    "q_dedup_containment" ->
+      (sqlWinnowCtes(k = 16, w = 16) + """,
+        |fp AS (SELECT doc_id, unnest(fps) AS fp FROM sel)
+        |SELECT a.doc_id AS doc_a, b.doc_id AS doc_b, CAST(count(*) AS BIGINT) AS n_shared_fps
+        |FROM fp a JOIN fp b ON a.fp = b.fp AND a.doc_id < b.doc_id
+        |GROUP BY 1, 2 HAVING count(*) >= 5""".stripMargin),
 
     "q_dedup_exact" ->
       """SELECT min(doc_id) AS keep_doc_id, CAST(count(*) AS BIGINT) AS n_copies
@@ -1299,6 +1461,66 @@ object SparkEntry {
     "q_dedup_ngram_jaccard" ->
       (sqlJaccardCtes + s"""
          |SELECT doc_a, doc_b, n_inter, jaccard FROM jpairs""".stripMargin),
+
+    // the full MinHash+LSH banding path replayed in SQL: Spark's murmur3
+    // (32-bit lane arithmetic) per shingle, the 64 linear perms mod
+    // 2^31-1, per-band bucket ids through four chained XXH64.hashLong
+    // rounds, the banding self-join, and the signature-agreement
+    // estimate — bit-identical end to end
+    "q_dedup_minhash" -> {
+      import MinHashLSH.{Bands, NumPerms, MersennePrime}
+      val mmInner = SqlHash.applySteps(
+        s"SELECT doc_id, shingle, length(shingle)::HUGEINT AS __n, ${SqlHash.murmur3Fold("shingle")} AS __m0 FROM sh",
+        SqlHash.murmur3FmixSteps)
+      val (x1, c1) = SqlHash.xxh64LongSteps("s1", "42", "__x")
+      val (x2, c2) = SqlHash.xxh64LongSteps("s2", c1, "__y")
+      val (x3, c3) = SqlHash.xxh64LongSteps("s3", c2, "__z")
+      val (x4, c4) = SqlHash.xxh64LongSteps("s4", c3, "__w")
+      val bandInner = SqlHash.applySteps(
+        "SELECT doc_id, sig, b, sig[4*b + 1]::HUGEINT AS s1, sig[4*b + 2]::HUGEINT AS s2, " +
+          s"sig[4*b + 3]::HUGEINT AS s3, sig[4*b + 4]::HUGEINT AS s4 FROM sigl CROSS JOIN range(0, $Bands) t(b)",
+        x1 ++ x2 ++ x3 ++ x4)
+      s"""WITH d0 AS (SELECT doc_id, string_split(text, ' ') AS w FROM documents),
+         |sh AS (SELECT DISTINCT doc_id, w[i] || ' ' || w[i+1] || ' ' || w[i+2] AS shingle
+         |       FROM (SELECT doc_id, w, unnest(generate_series(1, greatest(len(w) - 2, 0))) AS i FROM d0)),
+         |mm AS ($mmInner),
+         |h31 AS (SELECT doc_id, (__mm % 2147483648::HUGEINT)::BIGINT AS h FROM mm),
+         |perms AS (SELECT i, (2*i + 1)::BIGINT AS a, ((i * 2654435769)::BIGINT % 2147483648) AS bb
+         |          FROM range(0, $NumPerms) t(i)),
+         |sigs AS (SELECT doc_id, i, min((h * a + bb) % $MersennePrime) AS s FROM h31 CROSS JOIN perms GROUP BY doc_id, i),
+         |sigl AS (SELECT doc_id, list(s ORDER BY i) AS sig FROM sigs GROUP BY doc_id),
+         |bands AS (SELECT doc_id, b, ${SqlHash.toSigned(c4)} AS bucket FROM ($bandInner)),
+         |cands AS (SELECT DISTINCT x.doc_id AS doc_a, y.doc_id AS doc_b
+         |          FROM bands x JOIN bands y ON x.b = y.b AND x.bucket = y.bucket AND x.doc_id < y.doc_id),
+         |est AS (SELECT doc_a, doc_b,
+         |          round(list_sum(list_transform(range(1, ${NumPerms + 1}),
+         |            __i -> CASE WHEN sa.sig[__i] = sb.sig[__i] THEN 1.0 ELSE 0.0 END)) / $NumPerms, 6) AS est_jaccard
+         |        FROM cands JOIN sigl sa ON doc_a = sa.doc_id JOIN sigl sb ON doc_b = sb.doc_id)
+         |SELECT doc_a, doc_b, est_jaccard FROM est WHERE est_jaccard >= $MinhashEstThreshold""".stripMargin
+    },
+
+    // the SimHash fingerprint + chunk-bucketed pairs replayed in SQL:
+    // per-word XXH64 (short-string path — corpus tokens are <= 8 bytes),
+    // the 64 bit-vote counters, sign-packing, 16-bit chunk bucketing and
+    // the hamming verify. Chunks come off the unsigned representation
+    // (arithmetic-shift + mask == logical shift + mask for masked bits)
+    "q_dedup_simhash" -> {
+      val hInner = SqlHash.applySteps(
+        "SELECT doc_id, w FROM wd", SqlHash.xxh64ShortStringSteps)
+      s"""WITH wd AS (SELECT doc_id, unnest(string_split(text, ' ')) AS w FROM documents),
+         |hx AS ($hInner),
+         |votes AS (SELECT doc_id, j, sum(CASE WHEN (__hu // (2::HUGEINT ^ j)::HUGEINT) % 2 = 1 THEN 1 ELSE -1 END) AS v
+         |          FROM hx CROSS JOIN range(0, 64) t(j) GROUP BY doc_id, j),
+         |shh AS (SELECT doc_id, sum(CASE WHEN v > 0 THEN (2::HUGEINT ^ j)::HUGEINT ELSE 0::HUGEINT END) AS hu FROM votes GROUP BY doc_id),
+         |sh AS (SELECT doc_id, hu, ${SqlHash.toSigned("hu")} AS simhash FROM shh),
+         |chunked AS (SELECT doc_id, simhash, k,
+         |              (hu // (CASE k WHEN 0 THEN 1 WHEN 1 THEN 65536 WHEN 2 THEN 4294967296 ELSE 281474976710656 END)::HUGEINT) % 65536::HUGEINT AS chunk
+         |            FROM sh CROSS JOIN range(0, 4) t(k)),
+         |pairs AS (SELECT DISTINCT a.doc_id AS doc_a, b.doc_id AS doc_b,
+         |            CAST(bit_count(xor(a.simhash, b.simhash)) AS INTEGER) AS hamming
+         |          FROM chunked a JOIN chunked b ON a.k = b.k AND a.chunk = b.chunk AND a.doc_id < b.doc_id)
+         |SELECT doc_a, doc_b, hamming FROM pairs WHERE hamming <= 3""".stripMargin
+    },
 
     // the 0.8 cut sits above the banding S-curve, so candidate recall is
     // ~1 and candidates ∩ exact-verify == the exhaustive exact answer
@@ -1351,6 +1573,42 @@ object SparkEntry {
          |r AS (SELECT *, CAST(row_number() OVER (PARTITION BY q_id ORDER BY cos_sim DESC, neighbor_id) AS BIGINT) AS rank
          |      FROM sims)
          |SELECT q_id, neighbor_id, cos_sim, rank FROM r WHERE rank <= $SimTopK""".stripMargin,
+
+    // the full LSH ANN path replayed in SQL: the pseudo-random hyperplane
+    // components come from Spark's xxhash64 (XXH64 over ints, seed 42),
+    // reimplemented step-for-step in HUGEINT mod-2^64 arithmetic (see
+    // SqlHash.xxh64IntSteps), then sign-bucketing, multi-probe expansion,
+    // and exact rerank exactly as Similarity.lshTopK computes them —
+    // bit-identical including the IEEE fold order of every dot product
+    "q_sim_lsh_topk" -> {
+      val nBits = 4
+      val (seedSteps, seedCol) = SqlHash.xxh64IntSteps("b", "42", "__s")
+      val (compSteps, compCol) = SqlHash.xxh64IntSteps("d", seedCol, "__t")
+      // the table-function range() only takes constants; the dimension
+      // count comes from the data, so derive d via the scalar list range
+      val grid = s"SELECT b, unnest(range(0, (SELECT max(len(embedding)) FROM embeddings))) AS d " +
+        s"FROM range(0, $nBits) t1(b)"
+      val comps = s"SELECT b, d, ${SqlHash.toSigned(compCol)}::DOUBLE / 9.223372036854776e18 AS comp " +
+        s"FROM (${SqlHash.applySteps(grid, seedSteps ++ compSteps)})"
+      s"""WITH comps AS ($comps),
+         |planes AS (SELECT b, list(comp ORDER BY d) AS pv FROM comps GROUP BY b),
+         |e AS (SELECT vec_id, CAST(embedding AS DOUBLE[]) AS v FROM embeddings),
+         |n AS (SELECT vec_id, v, sqrt(list_dot_product(v, v)) AS norm FROM e),
+         |sgn AS (SELECT vec_id, CASE WHEN list_dot_product(v, pv) > 0 THEN (1::BIGINT << b) ELSE 0 END AS bit
+         |        FROM n CROSS JOIN planes),
+         |buck AS (SELECT vec_id, CAST(sum(bit) AS BIGINT) AS bucket FROM sgn GROUP BY vec_id),
+         |alls AS (SELECT n.vec_id, v, norm, bucket FROM n JOIN buck USING(vec_id)),
+         |q AS (SELECT vec_id AS q_id, v AS qv, norm AS qnorm,
+         |        unnest(list_distinct(list_prepend(bucket,
+         |          list_transform(range(0, $nBits), bb -> xor(bucket, 1::BIGINT << bb))))) AS bucket
+         |      FROM alls WHERE vec_id < $SimNumQueries),
+         |cand AS (SELECT q.q_id, a.vec_id AS neighbor_id,
+         |           round(list_dot_product(q.qv, a.v) / (q.qnorm * a.norm), 6) AS cos_sim
+         |         FROM q JOIN alls a USING(bucket) WHERE a.vec_id <> q.q_id),
+         |r AS (SELECT *, CAST(row_number() OVER (PARTITION BY q_id ORDER BY cos_sim DESC, neighbor_id) AS BIGINT) AS rank
+         |      FROM cand)
+         |SELECT q_id, neighbor_id, cos_sim, rank FROM r WHERE rank <= $SimTopK""".stripMargin
+    },
 
     // the two-stage quantized search reproduces brute force EXACTLY at the
     // shipped rerank factor (recall 1.0, same deterministic tiebreak), so
