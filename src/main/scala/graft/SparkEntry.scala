@@ -576,6 +576,24 @@ object SparkEntry {
         docs.filter(col("doc_id") % 50 === 0))
     }),
 
+    // Decontamination at the 100 TB shape: eval n-grams folded into a
+    // broadcast Bloom bitset probed in the scan stage; only admitted
+    // grams reach the exact verify join, so the training side never
+    // shuffles. No false negatives -> equals q_decontaminate's exact
+    // answer, and the exact SQL is the oracle
+    "q_decontaminate_bloom" -> ((s, dir) => {
+      val docs = Tables.documents(s, dir)
+      graft.text.TrainingPrep.bloomDecontaminate(
+        docs.filter(col("doc_id") % 50 =!= 0),
+        docs.filter(col("doc_id") % 50 === 0))
+    }),
+
+    // Data mixing: deterministic hash-resampler — downsample the dominant
+    // language (en 1/2), keep the rest whole; scan-only, no window
+    "q_mixture_sample" -> ((s, dir) =>
+      graft.text.TrainingPrep.mixtureSample(Tables.documents(s, dir),
+        Map("en" -> (1, 2)))),
+
     // Quality score: per-doc mean unigram log-probability (perplexity
     // proxy; vocabulary broadcast)
     "q_unigram_logprob" -> ((s, dir) =>
@@ -1649,6 +1667,40 @@ object SparkEntry {
         |ev AS (SELECT DISTINCT gram FROM g WHERE doc_id % 50 = 0)
         |SELECT doc_id, CAST(count(*) AS BIGINT) AS n_shared_ngrams
         |FROM tr JOIN ev USING (gram) GROUP BY 1""".stripMargin,
+
+    // the bloom composition has no false negatives and exact-verifies
+    // candidates, so the plain inverted-index SQL is its oracle too
+    "q_decontaminate_bloom" ->
+      """WITH d AS (SELECT doc_id, string_split(text, ' ') AS w FROM documents),
+        |g AS (SELECT doc_id, unnest(list_distinct(
+        |        CASE WHEN len(w) >= 8
+        |             THEN [w[i] || ' ' || w[i+1] || ' ' || w[i+2] || ' ' || w[i+3] || ' ' || w[i+4] || ' ' || w[i+5] || ' ' || w[i+6] || ' ' || w[i+7]
+        |                   for i in generate_series(1, len(w) - 7)]
+        |             ELSE [] END)) AS gram
+        |      FROM d),
+        |tr AS (SELECT * FROM g WHERE doc_id % 50 <> 0),
+        |ev AS (SELECT DISTINCT gram FROM g WHERE doc_id % 50 = 0)
+        |SELECT doc_id, CAST(count(*) AS BIGINT) AS n_shared_ngrams
+        |FROM tr JOIN ev USING (gram) GROUP BY 1""".stripMargin,
+
+    // the keep/drop decision is xxhash64(doc_id) — replayed through the
+    // same XXH64.hashLong SQL steps as the banding buckets; pmod of the
+    // signed value computed two's-complement-exactly. The hash steps run
+    // over bare doc_id and JOIN to the language CTE afterwards — wrapping
+    // the wide pred_lang expression in the step pipeline makes the
+    // optimizer inline it per layer and blow up planning
+    "q_mixture_sample" -> {
+      val (steps, hCol) = SqlHash.xxh64LongSteps("doc_id::HUGEINT", "42", "__mx")
+      val inner = SqlHash.applySteps("SELECT doc_id FROM documents", steps)
+      s"""WITH d AS (SELECT doc_id, string_split(text, ' ') AS w FROM documents),
+         |lang AS (
+         |  SELECT doc_id, $sqlLangPred AS pred_lang
+         |  FROM (SELECT doc_id, $sqlLangScores FROM d)
+         |), h AS (SELECT doc_id, ${SqlHash.toSigned(hCol)} AS hv FROM ($inner))
+         |SELECT l.doc_id, l.pred_lang FROM lang l JOIN h USING (doc_id)
+         |WHERE CASE WHEN l.pred_lang = 'en' THEN ((hv % 2) + 2) % 2 < 1
+         |           ELSE ((hv % 1) + 1) % 1 < 1 END""".stripMargin
+    },
 
     // per-token log-probs truncate to INTEGER micro-nats before summing:
     // integer aggregation is order-independent, where a float sum drifts

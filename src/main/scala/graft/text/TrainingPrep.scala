@@ -153,6 +153,79 @@ object TrainingPrep {
       .agg(countDistinct(col("gram")).as("n_shared_ngrams"))
   }
 
+  /** Bloom-prefiltered decontamination — the shape [[decontaminate]]
+    * takes at 100 TB, where shuffling every training n-gram posting into
+    * the inverted-index join is the bottleneck. The benchmark suite's
+    * n-grams are folded into a deterministic Bloom bitset (one
+    * aggregation over the SMALL side), broadcast as a single
+    * `array<long>` row, and probed in the scan stage — only grams the
+    * bloom admits reach the exact join, and the join side they meet is
+    * the broadcast eval set, so the training corpus never shuffles at
+    * all.
+    *
+    * Exactness (why the oracle is the plain inverted-index SQL): a Bloom
+    * filter has no false negatives, so the admitted grams are a SUPERSET
+    * of the truly shared ones, and the exact verify join removes every
+    * false positive — the composition equals [[decontaminate]] output for
+    * ANY bits/probes sizing. The bitset is pure deterministic arithmetic
+    * (probe p of gram g = `xxhash64(p, hash(g)) mod numBits`), not a
+    * sketch object, so results are identical across runs and partition
+    * layouts. Sizing: false-positive rate ~ (grams*probes/numBits)^probes;
+    * the 2^20-bit default holds thousands of eval grams at ~1e-8 — at a
+    * real benchmark-suite scale, grow `numBits` (2^30 bits = 128 MiB
+    * broadcast) rather than shrinking probes. */
+  def bloomDecontaminate(trainDocs: DataFrame, evalDocs: DataFrame,
+      n: Int = 8, numBits: Int = 1 << 20, numProbes: Int = 3): DataFrame = {
+    require(numBits % 64 == 0, "bitset packs into 64-bit words")
+    val nWords = numBits / 64
+    val probes =
+      s"transform(sequence(0, ${numProbes - 1}), p -> pmod(xxhash64(p, hash(gram)), ${numBits}L))"
+
+    val evalGrams = graft.dedup.Dedup.shingles(evalDocs, n)
+      .select(col("shingle").as("gram")).distinct()
+    val words = evalGrams
+      .select(explode(expr(probes)).as("pos"))
+      .groupBy(expr("pos div 64").as("w"))
+      .agg(expr("bit_or(shiftleft(1L, cast(pos % 64 as int)))").as("word"))
+    val bloom = words
+      .agg(map_from_entries(collect_list(struct(col("w"), col("word")))).as("m"))
+      .select(expr(
+        s"transform(sequence(0, ${nWords - 1}), i -> coalesce(m[cast(i as bigint)], 0L))").as("bf"))
+
+    val candidates = graft.dedup.Dedup.shingles(trainDocs, n)
+      .withColumnRenamed("shingle", "gram")
+      .crossJoin(broadcast(bloom))
+      .filter(expr(
+        s"""forall($probes,
+           |  pos -> (shiftright(bf[cast(pos div 64 as int)], cast(pos % 64 as int)) & 1) = 1)""".stripMargin))
+      .select("doc_id", "gram")
+
+    candidates.join(broadcast(evalGrams), "gram")
+      .groupBy("doc_id")
+      .agg(countDistinct(col("gram")).as("n_shared_ngrams"))
+  }
+
+  /** Data-mixing resampler: keep a per-language fraction of documents,
+    * decided by a deterministic hash of the id — `xxhash64(doc_id) mod
+    * den < num(lang)` — so minority languages can be kept whole while a
+    * dominant language is downsampled. Scan-only (no window, no
+    * shuffle): the 100 TB-correct sampling shape, unlike rank-based
+    * capping which sorts every stratum ([[langCap]] exists for the exact
+    * top-N contract). Same-seed reruns keep exactly the same documents
+    * on any cluster layout, and per-stratum rates concentrate at
+    * num/den by hash uniformity (asserted in tests). */
+  def mixtureSample(documents: DataFrame,
+      fractions: Map[String, (Int, Int)],
+      defaultFrac: (Int, Int) = (1, 1)): DataFrame = {
+    val arms = fractions.map { case (lang, (num, den)) =>
+      s"WHEN pred_lang = '$lang' THEN pmod(xxhash64(doc_id), $den) < $num"
+    }.mkString(" ")
+    val (dn, dd) = defaultFrac
+    TextAnalysis.langId(documents)
+      .select(col("doc_id"), col("pred_lang"))
+      .filter(expr(s"CASE $arms ELSE pmod(xxhash64(doc_id), $dd) < $dn END"))
+  }
+
   /** Unigram language-model score per document: mean log-probability of
     * its tokens under the corpus unigram distribution — the cheap
     * perplexity proxy used for quality filtering. Each token's

@@ -1,6 +1,6 @@
 package graft.text
 
-import graft.SparkSpecBase
+import graft.{SparkSpecBase, Tables}
 import org.apache.spark.sql.functions._
 
 class TrainingPrepSpec extends SparkSpecBase {
@@ -92,6 +92,48 @@ class TrainingPrepSpec extends SparkSpecBase {
       .as[(Long, Long)].collect().toMap
     assert(got.contains(1L) && got(1L) >= 5L)
     assert(!got.contains(2L))
+  }
+
+  test("bloom decontamination == exact inverted-index result; no shuffle of clean grams") {
+    val leaked = (1 to 12).map(i => s"bench$i").mkString(" ")
+    val clean = (1 to 12).map(i => s"own$i").mkString(" ")
+    val train = docs((1L, leaked + " extra"), (2L, clean), (3L, leaked))
+    val eval_ = docs((50L, leaked))
+    val exact = TrainingPrep.decontaminate(train, eval_)
+      .as[(Long, Long)].collect().toMap
+    val bloom = TrainingPrep.bloomDecontaminate(train, eval_)
+      .as[(Long, Long)].collect().toMap
+    assert(bloom === exact)
+    assert(bloom.contains(1L) && bloom.contains(3L) && !bloom.contains(2L))
+
+    // the corpus-scale composition agrees too (sf0.001, %50 slices)
+    val corpus = Tables.documents(spark, sf0001)
+    val tr = corpus.filter(col("doc_id") % 50 =!= 0)
+    val ev = corpus.filter(col("doc_id") % 50 === 0)
+    val e2 = TrainingPrep.decontaminate(tr, ev).as[(Long, Long)].collect().toSet
+    val b2 = TrainingPrep.bloomDecontaminate(tr, ev).as[(Long, Long)].collect().toSet
+    assert(b2 === e2)
+  }
+
+  test("mixture sample: non-target strata kept whole, target near its fraction, rerun-stable") {
+    val corpus = Tables.documents(spark, sf0001)
+    val lang = TextAnalysis.langId(corpus).select(col("doc_id"), col("pred_lang"))
+    val kept = TrainingPrep.mixtureSample(corpus, Map("en" -> (1, 2)))
+      .as[(Long, String)].collect()
+    val totals = lang.groupBy("pred_lang").count()
+      .as[(String, Long)].collect().toMap
+    val keptByLang = kept.groupBy(_._2).view.mapValues(_.size.toLong).toMap
+    // non-en strata survive exactly (frac 1/1)
+    totals.filter(_._1 != "en").foreach { case (l, n) =>
+      assert(keptByLang.getOrElse(l, 0L) === n, s"stratum $l")
+    }
+    // en lands near 1/2 by hash uniformity
+    val enRate = keptByLang.getOrElse("en", 0L).toDouble / totals("en")
+    assert(enRate > 0.35 && enRate < 0.65, s"en rate $enRate")
+    // deterministic: second run keeps the identical id set
+    val again = TrainingPrep.mixtureSample(corpus, Map("en" -> (1, 2)))
+      .as[(Long, String)].collect()
+    assert(again.map(_._1).toSet === kept.map(_._1).toSet)
   }
 
   test("unigram logprob: rare-token docs score lower than common-token docs") {
