@@ -156,49 +156,54 @@ object TrainingPrep {
   /** Bloom-prefiltered decontamination — the shape [[decontaminate]]
     * takes at 100 TB, where shuffling every training n-gram posting into
     * the inverted-index join is the bottleneck. The benchmark suite's
-    * n-grams are folded into a deterministic Bloom bitset (one
-    * aggregation over the SMALL side), broadcast as a single
-    * `array<long>` row, and probed in the scan stage — only grams the
-    * bloom admits reach the exact join, and the join side they meet is
-    * the broadcast eval set, so the training corpus never shuffles at
-    * all.
+    * n-gram hashes (the SMALL side by definition) fold into a packed
+    * Bloom bitset on the driver — the same two-phase build as Spark's
+    * own `stat.bloomFilter` and runtime bloom filters — which rides the
+    * plan as a query constant inside the codegen'd
+    * [[graft.functions.BloomContains]] probe. Probing happens in the
+    * scan stage: only grams the bloom admits reach the exact verify
+    * join, and the side they meet is the broadcast eval set, so the
+    * training corpus never shuffles at all. (A first cut attached the
+    * bitset as a broadcast-joined column instead; copying the array into
+    * every probed row's UnsafeRow made it 7× slower than the plain
+    * inverted index at sf0.1 — the plan-constant expression is the
+    * load-bearing design choice.)
     *
     * Exactness (why the oracle is the plain inverted-index SQL): a Bloom
     * filter has no false negatives, so the admitted grams are a SUPERSET
     * of the truly shared ones, and the exact verify join removes every
     * false positive — the composition equals [[decontaminate]] output for
     * ANY bits/probes sizing. The bitset is pure deterministic arithmetic
-    * (probe p of gram g = `xxhash64(p, hash(g)) mod numBits`), not a
-    * sketch object, so results are identical across runs and partition
+    * ([[graft.functions.BloomKernel]]: FNV-1a64 element hash, SplitMix64
+    * probe mixing), so results are identical across runs and partition
     * layouts. Sizing: false-positive rate ~ (grams*probes/numBits)^probes;
     * the 2^20-bit default holds thousands of eval grams at ~1e-8 — at a
-    * real benchmark-suite scale, grow `numBits` (2^30 bits = 128 MiB
-    * broadcast) rather than shrinking probes. */
+    * real benchmark-suite scale, grow `numBits` (2^30 bits = 128 MiB of
+    * plan constant) rather than shrinking probes. */
   def bloomDecontaminate(trainDocs: DataFrame, evalDocs: DataFrame,
       n: Int = 8, numBits: Int = 1 << 20, numProbes: Int = 3): DataFrame = {
-    require(numBits % 64 == 0, "bitset packs into 64-bit words")
-    val nWords = numBits / 64
-    val probes =
-      s"transform(sequence(0, ${numProbes - 1}), p -> pmod(xxhash64(p, hash(gram)), ${numBits}L))"
+    val spark = trainDocs.sparkSession
+    graft.functions.GraftFunctions.register(spark)
 
     val evalGrams = graft.dedup.Dedup.shingles(evalDocs, n)
       .select(col("shingle").as("gram")).distinct()
-    val words = evalGrams
-      .select(explode(expr(probes)).as("pos"))
-      .groupBy(expr("pos div 64").as("w"))
-      .agg(expr("bit_or(shiftleft(1L, cast(pos % 64 as int)))").as("word"))
-    val bloom = words
-      .agg(map_from_entries(collect_list(struct(col("w"), col("word")))).as("m"))
-      .select(expr(
-        s"transform(sequence(0, ${nWords - 1}), i -> coalesce(m[cast(i as bigint)], 0L))").as("bf"))
+    // driver-side fold of the small side's hashes (8 bytes per distinct
+    // eval gram) into the bitset — the probed TRAIN side never leaves
+    // the executors
+    val hashes = evalGrams.select(expr("graft_fnv64(gram)").as("h"))
+      .collect().map(_.getLong(0))
+    val bits = graft.functions.BloomKernel.build(hashes, numBits, numProbes)
+    spark.sessionState.functionRegistry.createOrReplaceTempFunction(
+      "graft_bloom_probe",
+      exprs => {
+        require(exprs.size == 1, s"graft_bloom_probe takes 1 argument, got ${exprs.size}")
+        graft.functions.BloomContains(exprs.head, bits, numProbes)
+      },
+      "built-in")
 
     val candidates = graft.dedup.Dedup.shingles(trainDocs, n)
       .withColumnRenamed("shingle", "gram")
-      .crossJoin(broadcast(bloom))
-      .filter(expr(
-        s"""forall($probes,
-           |  pos -> (shiftright(bf[cast(pos div 64 as int)], cast(pos % 64 as int)) & 1) = 1)""".stripMargin))
-      .select("doc_id", "gram")
+      .filter(expr("graft_bloom_probe(gram)"))
 
     candidates.join(broadcast(evalGrams), "gram")
       .groupBy("doc_id")

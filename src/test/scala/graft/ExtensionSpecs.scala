@@ -3,7 +3,7 @@ package graft
 import org.apache.spark.sql.functions._
 
 import graft.dedup.{Dedup, MinHashLSH}
-import graft.functions.{Fnv1a64Helper, GraftFunctions}
+import graft.functions.{BloomContains, BloomKernel, Fnv1a64Helper, GraftFunctions}
 import graft.multimodal.Multimodal
 import graft.sim.Similarity
 import graft.text.TextAnalysis
@@ -24,6 +24,25 @@ class Fnv1a64Spec extends SparkSpecBase {
       .selectExpr("graft_fnv64(t)").as[Option[Long]].collect()
     assert(got(0) === Some(0x85944171f73967e8L))
     assert(got(1) === None)
+  }
+
+  test("bloom kernel: no false negatives ever; false positives rare at sizing") {
+    import org.apache.spark.unsafe.types.UTF8String
+    val members = (1 to 1000).map(i => s"member$i")
+    val hashes = members.map(m => Fnv1a64Helper.hash(UTF8String.fromString(m))).toArray
+    val bits = BloomKernel.build(hashes, numBits = 1 << 16, numProbes = 3)
+    assert(members.forall(m => BloomKernel.contains(bits, 3, UTF8String.fromString(m))))
+    val fps = (1 to 1000).count(i => BloomKernel.contains(bits, 3, UTF8String.fromString(s"absent$i")))
+    assert(fps < 20, s"$fps false positives") // ~(1000*3/65536)^3 per probe set
+
+    // the expression evaluates through codegen with the bitset as a
+    // plan constant (not a per-row column)
+    spark.sessionState.functionRegistry.createOrReplaceTempFunction(
+      "graft_bloom_probe_test",
+      exprs => BloomContains(exprs.head, bits, 3), "built-in")
+    val got = Seq("member1", "definitely absent zz").toDF("t")
+      .selectExpr("graft_bloom_probe_test(t) AS hit").as[Boolean].collect()
+    assert(got(0) && !got(1))
   }
 
   test("winnow: shared substring >= w+k-1 chars guarantees a shared fingerprint") {
