@@ -76,5 +76,21 @@ total = con.sql('SELECT count(*) FROM customer').fetchone()[0]
 check('cdc_account_dim: exactly the non-tombstoned accounts survive',
       len(cdc) == total - tomb and cdc.account_id.is_unique)
 
+bloom = sp('q_decontaminate_bloom').sort_values('doc_id').reset_index(drop=True)
+exact = sp('q_decontaminate').sort_values('doc_id').reset_index(drop=True)
+check('decontaminate: bloom-prefiltered composition == inverted-index result',
+      bloom.equals(exact))
+
+mix = sp('q_mixture_sample')
+lang = sp('q_text_langid')[['doc_id', 'pred_lang']]
+merged = lang.merge(mix[['doc_id']].assign(kept=True), on='doc_id', how='left')
+merged.kept = merged.kept.eq(True)
+non_en = merged[merged.pred_lang != 'en']
+en = merged[merged.pred_lang == 'en']
+en_rate = en.kept.mean() if len(en) else 0.5
+check('mixture_sample: non-en strata kept whole, en near its 1/2 fraction',
+      bool(non_en.kept.all()) and 0.35 < en_rate < 0.65
+      and mix.doc_id.is_unique)
+
 print('RESULT:', 'ALL OK' if ok else 'FAIL')
 sys.exit(0 if ok else 1)

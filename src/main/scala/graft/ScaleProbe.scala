@@ -93,6 +93,19 @@ object ScaleProbe {
       lit("BUILDING").as("c_mktsegment"))
     time("cdc_accounts_dim")(cdc.DimensionCdc.accountsDim(synthCustomers))
 
+    // round-3 operators: bloom-prefiltered decontamination over n/10
+    // train docs vs the %50 benchmark slice (driver folds ~n/500 doc's
+    // grams into the bitset; the train side probes in the scan stage),
+    // and the scan-only hash mixture resampler
+    time("decontaminate_exact")(text.TrainingPrep.decontaminate(
+      synthDocs.filter(col("doc_id") % 50 =!= 0),
+      synthDocs.filter(col("doc_id") % 50 === 0)))
+    time("bloom_decontaminate")(text.TrainingPrep.bloomDecontaminate(
+      synthDocs.filter(col("doc_id") % 50 =!= 0),
+      synthDocs.filter(col("doc_id") % 50 === 0)))
+    time("mixture_sample")(text.TrainingPrep.mixtureSample(synthDocs,
+      Map("en" -> (1, 2))))
+
     // hot-key skew: 90% of rows on one key — plain groupBy puts them on
     // one reducer; salted two-phase spreads them over 32
     val skewed = spark.range(n).select(
