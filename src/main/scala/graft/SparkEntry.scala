@@ -723,6 +723,12 @@ object SparkEntry {
     "q_corpus_curate" -> ((s, dir) =>
       TextAnalysis.curate(Tables.documents(s, dir), lang = "en", minQuality = 0.5)),
 
+    // The shipping composition: curation gates ∧ not-contaminated
+    // (bloom) ∧ mixture-sampled, with the deterministic split — every
+    // stage individually oracle-verified, composed end to end
+    "q_training_manifest" -> ((s, dir) =>
+      graft.text.TrainingPrep.trainingManifest(Tables.documents(s, dir))),
+
     // Interval (range) join: debits counted against credits of the same
     // account within ±1 h — bucketized candidate generation, never a
     // per-key cross product (stream-stream twin in Pipelines)
@@ -966,6 +972,29 @@ object SparkEntry {
         "__hu" -> uxor("__a4", shr("__a4", 32)))
     }
   }
+
+  /** DuckDB CTEs for the curation gates (language + quality + exact-dedup
+    * keepers) over `documents WHERE docFilter` — shared by the curate
+    * capstone and the training manifest. */
+  private def sqlCurateCtes(docFilter: String): String =
+    s"""WITH d AS (
+       |  SELECT doc_id, text, string_split(text, ' ') AS w,
+       |         CAST(length(text) AS BIGINT) AS n_chars_actual,
+       |         CAST(len(string_split(text, ' ')) AS BIGINT) AS n_tokens
+       |  FROM documents WHERE $docFilter
+       |), lang AS (
+       |  SELECT doc_id, $sqlLangPred AS pred_lang
+       |  FROM (SELECT doc_id, $sqlLangScores FROM d)
+       |), qual AS (
+       |  SELECT doc_id, n_tokens,
+       |    ${TextAnalysis.floor6Sql("least(n_tokens / 100.0, 1.0) * 0.5 + least(avg_token_len / 8.0, 1.0) * 0.3 + stopword_ratio * 0.2")} AS quality_score
+       |  FROM (SELECT doc_id, n_tokens,
+       |          ${TextAnalysis.floor6Sql("(n_chars_actual - (n_tokens - 1)) * 1.0 / n_tokens")} AS avg_token_len,
+       |          ${TextAnalysis.floor6Sql("len(list_filter(w, x -> list_contains(['the','a','of','and','to','in','is'], x))) * 1.0 / n_tokens")} AS stopword_ratio
+       |        FROM d)
+       |), keep AS (
+       |  SELECT min(doc_id) AS doc_id FROM documents WHERE $docFilter GROUP BY lower(trim(text))
+       |)""".stripMargin
 
   /** DuckDB CTEs replaying [[graft.functions.WinnowHelper]]: base-257
     * polynomial k-gram hashes (the rolling update is an optimization of
@@ -1696,7 +1725,7 @@ object SparkEntry {
          |lang AS (
          |  SELECT doc_id, $sqlLangPred AS pred_lang
          |  FROM (SELECT doc_id, $sqlLangScores FROM d)
-         |), h AS (SELECT doc_id, ${SqlHash.toSigned(hCol)} AS hv FROM ($inner))
+         |), h AS MATERIALIZED (SELECT doc_id, ${SqlHash.toSigned(hCol)} AS hv FROM ($inner))
          |SELECT l.doc_id, l.pred_lang FROM lang l JOIN h USING (doc_id)
          |WHERE CASE WHEN l.pred_lang = 'en' THEN ((hv % 2) + 2) % 2 < 1
          |           ELSE ((hv % 1) + 1) % 1 < 1 END""".stripMargin
@@ -1884,29 +1913,47 @@ object SparkEntry {
         |FROM completed GROUP BY 1""".stripMargin),
 
     "q_corpus_curate" ->
-      s"""WITH d AS (
-         |  SELECT doc_id, text, string_split(text, ' ') AS w,
-         |         CAST(length(text) AS BIGINT) AS n_chars_actual,
-         |         CAST(len(string_split(text, ' ')) AS BIGINT) AS n_tokens
-         |  FROM documents
-         |), lang AS (
-         |  SELECT doc_id, $sqlLangPred AS pred_lang
-         |  FROM (SELECT doc_id, $sqlLangScores FROM d)
-         |), qual AS (
-         |  SELECT doc_id, n_tokens,
-         |    ${TextAnalysis.floor6Sql("least(n_tokens / 100.0, 1.0) * 0.5 + least(avg_token_len / 8.0, 1.0) * 0.3 + stopword_ratio * 0.2")} AS quality_score
-         |  FROM (SELECT doc_id, n_tokens,
-         |          ${TextAnalysis.floor6Sql("(n_chars_actual - (n_tokens - 1)) * 1.0 / n_tokens")} AS avg_token_len,
-         |          ${TextAnalysis.floor6Sql("len(list_filter(w, x -> list_contains(['the','a','of','and','to','in','is'], x))) * 1.0 / n_tokens")} AS stopword_ratio
-         |        FROM d)
-         |), keep AS (
-         |  SELECT min(doc_id) AS doc_id FROM documents GROUP BY lower(trim(text))
-         |)
-         |SELECT q.doc_id, l.pred_lang, q.quality_score, q.n_tokens
-         |FROM qual q
-         |JOIN lang l USING (doc_id)
-         |JOIN keep k ON q.doc_id = k.doc_id
-         |WHERE l.pred_lang = 'en' AND q.quality_score >= 0.5""".stripMargin,
+      (sqlCurateCtes("TRUE") + """
+        |SELECT q.doc_id, l.pred_lang, q.quality_score, q.n_tokens
+        |FROM qual q
+        |JOIN lang l USING (doc_id)
+        |JOIN keep k ON q.doc_id = k.doc_id
+        |WHERE l.pred_lang = 'en' AND q.quality_score >= 0.5""".stripMargin),
+
+    // the full composition a pipeline ships: curation gates, minus
+    // bloom-decontaminated docs (== exact overlap, see
+    // q_decontaminate_bloom), intersect the mixture-sampled keeps
+    // (xxh64 replay), with the deterministic split attached.
+    // MATERIALIZED pins the step-pipeline and contamination CTEs —
+    // inlined into the four-way join tree, DuckDB's optimizer stalls
+    // rewriting the giant generated expressions
+    "q_training_manifest" -> {
+      val (steps, hCol) = SqlHash.xxh64LongSteps("doc_id::HUGEINT", "42", "__mx")
+      val hInner = SqlHash.applySteps(
+        "SELECT doc_id FROM documents WHERE doc_id % 50 <> 0", steps)
+      sqlCurateCtes("doc_id % 50 <> 0") + s""",
+        |g AS (SELECT doc_id, unnest(list_distinct(
+        |        CASE WHEN len(w) >= 8
+        |             THEN [w[i] || ' ' || w[i+1] || ' ' || w[i+2] || ' ' || w[i+3] || ' ' || w[i+4] || ' ' || w[i+5] || ' ' || w[i+6] || ' ' || w[i+7]
+        |                   for i in generate_series(1, len(w) - 7)]
+        |             ELSE [] END)) AS gram
+        |      FROM (SELECT doc_id, string_split(text, ' ') AS w FROM documents)),
+        |contaminated AS MATERIALIZED (SELECT DISTINCT tr.doc_id
+        |                 FROM (SELECT * FROM g WHERE doc_id % 50 <> 0) tr
+        |                 JOIN (SELECT DISTINCT gram FROM g WHERE doc_id % 50 = 0) ev USING (gram)),
+        |h AS MATERIALIZED (SELECT doc_id, ${SqlHash.toSigned(hCol)} AS hv FROM ($hInner))
+        |SELECT q.doc_id, l.pred_lang, q.quality_score, q.n_tokens,
+        |  CASE WHEN q.doc_id % 100 < 90 THEN 'train'
+        |       WHEN q.doc_id % 100 < 95 THEN 'val'
+        |       ELSE 'test' END AS split
+        |FROM qual q
+        |JOIN lang l USING (doc_id)
+        |JOIN keep k ON q.doc_id = k.doc_id
+        |JOIN h USING (doc_id)
+        |WHERE l.pred_lang = 'en' AND q.quality_score >= 0.5
+        |  AND q.doc_id NOT IN (SELECT doc_id FROM contaminated)
+        |  AND ((hv % 2) + 2) % 2 < 1""".stripMargin
+    },
 
     "q_embed_quantize" ->
       """WITH e AS (

@@ -231,6 +231,34 @@ object TrainingPrep {
       .filter(expr(s"CASE $arms ELSE pmod(xxhash64(doc_id), $dd) < $dn END"))
   }
 
+  /** The end-to-end training manifest — the composition a data pipeline
+    * actually ships to the trainer, built entirely from operators that
+    * are individually oracle-verified: curation gates (language ∧
+    * quality ∧ exact-dedup keeper), MINUS benchmark-contaminated
+    * documents ([[bloomDecontaminate]] — scan-stage bloom probe, exact
+    * verify), INTERSECT the mixture-sampled keeps ([[mixtureSample]] —
+    * scan-only hash resampling), with the deterministic split attached.
+    * Training docs are the `doc_id % 50 != 0` slice; the `% 50 == 0`
+    * slice stands in for the benchmark suite, as in `q_decontaminate`.
+    *
+    * Scale posture: every stage is a scan-stage gate or a semi/anti join
+    * against a SMALL derived set (contaminated ids, the broadcast dedup
+    * keepers) — the corpus itself crosses the network zero times. */
+  def trainingManifest(documents: DataFrame, lang: String = "en",
+      minQuality: Double = 0.5): DataFrame = {
+    val train = documents.filter(col("doc_id") % 50 =!= 0)
+    val evalSlice = documents.filter(col("doc_id") % 50 === 0)
+    TextAnalysis.curate(train, lang, minQuality)
+      .join(bloomDecontaminate(train, evalSlice).select("doc_id"),
+        Seq("doc_id"), "left_anti")
+      .join(mixtureSample(train, Map(lang -> (1, 2))).select("doc_id"),
+        Seq("doc_id"), "left_semi")
+      .withColumn("split",
+        when(col("doc_id") % 100 < TrainPct, "train")
+          .when(col("doc_id") % 100 < TrainPct + ValPct, "val")
+          .otherwise("test"))
+  }
+
   /** Unigram language-model score per document: mean log-probability of
     * its tokens under the corpus unigram distribution — the cheap
     * perplexity proxy used for quality filtering. Each token's

@@ -58,6 +58,23 @@ class PlanShapeSpec extends SparkSpecBase {
     assert(!plan.contains("CartesianProduct"))
   }
 
+  test("bloom decontamination probes as a plan constant, not a joined array") {
+    val plan = formattedPlan(
+      SparkEntry.queries("q_decontaminate_bloom")(spark, sf0001))
+    // the probe is a scan-stage filter expression...
+    assert(plan.contains("graft_bloom_probe"), plan.take(2000))
+    // ...NOT an array column attached to every gram row (the 7x-slower
+    // first cut joined a one-row bitset frame into the fact side)
+    assert(!plan.contains("BroadcastNestedLoopJoin"), plan.take(2000))
+    assert(!plan.contains("CartesianProduct"))
+  }
+
+  test("mixture sampling is scan-only: zero exchanges in the plan") {
+    val plan = formattedPlan(
+      SparkEntry.queries("q_mixture_sample")(spark, sf0001))
+    assert(!plan.contains("Exchange"), plan.take(2000))
+  }
+
   test("partitioned sink layout prunes partitions on read") {
     val out = Files.createTempDirectory("graft_part").toString
     val df = txns(Seq(

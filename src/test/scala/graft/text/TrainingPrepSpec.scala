@@ -136,6 +136,35 @@ class TrainingPrepSpec extends SparkSpecBase {
     assert(again.map(_._1).toSet === kept.map(_._1).toSet)
   }
 
+  test("training manifest: independent invariants of the shipped composition") {
+    val corpus = Tables.documents(spark, sf0001)
+    val train = corpus.filter(col("doc_id") % 50 =!= 0)
+    val evalSlice = corpus.filter(col("doc_id") % 50 === 0)
+    val m = TrainingPrep.trainingManifest(corpus)
+      .select("doc_id", "split").as[(Long, String)].collect()
+    assert(m.nonEmpty)
+    val ids = m.map(_._1).toSet
+
+    // subset of the curation gates over the train slice
+    val curated = TextAnalysis.curate(train, "en", 0.5)
+      .select("doc_id").as[Long].collect().toSet
+    assert(ids.subsetOf(curated))
+    // zero 8-gram overlap with the benchmark slice (exact check)
+    val contaminated = TrainingPrep.decontaminate(train, evalSlice)
+      .select("doc_id").as[Long].collect().toSet
+    assert((ids & contaminated).isEmpty)
+    // every kept doc passes the mixture hash gate
+    val pass = corpus.filter(col("doc_id").isin(ids.toSeq: _*))
+      .filter(expr("pmod(xxhash64(doc_id), 2) < 1")).count()
+    assert(pass === ids.size)
+    // split is the pure mod-100 function of the id
+    m.foreach { case (id, split) =>
+      val k = id % 100
+      val want = if (k < 90) "train" else if (k < 95) "val" else "test"
+      assert(split === want, s"doc $id")
+    }
+  }
+
   test("unigram logprob: rare-token docs score lower than common-token docs") {
     val d = docs((1L, "the the the the"), (2L, "rare1 rare2 rare3 rare4"),
       (3L, "the the rare5 the"))
