@@ -93,6 +93,39 @@ object ScaleProbe {
       lit("BUILDING").as("c_mktsegment"))
     time("cdc_accounts_dim")(cdc.DimensionCdc.accountsDim(synthCustomers))
 
+    // streaming state at larger key cardinality: the same
+    // flatMapGroupsWithState reconciliation with 20x the keys, on the
+    // default (heap) provider vs RocksDB (the 100 TB configuration —
+    // state spills to local disk instead of the JVM heap)
+    for (provider <- Seq("default", "rocksdb")) {
+      val prev = spark.conf.getOption("spark.sql.streaming.stateStore.providerClass")
+      if (provider == "rocksdb")
+        spark.conf.set("spark.sql.streaming.stateStore.providerClass",
+          "org.apache.spark.sql.execution.streaming.state.RocksDBStateStoreProvider")
+      try {
+        val dir = java.nio.file.Files.createTempDirectory("graft_sprobe_st").toString
+        val streamN = math.min(n, 2000000L)
+        val wideKeys = 200000L
+        synthEvents(spark, streamN, users = wideKeys)
+          .select("event_id", "ts_ns", "user_id", "event_type", "value", "props")
+          .withColumnRenamed("ts_ns", "ts")
+          .repartition(4).write.parquet(s"$dir/in")
+        val t0 = System.nanoTime()
+        val q = streaming.Pipelines.reconcileAlerts(spark,
+            streaming.Pipelines.parsedStreamFromPath(spark, s"$dir/in",
+              maxFilesPerTrigger = Some(1)))
+          .toDF().writeStream.format("noop").outputMode("append").start()
+        q.processAllAvailable(); q.stop()
+        val sec = (System.nanoTime() - t0) / 1e9
+        println(f"PROBE streaming_reconcile_${provider} rows=$streamN keys=$wideKeys sec=$sec%.2f rate=${streamN / sec}%.0f rows/s")
+      } finally {
+        prev match {
+          case Some(v) => spark.conf.set("spark.sql.streaming.stateStore.providerClass", v)
+          case None => spark.conf.unset("spark.sql.streaming.stateStore.providerClass")
+        }
+      }
+    }
+
     // round-3 operators: bloom-prefiltered decontamination over n/10
     // train docs vs the %50 benchmark slice (driver folds ~n/500 doc's
     // grams into the bitset; the train side probes in the scan stage),

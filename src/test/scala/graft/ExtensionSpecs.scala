@@ -45,6 +45,26 @@ class Fnv1a64Spec extends SparkSpecBase {
     assert(got(0) && !got(1))
   }
 
+  test("bloom probe filters a structured stream in the scan stage") {
+    import org.apache.spark.unsafe.types.UTF8String
+    val dir = java.nio.file.Files.createTempDirectory("graft_bloomstream").toString
+    Seq((1L, "keep me"), (2L, "drop me please")).toDF("doc_id", "text")
+      .write.parquet(s"$dir/in")
+    val bits = BloomKernel.build(
+      Array(Fnv1a64Helper.hash(UTF8String.fromString("keep me"))), 1 << 10, 3)
+    spark.sessionState.functionRegistry.createOrReplaceTempFunction(
+      "graft_bloom_probe_stream",
+      exprs => BloomContains(exprs.head, bits, 3), "built-in")
+    val q = spark.readStream.schema("doc_id LONG, text STRING")
+      .parquet(s"$dir/in")
+      .filter(expr("graft_bloom_probe_stream(text)"))
+      .writeStream.format("memory").queryName("bloom_stream")
+      .outputMode("append").start()
+    q.processAllAvailable(); q.stop()
+    assert(spark.table("bloom_stream").select("doc_id").as[Long].collect().toSeq
+      === Seq(1L)) // stateless scan filter — streaming needs no extra support
+  }
+
   test("winnow: shared substring >= w+k-1 chars guarantees a shared fingerprint") {
     GraftFunctions.register(spark)
     val shared = "the quick brown fox jumps over the lazy dog today" // 49 chars
