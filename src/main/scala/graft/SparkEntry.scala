@@ -395,6 +395,32 @@ object SparkEntry {
         .withColumn("avg_qty", col("sum_qty") / col("count_order"))
     }),
 
+    // TPC-H Q5-shaped local-supplier volume: the 6-way star join — three
+    // broadcast dims (region->nation pruning the fact rows, supplier with
+    // the same-nation colocation predicate), one large-large
+    // lineitem-orders join, decimal-exact revenue per nation
+    "q_local_supplier_volume" -> ((s, dir) => {
+      val region = Tables.table(s, dir, "region").filter(col("r_name") === "ASIA")
+      val nation = Tables.table(s, dir, "nation")
+      val cust = Tables.customer(s, dir)
+      val ord = Tables.table(s, dir, "orders")
+        .filter(col("o_orderdate") >= lit("1996-01-01") &&
+          col("o_orderdate") < lit("1997-01-01"))
+      val li = Tables.table(s, dir, "lineitem")
+      val supp = Tables.table(s, dir, "supplier")
+      val rev = col("l_extendedprice").cast("decimal(18,2)") *
+        (lit(1).cast("decimal(4,2)") - col("l_discount").cast("decimal(4,2)"))
+      li.join(ord, col("l_orderkey") === col("o_orderkey"))
+        .join(broadcast(cust), col("o_custkey") === col("c_custkey"))
+        .join(broadcast(supp), col("l_suppkey") === col("s_suppkey") &&
+          col("s_nationkey") === col("c_nationkey"))
+        .join(broadcast(nation), col("s_nationkey") === col("n_nationkey"))
+        .join(broadcast(region), col("n_regionkey") === col("r_regionkey"))
+        .groupBy(col("n_name"))
+        .agg(sum(rev).cast("double").as("revenue"))
+        .orderBy(col("revenue").desc, col("n_name"))
+    }),
+
     // TPC-H Q3-shaped shipping priority: selective dimension filter,
     // two joins, decimal-exact revenue, TakeOrderedAndProject top-10
     "q_ship_priority" -> ((s, dir) => {
@@ -1421,6 +1447,20 @@ object SparkEntry {
         |  sum(l_quantity) / count(*) AS avg_qty
         |FROM lineitem WHERE l_shipdate <= TIMESTAMP '2001-09-01'
         |GROUP BY 1, 2""".stripMargin,
+
+    "q_local_supplier_volume" ->
+      """SELECT n_name,
+        |  CAST(sum(CAST(l_extendedprice AS DECIMAL(18,2)) * (CAST(1 AS DECIMAL(4,2)) - CAST(l_discount AS DECIMAL(4,2)))) AS DOUBLE) AS revenue
+        |FROM lineitem
+        |JOIN orders ON l_orderkey = o_orderkey
+        |JOIN customer ON o_custkey = c_custkey
+        |JOIN supplier ON l_suppkey = s_suppkey AND s_nationkey = c_nationkey
+        |JOIN nation ON s_nationkey = n_nationkey
+        |JOIN region ON n_regionkey = r_regionkey
+        |WHERE r_name = 'ASIA'
+        |  AND o_orderdate >= TIMESTAMP '1996-01-01'
+        |  AND o_orderdate < TIMESTAMP '1997-01-01'
+        |GROUP BY 1""".stripMargin,
 
     "q_ship_priority" ->
       """SELECT l_orderkey AS orderkey,
