@@ -37,6 +37,10 @@ object GraftSession {
       .getOrCreate()
     spark.sparkContext.setLogLevel("WARN")
     graft.functions.GraftFunctions.register(spark)
+    // planner strategy: rank-filter windows -> bounded-heap top-k
+    // (idempotent assignment; also installable cluster-wide via
+    // spark.sql.extensions=graft.functions.GraftExtensions)
+    spark.experimental.extraStrategies = Seq(graft.plans.BoundedTopKStrategy)
     spark
   }
 }

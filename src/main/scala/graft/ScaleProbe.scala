@@ -139,6 +139,23 @@ object ScaleProbe {
     time("mixture_sample")(text.TrainingPrep.mixtureSample(synthDocs,
       Map("en" -> (1, 2))))
 
+    // per-group top-k at 10M rows / 1000 groups: the built-in plan sorts
+    // every partition end to end; the BoundedTopKStrategy rewrite keeps
+    // the same single exchange and replaces the sort with a size-k heap
+    {
+      val topkIn = spark.range(n).select(
+        pmod(col("id"), lit(1000L)).as("g"),
+        pmod(xxhash64(col("id")), lit(1000000L)).as("v"), col("id"))
+      def topkQ = topkIn.withColumn("rn", row_number().over(
+          org.apache.spark.sql.expressions.Window
+            .partitionBy("g").orderBy(col("v").desc, col("id"))))
+        .filter(col("rn") <= 5)
+      spark.experimental.extraStrategies = Nil
+      time("group_topk_windowsort")(topkQ)
+      spark.experimental.extraStrategies = Seq(plans.BoundedTopKStrategy)
+      time("group_topk_boundedheap")(topkQ)
+    }
+
     // hot-key skew: 90% of rows on one key — plain groupBy puts them on
     // one reducer; salted two-phase spreads them over 32
     val skewed = spark.range(n).select(

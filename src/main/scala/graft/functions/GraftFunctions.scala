@@ -100,5 +100,8 @@ class GraftExtensions extends (org.apache.spark.sql.SparkSessionExtensions => Un
       new org.apache.spark.sql.catalyst.expressions.ExpressionInfo(
         classOf[Winnow].getCanonicalName, "graft_winnow"),
       (exprs: Seq[Expression]) => GraftFunctions.buildWinnow(exprs)))
+    // planner strategy: rank-filter windows -> bounded-heap per-group
+    // top-k (graft.plans.BoundedTopKStrategy scaladoc has the contract)
+    e.injectPlannerStrategy(_ => graft.plans.BoundedTopKStrategy)
   }
 }

@@ -1,0 +1,71 @@
+package graft.plans
+
+import org.apache.spark.rdd.RDD
+import org.apache.spark.sql.catalyst.InternalRow
+import org.apache.spark.sql.catalyst.expressions.{Attribute, Expression, SortOrder, UnsafeProjection, UnsafeRow}
+import org.apache.spark.sql.catalyst.expressions.codegen.GenerateOrdering
+import org.apache.spark.sql.catalyst.plans.physical.{ClusteredDistribution, Distribution}
+import org.apache.spark.sql.execution.{SparkPlan, UnaryExecNode}
+
+/** Per-group bounded-heap top-k physical operator: for each group, retain
+  * the first `k` rows in `sortOrder` using a size-k heap — NO per-partition
+  * sort. Spark plans `filter(row_number().over(partitionBy.orderBy) <= k)`
+  * as Exchange + full Sort + WindowExec; at 100 TB that sorts every
+  * partition end to end to keep k rows per key. This node needs the same
+  * Exchange (groups must colocate) but replaces the sort with O(n log k)
+  * heap maintenance in one pass, memory bounded by groups_in_partition × k.
+  */
+case class BoundedTopKExec(
+    partitionExprs: Seq[Expression],
+    sortOrder: Seq[SortOrder],
+    rankAttr: Attribute,
+    k: Int,
+    child: SparkPlan) extends UnaryExecNode {
+
+  override def output: Seq[Attribute] = child.output :+ rankAttr
+
+  override def requiredChildDistribution: Seq[Distribution] =
+    ClusteredDistribution(partitionExprs) :: Nil
+
+  override protected def doExecute(): RDD[InternalRow] = {
+    val childOutput = child.output
+    child.execute().mapPartitions({ iter =>
+      // normalize to UnsafeRow so heap copies are cheap, layout-stable
+      // materializations whatever the child operator emits
+      val toUnsafe = UnsafeProjection.create(childOutput, childOutput)
+      val groupProj = UnsafeProjection.create(partitionExprs, childOutput)
+      val ordering = GenerateOrdering.generate(sortOrder, childOutput)
+      // max-heap by sort order: the ROOT is the worst retained row, evicted
+      // when a better one arrives
+      val heaps = scala.collection.mutable.LinkedHashMap
+        .empty[UnsafeRow, scala.collection.mutable.PriorityQueue[UnsafeRow]]
+      while (iter.hasNext) {
+        val row = toUnsafe(iter.next())
+        val key = groupProj(row)
+        heaps.get(key) match {
+          case Some(heap) =>
+            if (heap.size < k) heap.enqueue(row.copy())
+            else if (ordering.compare(row, heap.head) < 0) {
+              heap.dequeue(); heap.enqueue(row.copy())
+            }
+          case None =>
+            val heap = scala.collection.mutable.PriorityQueue
+              .empty[UnsafeRow](ordering.asInstanceOf[Ordering[UnsafeRow]])
+            heap.enqueue(row.copy())
+            heaps.put(key.copy(), heap)
+        }
+      }
+      val out = UnsafeProjection.create(output, childOutput :+ rankAttr)
+      val joined = new org.apache.spark.sql.catalyst.expressions.JoinedRow
+      heaps.iterator.flatMap { case (_, heap) =>
+        val sorted = heap.dequeueAll.reverse // ascending sort order
+        sorted.iterator.zipWithIndex.map { case (row, i) =>
+          out(joined(row, InternalRow(i + 1)))
+        }
+      }
+    }, preservesPartitioning = true)
+  }
+
+  override protected def withNewChildInternal(newChild: SparkPlan): BoundedTopKExec =
+    copy(child = newChild)
+}

@@ -36,6 +36,9 @@ object SparkSpecBase {
       .config("spark.ui.enabled", "false")
       .getOrCreate()
     s.sparkContext.setLogLevel("WARN")
+    // mirror GraftSession: the whole suite runs under the production
+    // planner strategy (BoundedTopKSpec toggles it off to diff plans)
+    s.experimental.extraStrategies = Seq(graft.plans.BoundedTopKStrategy)
     s
   }
 }

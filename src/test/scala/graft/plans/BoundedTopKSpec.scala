@@ -1,0 +1,101 @@
+package graft.plans
+
+import org.apache.spark.sql.DataFrame
+import org.apache.spark.sql.expressions.Window
+import org.apache.spark.sql.functions._
+
+import graft.SparkSpecBase
+
+/** The rank-filter rewrite must be invisible except in the plan: every
+  * shape it claims to match produces exactly WindowExec's rows, and
+  * non-matching shapes fall through untouched. */
+class BoundedTopKSpec extends SparkSpecBase {
+  import spark.implicits._
+
+  private def withStrategy[T](on: Boolean)(f: => T): T = {
+    val prev = spark.experimental.extraStrategies
+    spark.experimental.extraStrategies =
+      if (on) Seq(BoundedTopKStrategy) else Nil
+    try f finally spark.experimental.extraStrategies = prev
+  }
+
+  private def df: DataFrame = Seq(
+    ("a", 5L, 1L), ("a", 3L, 2L), ("a", 5L, 3L), ("a", 7L, 4L),
+    ("b", 9L, 5L), ("b", 1L, 6L), ("c", 2L, 7L)).toDF("g", "n", "id")
+
+  private def assertRewrites(q: => DataFrame): Unit = {
+    val expected = withStrategy(on = false)(q.collect().toSet)
+    val (got, plan) = withStrategy(on = true) {
+      val d = q
+      (d.collect().toSet, d.queryExecution.executedPlan.toString)
+    }
+    assert(plan.contains("BoundedTopK"), plan.take(1500))
+    assert(got === expected)
+    assert(got.nonEmpty)
+  }
+
+  test("withColumn + cast + filter shape: rewritten, rows identical") {
+    val w = Window.partitionBy("g").orderBy(col("n").desc, col("id"))
+    assertRewrites(df
+      .withColumn("rank", row_number().over(w).cast("long"))
+      .filter(col("rank") <= 2))
+  }
+
+  test("bare filter-over-window shape (rank dropped later): rewritten") {
+    val w = Window.partitionBy("g").orderBy(col("n"), col("id"))
+    assertRewrites(df
+      .withColumn("__rn", row_number().over(w))
+      .filter(col("__rn") <= 2)
+      .select("g", "n", "id"))
+  }
+
+  test("rank === 1 latest-by-key shape: rewritten; k larger than any group works") {
+    val w = Window.partitionBy("g").orderBy(col("n").desc, col("id"))
+    assertRewrites(df
+      .withColumn("rn", row_number().over(w))
+      .filter(col("rn") === 1))
+    assertRewrites(df
+      .withColumn("rank", row_number().over(w).cast("long"))
+      .filter(col("rank") <= 100)) // groups smaller than k keep all rows
+  }
+
+  test("rank < k and projected-derived-column shapes: rewritten") {
+    val w = Window.partitionBy("g").orderBy(col("n").desc, col("id"))
+    assertRewrites(df
+      .withColumn("rank", row_number().over(w).cast("long"))
+      .filter(col("rank") < 3))
+  }
+
+  test("non-matching shapes fall through: rank(), conjunctions, range frame") {
+    val w = Window.partitionBy("g").orderBy(col("n").desc, col("id"))
+    // rank() (not row_number) must NOT rewrite
+    val q1 = df.withColumn("r", rank().over(w)).filter(col("r") <= 2)
+    // conjunction must NOT rewrite (filter has more than the bound)
+    val q2 = df.withColumn("rn", row_number().over(w))
+      .filter(col("rn") <= 2 && col("n") > 1)
+    withStrategy(on = true) {
+      assert(!q1.queryExecution.executedPlan.toString.contains("BoundedTopK"))
+      assert(!q2.queryExecution.executedPlan.toString.contains("BoundedTopK"))
+    }
+    // and both still compute correctly under the installed strategy
+    val e1 = withStrategy(false)(q1.collect().toSet)
+    val e2 = withStrategy(false)(q2.collect().toSet)
+    withStrategy(true) {
+      assert(q1.collect().toSet === e1)
+      assert(q2.collect().toSet === e2)
+    }
+  }
+
+  test("registered window queries rewrite and stay oracle-identical") {
+    for (name <- Seq("q_heavy_hitters", "q_lang_cap")) {
+      val q = graft.SparkEntry.queries(name)
+      val expected = withStrategy(false)(q(spark, sf0001).collect().toSet)
+      val (got, plan) = withStrategy(true) {
+        val d = q(spark, sf0001)
+        (d.collect().toSet, d.queryExecution.executedPlan.toString)
+      }
+      assert(plan.contains("BoundedTopK"), s"$name: ${plan.take(1200)}")
+      assert(got === expected, name)
+    }
+  }
+}
