@@ -36,7 +36,7 @@ object BoundedTopKStrategy extends SparkStrategy {
       (for {
         (part, order, rnAttr) <- matchRowNumberWindow(w)
         k <- limitFromCond(cond, rnAttr)
-      } yield BoundedTopKExec(part, order, rnAttr, k, planLater(w.child)) :: Nil)
+      } yield twoPhase(part, order, rnAttr, k, w) :: Nil)
         .getOrElse(Nil)
 
     case Filter(cond, p @ Project(projList, w: Window)) =>
@@ -51,11 +51,33 @@ object BoundedTopKStrategy extends SparkStrategy {
         if projList.forall(e => (e eq rankAlias) ||
           e.references.subsetOf(w.child.outputSet ++
             org.apache.spark.sql.catalyst.expressions.AttributeSet(rnAttr)))
-      } yield ProjectExec(projList,
-        BoundedTopKExec(part, order, rnAttr, k, planLater(w.child))) :: Nil)
+      } yield ProjectExec(projList, twoPhase(part, order, rnAttr, k, w)) :: Nil)
         .getOrElse(Nil)
 
     case _ => Nil
+  }
+
+  /** Partial (map-side prune, below the exchange) + final (rank-emitting)
+    * pair — the partial-aggregation shape for top-k. Spark's own
+    * InferWindowGroupLimit rule (3.5+) will usually have inserted a
+    * logical WindowGroupLimit below the window from the SAME rank filter;
+    * its physical form requires SORTED input in both modes, so leaving it
+    * in place would re-introduce the map-side sort the heap exists to
+    * remove — the partial heap subsumes it (same superset guarantee),
+    * so it is stripped when its bound is at least as tight as ours. */
+  private def twoPhase(part: Seq[Expression], order: Seq[SortOrder],
+      rnAttr: Attribute, k: Int,
+      w: Window): BoundedTopKExec = {
+    import org.apache.spark.sql.catalyst.plans.logical.WindowGroupLimit
+    val realChild = w.child match {
+      case WindowGroupLimit(p2, o2, RowNumber(), limit, grandchild)
+          if limit >= k && p2 == part && o2 == order =>
+        grandchild
+      case other => other
+    }
+    BoundedTopKExec(part, order, rnAttr, k, partial = false,
+      BoundedTopKExec(part, order, rnAttr, k, partial = true,
+        planLater(realChild)))
   }
 
   /** The sole-window-expression row_number pattern with its required

@@ -14,18 +14,26 @@ import org.apache.spark.sql.execution.{SparkPlan, UnaryExecNode}
   * partition end to end to keep k rows per key. This node needs the same
   * Exchange (groups must colocate) but replaces the sort with O(n log k)
   * heap maintenance in one pass, memory bounded by groups_in_partition × k.
-  */
+  *
+  * Planned as a two-phase pair, like partial aggregation: a `partial`
+  * instance BELOW the exchange prunes each map partition to k rows per
+  * group it sees (a superset of any global answer, for any tie choice),
+  * so the shuffle moves at most k × map_partitions rows per group instead
+  * of every row; the final instance re-selects and attaches the rank. */
 case class BoundedTopKExec(
     partitionExprs: Seq[Expression],
     sortOrder: Seq[SortOrder],
     rankAttr: Attribute,
     k: Int,
+    partial: Boolean,
     child: SparkPlan) extends UnaryExecNode {
 
-  override def output: Seq[Attribute] = child.output :+ rankAttr
+  override def output: Seq[Attribute] =
+    if (partial) child.output else child.output :+ rankAttr
 
   override def requiredChildDistribution: Seq[Distribution] =
-    ClusteredDistribution(partitionExprs) :: Nil
+    if (partial) super.requiredChildDistribution
+    else ClusteredDistribution(partitionExprs) :: Nil
 
   override protected def doExecute(): RDD[InternalRow] = {
     val childOutput = child.output
@@ -55,12 +63,17 @@ case class BoundedTopKExec(
             heaps.put(key.copy(), heap)
         }
       }
-      val out = UnsafeProjection.create(output, childOutput :+ rankAttr)
-      val joined = new org.apache.spark.sql.catalyst.expressions.JoinedRow
-      heaps.iterator.flatMap { case (_, heap) =>
-        val sorted = heap.dequeueAll.reverse // ascending sort order
-        sorted.iterator.zipWithIndex.map { case (row, i) =>
-          out(joined(row, InternalRow(i + 1)))
+      if (partial) {
+        // emission order within a group is irrelevant pre-shuffle
+        heaps.iterator.flatMap { case (_, heap) => heap.iterator }
+      } else {
+        val out = UnsafeProjection.create(output, childOutput :+ rankAttr)
+        val joined = new org.apache.spark.sql.catalyst.expressions.JoinedRow
+        heaps.iterator.flatMap { case (_, heap) =>
+          val sorted = heap.dequeueAll.reverse // ascending sort order
+          sorted.iterator.zipWithIndex.map { case (row, i) =>
+            out(joined(row, InternalRow(i + 1)))
+          }
         }
       }
     }, preservesPartitioning = true)

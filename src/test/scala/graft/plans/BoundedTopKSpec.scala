@@ -30,6 +30,13 @@ class BoundedTopKSpec extends SparkSpecBase {
       (d.collect().toSet, d.queryExecution.executedPlan.toString)
     }
     assert(plan.contains("BoundedTopK"), plan.take(1500))
+    // two-phase: a partial map-side prune below the exchange and the
+    // rank-emitting final above it (AQE prints the plan twice, so >= 2)
+    assert("BoundedTopK".r.findAllIn(plan).size >= 2, plan.take(1500))
+    // the heap subsumes both the window sort AND the builtin
+    // WindowGroupLimit's sorted prune — NO sort anywhere in the plan
+    assert(!plan.contains("Sort "), plan.take(2000))
+    assert(!plan.contains("WindowGroupLimit"), plan.take(2000))
     assert(got === expected)
     assert(got.nonEmpty)
   }
