@@ -1,8 +1,9 @@
 package graft
 
 /** Dev tool: prove the `spark.sql.extensions=graft.functions.GraftExtensions`
-  * install path end-to-end — resolves the custom functions WITHOUT calling
-  * `GraftFunctions.register`. Run via spark-submit (scripts/check_extensions.sh). */
+  * install path end-to-end — resolves the custom functions AND plans the
+  * rank-filter rewrite WITHOUT any code-side register call. Run via
+  * spark-submit (scripts/check_extensions.sh). */
 object ExtensionsCheck {
   def main(args: Array[String]): Unit = {
     val spark = org.apache.spark.sql.SparkSession.builder().getOrCreate()
@@ -10,8 +11,17 @@ object ExtensionsCheck {
     val h = spark.sql("SELECT graft_fnv64('foobar') AS h").head().getLong(0)
     val n = spark.sql("SELECT size(graft_winnow('the quick brown fox jumps over it', 8, 4)) AS n")
       .head().getInt(0)
-    println(s"EXTCHECK fnv64=$h winnow_n=$n " +
-      (if (h == 0x85944171f73967e8L && n > 0) "OK" else "MISMATCH"))
+    // the injected planner strategy must fire on the rank-filter idiom
+    val topk = spark.sql(
+      """SELECT * FROM (
+        |  SELECT g, v, row_number() OVER (PARTITION BY g ORDER BY v DESC) AS rn
+        |  FROM VALUES ('a', 1), ('a', 2), ('a', 3), ('b', 9) AS t(g, v)
+        |) WHERE rn <= 2""".stripMargin)
+    val planOk = topk.queryExecution.executedPlan.toString.contains("BoundedTopK")
+    val rows = topk.collect().map(r => (r.getString(0), r.getInt(1), r.getInt(2))).toSet
+    val rowsOk = rows == Set(("a", 3, 1), ("a", 2, 2), ("b", 9, 1))
+    println(s"EXTCHECK fnv64=$h winnow_n=$n topk_plan=$planOk " +
+      (if (h == 0x85944171f73967e8L && n > 0 && planOk && rowsOk) "OK" else "MISMATCH"))
     spark.stop()
   }
 }
