@@ -92,5 +92,35 @@ check('mixture_sample: non-en strata kept whole, en near its 1/2 fraction',
       bool(non_en.kept.all()) and 0.35 < en_rate < 0.65
       and mix.doc_id.is_unique)
 
+con.execute(f"CREATE VIEW lineitem AS SELECT * FROM read_parquet('{sfdir}/lineitem.parquet')")
+con.execute(f"CREATE VIEW orders AS SELECT * FROM read_parquet('{sfdir}/orders.parquet')")
+con.execute(f"CREATE VIEW supplier AS SELECT * FROM read_parquet('{sfdir}/supplier.parquet')")
+con.execute(f"CREATE VIEW region AS SELECT * FROM read_parquet('{sfdir}/region.parquet')")
+q5 = sp('q_local_supplier_volume')
+# independently-written twin: float sum with a tolerance (NOT the decimal
+# oracle text), filtering via semi-joins instead of the join chain
+q5x = con.sql("""
+SELECT n_name, sum(l_extendedprice * (1 - l_discount)) AS rev
+FROM lineitem l, orders o, customer c, supplier s, nation n
+WHERE l.l_orderkey = o.o_orderkey AND o.o_custkey = c.c_custkey
+  AND l.l_suppkey = s.s_suppkey AND s.s_nationkey = c.c_nationkey
+  AND s.s_nationkey = n.n_nationkey
+  AND n.n_regionkey IN (SELECT r_regionkey FROM region WHERE r_name = 'ASIA')
+  AND o.o_orderdate >= TIMESTAMP '1996-01-01' AND o.o_orderdate < TIMESTAMP '1997-01-01'
+GROUP BY 1""").df().set_index('n_name').rev
+q5m = q5.set_index('n_name').revenue
+check('q5 volume: decimal-exact revenue within float-sum tolerance per nation',
+      set(q5m.index) == set(q5x.index)
+      and all(abs(q5m[k] - q5x[k]) < 1e-4 * max(1.0, abs(q5x[k])) for k in q5x.index))
+
+man = sp('q_training_manifest')
+cur = sp('q_corpus_curate')
+dec = sp('q_decontaminate')
+check('manifest: subset of curated ids, disjoint from contaminated, split arithmetic holds',
+      set(man.doc_id) <= set(cur.doc_id)
+      and not (set(man.doc_id) & set(dec.doc_id))
+      and all((('train' if i % 100 < 90 else 'val' if i % 100 < 95 else 'test') == s)
+              for i, s in zip(man.doc_id, man.split)))
+
 print('RESULT:', 'ALL OK' if ok else 'FAIL')
 sys.exit(0 if ok else 1)
