@@ -88,7 +88,10 @@ object BoundedTopKStrategy extends SparkStrategy {
       case Seq(a @ Alias(WindowExpression(RowNumber(),
           WindowSpecDefinition(part, order,
             SpecifiedWindowFrame(RowFrame, UnboundedPreceding, CurrentRow))), _))
-          if order.nonEmpty =>
+          // empty partitionBy = GLOBAL top-k: ClusteredDistribution
+          // cannot express it (and TakeOrderedAndProject already covers
+          // it) — fall through to the built-in planner
+          if part.nonEmpty && order.nonEmpty =>
         Some((part, order, a.toAttribute))
       case _ => None
     }

@@ -73,6 +73,16 @@ class BoundedTopKSpec extends SparkSpecBase {
       .filter(col("rank") < 3))
   }
 
+  test("global row_number (no partitionBy) falls through and still computes") {
+    val w = Window.orderBy(col("n").desc, col("id"))
+    def q = df.withColumn("rn", row_number().over(w)).filter(col("rn") <= 3)
+    val expected = withStrategy(false)(q.collect().toSet)
+    withStrategy(true) {
+      assert(!q.queryExecution.executedPlan.toString.contains("BoundedTopK"))
+      assert(q.collect().toSet === expected)
+    }
+  }
+
   test("non-matching shapes fall through: rank(), conjunctions, range frame") {
     val w = Window.partitionBy("g").orderBy(col("n").desc, col("id"))
     // rank() (not row_number) must NOT rewrite
