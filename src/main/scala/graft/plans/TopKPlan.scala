@@ -26,7 +26,8 @@ case class BoundedTopKExec(
     rankAttr: Attribute,
     k: Int,
     partial: Boolean,
-    child: SparkPlan) extends UnaryExecNode {
+    child: SparkPlan,
+    maxPartialGroups: Int = 1 << 16) extends UnaryExecNode {
 
   override def output: Seq[Attribute] =
     if (partial) child.output else child.output :+ rankAttr
@@ -47,8 +48,13 @@ case class BoundedTopKExec(
       // when a better one arrives
       val heaps = scala.collection.mutable.LinkedHashMap
         .empty[UnsafeRow, scala.collection.mutable.PriorityQueue[UnsafeRow]]
-      while (iter.hasNext) {
-        val row = toUnsafe(iter.next())
+      // the partial phase caps how many groups it tracks (the partial-
+      // aggregation fallback): past the cap, unseen groups' rows pass
+      // through unpruned — still a superset, the final phase prunes.
+      // The final phase owns its groups post-shuffle and must track all.
+      val groupCap = if (partial) maxPartialGroups else Int.MaxValue
+      val pruned = iter.flatMap { r =>
+        val row = toUnsafe(r)
         val key = groupProj(row)
         heaps.get(key) match {
           case Some(heap) =>
@@ -56,20 +62,26 @@ case class BoundedTopKExec(
             else if (ordering.compare(row, heap.head) < 0) {
               heap.dequeue(); heap.enqueue(row.copy())
             }
-          case None =>
+            Iterator.empty
+          case None if heaps.size < groupCap =>
             val heap = scala.collection.mutable.PriorityQueue
               .empty[UnsafeRow](ordering.asInstanceOf[Ordering[UnsafeRow]])
             heap.enqueue(row.copy())
             heaps.put(key.copy(), heap)
+            Iterator.empty
+          case None => // untracked overflow group (partial only)
+            Iterator.single(row.copy(): InternalRow)
         }
       }
       if (partial) {
         // emission order within a group is irrelevant pre-shuffle
-        heaps.iterator.flatMap { case (_, heap) => heap.iterator }
+        pruned ++ heaps.iterator.flatMap { case (_, heap) => heap.iterator }
       } else {
         val out = UnsafeProjection.create(output, childOutput :+ rankAttr)
         val joined = new org.apache.spark.sql.catalyst.expressions.JoinedRow
-        heaps.iterator.flatMap { case (_, heap) =>
+        // drain the (empty-by-construction) pass-through first so the
+        // heaps are fully populated before ranking
+        pruned ++ heaps.iterator.flatMap { case (_, heap) =>
           val sorted = heap.dequeueAll.reverse // ascending sort order
           sorted.iterator.zipWithIndex.map { case (row, i) =>
             out(joined(row, InternalRow(i + 1)))

@@ -103,6 +103,31 @@ class BoundedTopKSpec extends SparkSpecBase {
     }
   }
 
+  test("partial-phase group cap: overflow groups pass through unpruned (superset)") {
+    import org.apache.spark.sql.catalyst.expressions.{AttributeReference, Ascending, SortOrder => CSortOrder}
+    import org.apache.spark.sql.types.IntegerType
+    val one = df.repartition(1)
+    val childPlan = one.queryExecution.executedPlan
+    val attrs = childPlan.output // g, n, id
+    val rankAttr = AttributeReference("rn", IntegerType, nullable = false)()
+    val partialNode = BoundedTopKExec(Seq(attrs(0)),
+      Seq(CSortOrder(attrs(1), Ascending)), rankAttr, k = 1,
+      partial = true, child = childPlan, maxPartialGroups = 1)
+    val got = partialNode.execute().map(_.copy()).collect()
+      .map(r => (r.getUTF8String(0).toString, r.getLong(1), r.getLong(2)))
+    val byGroup = got.groupBy(_._1)
+    // exactly ONE group was tracked and pruned to k=1...
+    val inputByGroup = df.collect().map(r => (r.getString(0), r.getLong(1), r.getLong(2)))
+      .groupBy(_._1)
+    val prunedGroups = byGroup.filter { case (g, rows) => rows.length < inputByGroup(g).length }
+    assert(prunedGroups.size <= 1)
+    assert(byGroup.keySet === inputByGroup.keySet)
+    // ...and every group still contains its true minimum (superset safety)
+    inputByGroup.foreach { case (g, rows) =>
+      assert(byGroup(g).map(_._2).min === rows.map(_._2).min, s"group $g")
+    }
+  }
+
   test("registered window queries rewrite and stay oracle-identical") {
     for (name <- Seq("q_heavy_hitters", "q_lang_cap")) {
       val q = graft.SparkEntry.queries(name)
