@@ -44,6 +44,9 @@ object SparkEntry {
   val EmbDupMaxVecId     = 500L
   val SimNumQueries      = 10L    // ANN query set = vec_id < 10
   val SimTopK            = 5
+  val LargeOrderQty      = 300L   // Q18-shaped HAVING cut (~top 0.1% of
+                                  // orders; corpus avg order qty ~103)
+  val BoilerplateMinDocs = 5L     // segment-frequency boilerplate cut
 
   /** Flagship query on /root/testdata/sf0.001; driver smoke-checks rows>0. */
   def entry(spark: SparkSession): DataFrame =
@@ -59,6 +62,18 @@ object SparkEntry {
 
   private def completed(s: SparkSession, dir: String): DataFrame =
     upserts(s, dir).filter(Predicates.isCompleted(col("status")))
+
+  /** Deterministic synthetic boilerplate: an 8-word header (two variants)
+    * prepended to 4 of 5 documents — the corpus itself has no repeated
+    * segments, so the strip operator needs planted ones, exactly as the
+    * PII scrubber plants contact strings. Kept in lockstep with the
+    * `q_boilerplate_strip` oracle's `d0` CTE. */
+  private def withBoilerplate(docs: DataFrame): DataFrame =
+    docs.withColumn("text",
+      when(col("doc_id") % 5 < 4,
+        concat(lit("© graft corp all rights reserved footer v"),
+          col("doc_id") % 2, lit(" "), col("text")))
+        .otherwise(col("text")))
 
   /** One per implemented operator from SURVEY.md §2. */
   def queries: Map[String, (SparkSession, String) => DataFrame] = Map(
@@ -788,6 +803,66 @@ object SparkEntry {
           coalesce(col("USD"), lit(0.0)).as("usd_total"),
           coalesce(col("NGN"), lit(0.0)).as("ngn_total"),
           coalesce(col("EUR"), lit(0.0)).as("eur_total"))),
+
+    // Post-dedup corpus manifest: what the pipeline hands downstream —
+    // every in-scope doc with its duplicate-cluster id and the canonical
+    // keep/drop decision (pairs/labels alone leave the caller to derive it)
+    "q_dedup_manifest" -> ((s, dir) =>
+      Dedup.dedupManifest(Tables.documents(s, dir), JaccardThreshold,
+        JaccardMaxDocId)),
+
+    // Cross-document boilerplate removal over deterministic planted headers
+    // (the corpus has none — same planting pattern as the PII scrubber);
+    // the cleaning pass itself is scan-only against a plan-constant set
+    "q_boilerplate_strip" -> ((s, dir) =>
+      graft.text.TrainingPrep.boilerplateStrip(
+        withBoilerplate(Tables.documents(s, dir)),
+        minDocs = BoilerplateMinDocs)),
+
+    // DSIR-style importance resampling: keep raw docs the target-slice
+    // unigram LM prefers (integer micro-nat scores, engine-exact)
+    "q_importance_resample" -> ((s, dir) =>
+      graft.text.TrainingPrep.importanceResample(Tables.documents(s, dir))),
+
+    // Curriculum deciles of quality score per predicted language
+    "q_curriculum_bins" -> ((s, dir) =>
+      graft.text.TrainingPrep.curriculumBins(Tables.documents(s, dir))),
+
+    // Per-source corpus mix profile (docs/tokens/chars/unique texts by
+    // domain — the per-source table a curation report leads with);
+    // uniqueness counts a 256-bit digest so wide text never shuffles
+    "q_source_mix" -> ((s, dir) =>
+      Tables.documents(s, dir)
+        .groupBy("source")
+        .agg(count(lit(1)).as("n_docs"),
+          sum(size(split(col("text"), " "))).cast("long").as("total_ws_tokens"),
+          sum(length(col("text"))).cast("long").as("total_chars"),
+          countDistinct(sha2(lower(trim(col("text"))), 256)).as("n_unique_texts"))),
+
+    // Integer-exact per-label centroid sums over the shared int8 codes
+    // (grouped-vector mean in mergeable form, via the VecSumAgg UDAF)
+    "q_label_centroids" -> ((s, dir) =>
+      Similarity.labelCentroidSums(Tables.embeddings(s, dir))),
+
+    // TPC-H Q18-shaped large-volume orders: the aggregate-then-join-back
+    // shape — the HAVING survivors are tiny, so THEY broadcast and the
+    // fact/dim tables never shuffle
+    "q_large_orders" -> ((s, dir) => {
+      val big = Tables.table(s, dir, "lineitem")
+        .groupBy("l_orderkey")
+        .agg(sum(col("l_quantity")).cast("long").as("total_qty")) // whole-number doubles: exact
+        .filter(col("total_qty") > LargeOrderQty)
+      val enriched = Tables.table(s, dir, "orders")
+        .join(broadcast(big), col("o_orderkey") === col("l_orderkey"))
+      broadcast(enriched)
+        .join(Tables.customer(s, dir), col("o_custkey") === col("c_custkey"))
+        .select(col("c_name"), col("o_custkey").as("custkey"),
+          col("o_orderkey").as("orderkey"),
+          unix_millis(col("o_orderdate").cast("timestamp")).as("orderdate_ms"),
+          col("o_totalprice").as("totalprice"), col("total_qty"))
+        .orderBy(col("totalprice").desc, col("orderkey"))
+        .limit(100)
+    }),
   )
 
   // ---- DuckDB oracle SQL ----------------------------------------------------
@@ -2060,5 +2135,106 @@ object SparkEntry {
         |  floor(byte_sum * 1.0 / greatest(length(text), 1) * 10000.0) / 10000.0 AS avg_byte,
         |  CAST(byte_sum % 256 AS BIGINT) AS checksum
         |FROM b""".stripMargin,
+
+    "q_dedup_manifest" ->
+      (sqlJaccardCtes.replace("WITH ", "WITH RECURSIVE ") + s""",
+         |edges AS (SELECT doc_a AS s, doc_b AS d FROM jpairs
+         |          UNION ALL SELECT doc_b, doc_a FROM jpairs),
+         |reach(node, r) AS (
+         |  SELECT s, s FROM (SELECT DISTINCT s FROM edges) t
+         |  UNION
+         |  SELECT re.node, e.d FROM reach re JOIN edges e ON e.s = re.r
+         |),
+         |clus AS (SELECT node AS doc_id, min(r) AS cluster_id FROM reach GROUP BY node)
+         |SELECT di.doc_id, coalesce(c.cluster_id, di.doc_id) AS cluster_id,
+         |       di.doc_id = coalesce(c.cluster_id, di.doc_id) AS is_kept
+         |FROM (SELECT doc_id FROM documents WHERE doc_id < $JaccardMaxDocId) di
+         |LEFT JOIN clus c USING (doc_id)""".stripMargin),
+
+    "q_boilerplate_strip" ->
+      s"""WITH d0 AS (
+         |  SELECT doc_id, CASE WHEN doc_id % 5 < 4
+         |    THEN '© graft corp all rights reserved footer v' || (doc_id % 2) || ' ' || text
+         |    ELSE text END AS text
+         |  FROM documents
+         |), d AS (SELECT doc_id, string_split(text, ' ') AS w FROM d0),
+         |segs AS (
+         |  SELECT doc_id, i AS seg_idx,
+         |         array_to_string(list_slice(w, (i - 1) * 8 + 1, i * 8), ' ') AS segment
+         |  FROM (SELECT doc_id, w,
+         |          unnest(generate_series(1, CAST(ceil(len(w) / 8.0) AS BIGINT))) AS i
+         |        FROM d)
+         |), freq AS (
+         |  SELECT segment FROM (
+         |    SELECT segment, count(DISTINCT doc_id) AS nd FROM segs GROUP BY 1)
+         |  WHERE nd >= $BoilerplateMinDocs
+         |), kept AS (
+         |  SELECT s.doc_id, s.seg_idx, s.segment, f.segment IS NULL AS keep
+         |  FROM segs s LEFT JOIN freq f USING (segment)
+         |)
+         |SELECT doc_id, CAST(count(*) AS BIGINT) AS n_segs,
+         |  CAST(sum(CASE WHEN keep THEN 1 ELSE 0 END) AS BIGINT) AS n_kept,
+         |  coalesce(string_agg(CASE WHEN keep THEN segment END, ' ' ORDER BY seg_idx), '') AS clean_text
+         |FROM kept GROUP BY doc_id""".stripMargin,
+
+    "q_importance_resample" ->
+      """WITH tgt AS (SELECT unnest(string_split(text, ' ')) AS term
+        |             FROM documents WHERE doc_id % 50 = 0),
+        |raw AS (SELECT doc_id, unnest(string_split(text, ' ')) AS term
+        |        FROM documents WHERE doc_id % 50 <> 0),
+        |tv AS (SELECT term, count(*) AS t_n FROM tgt GROUP BY 1),
+        |rv AS (SELECT term, count(*) AS r_n FROM raw GROUP BY 1),
+        |v AS (SELECT coalesce(tv.term, rv.term) AS term,
+        |             coalesce(t_n, 0) AS t_n, coalesce(r_n, 0) AS r_n
+        |      FROM tv FULL JOIN rv ON tv.term = rv.term),
+        |tot AS (SELECT sum(t_n) AS tt, sum(r_n) AS rt, count(*) AS vn FROM v),
+        |sc AS (
+        |  SELECT doc_id, CAST(count(*) AS BIGINT) AS n_tokens,
+        |    CAST(sum(CAST(floor(ln((v.t_n + 1) / CAST(tot.tt + tot.vn AS DOUBLE)) * 1000000.0) AS BIGINT)
+        |           - CAST(floor(ln((v.r_n + 1) / CAST(tot.rt + tot.vn AS DOUBLE)) * 1000000.0) AS BIGINT)) AS BIGINT)
+        |      AS importance_micro
+        |  FROM raw JOIN v USING (term), tot
+        |  GROUP BY doc_id
+        |)
+        |SELECT * FROM sc WHERE importance_micro > 0""".stripMargin,
+
+    "q_curriculum_bins" ->
+      (sqlCurateCtes("TRUE") +
+        """
+          |SELECT q.doc_id, l.pred_lang, q.quality_score,
+          |  CAST(ntile(10) OVER (PARTITION BY l.pred_lang
+          |         ORDER BY q.quality_score DESC, q.doc_id) AS BIGINT) AS curriculum_bin
+          |FROM qual q JOIN lang l USING (doc_id)""".stripMargin),
+
+    "q_source_mix" ->
+      """SELECT source, CAST(count(*) AS BIGINT) AS n_docs,
+        |  CAST(sum(len(string_split(text, ' '))) AS BIGINT) AS total_ws_tokens,
+        |  CAST(sum(length(text)) AS BIGINT) AS total_chars,
+        |  CAST(count(DISTINCT lower(trim(text))) AS BIGINT) AS n_unique_texts
+        |FROM documents GROUP BY 1""".stripMargin,
+
+    "q_label_centroids" ->
+      """WITH e AS (SELECT vec_id, label, CAST(embedding AS DOUBLE[]) AS v FROM embeddings),
+        |s AS (SELECT vec_id, label, v, list_min(v) AS vmin,
+        |        greatest((list_max(v) - list_min(v)) / 256.0, 1e-12) AS scale FROM e),
+        |c AS (SELECT label, i - 1 AS dim,
+        |        least(CAST(floor((v[i] - vmin) / scale) AS BIGINT), 255) AS code
+        |      FROM (SELECT label, vmin, scale, v,
+        |              unnest(generate_series(1, len(v))) AS i FROM s))
+        |SELECT CAST(label AS BIGINT) AS label, CAST(dim AS BIGINT) AS dim,
+        |  CAST(sum(code) AS BIGINT) AS sum_q, CAST(count(*) AS BIGINT) AS n_vecs
+        |FROM c GROUP BY 1, 2""".stripMargin,
+
+    "q_large_orders" ->
+      s"""WITH big AS (
+         |  SELECT l_orderkey, CAST(sum(l_quantity) AS BIGINT) AS total_qty
+         |  FROM lineitem GROUP BY 1 HAVING sum(l_quantity) > $LargeOrderQty
+         |)
+         |SELECT c_name, o_custkey AS custkey, o_orderkey AS orderkey,
+         |       epoch_ms(o_orderdate) AS orderdate_ms,
+         |       o_totalprice AS totalprice, total_qty
+         |FROM orders JOIN big ON o_orderkey = l_orderkey
+         |JOIN customer ON o_custkey = c_custkey
+         |ORDER BY totalprice DESC, orderkey LIMIT 100""".stripMargin,
   )
 }

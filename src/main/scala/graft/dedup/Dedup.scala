@@ -117,6 +117,31 @@ object Dedup {
     labels.select(col("node").as("doc_id"), col("label").as("cluster_id"))
   }
 
+  /** The post-dedup corpus manifest — what the pipeline hands downstream
+    * after near-dup resolution: every in-scope document labeled with its
+    * duplicate-cluster id (its own id if it duplicates nothing) and a
+    * keep/drop decision (the cluster's min doc_id is the canonical copy).
+    * This is the consumable form of [[dupClusters]]: a dedup pass that
+    * only emits pairs or labels still leaves the caller to derive the
+    * corpus; this emits the corpus.
+    *
+    * Scale posture: the cluster label frame is one row per document that
+    * appears in ANY near-dup pair — tiny relative to the corpus by
+    * construction — so the final join broadcasts it against a scan of the
+    * id column; the corpus text never shuffles. `maxDocId` bounds the
+    * exact-Jaccard candidate stage exactly as in [[ngramJaccardPairs]];
+    * the unbounded path swaps in MinHash banding candidates
+    * ([[MinHashLSH.candidatePairs]]) with identical downstream shape. */
+  def dedupManifest(documents: DataFrame, threshold: Double,
+      maxDocId: Long, n: Int = 3): DataFrame = {
+    val clusters = dupClusters(ngramJaccardPairs(documents, threshold, maxDocId, n))
+    documents.filter(col("doc_id") < maxDocId).select("doc_id")
+      .join(broadcast(clusters), Seq("doc_id"), "left")
+      .select(col("doc_id"),
+        coalesce(col("cluster_id"), col("doc_id")).as("cluster_id"))
+      .withColumn("is_kept", col("doc_id") === col("cluster_id"))
+  }
+
   /** Embedding-cosine near-duplicate pairs (exact all-pairs, bounded
     * candidate set). Norms are precomputed per vector (one pass) so the
     * pair stage is a single fused dot product. This is the TEST-ORACLE

@@ -1,7 +1,7 @@
 package graft.sim
 
-import org.apache.spark.sql.{Column, DataFrame}
-import org.apache.spark.sql.expressions.Window
+import org.apache.spark.sql.{Column, DataFrame, Encoder}
+import org.apache.spark.sql.expressions.{Aggregator, Window}
 import org.apache.spark.sql.functions._
 
 /** Approximate-nearest-neighbor search over an embedding column
@@ -278,5 +278,52 @@ object Similarity {
         round(dot("qv", "v") / (col("qnorm") * col("norm")), 6).as("cos_sim"))
       .withColumn("rank", row_number().over(w).cast("long"))
       .filter(col("rank") <= k)
+  }
+
+  /** Grouped vector sum as a typed [[Aggregator]]: zip-adds each group's
+    * long arrays into one accumulator. The load-bearing property is
+    * MAP-SIDE COMBINE: a `posexplode -> groupBy(label, dim)` formulation
+    * shuffles one row per vector PER DIMENSION (a dims-fold write
+    * amplification that dominates at 100 TB), while the UDAF's partial
+    * aggregation shuffles one partially-summed array per (partition,
+    * label). Same extension surface as [[graft.dedup.MinHashLSH.MinHashSigAgg]]. */
+  object VecSumAgg extends Aggregator[Array[Long], Array[Long], Array[Long]] {
+    override def zero: Array[Long] = Array.emptyLongArray
+    override def reduce(buf: Array[Long], x: Array[Long]): Array[Long] =
+      if (buf.isEmpty) x.clone()
+      else {
+        var i = 0
+        while (i < buf.length) { buf(i) += x(i); i += 1 }
+        buf
+      }
+    override def merge(x: Array[Long], y: Array[Long]): Array[Long] =
+      if (x.isEmpty) y else reduce(x, y)
+    override def finish(buf: Array[Long]): Array[Long] = buf
+    override def bufferEncoder: Encoder[Array[Long]] = ExprEnc
+    override def outputEncoder: Encoder[Array[Long]] = ExprEnc
+    private lazy val ExprEnc: Encoder[Array[Long]] =
+      org.apache.spark.sql.catalyst.encoders.ExpressionEncoder[Array[Long]]()
+  }
+
+  /** Per-label centroid SUMS over int8-quantized codes — the grouped-
+    * vector-mean building block (class prototypes, cluster refits, μ for
+    * whitening) kept in EXACT integer form: emitting sums + counts instead
+    * of float means makes the result aggregation-order-independent, so it
+    * is engine-hashable AND mergeable across shards (means are not). One
+    * scan + one UDAF aggregation (map-side combined) + a posexplode of the
+    * labels×dims result frame, which is tiny by construction. The mean is
+    * one exact-integer IEEE division away, done by the CONSUMER at full
+    * precision. Codes come from the same shared quantization kernel as
+    * [[quantizeInt8]] / [[quantizedTopK]]. */
+  def labelCentroidSums(embeddings: DataFrame): DataFrame = {
+    val vsum = udaf(VecSumAgg)
+    quantizeCodesWithVectors(embeddings)
+      .join(embeddings.select(col("vec_id"), col("label")), "vec_id")
+      .groupBy(col("label").cast("long").as("label"))
+      .agg(vsum(col("q")).as("__sums"), count(lit(1)).as("n_vecs"))
+      .select(col("label"), col("n_vecs"),
+        posexplode(col("__sums")).as(Seq("dim", "sum_q")))
+      .select(col("label"), col("dim").cast("long").as("dim"),
+        col("sum_q"), col("n_vecs"))
   }
 }

@@ -259,6 +259,117 @@ object TrainingPrep {
           .otherwise("test"))
   }
 
+  /** Cross-document boilerplate removal (the CCNet/RefinedWeb paragraph-
+    * dedup pattern adapted to unstructured text): documents are cut into
+    * consecutive `segWords`-word segments; any segment occurring in at
+    * least `minDocs` DISTINCT documents is boilerplate (headers, footers,
+    * license banners) and is dropped from every document; the survivors
+    * reassemble in original order.
+    *
+    * Two phases, mirroring [[bloomDecontaminate]]'s small-side fold:
+    *   1. the frequent-segment set is one aggregation over segment
+    *      postings (by Zipf it is tiny — boilerplate is frequent, so few
+    *      strings qualify), collected and carried as a PLAN CONSTANT
+    *      (`typedlit` array probed by a codegen'd `array_contains`) —
+    *      NOT a broadcast-joined column (see the bloom note: copying a
+    *      blob into every row's UnsafeRow was 7× slower);
+    *   2. the cleaning pass is then scan-only — a per-row higher-order
+    *      `filter` over the segment array; the corpus text crosses the
+    *      network ZERO times. `maxBoilerplate` guards the driver fold the
+    *      same way the bloom build bounds its hash collect; at a real
+    *      corpus scale where the frequent set outgrows a plan constant,
+    *      swap phase 1's probe for [[graft.functions.BloomContains]] +
+    *      exact verify, identical composition. */
+  def boilerplateStrip(documents: DataFrame, segWords: Int = 8,
+      minDocs: Long = 5, maxBoilerplate: Int = 100000): DataFrame = {
+    val segs = expr(
+      s"""transform(sequence(0, cast(ceil(size(__w) / ${segWords}.0) as int) - 1),
+         |  i -> concat_ws(' ', slice(__w, i * $segWords + 1, $segWords)))""".stripMargin)
+    val withSegs = documents
+      .select(col("doc_id"), split(col("text"), " ").as("__w"))
+      .select(col("doc_id"), segs.as("__segs"))
+    val frequent = withSegs
+      .select(col("doc_id"), explode(array_distinct(col("__segs"))).as("segment"))
+      .groupBy("segment").agg(count(lit(1)).as("__nd"))
+      .filter(col("__nd") >= minDocs)
+      .select("segment")
+      .collect().map(_.getString(0)).sorted
+    require(frequent.length <= maxBoilerplate,
+      s"boilerplate set ${frequent.length} exceeds plan-constant budget " +
+        s"$maxBoilerplate — use the bloom-probe composition instead")
+    val bp = typedlit(frequent.toSeq)
+    withSegs
+      .select(col("doc_id"), col("__segs"),
+        filter(col("__segs"), s => !array_contains(bp, s)).as("__kept"))
+      .select(col("doc_id"),
+        size(col("__segs")).cast("long").as("n_segs"),
+        size(col("__kept")).cast("long").as("n_kept"),
+        concat_ws(" ", col("__kept")).as("clean_text"))
+  }
+
+  /** DSIR-style importance resampling (Xie et al. 2023, "Data Selection
+    * for Language Models via Importance Resampling"): score every raw
+    * document by how much more likely it is under a TARGET-domain unigram
+    * LM than under the raw-corpus LM — sum over tokens of
+    * ln p_target(w) − ln p_raw(w), add-one smoothed over the union
+    * vocabulary — and keep the documents the target distribution prefers
+    * (positive importance). The target here is the deterministic
+    * `doc_id % targetMod == 0` slice, the same stand-in benchmark split
+    * as [[decontaminate]].
+    *
+    * Exactness: each token's two log-probabilities are truncated to
+    * INTEGER micro-nats before the per-document sum ([[unigramLogProb]]'s
+    * trick), so aggregation order cannot change the result and the DuckDB
+    * oracle reproduces it bit-for-bit. Shuffle shape: two vocabulary
+    * aggregations, a vocabulary-sized full-outer join (both sides shrink
+    * to distinct terms), the vocab broadcast back to the token postings,
+    * one per-doc sum — the corpus text itself never joins anything. */
+  def importanceResample(documents: DataFrame,
+      targetMod: Long = 50): DataFrame = {
+    val words = documents
+      .select(col("doc_id"), explode(split(col("text"), " ")).as("term"))
+    val rawTerms = words.filter(col("doc_id") % targetMod =!= 0)
+    val tgtVocab = words.filter(col("doc_id") % targetMod === 0)
+      .groupBy("term").agg(count(lit(1)).as("t_n"))
+    val rawVocab = rawTerms.groupBy("term").agg(count(lit(1)).as("r_n"))
+    val vocab = tgtVocab.join(rawVocab, Seq("term"), "full")
+      .select(col("term"),
+        coalesce(col("t_n"), lit(0L)).as("t_n"),
+        coalesce(col("r_n"), lit(0L)).as("r_n"))
+    val totals = vocab.agg(
+      sum(col("t_n")).as("tt"), sum(col("r_n")).as("rt"),
+      count(lit(1)).as("vn"))
+    def lpMicro(n: Column, total: Column): Column =
+      floor(log((n + 1) / (total + col("vn")).cast("double")) * 1e6).cast("long")
+    rawTerms
+      .join(broadcast(vocab), "term")
+      .crossJoin(broadcast(totals))
+      .withColumn("__imp_micro",
+        lpMicro(col("t_n"), col("tt")) - lpMicro(col("r_n"), col("rt")))
+      .groupBy("doc_id")
+      .agg(count(lit(1)).as("n_tokens"),
+        sum(col("__imp_micro")).as("importance_micro"))
+      .filter(col("importance_micro") > 0)
+  }
+
+  /** Curriculum binning: deciles (or `nBins`-tiles) of quality score per
+    * predicted language — the standard way training curricula order data
+    * from easy/clean to hard/noisy without a global sort. The order is
+    * total (score DESC, doc_id ASC), so tile assignment is deterministic
+    * and engine-exact (ANSI NTILE semantics: the first `count mod nBins`
+    * tiles take one extra row). The window partitions by language; at a
+    * real corpus scale where one language dominates a partition, derive
+    * bin THRESHOLDS from `percentile_approx` instead and assign by
+    * comparison in the scan stage — this form keeps the exact contract. */
+  def curriculumBins(documents: DataFrame, nBins: Int = 10): DataFrame = {
+    val w = Window.partitionBy(col("pred_lang"))
+      .orderBy(col("quality_score").desc, col("doc_id"))
+    TextAnalysis.quality(documents).select("doc_id", "quality_score")
+      .join(TextAnalysis.langId(documents).select("doc_id", "pred_lang"), "doc_id")
+      .withColumn("curriculum_bin", ntile(nBins).over(w).cast("long"))
+      .select("doc_id", "pred_lang", "quality_score", "curriculum_bin")
+  }
+
   /** Unigram language-model score per document: mean log-probability of
     * its tokens under the corpus unigram distribution — the cheap
     * perplexity proxy used for quality filtering. Each token's
