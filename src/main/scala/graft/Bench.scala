@@ -7,6 +7,16 @@ package graft
   * count lets Catalyst prune projections/formatting work and would
   * under-report). One warm-up query runs first so JVM/codegen warm-up isn't
   * billed to the first measured query.
+  *
+  * Output discipline: the harness that runs this keeps only a bounded tail
+  * of the process output, and sbt prints its own footer line after `main`
+  * returns — so the LAST line we print must be a complete, parseable JSON
+  * record that fits in that window even with the footer behind it. With 80+
+  * registered queries the full per-query map is ~3 KB and cannot fit, so:
+  *   1. the full-precision record is written to BENCH_FULL.json (repo root)
+  *      and also printed early for anyone reading the whole log;
+  *   2. the final stdout line is the same record with the `queries` map cut
+  *      to the heaviest entries, sized well under the tail window.
   */
 object Bench {
   def main(args: Array[String]): Unit = {
@@ -32,10 +42,27 @@ object Bench {
       val ok = Seq(runOnce(n), runOnce(n)).filter(_ >= 0)
       n -> (if (ok.isEmpty) -1.0 else ok.min) // -1 only if BOTH runs failed
     }
-    val qs = results.map { case (k, v) => "\"" + k + "\":" + v }
-      .mkString("{", ",", "}")
     val total = results.map(_._2).sum
-    println(s"""{"metric":"total","value":$total,"unit":"sec","queries":$qs,"sf":"$sfDir"}""")
+
+    def record(qs: Seq[(String, Double)], extra: String = ""): String = {
+      val m = qs.map { case (k, v) => f""""$k":$v%.3f""" }.mkString("{", ",", "}")
+      f"""{"metric":"total","value":$total%.3f,"unit":"sec","n_queries":${results.size},"queries":$m$extra,"sf":"$sfDir"}"""
+    }
+
+    val full = record(results)
+    println(full)
+    try {
+      java.nio.file.Files.write(java.nio.file.Paths.get("BENCH_FULL.json"),
+        (full + "\n").getBytes("UTF-8"))
+    } catch { case e: Throwable =>
+      System.err.println(s"[bench] could not write BENCH_FULL.json: ${e.getMessage}")
+    }
+
+    // final line: heaviest queries only, capped so the line stays < ~1200
+    // chars — complete per-query detail is in BENCH_FULL.json / the full
+    // line above
+    val heaviest = results.sortBy { case (_, v) => -v }.take(20)
+    println(record(heaviest, extra = ""","queries_full":"BENCH_FULL.json""""))
     spark.stop()
   }
 }

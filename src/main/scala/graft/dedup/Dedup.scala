@@ -113,6 +113,13 @@ object Dedup {
       labels = next.drop("__chg")
       round += 1
     }
+    // convergence really is asserted: exiting on maxRounds with pending
+    // updates would hand back partially-propagated clusters that silently
+    // diverge from the exact transitive closure
+    require(changed == 0,
+      s"dupClusters did not converge in $maxRounds rounds " +
+        s"($changed labels still changing) — raise maxRounds; component " +
+        "diameter exceeds the round budget")
     edges.unpersist()
     labels.select(col("node").as("doc_id"), col("label").as("cluster_id"))
   }

@@ -191,38 +191,90 @@ object Similarity {
 
   /** Coarse quantizer training: deterministic stride-sampled seeds refined
     * by `iters` Lloyd passes (assign by cosine argmax, recompute each cell
-    * as the elementwise mean of its members). Each pass is one broadcast
-    * assignment + one posexplode/avg shuffle over (cell, dim) — linear in
-    * N·dim, no pairwise work. Cells that lose all members drop out. */
-  def kmeansCentroids(all: DataFrame, stride: Int, iters: Int): DataFrame = {
-    // hash-stride seed sampling: scan-only and deterministic. An ordinal
-    // row_number over an unpartitioned window would sort the entire vector
-    // table on ONE task at scale; xxhash64 spreads sparse/offset id spaces
-    // uniformly instead, so ~N/stride seeds survive with no ordering pass.
-    val seedCols = Seq(col("vec_id").as("c_id"), col("v").as("cv"),
-      col("norm").as("cnorm"))
-    val hashSeeds = all
-      .filter(pmod(xxhash64(col("vec_id")), lit(stride.toLong)) === 0)
-      .select(seedCols: _*)
-    // tiny-corpus fallback (training-time only, one cheap existence probe):
-    // if hashing yields no seeds, every vector becomes its own seed
-    var centroids = if (hashSeeds.isEmpty) all.select(seedCols: _*) else hashSeeds
-    for (_ <- 1 to iters) {
-      val assigned = all.join(broadcast(centroids))
-        .withColumn("__csim", dot("v", "cv") / (col("norm") * col("cnorm")))
-        .groupBy(col("vec_id"))
-        .agg(max_by(col("c_id"), struct(col("__csim"), -col("c_id"))).as("c_id"),
-          first(col("v")).as("v"))
-      centroids = assigned
-        .select(col("c_id"), posexplode(col("v")).as(Seq("pos", "x")))
-        .groupBy("c_id", "pos").agg(avg(col("x")).as("x"))
-        .groupBy("c_id")
-        .agg(expr("transform(array_sort(collect_list(struct(pos, x))), s -> s.x)")
-          .as("cv"))
-        .withColumn("cnorm", sqrt(expr(
-          "aggregate(zip_with(cv, cv, (x, y) -> x * y), 0D, (acc, x) -> acc + x)")))
+    * as the elementwise mean of its members).
+    *
+    * The quantizer is trained on a SAMPLE, FAISS-style: one scan collects a
+    * deterministic hash-sample of vectors (`pmod(xxhash64(vec_id),
+    * sampleMod) == 0`, capped by `maxTrainSamples` fail-loud so a
+    * mis-sized sampleMod can never flood the driver), Lloyd runs on the
+    * driver over that sample (a few thousand vectors × a few dozen
+    * centroids — microseconds, and deterministic because the sample is
+    * sorted by vec_id before any float accumulates), and the resulting
+    * centroid model ships back as a LITERAL local relation. That is the
+    * same plan-constant discipline as the decontamination bloom bitset:
+    * training is ONE shallow Spark job regardless of `iters`, the model
+    * has no lineage to recompute, and every downstream broadcast of it is
+    * free. A fully-distributed Lloyd pass (broadcast assignment +
+    * map-side-combined vector sums) only pays off when the TRAINING SET
+    * itself cannot sit on the driver — and a coarse quantizer never needs
+    * a training set that big.
+    *
+    * Seeds are the sampled vectors with `pmod(xxhash64(vec_id), stride) ==
+    * 0` — scan-only and deterministic (an ordinal row_number over an
+    * unpartitioned window would sort the entire vector table on ONE task);
+    * if hashing yields none (tiny corpus), every sampled vector seeds.
+    * Cells that lose all members drop out. */
+  def kmeansCentroids(all: DataFrame, stride: Int, iters: Int,
+      sampleMod: Long = 1L, maxTrainSamples: Int = 1 << 17): DataFrame = {
+    val spark = all.sparkSession
+    import spark.implicits._
+    val sample: Array[(Long, Array[Double], Boolean)] = all
+      .filter(pmod(xxhash64(col("vec_id")), lit(sampleMod)) === 0)
+      .select(col("vec_id"), col("v"),
+        (pmod(xxhash64(col("vec_id")), lit(stride.toLong)) === 0).as("is_seed"))
+      .limit(maxTrainSamples + 1)
+      .as[(Long, Array[Double], Boolean)].collect()
+      .sortBy(_._1)
+    require(sample.length <= maxTrainSamples,
+      s"k-means training sample exceeds $maxTrainSamples vectors — raise " +
+        "sampleMod so the hash-sample fits the driver budget")
+    var centroids: Array[(Long, Array[Double])] =
+      sample.collect { case (id, v, true) => (id, v) }
+    if (centroids.isEmpty) centroids = sample.map { case (id, v, _) => (id, v) }
+
+    def norm(v: Array[Double]): Double = {
+      var s = 0.0; var i = 0
+      while (i < v.length) { s += v(i) * v(i); i += 1 }
+      math.sqrt(s)
     }
-    centroids
+    for (_ <- 1 to iters) {
+      val cnorms = centroids.map { case (_, cv) => norm(cv) }
+      val sums = scala.collection.mutable.LinkedHashMap
+        .empty[Long, (Array[Double], Long)]
+      sample.foreach { case (_, v, _) =>
+        val vn = norm(v)
+        var best = -1; var bestSim = Double.NegativeInfinity
+        var c = 0
+        while (c < centroids.length) {
+          var d = 0.0; var i = 0
+          val cv = centroids(c)._2
+          while (i < v.length) { d += v(i) * cv(i); i += 1 }
+          val sim = d / (vn * cnorms(c))
+          // same tiebreak as the distributed argmax: higher sim, then
+          // smaller centroid id (centroids are in ascending-id order)
+          if (sim > bestSim) { bestSim = sim; best = c }
+          c += 1
+        }
+        val cid = centroids(best)._1
+        val (acc, n) = sums.getOrElseUpdate(cid,
+          (new Array[Double](v.length), 0L))
+        var i = 0
+        while (i < v.length) { acc(i) += v(i); i += 1 }
+        sums(cid) = (acc, n + 1)
+      }
+      centroids = sums.toArray.sortBy(_._1)
+        .map { case (cid, (s, n)) => (cid, s.map(_ / n)) }
+    }
+    centroidFrame(spark, centroids)
+  }
+
+  /** (c_id, cv, cnorm) literal frame from driver-held centroids. */
+  private def centroidFrame(spark: org.apache.spark.sql.SparkSession,
+      cs: Array[(Long, Array[Double])]): DataFrame = {
+    import spark.implicits._
+    cs.toSeq.toDF("c_id", "cv")
+      .withColumn("cnorm", sqrt(expr(
+        "aggregate(zip_with(cv, cv, (x, y) -> x * y), 0D, (acc, x) -> acc + x)")))
   }
 
   /** IVF-style ANN: k-means coarse centroids (stride seeds + Lloyd
@@ -240,11 +292,10 @@ object Similarity {
   def ivfTopK(embeddings: DataFrame, numQueries: Long, k: Int,
       centroidStride: Int = 23, nprobe: Int = 14, kmeansIters: Int = 2): DataFrame = {
     val all = withNorm(embeddings)
-    // trained once per corpus in practice — persist the small frame so the
-    // assignment and probe stages don't re-run the Lloyd passes (ownership:
-    // cached until LRU eviction; long-lived sessions should unpersist after
-    // materializing, same policy as the dedup signature caches)
-    val centroids = kmeansCentroids(all, centroidStride, kmeansIters).persist()
+    // trained eagerly (kmeansCentroids collects per pass), so this is a
+    // literal local relation — broadcasting it below costs nothing and can
+    // never re-trigger the Lloyd passes
+    val centroids = kmeansCentroids(all, centroidStride, kmeansIters)
 
     // assign every vector to its nearest centroid: broadcast NL + max_by
     // argmax — partial aggregation combines map-side, so the shuffle moves
@@ -292,6 +343,10 @@ object Similarity {
     override def reduce(buf: Array[Long], x: Array[Long]): Array[Long] =
       if (buf.isEmpty) x.clone()
       else {
+        // ragged inputs would silently truncate (or throw mid-sum); the
+        // grouped-vector contract is equal dims, so fail loudly instead
+        require(x.length == buf.length,
+          s"VecSumAgg: ragged vector in group (${x.length} vs ${buf.length} dims)")
         var i = 0
         while (i < buf.length) { buf(i) += x(i); i += 1 }
         buf

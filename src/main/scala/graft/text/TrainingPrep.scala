@@ -282,9 +282,14 @@ object TrainingPrep {
     *      exact verify, identical composition. */
   def boilerplateStrip(documents: DataFrame, segWords: Int = 8,
       minDocs: Long = 5, maxBoilerplate: Int = 100000): DataFrame = {
+    // the empty-token guard matters: sequence(0, -1) DESCENDS in Spark
+    // (yielding [0, -1]) while the oracle's generate_series(1, 0) is empty —
+    // unreachable today because split() never returns an empty array, but
+    // latent if tokenization changes
     val segs = expr(
-      s"""transform(sequence(0, cast(ceil(size(__w) / ${segWords}.0) as int) - 1),
-         |  i -> concat_ws(' ', slice(__w, i * $segWords + 1, $segWords)))""".stripMargin)
+      s"""if(size(__w) = 0, array(),
+         |  transform(sequence(0, cast(ceil(size(__w) / ${segWords}.0) as int) - 1),
+         |    i -> concat_ws(' ', slice(__w, i * $segWords + 1, $segWords))))""".stripMargin)
     val withSegs = documents
       .select(col("doc_id"), split(col("text"), " ").as("__w"))
       .select(col("doc_id"), segs.as("__segs"))
@@ -293,6 +298,10 @@ object TrainingPrep {
       .groupBy("segment").agg(count(lit(1)).as("__nd"))
       .filter(col("__nd") >= minDocs)
       .select("segment")
+      // bound BEFORE collecting: a pathological corpus whose frequent set
+      // vastly exceeds the budget must trip the guard on maxBoilerplate+1
+      // rows, not after materializing the whole set on the driver
+      .limit(maxBoilerplate + 1)
       .collect().map(_.getString(0)).sorted
     require(frequent.length <= maxBoilerplate,
       s"boilerplate set ${frequent.length} exceeds plan-constant budget " +
