@@ -44,6 +44,7 @@ object SparkEntry {
   val EmbDupMaxVecId     = 500L
   val SimNumQueries      = 10L    // ANN query set = vec_id < 10
   val SimTopK            = 5
+  val SemDedupBits       = 8      // sign-LSH bucket width for semantic dedup
   val LargeOrderQty      = 300L   // Q18-shaped HAVING cut (~top 0.1% of
                                   // orders; corpus avg order qty ~103)
   val BoilerplateMinDocs = 5L     // segment-frequency boilerplate cut
@@ -460,6 +461,38 @@ object SparkEntry {
         .limit(10)
     }),
 
+    // TPC-H Q13-shaped order-count distribution: large-large LEFT OUTER
+    // join (every customer kept — orderless customers land in the c_count
+    // = 0 bucket), per-customer count, then a tiny second aggregation
+    // over the counts. The outer join is the operator under test: the
+    // fact side shuffles once on the join key and the partial count
+    // combines map-side
+    "q_order_count_dist" -> ((s, dir) =>
+      Tables.customer(s, dir)
+        .join(Tables.table(s, dir, "orders"),
+          col("c_custkey") === col("o_custkey"), "left")
+        .groupBy(col("c_custkey"))
+        .agg(count(col("o_orderkey")).as("c_count"))
+        .groupBy(col("c_count"))
+        .agg(count(lit(1)).as("custdist"))),
+
+    // TPC-H Q16-shaped supplier diversity: distinct suppliers per part
+    // attribute bucket, excluding flagged suppliers via an ANTI join on a
+    // NOT-IN subquery (the flagged set is tiny — broadcast anti, the fact
+    // never shuffles for it); the distinct-count agg is the only shuffle
+    "q_part_supplier_cnt" -> ((s, dir) => {
+      val flagged = Tables.table(s, dir, "supplier")
+        .filter(col("s_acctbal") < 0).select(col("s_suppkey"))
+      Tables.table(s, dir, "lineitem")
+        .join(broadcast(flagged), col("l_suppkey") === col("s_suppkey"),
+          "left_anti")
+        .join(broadcast(Tables.table(s, dir, "part")
+          .filter(col("p_brand") =!= "Brand#1")),
+          col("l_partkey") === col("p_partkey"))
+        .groupBy("p_brand", "p_type", "p_size")
+        .agg(countDistinct(col("l_suppkey")).as("supplier_cnt"))
+    }),
+
     // ---- LLM-data-pipeline extensions (SURVEY §7.2 step 8) -----------------
 
     // Text analysis: stopword-profile language ID (argmax w/ fixed tiebreak)
@@ -554,6 +587,12 @@ object SparkEntry {
         Tables.embeddings(s, dir).filter(col("vec_id") < EmbDupMaxVecId),
         EmbDupThreshold)),
 
+    // Semantic dedup (SemDedup-style): one keeper per sign-LSH bucket —
+    // scan-only bucketing, one scalar-column shuffle; the oracle replays
+    // the xxhash64 hyperplanes + sign buckets in SQL
+    "q_semantic_dedup" -> ((s, dir) =>
+      Dedup.semanticDedup(Tables.embeddings(s, dir), SemDedupBits)),
+
     // Similarity: brute-force cosine top-k (broadcast queries, no shuffle)
     "q_sim_bruteforce_topk" -> ((s, dir) =>
       Similarity.bruteForceTopK(Tables.embeddings(s, dir), SimNumQueries, SimTopK)),
@@ -601,6 +640,12 @@ object SparkEntry {
     // Training prep: TF-IDF top terms per doc (two aggs + broadcast df)
     "q_tfidf_terms" -> ((s, dir) =>
       graft.text.TrainingPrep.tfidfTopTerms(Tables.documents(s, dir))),
+
+    // Tokenizer training: BPE merge statistics — corpus collapsed to
+    // (distinct word, freq) first, then frequency-weighted adjacent
+    // character pairs, deterministic top-100 (bounded heap, no global sort)
+    "q_bpe_pairs" -> ((s, dir) =>
+      graft.text.TrainingPrep.bpePairCounts(Tables.documents(s, dir))),
 
     // Quality rule: intra-doc 3-gram repetition ratio (boilerplate/spam
     // signal — scan + one agg, no joins)
@@ -1138,6 +1183,30 @@ object SparkEntry {
 
   private lazy val sqlJaccardCtes: String = sqlJaccardCtesAt(JaccardThreshold)
 
+  /** Shared CTE chain replaying [[graft.sim.Similarity.lshBucket]] at
+    * `nBits` in DuckDB SQL — xxhash64-derived hyperplane components
+    * (seed 42, step-for-step HUGEINT arithmetic), sign tests, bucket ids.
+    * Ends with `n(vec_id, v, norm)` and `buck(vec_id, bucket)`; callers
+    * append their own CTEs/SELECT. Used by the LSH ANN oracle (nBits=4)
+    * and the semantic-dedup oracle (nBits=[[SemDedupBits]]). */
+  private def sqlLshBucketCtes(nBits: Int): String = {
+    val (seedSteps, seedCol) = SqlHash.xxh64IntSteps("b", "42", "__s")
+    val (compSteps, compCol) = SqlHash.xxh64IntSteps("d", seedCol, "__t")
+    // the table-function range() only takes constants; the dimension
+    // count comes from the data, so derive d via the scalar list range
+    val grid = s"SELECT b, unnest(range(0, (SELECT max(len(embedding)) FROM embeddings))) AS d " +
+      s"FROM range(0, $nBits) t1(b)"
+    val comps = s"SELECT b, d, ${SqlHash.toSigned(compCol)}::DOUBLE / 9.223372036854776e18 AS comp " +
+      s"FROM (${SqlHash.applySteps(grid, seedSteps ++ compSteps)})"
+    s"""comps AS ($comps),
+       |planes AS (SELECT b, list(comp ORDER BY d) AS pv FROM comps GROUP BY b),
+       |e AS (SELECT vec_id, CAST(embedding AS DOUBLE[]) AS v FROM embeddings),
+       |n AS (SELECT vec_id, v, sqrt(list_dot_product(v, v)) AS norm FROM e),
+       |sgn AS (SELECT vec_id, CASE WHEN list_dot_product(v, pv) > 0 THEN (1::BIGINT << b) ELSE 0 END AS bit
+       |        FROM n CROSS JOIN planes),
+       |buck AS (SELECT vec_id, CAST(sum(bit) AS BIGINT) AS bucket FROM sgn GROUP BY vec_id)""".stripMargin
+  }
+
   /** DuckDB CTEs reproducing the synthesized ACCOUNTS CDC changelog + its
     * latest-per-key KTable reduction (the flat twin of
     * [[graft.cdc.DimensionCdc.accountsDim]] — the nested JSON serde round
@@ -1551,6 +1620,21 @@ object SparkEntry {
         |GROUP BY 1, 2, 3
         |ORDER BY revenue DESC, orderkey LIMIT 10""".stripMargin,
 
+    "q_order_count_dist" ->
+      """SELECT c_count, CAST(count(*) AS BIGINT) AS custdist
+        |FROM (SELECT c_custkey, CAST(count(o_orderkey) AS BIGINT) AS c_count
+        |      FROM customer LEFT JOIN orders ON c_custkey = o_custkey
+        |      GROUP BY 1)
+        |GROUP BY 1""".stripMargin,
+
+    "q_part_supplier_cnt" ->
+      """SELECT p_brand, p_type, p_size,
+        |  CAST(count(DISTINCT l_suppkey) AS BIGINT) AS supplier_cnt
+        |FROM lineitem JOIN part ON l_partkey = p_partkey
+        |WHERE p_brand <> 'Brand#1'
+        |  AND l_suppkey NOT IN (SELECT s_suppkey FROM supplier WHERE s_acctbal < 0)
+        |GROUP BY 1, 2, 3""".stripMargin,
+
     "q_text_langid" ->
       s"""WITH d AS (SELECT doc_id, string_split(text, ' ') AS w FROM documents),
          |s AS (SELECT doc_id,
@@ -1725,6 +1809,14 @@ object SparkEntry {
          |      FROM n a JOIN n b ON a.vec_id < b.vec_id)
          |SELECT vec_a, vec_b, cos_sim FROM p WHERE cos_sim >= $EmbDupThreshold""".stripMargin,
 
+    "q_semantic_dedup" ->
+      s"""WITH ${sqlLshBucketCtes(SemDedupBits)}
+         |SELECT vec_id, bucket,
+         |  min(vec_id) OVER (PARTITION BY bucket) AS keeper_id,
+         |  CAST(count(*) OVER (PARTITION BY bucket) AS BIGINT) AS n_members,
+         |  vec_id = min(vec_id) OVER (PARTITION BY bucket) AS is_kept
+         |FROM buck""".stripMargin,
+
     "q_sim_bruteforce_topk" ->
       s"""WITH e AS (SELECT vec_id, CAST(embedding AS DOUBLE[]) AS v FROM embeddings),
          |n AS (SELECT vec_id, v, sqrt(list_dot_product(v, v)) AS norm FROM e),
@@ -1744,21 +1836,7 @@ object SparkEntry {
     // bit-identical including the IEEE fold order of every dot product
     "q_sim_lsh_topk" -> {
       val nBits = 4
-      val (seedSteps, seedCol) = SqlHash.xxh64IntSteps("b", "42", "__s")
-      val (compSteps, compCol) = SqlHash.xxh64IntSteps("d", seedCol, "__t")
-      // the table-function range() only takes constants; the dimension
-      // count comes from the data, so derive d via the scalar list range
-      val grid = s"SELECT b, unnest(range(0, (SELECT max(len(embedding)) FROM embeddings))) AS d " +
-        s"FROM range(0, $nBits) t1(b)"
-      val comps = s"SELECT b, d, ${SqlHash.toSigned(compCol)}::DOUBLE / 9.223372036854776e18 AS comp " +
-        s"FROM (${SqlHash.applySteps(grid, seedSteps ++ compSteps)})"
-      s"""WITH comps AS ($comps),
-         |planes AS (SELECT b, list(comp ORDER BY d) AS pv FROM comps GROUP BY b),
-         |e AS (SELECT vec_id, CAST(embedding AS DOUBLE[]) AS v FROM embeddings),
-         |n AS (SELECT vec_id, v, sqrt(list_dot_product(v, v)) AS norm FROM e),
-         |sgn AS (SELECT vec_id, CASE WHEN list_dot_product(v, pv) > 0 THEN (1::BIGINT << b) ELSE 0 END AS bit
-         |        FROM n CROSS JOIN planes),
-         |buck AS (SELECT vec_id, CAST(sum(bit) AS BIGINT) AS bucket FROM sgn GROUP BY vec_id),
+      s"""WITH ${sqlLshBucketCtes(nBits)},
          |alls AS (SELECT n.vec_id, v, norm, bucket FROM n JOIN buck USING(vec_id)),
          |q AS (SELECT vec_id AS q_id, v AS qv, norm AS qnorm,
          |        unnest(list_distinct(list_prepend(bucket,
@@ -1785,6 +1863,17 @@ object SparkEntry {
          |r AS (SELECT *, CAST(row_number() OVER (PARTITION BY q_id ORDER BY cos_sim DESC, neighbor_id) AS BIGINT) AS rank
          |      FROM sims)
          |SELECT q_id, neighbor_id, cos_sim, rank FROM r WHERE rank <= $SimTopK""".stripMargin,
+
+    "q_bpe_pairs" ->
+      """WITH wl AS (SELECT unnest(string_split(text, ' ')) AS word FROM documents),
+        |f AS (SELECT word, CAST(count(*) AS BIGINT) AS freq
+        |      FROM wl WHERE length(word) >= 2 GROUP BY 1),
+        |p AS (SELECT freq,
+        |        unnest([substr(word, i, 2) for i in generate_series(1, length(word) - 1)]) AS pair
+        |      FROM f)
+        |SELECT pair, CAST(sum(freq) AS BIGINT) AS pair_count
+        |FROM p GROUP BY 1
+        |ORDER BY pair_count DESC, pair LIMIT 100""".stripMargin,
 
     "q_repetition_filter" ->
       s"""WITH d AS (SELECT doc_id, string_split(text, ' ') AS w FROM documents),

@@ -220,4 +220,26 @@ object Dedup {
             / (col("na") * col("nb")), 6).as("cos_sim"))
       .filter(col("cos_sim") >= threshold)
   }
+
+  /** SemDedup-style semantic deduplication (Abbas et al. 2023): documents
+    * whose embeddings agree on every sign-LSH hyperplane — one `nBits`
+    * bucket id ([[graft.sim.Similarity.lshBucket]]) — are semantic
+    * near-duplicates; each bucket collapses to one keeper, its min vec_id.
+    * Deterministic and training-free (the hyperplanes are hash-derived),
+    * unlike the original's k-means variant.
+    *
+    * Scale posture: bucketing is scan-only; the keeper argmin is a window
+    * partitioned BY BUCKET over scalar columns (one shuffle of (vec_id,
+    * bucket) pairs — embeddings themselves never shuffle). More buckets
+    * (higher nBits) = finer dedup; the same knob trades recall for
+    * precision as in the ANN path. */
+  def semanticDedup(embeddings: DataFrame, nBits: Int = 8): DataFrame = {
+    val w = org.apache.spark.sql.expressions.Window.partitionBy(col("bucket"))
+    graft.sim.Similarity.withNorm(embeddings)
+      .withColumn("bucket", graft.sim.Similarity.lshBucket("v", nBits))
+      .select("vec_id", "bucket")
+      .withColumn("keeper_id", min(col("vec_id")).over(w))
+      .withColumn("n_members", count(lit(1)).over(w))
+      .withColumn("is_kept", col("vec_id") === col("keeper_id"))
+  }
 }

@@ -470,4 +470,32 @@ object TrainingPrep {
       .filter(col("term_rank") <= k)
       .select("doc_id", "term", "tf", "df", "tfidf", "term_rank")
   }
+
+  /** BPE tokenizer training, step 1: adjacent-symbol pair frequencies —
+    * the statistic every merge round of byte-pair encoding ranks on
+    * (Sennrich et al. 2016). Counting runs the way real BPE trainers do:
+    * the corpus first collapses to (distinct word, frequency) — by Zipf
+    * the distinct-word table is orders of magnitude smaller than the token
+    * stream, and all later merge rounds iterate over IT, never the corpus
+    * again — then each distinct word contributes its adjacent character
+    * pairs weighted by word frequency.
+    *
+    * Shuffle shape: two hash aggregations (words, then pairs — both
+    * map-side combined) and one bounded top-k (plans through
+    * TakeOrderedAndProject / the bounded-heap strategy, never a global
+    * sort). Total order (count DESC, pair ASC) makes the cut
+    * deterministic, so the result is engine-exact. */
+  def bpePairCounts(documents: DataFrame, topK: Int = 100): DataFrame = {
+    val words = documents
+      .select(explode(split(col("text"), " ")).as("word"))
+      .filter(length(col("word")) >= 2)
+      .groupBy("word").agg(count(lit(1)).as("freq"))
+    words
+      .select(col("freq"), explode(expr(
+        "transform(sequence(1, length(word) - 1), i -> substring(word, i, 2))"))
+        .as("pair"))
+      .groupBy("pair").agg(sum(col("freq")).as("pair_count"))
+      .orderBy(col("pair_count").desc, col("pair"))
+      .limit(topK)
+  }
 }

@@ -234,6 +234,26 @@ class DedupSpec extends SparkSpecBase {
     assert(got.toSeq === Seq((1L, 2L))) // colinear -> cos 1; opposite -> -1
   }
 
+  test("semantic dedup: colinear vectors share a bucket, min id keeps") {
+    val v = Array.tabulate(8)(i => (i + 1).toFloat)
+    val df = Seq((7L, v), (3L, v.map(x => x * 2f)),
+        (9L, Array.tabulate(8)(i => -(i + 1).toFloat)))
+      .toDF("vec_id", "embedding")
+    val got = Dedup.semanticDedup(df, nBits = 8)
+      .select("vec_id", "keeper_id", "n_members", "is_kept")
+      .as[(Long, Long, Long, Boolean)].collect().toSet
+    // colinear vectors (7, 3) agree on EVERY hyperplane sign -> same
+    // bucket; the opposite vector flips every sign -> its own bucket
+    assert(got === Set((3L, 3L, 2L, true), (7L, 3L, 2L, false),
+      (9L, 9L, 1L, true)))
+    // partition invariant: members sum to the corpus, one keeper each
+    val m = Dedup.semanticDedup(Tables.embeddings(spark, sf0001), nBits = 8)
+    val n = Tables.embeddings(spark, sf0001).count()
+    assert(m.count() === n)
+    assert(m.filter($"is_kept").count() ===
+      m.select("bucket").distinct().count())
+  }
+
   test("banded near-dup == exact all-pairs on the test corpus; no cross product") {
     val emb = Tables.embeddings(spark, sf0001)
       .filter(org.apache.spark.sql.functions.col("vec_id") < 500)

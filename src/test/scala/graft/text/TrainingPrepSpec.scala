@@ -204,4 +204,20 @@ class TrainingPrepSpec extends SparkSpecBase {
     assert(top(1L) === "cat")   // unique to doc 1
     assert(top(3L) === "zebra") // tf 2 x rare beats shared terms
   }
+
+  test("bpe pairs: frequency-weighted adjacent character pair counts") {
+    // "abab" x2 and "abc" x1; single-char words contribute nothing
+    val d = docs((1L, "abab abc a"), (2L, "abab"))
+    val got = TrainingPrep.bpePairCounts(d, topK = 10)
+      .as[(String, Long)].collect().toMap
+    // per "abab": ab, ba, ab; per "abc": ab, bc
+    assert(got === Map("ab" -> 5L, "ba" -> 2L, "bc" -> 1L))
+  }
+
+  test("bpe pairs: top-k cut is the deterministic (count desc, pair) order") {
+    val d = docs((1L, "xy xz"))
+    val got = TrainingPrep.bpePairCounts(d, topK = 1)
+      .as[(String, Long)].collect()
+    assert(got.toSeq === Seq(("xy", 1L))) // tie broken by pair ASC
+  }
 }
