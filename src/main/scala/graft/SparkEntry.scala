@@ -91,6 +91,15 @@ object SparkEntry {
           Predicates.isCompleted(col("status")))
         .select("txn_id", "account_id", "txn_type", "amount", "event_time_ms")),
 
+    // Rolling trailing-24h spend per account at EVERY completed debit
+    // (RANGE frame over integer event time, integer-kobo money — the
+    // continuous fraud-feature form of the tumbling daily spend)
+    "q_rolling_spend" -> ((s, dir) =>
+      Windows.rollingSpend(
+        upserts(s, dir).filter(Predicates.isDebit(col("txn_type")) &&
+          Predicates.isCompleted(col("status"))),
+        windowSec = 86400L)),
+
     // P7: inclusive >= high-value threshold
     "q_high_value_filter" -> ((s, dir) =>
       completed(s, dir)
@@ -646,6 +655,11 @@ object SparkEntry {
     // character pairs, deterministic top-100 (bounded heap, no global sort)
     "q_bpe_pairs" -> ((s, dir) =>
       graft.text.TrainingPrep.bpePairCounts(Tables.documents(s, dir))),
+
+    // Quality scoring: add-one-smoothed bigram LM score per doc (integer
+    // micro-nats; the sequence-aware sharpening of q_unigram_logprob)
+    "q_bigram_logprob" -> ((s, dir) =>
+      graft.text.TrainingPrep.bigramLogProb(Tables.documents(s, dir))),
 
     // Quality rule: intra-doc 3-gram repetition ratio (boilerplate/spam
     // signal — scan + one agg, no joins)
@@ -1282,6 +1296,15 @@ object SparkEntry {
     "q_debit_filter" -> (P +
       """SELECT txn_id, account_id, txn_type, amount, event_time_ms FROM upserts
         |WHERE txn_type IN ('DEBIT','TRANSFER_OUT','FEE','LOAN_REPAYMENT') AND status = 'COMPLETED'""".stripMargin),
+
+    "q_rolling_spend" -> (P +
+      """SELECT txn_id, account_id, event_time_us,
+        |  CAST(sum(CAST(round(amount * 100) AS BIGINT)) OVER w AS BIGINT) AS rolling_spend_kobo,
+        |  CAST(count(*) OVER w AS BIGINT) AS rolling_n_txns
+        |FROM completed
+        |WHERE txn_type IN ('DEBIT','TRANSFER_OUT','FEE','LOAN_REPAYMENT')
+        |WINDOW w AS (PARTITION BY account_id ORDER BY event_time_us
+        |             RANGE BETWEEN 86400000000 PRECEDING AND CURRENT ROW)""".stripMargin),
 
     "q_high_value_filter" -> (P +
       s"SELECT txn_id, account_id, amount, currency, event_time_ms FROM completed WHERE amount >= $HighValueThreshold"),
@@ -1948,6 +1971,26 @@ object SparkEntry {
         |  CAST(sum(lp_micro) AS BIGINT) AS sum_lp_micro,
         |  sum(lp_micro) / (count(*) * 1e6) AS mean_logprob
         |FROM lp GROUP BY 1""".stripMargin,
+
+    // zipped double-unnest pairs adjacent words; a one-token doc slices
+    // both lists empty, so it falls to the zero-bigram LEFT JOIN branch
+    "q_bigram_logprob" ->
+      """WITH d AS (SELECT doc_id, string_split(text, ' ') AS w FROM documents),
+        |b AS (SELECT doc_id, unnest(w[1:len(w)-1]) AS w1, unnest(w[2:len(w)]) AS w2 FROM d),
+        |bc AS (SELECT w1, w2, CAST(count(*) AS BIGINT) AS bg_n FROM b GROUP BY 1, 2),
+        |cc AS (SELECT w1, CAST(count(*) AS BIGINT) AS ctx_n FROM b GROUP BY 1),
+        |v AS (SELECT CAST(count(DISTINCT t) AS BIGINT) AS vn
+        |      FROM (SELECT unnest(w) AS t FROM d)),
+        |lp AS (SELECT doc_id,
+        |         CAST(floor(ln((bg_n + 1) / CAST(ctx_n + vn AS DOUBLE)) * 1e6) AS BIGINT) AS lp_micro
+        |       FROM b JOIN bc USING (w1, w2) JOIN cc USING (w1) CROSS JOIN v),
+        |pd AS (SELECT doc_id, CAST(count(*) AS BIGINT) AS n_bigrams,
+        |         CAST(sum(lp_micro) AS BIGINT) AS logprob_micro
+        |       FROM lp GROUP BY 1)
+        |SELECT d.doc_id,
+        |  CAST(coalesce(pd.n_bigrams, 0) AS BIGINT) AS n_bigrams,
+        |  CAST(coalesce(pd.logprob_micro, 0) AS BIGINT) AS logprob_micro
+        |FROM (SELECT DISTINCT doc_id FROM d) d LEFT JOIN pd USING (doc_id)""".stripMargin,
 
     "q_doc_chunks" ->
       """WITH c AS (

@@ -83,4 +83,32 @@ object Windows {
         unix_millis(col("w.end")).as("session_end_ms"),
         col("n_events"),
         (col("n_events") === 1).as("is_dormant"))
+
+  /** Trailing rolling-window spend: for EVERY transaction, the sum of the
+    * account's amounts over the trailing `windowSec` seconds (RANGE frame
+    * on integer event time; same-timestamp rows are peers and always share
+    * one frame, so the result is order-independent). The continuous
+    * counterpart of [[dailySpend]]'s tumbling buckets — and the shape
+    * fraud features actually use: a transaction is scored against ITS OWN
+    * trailing window, not a calendar bucket that resets at midnight.
+    *
+    * Money accumulates in integer kobo (inputs are exact 2-dp values), so
+    * engines agree bit-for-bit regardless of accumulation order. Shuffle
+    * shape: ONE hash shuffle on account + a per-partition sort — the
+    * window never crosses accounts, so no global ordering exists anywhere
+    * (the classic scale trap for rolling features is an unpartitioned
+    * ORDER BY; partitioning by the entity key is what makes this linear). */
+  def rollingSpend(txns: DataFrame, windowSec: Long): DataFrame = {
+    val w = org.apache.spark.sql.expressions.Window
+      .partitionBy(col("account_id"))
+      .orderBy(col("event_time_us"))
+      .rangeBetween(-windowSec * 1000000L, 0L)
+    txns
+      .select(col("txn_id"), col("account_id"), col("event_time_us"),
+        round(col("amount") * 100).cast("long").as("__kobo"))
+      .withColumn("rolling_spend_kobo", sum(col("__kobo")).over(w))
+      .withColumn("rolling_n_txns", count(lit(1)).over(w))
+      .select("txn_id", "account_id", "event_time_us",
+        "rolling_spend_kobo", "rolling_n_txns")
+  }
 }

@@ -410,6 +410,49 @@ object TrainingPrep {
       .select("doc_id", "n_tokens", "sum_lp_micro", "mean_logprob")
   }
 
+  /** Bigram language-model score per document: sum of add-one-smoothed
+    * conditional log-probabilities ln p(w2|w1) = ln((c(w1,w2)+1) /
+    * (c(w1·)+V)) over the document's adjacent word pairs — one order
+    * sharper than [[unigramLogProb]] as a perplexity proxy (it penalizes
+    * improbable SEQUENCES, not just rare words). Same integer micro-nat
+    * truncation before the per-doc sum, so the result is exact integer
+    * arithmetic — engine- and order-independent.
+    *
+    * Shuffle shape: the bigram postings shuffle ONCE on (w1,w2) to meet
+    * their type counts (the bigram-type table can outgrow a broadcast, so
+    * this join stays shuffled by design); the context counts and the
+    * one-row vocabulary size broadcast. Documents with fewer than two
+    * tokens surface with zero bigrams rather than dropping out. */
+  def bigramLogProb(documents: DataFrame): DataFrame = {
+    val words = documents.select(col("doc_id"), split(col("text"), " ").as("w"))
+    // the empty/short guard: sequence(1, 0) DESCENDS in Spark, so a
+    // sub-2-token doc must yield array() explicitly
+    val bg = words
+      .select(col("doc_id"), explode(expr(
+        """if(size(w) < 2, array(),
+          |  transform(sequence(1, size(w) - 1),
+          |    i -> struct(w[i-1] AS w1, w[i] AS w2)))""".stripMargin)).as("b"))
+      .select(col("doc_id"), col("b.w1").as("w1"), col("b.w2").as("w2"))
+    val bgCounts = bg.groupBy("w1", "w2").agg(count(lit(1)).as("bg_n"))
+    val ctxCounts = bg.groupBy("w1").agg(count(lit(1)).as("ctx_n"))
+    val vocabSize = words.select(explode(col("w")).as("t"))
+      .agg(countDistinct(col("t")).as("vn"))
+    val perDoc = bg
+      .join(bgCounts, Seq("w1", "w2"))
+      .join(broadcast(ctxCounts), Seq("w1"))
+      .crossJoin(broadcast(vocabSize))
+      .withColumn("__lp_micro",
+        floor(log((col("bg_n") + 1) /
+          (col("ctx_n") + col("vn")).cast("double")) * 1e6).cast("long"))
+      .groupBy("doc_id")
+      .agg(count(lit(1)).as("n_bigrams"),
+        sum(col("__lp_micro")).as("logprob_micro"))
+    documents.select("doc_id").join(perDoc, Seq("doc_id"), "left")
+      .select(col("doc_id"),
+        coalesce(col("n_bigrams"), lit(0L)).as("n_bigrams"),
+        coalesce(col("logprob_micro"), lit(0L)).as("logprob_micro"))
+  }
+
   /** Overlapping document chunking (the RAG/embedding-index layout, as
     * opposed to [[packSequences]]' disjoint pretraining chunks): windows
     * of `size` chars starting every `stride` chars, so consecutive

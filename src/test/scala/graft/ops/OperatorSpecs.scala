@@ -150,6 +150,24 @@ class WindowsSpec extends SparkSpecBase {
     assert(got(0).getAs[Long]("session_end_ms") === (lastUs + gapNs / 1000) / 1000)
   }
 
+  test("rolling spend: trailing range frame, same-timestamp rows are peers") {
+    val base = 1700000000000000000L
+    val rows = Seq(
+      (1L, base, 7L, "purchase", 1.0),                     // t=0
+      (2L, base, 7L, "purchase", 2.0),                     // t=0 peer
+      (3L, base + 10_000_000_000L, 7L, "purchase", 4.0),   // +10s, inside 50s
+      (4L, base + 100_000_000_000L, 7L, "purchase", 8.0),  // +100s, outside
+      (5L, base + 5_000_000_000L, 9L, "purchase", 16.0))   // other account
+    val got = Windows.rollingSpend(txns(rows), windowSec = 50L)
+      .select("txn_id", "rolling_spend_kobo", "rolling_n_txns")
+      .collect().map(r => r.getLong(0) -> ((r.getLong(1), r.getLong(2)))).toMap
+    assert(got(1L) === ((300L, 2L))) // peers: both t=0 rows see both
+    assert(got(2L) === ((300L, 2L)))
+    assert(got(3L) === ((700L, 3L)))
+    assert(got(4L) === ((800L, 1L))) // 100s back: t=0/10 rows aged out
+    assert(got(5L) === ((1600L, 1L))) // account isolation
+  }
+
   test("daily spend sums only the provided debit rows and labels Lagos date") {
     val base = 1700006400000000000L // 2023-11-15 00:00 UTC midnight-ish region
     val rows = Seq(

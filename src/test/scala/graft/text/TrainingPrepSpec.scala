@@ -205,6 +205,18 @@ class TrainingPrepSpec extends SparkSpecBase {
     assert(top(3L) === "zebra") // tf 2 x rare beats shared terms
   }
 
+  test("bigram logprob: known smoothed sums; one-token doc yields zero bigrams") {
+    val d = docs((1L, "a b a b"), (2L, "a"))
+    // vocab {a, b} -> V = 2; bigrams of doc 1: (a,b) x2, (b,a) x1
+    // c(a,b) = 2, c(b,a) = 1; contexts c(a.) = 2, c(b.) = 1
+    val lpAb = math.floor(math.log(3.0 / 4.0) * 1e6).toLong // (2+1)/(2+2)
+    val lpBa = math.floor(math.log(2.0 / 3.0) * 1e6).toLong // (1+1)/(1+2)
+    val got = TrainingPrep.bigramLogProb(d)
+      .as[(Long, Long, Long)].collect().map(r => r._1 -> ((r._2, r._3))).toMap
+    assert(got(1L) === ((3L, 2 * lpAb + lpBa)))
+    assert(got(2L) === ((0L, 0L))) // sub-2-token doc surfaces, zeroed
+  }
+
   test("bpe pairs: frequency-weighted adjacent character pair counts") {
     // "abab" x2 and "abc" x1; single-char words contribute nothing
     val d = docs((1L, "abab abc a"), (2L, "abab"))
