@@ -29,15 +29,24 @@ object PlanAudit {
         // label-propagation rounds join the edge list to itself-sized
         // label frames — large-large by design, one SMJ per round pair
         "q_dedup_clusters" -> "label propagation (large-large per round)",
+        // manifest = dupClusters + a broadcast join back to the corpus;
+        // the SMJs are the wrapped label-propagation rounds
+        "q_dedup_manifest" -> "wraps dupClusters label propagation",
         // bucketized range join: both sides fact-sized, co-partitioned on
         // (key, bucket) — large-large by design
-        "q_interval_join" -> "bucketized range join (large-large)")
+        "q_interval_join" -> "bucketized range join (large-large)",
+        // the target/raw vocabulary FULL OUTER join: both sides are
+        // vocab-sized and Spark cannot broadcast a full-outer side; the
+        // subtree plans twice (once feeding the probe join, once the
+        // totals aggregate), hence count 2 for one logical join
+        "q_importance_resample" -> "vocab full-outer (x2 plan reuse)")
       // formatted explain prints each node once as a "(N) SortMergeJoin"
       // heading — count headings, not substring occurrences
       val smjCount = "\\(\\d+\\) SortMergeJoin".r.findAllIn(plan).size
       // clusters is iterative: SMJ count grows with convergence rounds
       // (up to ~2 per round, maxRounds = 10); interval join has exactly 1
-      val expectedCounts = Map("q_dedup_clusters" -> 20, "q_interval_join" -> 1)
+      val expectedCounts = Map("q_dedup_clusters" -> 20, "q_dedup_manifest" -> 20,
+        "q_interval_join" -> 1, "q_importance_resample" -> 2)
       val smjUnexpected = smjCount > expectedCounts.getOrElse(name, 0)
       val flags = Seq(
         "CartesianProduct" -> plan.contains("CartesianProduct"),
