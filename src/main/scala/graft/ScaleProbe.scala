@@ -156,6 +156,31 @@ object ScaleProbe {
       time("group_topk_boundedheap")(topkQ)
     }
 
+    // round-4 operators ------------------------------------------------------
+    // rolling trailing-window spend: RANGE frame over 10M rows / 10k
+    // accounts — one hash shuffle + per-partition sort, no global order
+    time("rolling_spend")(ops.Windows.rollingSpend(
+      parsed.filter(ops.Predicates.isCompleted(col("status")) &&
+        ops.Predicates.isDebit(col("txn_type"))), windowSec = 86400L))
+    // BPE pair stats: the distinct-word collapse bounds the pair stage by
+    // the vocabulary, not the corpus
+    time("bpe_pairs")(text.TrainingPrep.bpePairCounts(synthDocs))
+    // bigram LM: the bigram postings <-> type-count join is the scale
+    // stress (most synthetic bigrams are unique, worst case for the join)
+    time("bigram_logprob")(text.TrainingPrep.bigramLogProb(synthDocs))
+    // embedding ops at n/10 vectors x 64 dims: semantic dedup is scan +
+    // one scalar shuffle; IVF trains on a driver-bounded hash-sample
+    // (sampleMod 20 -> ~n/200 vectors) and assigns distributed
+    val synthEmb = spark.range(n / 10).select(
+      col("id").as("vec_id"),
+      expr("""transform(sequence(0, 63),
+        d -> cast(pmod(xxhash64(id, d), 2000) as double) / 1000.0 - 1.0)""")
+        .as("embedding"))
+    time("semantic_dedup")(dedup.Dedup.semanticDedup(synthEmb, nBits = 8))
+    time("ivf_topk_sampled_train")(sim.Similarity.ivfTopK(synthEmb,
+      numQueries = 10, k = 5, centroidStride = 541, nprobe = 14,
+      kmeansIters = 2, trainSampleMod = 20L))
+
     // hot-key skew: 90% of rows on one key — plain groupBy puts them on
     // one reducer; salted two-phase spreads them over 32
     val skewed = spark.range(n).select(

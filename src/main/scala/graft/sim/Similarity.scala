@@ -290,12 +290,16 @@ object Similarity {
     * 0.76 (0.90 at sf0.001). The extra Lloyd pass is one more linear
     * broadcast+avg round, not a plan-shape change. */
   def ivfTopK(embeddings: DataFrame, numQueries: Long, k: Int,
-      centroidStride: Int = 23, nprobe: Int = 14, kmeansIters: Int = 2): DataFrame = {
+      centroidStride: Int = 23, nprobe: Int = 14, kmeansIters: Int = 2,
+      trainSampleMod: Long = 1L): DataFrame = {
     val all = withNorm(embeddings)
     // trained eagerly (kmeansCentroids collects per pass), so this is a
     // literal local relation — broadcasting it below costs nothing and can
-    // never re-trigger the Lloyd passes
-    val centroids = kmeansCentroids(all, centroidStride, kmeansIters)
+    // never re-trigger the Lloyd passes. Corpora beyond the driver-sample
+    // budget MUST pass trainSampleMod ~ N / 100k (the guard inside
+    // kmeansCentroids fails loudly rather than flooding the driver)
+    val centroids = kmeansCentroids(all, centroidStride, kmeansIters,
+      sampleMod = trainSampleMod)
 
     // assign every vector to its nearest centroid: broadcast NL + max_by
     // argmax — partial aggregation combines map-side, so the shuffle moves
