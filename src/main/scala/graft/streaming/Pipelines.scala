@@ -281,6 +281,29 @@ object Pipelines {
         GroupStateTimeout.EventTimeTimeout)(DormancyDetector.process(gapUs))
   }
 
+  /** Rolling trailing-window spend as true incremental state — the
+    * streaming twin of [[graft.ops.Windows.rollingSpend]]. Each account's
+    * GroupState holds only its IN-WINDOW (event_time_us, kobo) pairs, so
+    * per-key state is bounded by the window's transaction count, not by
+    * history; every arriving transaction emits with its own trailing
+    * frame. Same-timestamp transactions arriving in one batch share their
+    * frame — the batch RANGE window's peer semantics. The equivalence
+    * contract is the same in-order feed as [[reconcileAlerts]]
+    * (time-ordered files; a frame can't retroactively absorb a peer that
+    * arrives after its row was emitted). */
+  def rollingSpendAlerts(spark: SparkSession, parsed: DataFrame,
+      windowUs: Long = 86400L * 1000000L): Dataset[RollRow] = {
+    import spark.implicits._
+    completed(parsed)
+      .filter(Predicates.isDebit(col("txn_type")))
+      .select(col("txn_id"), col("account_id"), col("event_time_us"),
+        round(col("amount") * 100).cast("long").as("kobo"))
+      .as[RollTxn]
+      .groupByKey(_.account_id)
+      .flatMapGroupsWithState(OutputMode.Append, GroupStateTimeout.NoTimeout)(
+        RollingSpendTracker.process(windowUs))
+  }
+
   /** Pipeline 3 — balance reconciliation: true incremental per-key state via
     * `flatMapGroupsWithState` (the streaming twin of
     * [[graft.ops.Reconcile]]; reference
@@ -370,6 +393,40 @@ case class ReconRow(txn_id: Long, account_id: Long, event_time_ms: Long,
   * streaming analog of the reference's RocksDB `account-balance-store`.
   * Events are ordered (event_time_us, txn_id) within each micro-batch;
   * cross-batch order follows stream arrival, as in the reference. */
+/** Input/output rows for the rolling-spend tracker. */
+case class RollTxn(txn_id: Long, account_id: Long, event_time_us: Long,
+    kobo: Long)
+case class RollRow(txn_id: Long, account_id: Long, event_time_us: Long,
+    rolling_spend_kobo: Long, rolling_n_txns: Long)
+
+/** Stateful trailing-window tracker: the buffer is pruned to the window
+  * width on every batch (entries older than `max ts − window` can never
+  * appear in a future frame under the in-order contract), so state size
+  * is O(window txn count) per account. Integer-kobo money keeps every
+  * emitted sum exact. */
+object RollingSpendTracker {
+  def process(windowUs: Long)(accountId: Long, events: Iterator[RollTxn],
+      state: GroupState[Seq[(Long, Long)]]): Iterator[RollRow] = {
+    var buf = state.getOption.getOrElse(Seq.empty)
+    val out = scala.collection.mutable.ArrayBuffer.empty[RollRow]
+    events.toSeq.sortBy(e => (e.event_time_us, e.txn_id))
+      .groupBy(_.event_time_us).toSeq.sortBy(_._1)
+      .foreach { case (ts, peers) =>
+        // peers enter the buffer BEFORE any of them emits, so equal-ts
+        // rows see each other — the RANGE frame's peer semantics
+        buf = buf.filter(_._1 > ts - windowUs - 1) ++
+          peers.map(e => (e.event_time_us, e.kobo))
+        val frame = buf.filter(p => p._1 >= ts - windowUs && p._1 <= ts)
+        val total = frame.map(_._2).sum
+        val n = frame.size.toLong
+        peers.foreach(e => out += RollRow(e.txn_id, accountId, ts, total, n))
+      }
+    val maxTs = buf.foldLeft(Long.MinValue)((m, p) => math.max(m, p._1))
+    state.update(buf.filter(_._1 >= maxTs - windowUs))
+    out.iterator
+  }
+}
+
 object Reconciler {
 
   private def round2(x: Double): Double =

@@ -82,6 +82,21 @@ class PipelinesSpec extends SparkSpecBase {
     assert(got.nonEmpty)
   }
 
+  test("streaming rolling spend (flatMapGroupsWithState) == batch RANGE window") {
+    val stream = Pipelines.rollingSpendAlerts(spark,
+      Pipelines.parsedStream(spark, sf0001))
+    val got = runToTable(stream.toDF(), "rolling_stream", "append")
+      .select("txn_id", "rolling_spend_kobo", "rolling_n_txns")
+      .collect().toSet
+    val want = Windows.rollingSpend(
+        batchParsed.filter(Predicates.isCompleted(col("status")) &&
+          Predicates.isDebit(col("txn_type"))), windowSec = 86400L)
+      .select("txn_id", "rolling_spend_kobo", "rolling_n_txns")
+      .collect().toSet
+    assert(got === want)
+    assert(got.nonEmpty)
+  }
+
   test("streaming dormancy sessions close on watermark advance (append mode)") {
     import spark.implicits._
     // two files -> two micro-batches; the sentinel advances the watermark so
