@@ -45,6 +45,9 @@ object SparkEntry {
   val SimNumQueries      = 10L    // ANN query set = vec_id < 10
   val SimTopK            = 5
   val SemDedupBits       = 8      // sign-LSH bucket width for semantic dedup
+  val IvfStride          = 23     // IVF coarse-quantizer knobs — shared by the
+  val IvfNprobe          = 14     // query registration AND its SQL oracle so
+  val IvfIters           = 2      // the two can never desynchronize
   val LargeOrderQty      = 300L   // Q18-shaped HAVING cut (~top 0.1% of
                                   // orders; corpus avg order qty ~103)
   val BoilerplateMinDocs = 5L     // segment-frequency boilerplate cut
@@ -607,12 +610,14 @@ object SparkEntry {
       Similarity.bruteForceTopK(Tables.embeddings(s, dir), SimNumQueries, SimTopK)),
 
     // Similarity: IVF-style pruned ANN (recall-tested vs brute force).
-    // The ONE remaining query with no SQL oracle, irreducibly: k-means
-    // centroids are floating-point MEANS, and avg() over a shuffled group
-    // is summation-order-dependent — no cross-engine bit equality exists
-    // to assert (every hash-defined query is replayed in SQL instead)
+    // Fully oracle-replayable since the quantizer moved to driver-side
+    // Lloyd over a vec_id-sorted sample: every float accumulates in a
+    // DETERMINISTIC order, so the DuckDB oracle reproduces the centroids
+    // bit-for-bit with order-forced list_reduce folds (this was the one
+    // no-oracle query while the means came from shuffled avg())
     "q_sim_ivf_topk" -> ((s, dir) =>
-      Similarity.ivfTopK(Tables.embeddings(s, dir), SimNumQueries, SimTopK)),
+      Similarity.ivfTopK(Tables.embeddings(s, dir), SimNumQueries, SimTopK,
+        IvfStride, IvfNprobe, IvfIters)),
 
     // Similarity: sign-random-projection LSH with multi-probe (training-
     // free scale path; recall-tested vs brute force — on this near-
@@ -1850,6 +1855,70 @@ object SparkEntry {
          |r AS (SELECT *, CAST(row_number() OVER (PARTITION BY q_id ORDER BY cos_sim DESC, neighbor_id) AS BIGINT) AS rank
          |      FROM sims)
          |SELECT q_id, neighbor_id, cos_sim, rank FROM r WHERE rank <= $SimTopK""".stripMargin,
+
+    // the full IVF ANN path replayed in SQL — the k-means training
+    // included. The quantizer trains on the driver over a vec_id-SORTED
+    // sample with sequential float accumulation, so every centroid mean
+    // is reproducible by an ORDER-FORCED fold: per (cell, dim),
+    // list_reduce(list_prepend(0, list(v[d] ORDER BY vec_id)), +) / n is
+    // the exact IEEE addition sequence the driver executes. Seeds replay
+    // pmod(xxhash64(vec_id), stride) == 0 via the XXH64.hashLong steps;
+    // assignment/probe argmax tiebreaks (sim DESC, c_id ASC) match
+    // max_by(struct(sim, -c_id)); two Lloyd passes are unrolled as CTEs
+    "q_sim_ivf_topk" -> {
+      val (kSteps, kCol) = SqlHash.xxh64LongSteps("vec_id::HUGEINT", "42", "__k")
+      val seedInner = SqlHash.applySteps("SELECT vec_id FROM e", kSteps)
+      // one Lloyd pass: assign every vector to its best centroid from
+      // `cin`, then rebuild centroids as order-forced per-dim means
+      def lloyd(cin: String, i: Int): String =
+        s"""asg$i AS (
+           |  SELECT vec_id, v, c_id FROM (
+           |    SELECT n.vec_id, n.v, c.c_id,
+           |      row_number() OVER (PARTITION BY n.vec_id
+           |        ORDER BY list_dot_product(n.v, c.cv) / (n.norm * c.cnorm) DESC, c.c_id) AS rn
+           |    FROM n CROSS JOIN $cin c) WHERE rn = 1
+           |),
+           |m$i AS (
+           |  SELECT c_id, d,
+           |    list_reduce(list_prepend(0.0::DOUBLE, list(v[d] ORDER BY vec_id)),
+           |      (acc, x) -> acc + x) / count(*) AS x
+           |  FROM asg$i, dims GROUP BY c_id, d),
+           |c$i AS (
+           |  SELECT c_id, cv, sqrt(list_dot_product(cv, cv)) AS cnorm
+           |  FROM (SELECT c_id, list(x ORDER BY d) AS cv FROM m$i GROUP BY c_id))""".stripMargin
+      s"""WITH e AS (SELECT vec_id, CAST(embedding AS DOUBLE[]) AS v FROM embeddings),
+         |n AS (SELECT vec_id, v, sqrt(list_dot_product(v, v)) AS norm FROM e),
+         |dims AS (SELECT unnest(range(1, (SELECT max(len(embedding)) FROM embeddings) + 1)) AS d),
+         |-- MATERIALIZED stops the seed predicate being pushed down through
+         |-- the 7 wrapped hash-step SELECTs (inlining doubles the expression
+         |-- tree per layer — same planner trap as the mixture oracle)
+         |hv AS MATERIALIZED (SELECT vec_id, ${SqlHash.toSigned(kCol)} AS hv FROM ($seedInner)),
+         |seeds AS (SELECT vec_id FROM hv WHERE hv % $IvfStride = 0),
+         |c0 AS (SELECT n.vec_id AS c_id, n.v AS cv, n.norm AS cnorm
+         |       FROM n JOIN seeds USING (vec_id)),
+         |${lloyd("c0", 1)},
+         |${lloyd("c1", 2)},
+         |asg AS (
+         |  SELECT vec_id, v, norm, c_id AS cell FROM (
+         |    SELECT n.vec_id, n.v, n.norm, c.c_id,
+         |      row_number() OVER (PARTITION BY n.vec_id
+         |        ORDER BY list_dot_product(n.v, c.cv) / (n.norm * c.cnorm) DESC, c.c_id) AS rn
+         |    FROM n CROSS JOIN c2 c) WHERE rn = 1),
+         |q AS (SELECT vec_id AS q_id, v AS qv, norm AS qnorm FROM n WHERE vec_id < $SimNumQueries),
+         |probes AS (
+         |  SELECT q_id, qv, qnorm, c_id AS cell FROM (
+         |    SELECT q.q_id, q.qv, q.qnorm, c.c_id,
+         |      row_number() OVER (PARTITION BY q.q_id
+         |        ORDER BY list_dot_product(q.qv, c.cv) / (q.qnorm * c.cnorm) DESC, c.c_id) AS rn
+         |    FROM q CROSS JOIN c2 c) WHERE rn <= $IvfNprobe),
+         |cand AS (
+         |  SELECT p.q_id, a.vec_id AS neighbor_id,
+         |    round(list_dot_product(p.qv, a.v) / (p.qnorm * a.norm), 6) AS cos_sim
+         |  FROM asg a JOIN probes p USING (cell) WHERE a.vec_id <> p.q_id),
+         |r AS (SELECT *, CAST(row_number() OVER (PARTITION BY q_id ORDER BY cos_sim DESC, neighbor_id) AS BIGINT) AS rank
+         |      FROM cand)
+         |SELECT q_id, neighbor_id, cos_sim, rank FROM r WHERE rank <= $SimTopK""".stripMargin
+    },
 
     // the full LSH ANN path replayed in SQL: the pseudo-random hyperplane
     // components come from Spark's xxhash64 (XXH64 over ints, seed 42),
