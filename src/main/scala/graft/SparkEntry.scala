@@ -103,6 +103,17 @@ object SparkEntry {
           Predicates.isCompleted(col("status"))),
         windowSec = 86400L)),
 
+    // Funnel conversion: first purchase strictly after each click within
+    // 1h — one forward-looking conditional RANGE frame per user, no
+    // (click, purchase) pair explosion
+    "q_funnel_conversion" -> ((s, dir) =>
+      graft.ops.EventAnalytics.clickToPurchase(Tables.events(s, dir),
+        withinSec = 3600L)),
+
+    // Weekly cohort retention triangle over the raw event stream
+    "q_weekly_retention" -> ((s, dir) =>
+      graft.ops.EventAnalytics.weeklyRetention(Tables.events(s, dir))),
+
     // P7: inclusive >= high-value threshold
     "q_high_value_filter" -> ((s, dir) =>
       completed(s, dir)
@@ -1310,6 +1321,28 @@ object SparkEntry {
         |WHERE txn_type IN ('DEBIT','TRANSFER_OUT','FEE','LOAN_REPAYMENT')
         |WINDOW w AS (PARTITION BY account_id ORDER BY event_time_us
         |             RANGE BETWEEN 86400000000 PRECEDING AND CURRENT ROW)""".stripMargin),
+
+    "q_funnel_conversion" ->
+      """WITH e AS (SELECT event_id, user_id,
+        |             epoch_us(CAST(ts AS TIMESTAMP)) AS ts_us, event_type
+        |           FROM events),
+        |c AS (SELECT *,
+        |        min(CASE WHEN event_type = 'purchase' THEN ts_us END) OVER
+        |          (PARTITION BY user_id ORDER BY ts_us
+        |           RANGE BETWEEN 1 FOLLOWING AND 3600000000 FOLLOWING) AS next_purchase_us
+        |      FROM e)
+        |SELECT event_id, user_id, ts_us, next_purchase_us,
+        |  next_purchase_us IS NOT NULL AS converted
+        |FROM c WHERE event_type = 'click'""".stripMargin,
+
+    "q_weekly_retention" ->
+      """WITH w AS (SELECT DISTINCT user_id,
+        |             epoch_us(CAST(ts AS TIMESTAMP)) // 604800000000 AS week
+        |           FROM events),
+        |f AS (SELECT user_id, min(week) AS cohort_week FROM w GROUP BY 1)
+        |SELECT cohort_week, week - cohort_week AS weeks_since,
+        |  CAST(count(DISTINCT w.user_id) AS BIGINT) AS n_users
+        |FROM w JOIN f USING (user_id) GROUP BY 1, 2""".stripMargin,
 
     "q_high_value_filter" -> (P +
       s"SELECT txn_id, account_id, amount, currency, event_time_ms FROM completed WHERE amount >= $HighValueThreshold"),

@@ -1,0 +1,61 @@
+package graft.ops
+
+import org.apache.spark.sql.DataFrame
+import org.apache.spark.sql.expressions.Window
+import org.apache.spark.sql.functions._
+
+/** Event-sequence analytics over the raw event stream (funnels, cohort
+  * retention) — the product-analytics companions to the banking pipelines
+  * (same stream, different consumers).
+  *
+  * Scale posture: the funnel is ONE window partitioned by the entity key
+  * (a forward-looking conditional RANGE frame — no self-join, no
+  * explosion of (click, purchase) candidate pairs the interval-join
+  * formulation would build); retention is two user-keyed hash
+  * aggregations and one co-partitioned equi-join. Nothing orders
+  * globally, nothing collects.
+  */
+object EventAnalytics {
+
+  /** Click→purchase funnel conversion: for every click, the timestamp of
+    * the user's FIRST purchase strictly after it within `withinSec` (null
+    * if none — the row survives so conversion ratios can be computed
+    * downstream). A same-timestamp purchase does NOT convert (the frame
+    * starts 1 µs after the click): simultaneous events carry no causal
+    * order, so counting them would manufacture conversions.
+    *
+    * One window, partitioned by user, forward-looking conditional RANGE
+    * frame — where a join formulation would materialize every
+    * (click, purchase-within-horizon) pair, this emits exactly one row
+    * per click. */
+  def clickToPurchase(events: DataFrame, withinSec: Long): DataFrame = {
+    val w = Window.partitionBy(col("user_id")).orderBy(col("ts_us"))
+      .rangeBetween(1L, withinSec * 1000000L)
+    events
+      .withColumn("next_purchase_us",
+        min(when(col("event_type") === "purchase", col("ts_us"))).over(w))
+      .filter(col("event_type") === "click")
+      .select(col("event_id"), col("user_id"), col("ts_us"),
+        col("next_purchase_us"),
+        col("next_purchase_us").isNotNull.as("converted"))
+  }
+
+  /** Weekly cohort retention: users bucketed by their FIRST active week
+    * (integer floor of epoch-micros — engine-exact, no calendar
+    * arithmetic), counted once per (cohort, weeks-since-cohort) cell.
+    * The classic retention triangle.
+    *
+    * Both aggregations and the join key on user_id, so the frames stay
+    * co-partitioned; the distinct pass collapses each user's events to
+    * one row per active week before anything joins. */
+  def weeklyRetention(events: DataFrame): DataFrame = {
+    val weekUs = 7L * 86400L * 1000000L
+    val weeks = events
+      .select(col("user_id"), expr(s"ts_us div $weekUs").as("week"))
+      .distinct()
+    val cohort = weeks.groupBy("user_id").agg(min(col("week")).as("cohort_week"))
+    weeks.join(cohort, "user_id")
+      .groupBy(col("cohort_week"), (col("week") - col("cohort_week")).as("weeks_since"))
+      .agg(countDistinct(col("user_id")).as("n_users"))
+  }
+}

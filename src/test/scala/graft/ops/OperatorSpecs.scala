@@ -205,3 +205,36 @@ class ReconcileSpec extends SparkSpecBase {
     assert(got(1).getAs[Double]("discrepancy") === Reconcile.InjectedError)
   }
 }
+
+class EventAnalyticsSpec extends SparkSpecBase {
+  import spark.implicits._
+
+  test("funnel: first strictly-later purchase within horizon; same-ts never converts") {
+    val base = 1700000000000000000L
+    val rows = Seq(
+      (1L, base, 7L, "click", 1.0),
+      (2L, base, 7L, "purchase", 1.0),                      // same ts: no causal order
+      (3L, base + 10_000_000_000L, 7L, "purchase", 1.0),    // +10s: converts click 1
+      (4L, base + 7200_000_000_000L, 7L, "click", 1.0),     // +2h: nothing follows
+      (5L, base + 100_000_000_000L, 9L, "purchase", 1.0))   // other user
+    val got = EventAnalytics.clickToPurchase(eventsDf(rows), withinSec = 3600L)
+      .select("event_id", "next_purchase_us", "converted")
+      .collect().map(r => r.getLong(0) ->
+        ((Option(r.get(1)).map(_.asInstanceOf[Long]), r.getBoolean(2)))).toMap
+    assert(got(1L) === ((Some(base / 1000 + 10_000_000L), true)))
+    assert(got(4L) === ((None, false)))
+    assert(got.size === 2) // only clicks emit
+  }
+
+  test("retention: cohort = first active week, one count per user per cell") {
+    val weekNs = 7L * 86400 * 1000000000L
+    val rows = Seq(
+      (1L, 1 * weekNs, 7L, "view", 1.0),      // user 7 cohort week 1
+      (2L, 1 * weekNs + 5, 7L, "view", 1.0),  // same week: counted once
+      (3L, 3 * weekNs, 7L, "view", 1.0),      // +2 weeks
+      (4L, 2 * weekNs, 9L, "view", 1.0))      // user 9 cohort week 2
+    val got = EventAnalytics.weeklyRetention(eventsDf(rows))
+      .as[(Long, Long, Long)].collect().toSet
+    assert(got === Set((1L, 0L, 1L), (1L, 2L, 1L), (2L, 0L, 1L)))
+  }
+}
