@@ -164,7 +164,7 @@ object Dedup {
         col("a.vec_id").as("vec_a"),
         col("b.vec_id").as("vec_b"),
         round(
-          expr("aggregate(zip_with(a.v, b.v, (x, y) -> x * y), 0D, (acc, x) -> acc + x)")
+          expr("graft_dot(a.v, b.v)")
             / (col("a.norm") * col("b.norm")), 6).as("cos_sim"))
       .filter(col("cos_sim") >= threshold)
   }
@@ -216,7 +216,7 @@ object Dedup {
         col("norm").as("nb")), "vec_b")
       .select(col("vec_a"), col("vec_b"),
         round(
-          expr("aggregate(zip_with(va, vb, (x, y) -> x * y), 0D, (acc, x) -> acc + x)")
+          expr("graft_dot(va, vb)")
             / (col("na") * col("nb")), 6).as("cos_sim"))
       .filter(col("cos_sim") >= threshold)
   }

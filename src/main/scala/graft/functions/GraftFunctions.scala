@@ -57,6 +57,63 @@ case class Fnv1a64(child: Expression) extends UnaryExpression {
     copy(child = newChild)
 }
 
+/** Dot-product kernel over two double arrays, callable from generated
+  * code. The fold is strictly sequential (index 0 upward) — the SAME IEEE
+  * addition order as `aggregate(zip_with(a, b, (x, y) -> x * y), 0D,
+  * (acc, p) -> acc + p)`, so swapping the interpreted HOF for this kernel
+  * never changes a result bit (the DuckDB oracles keep matching).
+  * Ragged arrays fail loudly — the equal-dims contract of the embedding
+  * tables, same policy as VecSumAgg. */
+object DotHelper {
+  def dot(a: org.apache.spark.sql.catalyst.util.ArrayData,
+      b: org.apache.spark.sql.catalyst.util.ArrayData): Double = {
+    val n = a.numElements()
+    require(b.numElements() == n,
+      s"graft_dot: ragged arrays ($n vs ${b.numElements()} dims)")
+    var s = 0.0
+    var i = 0
+    while (i < n) { s += a.getDouble(i) * b.getDouble(i); i += 1 }
+    s
+  }
+}
+
+/** `graft_dot(a, b)`: native codegen'd dot product over `array<double>`
+  * columns — the hot kernel of every similarity/ANN/near-dup query. The
+  * interpreted `aggregate(zip_with(...))` form allocates a zipped array
+  * and boxes each lambda application per row; this stays a primitive loop
+  * inside the codegen'd stage. */
+case class Dot(left: Expression, right: Expression)
+    extends org.apache.spark.sql.catalyst.expressions.BinaryExpression {
+  import org.apache.spark.sql.types.{ArrayType, DoubleType}
+
+  override def checkInputDataTypes(): TypeCheckResult = {
+    val ok = ArrayType(DoubleType)
+    def conforms(t: DataType) = t match {
+      case ArrayType(DoubleType, _) => true
+      case _ => false
+    }
+    if (conforms(left.dataType) && conforms(right.dataType))
+      TypeCheckResult.TypeCheckSuccess
+    else TypeCheckResult.TypeCheckFailure(
+      s"graft_dot requires two ${ok.catalogString} arguments, got " +
+        s"${left.dataType.catalogString} and ${right.dataType.catalogString}")
+  }
+
+  override def dataType: DataType = org.apache.spark.sql.types.DoubleType
+  override def prettyName: String = "graft_dot"
+
+  override protected def nullSafeEval(a: Any, b: Any): Any =
+    DotHelper.dot(
+      a.asInstanceOf[org.apache.spark.sql.catalyst.util.ArrayData],
+      b.asInstanceOf[org.apache.spark.sql.catalyst.util.ArrayData])
+
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
+    defineCodeGen(ctx, ev, (a, b) => s"graft.functions.DotHelper.dot($a, $b)")
+
+  override protected def withNewChildrenInternal(newLeft: Expression,
+      newRight: Expression): Dot = copy(left = newLeft, right = newRight)
+}
+
 /** Session registration for graft's custom functions — after this,
   * `expr("graft_fnv64(text)")` (and SQL) resolve, including inside
   * higher-order-function lambdas. */
@@ -81,6 +138,10 @@ object GraftFunctions {
       "built-in")
     spark.sessionState.functionRegistry.createOrReplaceTempFunction(
       "graft_winnow", buildWinnow, "built-in")
+    spark.sessionState.functionRegistry.createOrReplaceTempFunction(
+      "graft_dot",
+      exprs => { requireArity("graft_dot", exprs, 2); Dot(exprs(0), exprs(1)) },
+      "built-in")
   }
 }
 
@@ -100,6 +161,14 @@ class GraftExtensions extends (org.apache.spark.sql.SparkSessionExtensions => Un
       new org.apache.spark.sql.catalyst.expressions.ExpressionInfo(
         classOf[Winnow].getCanonicalName, "graft_winnow"),
       (exprs: Seq[Expression]) => GraftFunctions.buildWinnow(exprs)))
+    e.injectFunction((
+      new org.apache.spark.sql.catalyst.FunctionIdentifier("graft_dot"),
+      new org.apache.spark.sql.catalyst.expressions.ExpressionInfo(
+        classOf[Dot].getCanonicalName, "graft_dot"),
+      (exprs: Seq[Expression]) => {
+        GraftFunctions.requireArity("graft_dot", exprs, 2)
+        Dot(exprs(0), exprs(1))
+      }))
     // planner strategy: rank-filter windows -> bounded-heap per-group
     // top-k (graft.plans.BoundedTopKStrategy scaladoc has the contract)
     e.injectPlannerStrategy(_ => graft.plans.BoundedTopKStrategy)

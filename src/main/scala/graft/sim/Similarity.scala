@@ -16,17 +16,20 @@ import org.apache.spark.sql.functions._
   */
 object Similarity {
 
-  /** Codegen'd dot product over two array<double> columns. */
+  /** Dot product over two array<double> columns via the native codegen'd
+    * [[graft.functions.Dot]] kernel (identical IEEE fold order to the
+    * interpreted `aggregate(zip_with(...))` form it replaced, so every
+    * oracle keeps matching bit-for-bit — the kernel just skips the zipped
+    * array allocation and per-element lambda boxing). */
   def dot(a: String, b: String): Column =
-    expr(s"aggregate(zip_with($a, $b, (x, y) -> x * y), 0D, (acc, x) -> acc + x)")
+    expr(s"graft_dot($a, $b)")
 
   /** Project to (id, v: array<double>, norm). Norms are computed once per
     * vector so every later similarity is a single dot product. */
   def withNorm(embeddings: DataFrame, idCol: String = "vec_id"): DataFrame =
     embeddings
       .select(col(idCol), col("embedding").cast("array<double>").as("v"))
-      .withColumn("norm", sqrt(expr(
-        "aggregate(zip_with(v, v, (x, y) -> x * y), 0D, (acc, x) -> acc + x)")))
+      .withColumn("norm", sqrt(expr("graft_dot(v, v)")))
 
   /** Brute-force cosine top-k: for each query vector (vec_id < numQueries),
     * the k nearest other vectors. Rank is deterministic: (rounded sim DESC,
@@ -273,8 +276,7 @@ object Similarity {
       cs: Array[(Long, Array[Double])]): DataFrame = {
     import spark.implicits._
     cs.toSeq.toDF("c_id", "cv")
-      .withColumn("cnorm", sqrt(expr(
-        "aggregate(zip_with(cv, cv, (x, y) -> x * y), 0D, (acc, x) -> acc + x)")))
+      .withColumn("cnorm", sqrt(expr("graft_dot(cv, cv)")))
   }
 
   /** IVF-style ANN: k-means coarse centroids (stride seeds + Lloyd

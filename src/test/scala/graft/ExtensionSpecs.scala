@@ -18,6 +18,28 @@ class Fnv1a64Spec extends SparkSpecBase {
     assert(Fnv1a64Helper.hashBytes("foobar".getBytes("UTF-8")) === 0x85944171f73967e8L)
   }
 
+  test("graft_dot == interpreted aggregate(zip_with) bit-for-bit; null-safe; ragged throws") {
+    GraftFunctions.register(spark)
+    val df = Seq(
+      (Some(Array(1.5, -2.25, 3.125, 0.1)), Array(0.3, 4.5, -1.75, 2.2)),
+      (None: Option[Array[Double]], Array(1.0, 2.0, 3.0, 4.0)))
+      .toDF("a", "b")
+    val got = df.select(
+      expr("graft_dot(a, b)").as("fast"),
+      expr("aggregate(zip_with(a, b, (x, y) -> x * y), 0D, (acc, x) -> acc + x)").as("hof"))
+      .collect()
+    // exact bit equality, not approximate: same fold order by contract
+    assert(java.lang.Double.doubleToRawLongBits(got(0).getDouble(0)) ===
+      java.lang.Double.doubleToRawLongBits(got(0).getDouble(1)))
+    assert(got(1).isNullAt(0) && got(1).isNullAt(1))
+    val ragged = Seq((Array(1.0, 2.0), Array(1.0, 2.0, 3.0))).toDF("a", "b")
+    val e = intercept[Exception] {
+      ragged.select(expr("graft_dot(a, b)")).collect()
+    }
+    assert(e.getMessage.contains("ragged") ||
+      Option(e.getCause).exists(_.getMessage.contains("ragged")))
+  }
+
   test("expression evaluates through codegen and handles null") {
     GraftFunctions.register(spark)
     val got = Seq(Some("foobar"), None: Option[String]).toDF("t")

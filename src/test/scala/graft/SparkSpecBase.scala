@@ -39,6 +39,8 @@ object SparkSpecBase {
     // mirror GraftSession: the whole suite runs under the production
     // planner strategy (BoundedTopKSpec toggles it off to diff plans)
     s.experimental.extraStrategies = Seq(graft.plans.BoundedTopKStrategy)
+    // and the custom function surface (graft_dot in the similarity ops)
+    graft.functions.GraftFunctions.register(s)
     s
   }
 }
