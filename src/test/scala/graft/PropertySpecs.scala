@@ -105,3 +105,48 @@ object TrainingPrepProps extends Properties("training-prep") {
       ks.count(_ >= t + v) == 100 - t - v
   }
 }
+
+/** The streaming rolling-spend tracker against a quadratic reference
+  * model, driven through Spark's own TestGroupState across random
+  * in-order batch splits — pins the state pruning, the peer semantics,
+  * and cross-batch frame continuity without a streaming harness. */
+object RollingSpendProps extends Properties("rolling-spend-tracker") {
+  import org.apache.spark.api.java.Optional
+  import org.apache.spark.sql.streaming.{GroupStateTimeout, TestGroupState}
+  import graft.streaming.{RollTxn, RollingSpendTracker}
+
+  private val WindowUs = 100L * 1000000L // 100 s
+
+  private val genEvents: Gen[List[(Long, Long)]] =
+    Gen.listOf(Gen.zip(Gen.chooseNum(0L, 300L), Gen.chooseNum(1L, 1000L)))
+
+  property("tracker == trailing-window model under in-order batch splits") =
+    forAll(genEvents, Gen.chooseNum(1, 5)) { (raw, nBatches) =>
+      val events = raw.zipWithIndex.map { case ((tsSec, kobo), i) =>
+        RollTxn(i.toLong, 7L, tsSec * 1000000L, kobo)
+      }.sortBy(e => (e.event_time_us, e.txn_id))
+      // contract: batches are time-ordered and same-ts peers share a batch
+      val tsGroups = events.groupBy(_.event_time_us).toSeq.sortBy(_._1).map(_._2)
+      val per = math.max(1, math.ceil(tsGroups.size.toDouble / nBatches).toInt)
+      val batches = tsGroups.grouped(per).map(_.flatten).toSeq
+
+      var state: Option[Seq[(Long, Long)]] = None
+      val got = batches.filter(_.nonEmpty).flatMap { chunk =>
+        val gs = TestGroupState.create[Seq[(Long, Long)]](
+          state.fold(Optional.empty[Seq[(Long, Long)]]())(Optional.of),
+          GroupStateTimeout.NoTimeout, 0L, Optional.empty[Long](),
+          hasTimedOut = false)
+        val rows = RollingSpendTracker.process(WindowUs)(7L, chunk.iterator, gs).toList
+        state = if (gs.exists) Some(gs.get) else None
+        rows
+      }.map(r => (r.txn_id, r.rolling_spend_kobo, r.rolling_n_txns)).toSet
+
+      val want = events.map { e =>
+        val frame = events.filter(o =>
+          o.event_time_us >= e.event_time_us - WindowUs &&
+            o.event_time_us <= e.event_time_us)
+        (e.txn_id, frame.map(_.kobo).sum, frame.size.toLong)
+      }.toSet
+      got == want
+    }
+}
