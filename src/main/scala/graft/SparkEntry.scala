@@ -114,6 +114,12 @@ object SparkEntry {
     "q_weekly_retention" -> ((s, dir) =>
       graft.ops.EventAnalytics.weeklyRetention(Tables.events(s, dir))),
 
+    // Rank-exact winsorization at the p99 order statistic per currency —
+    // the cut comes from the cumulative DISTINCT-VALUE histogram (only
+    // distinct (currency, kobo) pairs sort; the fact table never does)
+    "q_winsorize" -> ((s, dir) =>
+      graft.ops.Features.winsorize(completed(s, dir))),
+
     // P7: inclusive >= high-value threshold
     "q_high_value_filter" -> ((s, dir) =>
       completed(s, dir)
@@ -1343,6 +1349,22 @@ object SparkEntry {
         |SELECT cohort_week, week - cohort_week AS weeks_since,
         |  CAST(count(DISTINCT w.user_id) AS BIGINT) AS n_users
         |FROM w JOIN f USING (user_id) GROUP BY 1, 2""".stripMargin,
+
+    "q_winsorize" -> (P +
+      """, t AS (SELECT txn_id, currency, CAST(round(amount * 100) AS BIGINT) AS kobo
+        |        FROM completed),
+        |h AS (SELECT currency, kobo, CAST(count(*) AS BIGINT) AS cnt FROM t GROUP BY 1, 2),
+        |rc AS (SELECT *,
+        |         sum(cnt) OVER (PARTITION BY currency ORDER BY kobo
+        |                        ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS cum,
+        |         sum(cnt) OVER (PARTITION BY currency) AS n
+        |       FROM h),
+        |c AS (SELECT currency, min(kobo) AS cut_kobo FROM rc
+        |      WHERE cum >= ceil(0.99 * n) GROUP BY 1)
+        |SELECT txn_id, t.currency, kobo, cut_kobo,
+        |  least(kobo, cut_kobo) AS kobo_winsorized,
+        |  kobo > cut_kobo AS is_clipped
+        |FROM t JOIN c USING (currency)""".stripMargin),
 
     "q_high_value_filter" -> (P +
       s"SELECT txn_id, account_id, amount, currency, event_time_ms FROM completed WHERE amount >= $HighValueThreshold"),

@@ -1,0 +1,45 @@
+package graft.ops
+
+import org.apache.spark.sql.DataFrame
+import org.apache.spark.sql.expressions.Window
+import org.apache.spark.sql.functions._
+
+/** Feature-preparation operators over transaction amounts (robust scaling
+  * for model inputs / anomaly baselines).
+  *
+  * Scale posture: quantile cuts are computed on the DISTINCT-VALUE
+  * HISTOGRAM, not the fact table — the only sort is over distinct
+  * (group, value) pairs (bounded by value cardinality, tiny next to row
+  * count), and the per-group cut table broadcasts back. The fact table
+  * itself never sorts and shuffles only for the histogram aggregation
+  * (map-side combined).
+  */
+object Features {
+
+  /** Rank-exact winsorization: clip each currency's amounts at the
+    * empirical p-quantile taken as an ORDER STATISTIC — the value whose
+    * ascending rank is ceil(p·n) — over integer kobo. No interpolation,
+    * so the cut is exact integer arithmetic and engine-exact (a float
+    * interpolated percentile diverges in the last ulp between engines).
+    *
+    * The cut comes from the cumulative histogram: the smallest kobo whose
+    * running count reaches ceil(p·n). Rows above the cut clip to it and
+    * are flagged. */
+  def winsorize(txns: DataFrame, p: Double = 0.99): DataFrame = {
+    val t = txns.select(col("txn_id"), col("currency"),
+      round(col("amount") * 100).cast("long").as("kobo"))
+    val hist = t.groupBy("currency", "kobo").agg(count(lit(1)).as("cnt"))
+    val cum = Window.partitionBy(col("currency")).orderBy(col("kobo"))
+      .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    val tot = Window.partitionBy(col("currency"))
+    val cuts = hist
+      .withColumn("__cum", sum(col("cnt")).over(cum))
+      .withColumn("__n", sum(col("cnt")).over(tot))
+      .filter(col("__cum") >= ceil(lit(p) * col("__n")))
+      .groupBy("currency").agg(min(col("kobo")).as("cut_kobo"))
+    t.join(broadcast(cuts), "currency")
+      .select(col("txn_id"), col("currency"), col("kobo"), col("cut_kobo"),
+        least(col("kobo"), col("cut_kobo")).as("kobo_winsorized"),
+        (col("kobo") > col("cut_kobo")).as("is_clipped"))
+  }
+}

@@ -206,6 +206,26 @@ class ReconcileSpec extends SparkSpecBase {
   }
 }
 
+class FeaturesSpec extends SparkSpecBase {
+  import spark.implicits._
+
+  test("winsorize cuts at the exact order statistic, ceil boundary, per group") {
+    // currency A: kobo 100..1000 in hundreds (n=10); p=0.8 -> rank ceil(8)=8
+    // -> cut 800; currency B: single value never clips
+    val rows = (1 to 10).map(i => (i.toLong, "A", i * 1.0)) :+ (99L, "B", 5.0)
+    val txns = rows.toDF("txn_id", "currency", "amount")
+    val got = graft.ops.Features.winsorize(txns, p = 0.8)
+      .select("txn_id", "cut_kobo", "kobo_winsorized", "is_clipped")
+      .collect().map(r => r.getLong(0) -> ((r.getLong(1), r.getLong(2), r.getBoolean(3))))
+      .toMap
+    assert(got(8L) === ((800L, 800L, false)))  // at the cut: kept
+    assert(got(9L) === ((800L, 800L, true)))   // above: clipped to cut
+    assert(got(10L) === ((800L, 800L, true)))
+    assert(got(1L) === ((800L, 100L, false)))
+    assert(got(99L) === ((500L, 500L, false))) // group isolation
+  }
+}
+
 class EventAnalyticsSpec extends SparkSpecBase {
   import spark.implicits._
 
