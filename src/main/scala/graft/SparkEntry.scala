@@ -120,6 +120,11 @@ object SparkEntry {
     "q_winsorize" -> ((s, dir) =>
       graft.ops.Features.winsorize(completed(s, dir))),
 
+    // Per-currency z-scores from exact integer moments (Σx, Σx² in kobo;
+    // the float mean/σ/z are one fixed-order IEEE expression per row)
+    "q_zscore" -> ((s, dir) =>
+      graft.ops.Features.zscore(completed(s, dir))),
+
     // P7: inclusive >= high-value threshold
     "q_high_value_filter" -> ((s, dir) =>
       completed(s, dir)
@@ -1365,6 +1370,22 @@ object SparkEntry {
         |  least(kobo, cut_kobo) AS kobo_winsorized,
         |  kobo > cut_kobo AS is_clipped
         |FROM t JOIN c USING (currency)""".stripMargin),
+
+    "q_zscore" -> (P +
+      """, t AS (SELECT txn_id, currency, CAST(round(amount * 100) AS BIGINT) AS kobo
+        |        FROM completed),
+        |m AS (SELECT currency, CAST(count(*) AS BIGINT) AS n,
+        |        CAST(sum(kobo) AS BIGINT) AS s1,
+        |        CAST(sum(kobo * kobo) AS BIGINT) AS s2
+        |      FROM t GROUP BY 1)
+        |SELECT txn_id, t.currency, kobo,
+        |  s1 / CAST(n AS DOUBLE) AS mean_kobo,
+        |  (n * s2 - s1 * s1) / CAST(n * n AS DOUBLE) AS var_kobo,
+        |  CASE WHEN (n * s2 - s1 * s1) / CAST(n * n AS DOUBLE) > 0
+        |       THEN (kobo - s1 / CAST(n AS DOUBLE))
+        |            / sqrt((n * s2 - s1 * s1) / CAST(n * n AS DOUBLE))
+        |       ELSE 0.0 END AS z
+        |FROM t JOIN m USING (currency)""".stripMargin),
 
     "q_high_value_filter" -> (P +
       s"SELECT txn_id, account_id, amount, currency, event_time_ms FROM completed WHERE amount >= $HighValueThreshold"),

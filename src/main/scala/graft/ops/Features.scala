@@ -42,4 +42,35 @@ object Features {
         least(col("kobo"), col("cut_kobo")).as("kobo_winsorized"),
         (col("kobo") > col("cut_kobo")).as("is_clipped"))
   }
+
+  /** Per-group z-score standardization from EXACT INTEGER moments: the
+    * group's Σx and Σx² accumulate as integer kobo (order-independent, so
+    * engines and partitionings agree bit-for-bit), and the float work —
+    * mean = Σx/n, population variance = (n·Σx² − (Σx)²)/n², z = (x −
+    * mean)/σ — is one fixed-order IEEE expression per row evaluated from
+    * those integers. A running float mean/M2 (Welford) would be
+    * accumulation-order-dependent and non-reproducible across engines.
+    *
+    * One map-side-combined aggregation (3 integer sums per group), the
+    * tiny per-group moment table broadcast back; single-valued groups
+    * (σ = 0) emit z = 0 rather than NaN. Σx² of 2-dp money fits a long
+    * up to ~30M rows per group at ₦10M amounts; beyond that, swap the
+    * sums to DECIMAL(38,0) — same shape, still exact. */
+  def zscore(txns: DataFrame): DataFrame = {
+    val t = txns.select(col("txn_id"), col("currency"),
+      round(col("amount") * 100).cast("long").as("kobo"))
+    val moments = t.groupBy("currency").agg(
+      count(lit(1)).as("n"),
+      sum(col("kobo")).as("s1"),
+      sum(col("kobo") * col("kobo")).as("s2"))
+    t.join(broadcast(moments), "currency")
+      .withColumn("mean_kobo", col("s1") / col("n").cast("double"))
+      .withColumn("var_kobo",
+        (col("n") * col("s2") - col("s1") * col("s1")) /
+          (col("n") * col("n")).cast("double"))
+      .withColumn("z", when(col("var_kobo") > 0,
+          (col("kobo") - col("mean_kobo")) / sqrt(col("var_kobo")))
+        .otherwise(lit(0.0)))
+      .select("txn_id", "currency", "kobo", "mean_kobo", "var_kobo", "z")
+  }
 }

@@ -224,6 +224,22 @@ class FeaturesSpec extends SparkSpecBase {
     assert(got(1L) === ((800L, 100L, false)))
     assert(got(99L) === ((500L, 500L, false))) // group isolation
   }
+
+  test("zscore: exact integer moments; single-valued group emits z = 0") {
+    val txns = Seq(
+      (1L, "A", 1.0), (2L, "A", 2.0), (3L, "A", 3.0), // kobo 100/200/300
+      (9L, "B", 5.0))                                 // sigma 0
+    .toDF("txn_id", "currency", "amount")
+    val got = graft.ops.Features.zscore(txns)
+      .select("txn_id", "mean_kobo", "var_kobo", "z")
+      .collect().map(r => r.getLong(0) -> ((r.getDouble(1), r.getDouble(2), r.getDouble(3))))
+      .toMap
+    // population stats of {100, 200, 300}: mean 200, var 20000/3
+    val varA = (3.0 * 140000 - 600.0 * 600) / 9.0
+    assert(got(1L) === ((200.0, varA, (100 - 200.0) / math.sqrt(varA))))
+    assert(got(3L)._3 === -got(1L)._3)
+    assert(got(9L) === ((500.0, 0.0, 0.0)))
+  }
 }
 
 class EventAnalyticsSpec extends SparkSpecBase {
