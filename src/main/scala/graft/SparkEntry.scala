@@ -688,6 +688,12 @@ object SparkEntry {
     "q_bigram_logprob" -> ((s, dir) =>
       graft.text.TrainingPrep.bigramLogProb(Tables.documents(s, dir))),
 
+    // Token-budget curation: each language's budget filled with its
+    // highest-quality docs (greedy prefix, strict budget, total order)
+    "q_token_budget" -> ((s, dir) =>
+      graft.text.TrainingPrep.tokenBudgetCurate(Tables.documents(s, dir),
+        budgetPerLang = 5000L)),
+
     // Quality rule: intra-doc 3-gram repetition ratio (boilerplate/spam
     // signal — scan + one agg, no joins)
     "q_repetition_filter" -> ((s, dir) =>
@@ -2482,6 +2488,17 @@ object SparkEntry {
           |  CAST(ntile(10) OVER (PARTITION BY l.pred_lang
           |         ORDER BY q.quality_score DESC, q.doc_id) AS BIGINT) AS curriculum_bin
           |FROM qual q JOIN lang l USING (doc_id)""".stripMargin),
+
+    "q_token_budget" ->
+      (sqlCurateCtes("TRUE") +
+        """
+          |SELECT * FROM (
+          |  SELECT q.doc_id, l.pred_lang, q.quality_score, q.n_tokens,
+          |    CAST(sum(q.n_tokens) OVER (PARTITION BY l.pred_lang
+          |           ORDER BY q.quality_score DESC, q.doc_id
+          |           ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS BIGINT) AS cum_tokens
+          |  FROM qual q JOIN lang l USING (doc_id))
+          |WHERE cum_tokens <= 5000""".stripMargin),
 
     "q_source_mix" ->
       """SELECT source, CAST(count(*) AS BIGINT) AS n_docs,

@@ -514,6 +514,34 @@ object TrainingPrep {
       .select("doc_id", "term", "tf", "df", "tfidf", "term_rank")
   }
 
+  /** Token-budget curation: fill each language's token budget with its
+    * highest-quality documents — the greedy selection every "train on the
+    * best N billion tokens" recipe runs. Documents are taken in (quality
+    * DESC, doc_id) order until the running token total would exceed the
+    * budget; the straddling document is dropped (strict budget), and the
+    * order is total so the kept set is deterministic and engine-exact.
+    *
+    * One window per language over (score, tokens) scalars — the same
+    * partitioned-cumulative shape as [[packSequences]]' shard streams and
+    * [[curriculumBins]] (whose scale caveat applies equally: if one
+    * language dominates a real corpus, derive a score THRESHOLD from the
+    * cumulative distinct-score histogram instead — the
+    * [[graft.ops.Features.winsorize]] selection idiom — and keep this
+    * form's exact contract for the boundary bucket only). */
+  def tokenBudgetCurate(documents: DataFrame,
+      budgetPerLang: Long): DataFrame = {
+    val q = TextAnalysis.quality(documents)
+      .select("doc_id", "quality_score", "n_tokens")
+    val l = TextAnalysis.langId(documents).select("doc_id", "pred_lang")
+    val w = Window.partitionBy(col("pred_lang"))
+      .orderBy(col("quality_score").desc, col("doc_id"))
+      .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    q.join(l, "doc_id")
+      .withColumn("cum_tokens", sum(col("n_tokens")).over(w))
+      .filter(col("cum_tokens") <= budgetPerLang)
+      .select("doc_id", "pred_lang", "quality_score", "n_tokens", "cum_tokens")
+  }
+
   /** BPE tokenizer training, step 1: adjacent-symbol pair frequencies —
     * the statistic every merge round of byte-pair encoding ranks on
     * (Sennrich et al. 2016). Counting runs the way real BPE trainers do:

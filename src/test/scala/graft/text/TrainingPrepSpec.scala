@@ -205,6 +205,26 @@ class TrainingPrepSpec extends SparkSpecBase {
     assert(top(3L) === "zebra") // tf 2 x rare beats shared terms
   }
 
+  test("token budget: greedy quality-prefix per language == pure-Scala model") {
+    val docs = Tables.documents(spark, sf0001)
+    val budget = 3000L
+    val got = TrainingPrep.tokenBudgetCurate(docs, budget)
+      .select("doc_id").as[Long].collect().toSet
+    // independent model: greedy prefix in (quality DESC, doc_id) order
+    val scored = TextAnalysis.quality(docs)
+      .select("doc_id", "quality_score", "n_tokens")
+      .join(TextAnalysis.langId(docs).select("doc_id", "pred_lang"), "doc_id")
+      .as[(Long, Double, Long, String)].collect()
+    val want = scored.groupBy(_._4).toSeq.flatMap { case (_, ds) =>
+      var cum = 0L
+      ds.sortBy(d => (-d._2, d._1)).takeWhile { d =>
+        cum += d._3; cum <= budget
+      }.map(_._1).toSeq
+    }.toSet
+    assert(got === want)
+    assert(got.nonEmpty && got.size < scored.length) // budget actually binds
+  }
+
   test("bigram logprob: known smoothed sums; one-token doc yields zero bigrams") {
     val d = docs((1L, "a b a b"), (2L, "a"))
     // vocab {a, b} -> V = 2; bigrams of doc 1: (a,b) x2, (b,a) x1
