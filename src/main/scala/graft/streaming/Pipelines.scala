@@ -54,6 +54,22 @@ object Pipelines {
       .withColumn("event_ts", timestamp_micros(col("event_time_us")))
   }
 
+  /** Raw-event stream (same derived columns as the [[graft.Tables.events]]
+    * batch loader) — for consumers of the event stream itself
+    * (funnel/retention analytics) rather than the synthesized CDC
+    * envelopes. */
+  def eventStreamFromPath(spark: SparkSession, dir: String, glob: String = "*",
+      maxFilesPerTrigger: Option[Int] = None): DataFrame = {
+    spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
+    val reader = spark.readStream
+      .schema("event_id BIGINT, ts BIGINT, user_id BIGINT, event_type STRING, value DOUBLE, props STRING")
+      .option("pathGlobFilter", glob)
+    val withOpt = maxFilesPerTrigger
+      .fold(reader)(n => reader.option("maxFilesPerTrigger", n.toString))
+    graft.Tables.deriveEventTime(
+      withOpt.parquet(dir).withColumnRenamed("ts", "ts_ns"))
+  }
+
   private def completed(parsed: DataFrame): DataFrame =
     parsed.filter(Predicates.isCompleted(col("status")))
 
@@ -304,6 +320,28 @@ object Pipelines {
         RollingSpendTracker.process(windowUs))
   }
 
+  /** Funnel conversion as incremental state + event-time timers — the
+    * streaming twin of [[graft.ops.EventAnalytics.clickToPurchase]].
+    * Pending clicks wait in GroupState; a purchase resolves every pending
+    * click it strictly follows within the horizon (emitted immediately);
+    * under the in-order feed contract, ANY later event of the same user
+    * seals clicks whose horizon it has passed (no purchase can now
+    * arrive for them), and an event-time timer at (earliest pending
+    * click + horizon) expires the rest when the watermark passes — the
+    * same state+timers pattern as [[DormancyDetector]]. Per-key state is
+    * bounded by the horizon's click count. */
+  def funnelAlerts(spark: SparkSession, events: DataFrame,
+      horizonUs: Long = 3600L * 1000000L): Dataset[FunnelRow] = {
+    import spark.implicits._
+    events
+      .withWatermark("event_ts", "0 seconds")
+      .selectExpr("event_id", "user_id", "ts_us", "event_type", "event_ts")
+      .as[FunnelEvent]
+      .groupByKey(_.user_id)
+      .flatMapGroupsWithState(OutputMode.Append,
+        GroupStateTimeout.EventTimeTimeout)(FunnelTracker.process(horizonUs))
+  }
+
   /** Pipeline 3 — balance reconciliation: true incremental per-key state via
     * `flatMapGroupsWithState` (the streaming twin of
     * [[graft.ops.Reconcile]]; reference
@@ -393,6 +431,62 @@ case class ReconRow(txn_id: Long, account_id: Long, event_time_ms: Long,
   * streaming analog of the reference's RocksDB `account-balance-store`.
   * Events are ordered (event_time_us, txn_id) within each micro-batch;
   * cross-batch order follows stream arrival, as in the reference. */
+/** Input row for the funnel tracker — `event_ts` carries the watermark
+  * through the typed projection (same note as [[DormTxn]]). */
+case class FunnelEvent(event_id: Long, user_id: Long, ts_us: Long,
+    event_type: String, event_ts: java.sql.Timestamp)
+
+/** Output row — same shape as the batch funnel operator. */
+case class FunnelRow(event_id: Long, user_id: Long, ts_us: Long,
+    next_purchase_us: Option[Long], converted: Boolean)
+
+/** Stateful funnel tracker: pending (click_id, click_ts) pairs per user.
+  * Resolution order inside a batch is event-time order; a purchase at
+  * exactly a click's timestamp never converts it (strictly-after, the
+  * batch RANGE frame's 1-µs-following bound). */
+object FunnelTracker {
+  def process(horizonUs: Long)(userId: Long, events: Iterator[FunnelEvent],
+      state: GroupState[Seq[(Long, Long)]]): Iterator[FunnelRow] = {
+    var pending = state.getOption.getOrElse(Seq.empty)
+    val out = scala.collection.mutable.ArrayBuffer.empty[FunnelRow]
+    def seal(beforeUs: Long): Unit = {
+      val (expired, live) = pending.partition(_._2 + horizonUs < beforeUs)
+      expired.foreach { case (id, ts) =>
+        out += FunnelRow(id, userId, ts, None, converted = false)
+      }
+      pending = live
+    }
+    if (events.isEmpty && state.hasTimedOut) {
+      // the watermark passed the earliest pending horizon
+      seal(state.getCurrentWatermarkMs() * 1000)
+    } else {
+      events.toSeq.sortBy(e => (e.ts_us, e.event_id)).foreach { e =>
+        // in-order contract: this event's timestamp proves no purchase
+        // can still arrive for clicks whose horizon lies strictly before
+        seal(e.ts_us)
+        if (e.event_type == "purchase") {
+          val (hit, rest) = pending.partition(c =>
+            c._2 < e.ts_us && e.ts_us <= c._2 + horizonUs)
+          hit.foreach { case (id, ts) =>
+            out += FunnelRow(id, userId, ts, Some(e.ts_us), converted = true)
+          }
+          pending = rest
+        } else if (e.event_type == "click") {
+          pending :+= (e.event_id, e.ts_us)
+        }
+      }
+    }
+    if (pending.isEmpty) state.remove()
+    else {
+      state.update(pending)
+      // ceil to millis (see DormancyDetector note)
+      state.setTimeoutTimestamp(
+        (pending.map(_._2).min + horizonUs + 999) / 1000)
+    }
+    out.iterator
+  }
+}
+
 /** Input/output rows for the rolling-spend tracker. */
 case class RollTxn(txn_id: Long, account_id: Long, event_time_us: Long,
     kobo: Long)

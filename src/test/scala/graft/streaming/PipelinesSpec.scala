@@ -97,6 +97,65 @@ class PipelinesSpec extends SparkSpecBase {
     assert(got.nonEmpty)
   }
 
+  test("streaming funnel (state + timers) == batch conditional RANGE frame") {
+    import spark.implicits._
+    val base = 1700000000000000000L
+    val secNs = 1000000000L
+    // each user's stream ends with a far view, so every click is sealed
+    // in-batch by a later same-user event (the in-order contract's
+    // purchase-impossibility proof) — full equality with the batch twin
+    val rows = Seq(
+      (1L, base, 7L, "click", 1.0),
+      (2L, base + 10 * secNs, 7L, "purchase", 1.0),        // converts 1
+      (3L, base + 20 * secNs, 7L, "click", 1.0),           // never converts
+      (4L, base + 7200 * secNs, 7L, "view", 1.0),          // seals 3
+      (5L, base, 9L, "click", 1.0),
+      (6L, base, 9L, "purchase", 1.0),                     // same-ts: no convert
+      (7L, base + 30 * secNs, 9L, "purchase", 1.0),        // converts 5
+      (8L, base + 9000 * secNs, 9L, "view", 1.0))
+    val dir = Files.createTempDirectory("graft_funnel").toString + "/in"
+    rows.toDF("event_id", "ts", "user_id", "event_type", "value")
+      .withColumn("props", lit("{}"))
+      .coalesce(1).write.parquet(dir)
+    val stream = Pipelines.funnelAlerts(spark,
+      Pipelines.eventStreamFromPath(spark, dir))
+    val got = runToTable(stream.toDF(), "funnel_stream", "append")
+      .select("event_id", "next_purchase_us", "converted").collect().toSet
+    val want = graft.ops.EventAnalytics.clickToPurchase(
+        eventsDf(rows), withinSec = 3600L)
+      .select("event_id", "next_purchase_us", "converted").collect().toSet
+    assert(got === want)
+    assert(got.size === 3)
+  }
+
+  test("streaming funnel: unresolved click expires via event-time timer") {
+    import spark.implicits._
+    val base = 1700000000000000000L
+    val hourNs = 3600L * 1000000000L
+    val dir = Files.createTempDirectory("graft_funnel_t").toString
+    // chunk1: user 7's lone click + another user's far event advancing the
+    // watermark past the click's horizon; chunk2 triggers the timer fire
+    val chunk1 = Seq(
+      (1L, base, 7L, "click", 1.0),
+      (2L, base + 3 * hourNs, 8L, "view", 1.0))
+    val sentinel = Seq((3L, base + 10 * hourNs, 9L, "view", 1.0))
+    def write(rows: Seq[(Long, Long, Long, String, Double)], f: String): Unit = {
+      val staging = Files.createTempDirectory("graft_stage_f").toString
+      rows.toDF("event_id", "ts", "user_id", "event_type", "value")
+        .withColumn("props", lit("{}"))
+        .coalesce(1).write.mode("overwrite").parquet(staging)
+      val part = new java.io.File(staging).listFiles()
+        .find(_.getName.endsWith(".parquet")).get
+      Files.copy(part.toPath, java.nio.file.Paths.get(s"$dir/$f.parquet"))
+    }
+    write(chunk1, "c1"); Thread.sleep(20); write(sentinel, "c2")
+    val stream = Pipelines.funnelAlerts(spark,
+      Pipelines.eventStreamFromPath(spark, dir, maxFilesPerTrigger = Some(1)))
+    val got = runToTable(stream.toDF(), "funnel_timer_stream", "append")
+      .select("event_id", "converted").collect().toSet
+    assert(got === Set(org.apache.spark.sql.Row(1L, false)))
+  }
+
   test("streaming dormancy sessions close on watermark advance (append mode)") {
     import spark.implicits._
     // two files -> two micro-batches; the sentinel advances the watermark so
