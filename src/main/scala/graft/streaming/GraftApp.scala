@@ -50,7 +50,10 @@ object GraftApp {
       // 4: dormancy sessions (append on session close)
       sink(Pipelines.dormancyAlerts(parsed, cfg.dormancyGap), "dormancy_alerts"),
       // 5: daily spend (24h tumbling)
-      sink(Pipelines.dailySpendAlerts(parsed, cfg.dailySpendAlert), "daily_spend"))
+      sink(Pipelines.dailySpendAlerts(parsed, cfg.dailySpendAlert), "daily_spend"),
+      // 6 (extension, not in the reference): rolling trailing-24h spend
+      // features at every debit — bounded per-key state
+      sink(Pipelines.rollingSpendAlerts(spark, parsed).toDF(), "rolling_spend"))
   }
 
   def main(args: Array[String]): Unit = {

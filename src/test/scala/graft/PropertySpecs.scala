@@ -150,3 +150,34 @@ object RollingSpendProps extends Properties("rolling-spend-tracker") {
       got == want
     }
 }
+
+/** The winsorize cut against a pure-Scala order-statistic model — pins
+  * the histogram-cumulative selection (the scale-correct form) to the
+  * naive sorted-rank definition across random value multisets. Pure
+  * model-vs-model: the Spark plan itself is covered by FeaturesSpec and
+  * the oracle gate. */
+object WinsorizeProps extends Properties("winsorize-cut") {
+
+  private def histogramCut(kobos: Seq[Long], p: Double): Long = {
+    // the operator's definition: smallest value whose cumulative
+    // histogram count reaches ceil(p * n)
+    val need = math.ceil(p * kobos.size).toLong
+    val hist = kobos.groupBy(identity).view.mapValues(_.size.toLong)
+      .toSeq.sortBy(_._1)
+    var cum = 0L
+    hist.collectFirst { case (k, c) if { cum += c; cum >= need } => k }.get
+  }
+
+  private def rankCut(kobos: Seq[Long], p: Double): Long = {
+    // the naive definition: value at ascending rank ceil(p * n)
+    val sorted = kobos.sorted
+    sorted((math.ceil(p * kobos.size).toInt - 1).max(0))
+  }
+
+  property("histogram-cumulative cut == sorted-rank order statistic") =
+    forAll(Gen.nonEmptyListOf(Gen.chooseNum(0L, 50L)),
+        Gen.chooseNum(1, 99)) { (kobos, pct) =>
+      val p = pct / 100.0
+      histogramCut(kobos, p) == rankCut(kobos, p)
+    }
+}
