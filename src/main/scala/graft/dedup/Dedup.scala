@@ -189,9 +189,11 @@ object Dedup {
     * production scale raise r to prune harder and b to hold recall. */
   def embeddingNearDupPairsBanded(embeddings: DataFrame, threshold: Double,
       nBands: Int = 16, bitsPerBand: Int = 2): DataFrame = {
+    val planes = graft.sim.Similarity.lshPlanes(embeddings.sparkSession,
+      nBands * bitsPerBand, graft.sim.Similarity.embeddingDims(embeddings))
     val e = graft.sim.Similarity.withNorm(embeddings)
       .withColumn("__sig",
-        graft.sim.Similarity.lshBucket("v", nBands * bitsPerBand))
+        graft.sim.Similarity.lshBucketFromPlanes("v", planes))
     val mask = (1L << bitsPerBand) - 1
     val posted = e.select(col("vec_id"),
       explode(expr(
@@ -235,8 +237,10 @@ object Dedup {
     * precision as in the ANN path. */
   def semanticDedup(embeddings: DataFrame, nBits: Int = 8): DataFrame = {
     val w = org.apache.spark.sql.expressions.Window.partitionBy(col("bucket"))
+    val planes = graft.sim.Similarity.lshPlanes(embeddings.sparkSession,
+      nBits, graft.sim.Similarity.embeddingDims(embeddings))
     graft.sim.Similarity.withNorm(embeddings)
-      .withColumn("bucket", graft.sim.Similarity.lshBucket("v", nBits))
+      .withColumn("bucket", graft.sim.Similarity.lshBucketFromPlanes("v", planes))
       .select("vec_id", "bucket")
       .withColumn("keeper_id", min(col("vec_id")).over(w))
       .withColumn("n_members", count(lit(1)).over(w))

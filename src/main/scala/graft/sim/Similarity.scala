@@ -56,13 +56,59 @@ object Similarity {
     * probing the exact bucket (plus optionally 1-bit-flip neighbors) finds
     * near neighbors while scanning only a 2^nBits-th of the corpus. The
     * companion scale path to [[ivfTopK]]: LSH needs no training pass at
-    * all, IVF gives tighter candidate sets. */
+    * all, IVF gives tighter candidate sets.
+    *
+    * This inline form recomputes the hyperplane components PER ROW
+    * (nBits × dims xxhash64 evaluations — 2048/row in the 32-bit banded
+    * near-dup path); the production call sites use
+    * [[lshBucketFromPlanes]], which derives the identical components once
+    * and chains codegen'd [[dot]] calls over literal plane arrays. Kept
+    * as the reference definition the oracles and equality tests pin. */
   def lshBucket(v: String, nBits: Int): org.apache.spark.sql.Column =
     expr(
       s"""aggregate(sequence(0, ${nBits - 1}), 0L, (acc, b) ->
          |  acc + IF(aggregate(zip_with($v, sequence(0, size($v) - 1),
          |             (x, d) -> x * (cast(xxhash64(b, d) as double) / 9.223372036854776E18)),
          |           0D, (a, p) -> a + p) > 0, shiftleft(1L, b), 0L))""".stripMargin)
+
+  private val planeCache =
+    scala.collection.concurrent.TrieMap.empty[(Int, Int), Array[Array[Double]]]
+
+  /** The sign-projection hyperplanes as driver-held literals:
+    * planes(b)(d) = xxhash64(b, d) / 2^63 — computed through Spark's own
+    * xxhash64 (INT inputs, matching [[lshBucket]]'s sequence element
+    * types bit-for-bit) once per (nBits, dims) and cached for the
+    * process. nBits × dims doubles — a few KB, plan-constant material. */
+  def lshPlanes(spark: org.apache.spark.sql.SparkSession, nBits: Int,
+      dims: Int): Array[Array[Double]] =
+    planeCache.getOrElseUpdate((nBits, dims), {
+      import spark.implicits._
+      spark.range(nBits.toLong)
+        .select(col("id").cast("int").as("b"),
+          explode(expr(s"sequence(0, ${dims - 1})")).as("d"))
+        .select(col("b"), col("d"),
+          (xxhash64(col("b"), col("d")).cast("double") /
+            lit(9.223372036854776e18)).as("comp"))
+        .as[(Int, Int, Double)].collect()
+        .groupBy(_._1).toArray.sortBy(_._1)
+        .map(_._2.sortBy(_._2).map(_._3))
+    })
+
+  /** Max embedding width — one cheap scan, used to size [[lshPlanes]]. */
+  def embeddingDims(embeddings: DataFrame): Int =
+    embeddings.select(max(size(col("embedding"))).as("d")).head.getInt(0)
+
+  /** [[lshBucket]] over precomputed [[lshPlanes]]: a chain of nBits
+    * codegen'd [[graft.functions.Dot]] calls against literal plane
+    * arrays — identical components, identical fold order, identical
+    * bucket bits (asserted in tests), but zero per-row hashing. */
+  def lshBucketFromPlanes(v: String,
+      planes: Array[Array[Double]]): Column =
+    planes.zipWithIndex.map { case (p, b) =>
+      when(call_function("graft_dot", expr(v),
+          array(p.toIndexedSeq.map(lit): _*)) > 0, lit(1L << b))
+        .otherwise(lit(0L))
+    }.reduce(_ + _)
 
   /** LSH-bucketed cosine top-k: bucket all vectors and the query set with
     * [[lshBucket]], rerank exactly within shared buckets only. Candidates
@@ -71,7 +117,10 @@ object Similarity {
     * against brute force in tests. */
   def lshTopK(embeddings: DataFrame, numQueries: Long, k: Int,
       nBits: Int = 4): DataFrame = {
-    val all = withNorm(embeddings).withColumn("bucket", lshBucket("v", nBits))
+    val planes = lshPlanes(embeddings.sparkSession, nBits,
+      embeddingDims(embeddings))
+    val all = withNorm(embeddings)
+      .withColumn("bucket", lshBucketFromPlanes("v", planes))
     // multi-probe: each query also probes the nBits buckets one sign-flip
     // away — boundary vectors land in adjacent buckets, and a flipped bit
     // is exactly a hyperplane the vector sat close to

@@ -333,6 +333,20 @@ class SimilaritySpec extends SparkSpecBase {
     assert(lsh.size <= bf.size)
   }
 
+  test("plane-literal LSH buckets == inline xxhash64 buckets, every vector") {
+    import org.apache.spark.sql.functions.col
+    val all = Similarity.withNorm(Tables.embeddings(spark, sf0001))
+    for (nBits <- Seq(4, 8, 32)) {
+      val planes = Similarity.lshPlanes(spark, nBits,
+        Similarity.embeddingDims(Tables.embeddings(spark, sf0001)))
+      val diff = all
+        .withColumn("b1", Similarity.lshBucket("v", nBits))
+        .withColumn("b2", Similarity.lshBucketFromPlanes("v", planes))
+        .filter(col("b1") =!= col("b2")).count()
+      assert(diff === 0, s"nBits=$nBits")
+    }
+  }
+
   test("IVF recall@5 vs brute force >= 0.85 on sf0.001 embeddings") {
     val emb = Tables.embeddings(spark, sf0001)
     val bf = Similarity.bruteForceTopK(emb, 10, 5)
