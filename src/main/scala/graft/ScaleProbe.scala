@@ -180,6 +180,17 @@ object ScaleProbe {
     time("ivf_topk_sampled_train")(sim.Similarity.ivfTopK(synthEmb,
       numQueries = 10, k = 5, centroidStride = 541, nprobe = 14,
       kmeansIters = 2, trainSampleMod = 20L))
+    // event analytics + feature prep at the full 10M-event scale
+    val rawEvents = synthEvents(spark, n, users = 10000)
+    time("funnel_conversion")(ops.EventAnalytics.clickToPurchase(
+      rawEvents, withinSec = 3600L))
+    time("weekly_retention")(ops.EventAnalytics.weeklyRetention(rawEvents))
+    time("winsorize")(ops.Features.winsorize(
+      parsed.filter(ops.Predicates.isCompleted(col("status")))))
+    time("zscore")(ops.Features.zscore(
+      parsed.filter(ops.Predicates.isCompleted(col("status")))))
+    time("token_budget")(text.TrainingPrep.tokenBudgetCurate(synthDocs,
+      budgetPerLang = 1000000L))
 
     // hot-key skew: 90% of rows on one key — plain groupBy puts them on
     // one reducer; salted two-phase spreads them over 32

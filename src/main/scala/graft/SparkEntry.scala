@@ -1380,9 +1380,12 @@ object SparkEntry {
     "q_zscore" -> (P +
       """, t AS (SELECT txn_id, currency, CAST(round(amount * 100) AS BIGINT) AS kobo
         |        FROM completed),
+        |-- s1/s2 and the variance numerator stay in HUGEINT (the Spark side
+        |-- uses DECIMAL(38,0)): both are exact, so the single cast to
+        |-- DOUBLE rounds the same value to the same bits
         |m AS (SELECT currency, CAST(count(*) AS BIGINT) AS n,
-        |        CAST(sum(kobo) AS BIGINT) AS s1,
-        |        CAST(sum(kobo * kobo) AS BIGINT) AS s2
+        |        sum(kobo) AS s1,
+        |        sum(kobo * kobo) AS s2
         |      FROM t GROUP BY 1)
         |SELECT txn_id, t.currency, kobo,
         |  s1 / CAST(n AS DOUBLE) AS mean_kobo,

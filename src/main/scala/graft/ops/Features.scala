@@ -51,22 +51,27 @@ object Features {
     * those integers. A running float mean/M2 (Welford) would be
     * accumulation-order-dependent and non-reproducible across engines.
     *
-    * One map-side-combined aggregation (3 integer sums per group), the
-    * tiny per-group moment table broadcast back; single-valued groups
-    * (σ = 0) emit z = 0 rather than NaN. Σx² of 2-dp money fits a long
-    * up to ~30M rows per group at ₦10M amounts; beyond that, swap the
-    * sums to DECIMAL(38,0) — same shape, still exact. */
+    * One map-side-combined aggregation (3 sums per group), the tiny
+    * per-group moment table broadcast back; single-valued groups (σ = 0)
+    * emit z = 0 rather than NaN. Σx² and the variance numerator n·Σx² −
+    * (Σx)² accumulate in DECIMAL(38,0) — a long overflows the numerator
+    * past ~10M rows per group (caught by the 10M ScaleProbe under ANSI
+    * mode) while 38 digits carry ~10¹⁵ rows; the decimal is exact, so
+    * its one cast to double rounds the same value to the same bits as
+    * the oracle's HUGEINT→double conversion. */
   def zscore(txns: DataFrame): DataFrame = {
+    val dec = "decimal(38,0)"
     val t = txns.select(col("txn_id"), col("currency"),
       round(col("amount") * 100).cast("long").as("kobo"))
     val moments = t.groupBy("currency").agg(
       count(lit(1)).as("n"),
       sum(col("kobo")).as("s1"),
-      sum(col("kobo") * col("kobo")).as("s2"))
+      sum(col("kobo").cast(dec) * col("kobo").cast(dec)).as("s2"))
     t.join(broadcast(moments), "currency")
       .withColumn("mean_kobo", col("s1") / col("n").cast("double"))
       .withColumn("var_kobo",
-        (col("n") * col("s2") - col("s1") * col("s1")) /
+        (col("n").cast(dec) * col("s2") -
+          col("s1").cast(dec) * col("s1").cast(dec)).cast("double") /
           (col("n") * col("n")).cast("double"))
       .withColumn("z", when(col("var_kobo") > 0,
           (col("kobo") - col("mean_kobo")) / sqrt(col("var_kobo")))

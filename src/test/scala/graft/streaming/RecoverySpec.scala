@@ -55,4 +55,53 @@ class RecoverySpec extends SparkSpecBase {
     assert(r2.getAs[Double]("stored_balance") === -100.0)
     assert(r2.getAs[Double]("balance_after") === -70.0)
   }
+
+  test("funnel pending-click state and timers survive restart from checkpoint") {
+    val dir = Files.createTempDirectory("graft_recf_in").toString
+    val ckpt = Files.createTempDirectory("graft_recf_ck").toString
+    val base = 1700000000000000000L
+    val hourNs = 3600L * 1000000000L
+
+    def writeFile(rows: Seq[(Long, Long, Long, String, Double)], f: String): Unit = {
+      val staging = Files.createTempDirectory("graft_recf_st").toString
+      rows.toDF("event_id", "ts", "user_id", "event_type", "value")
+        .withColumn("props", lit("{}"))
+        .coalesce(1).write.mode("overwrite").parquet(staging)
+      val part = new java.io.File(staging).listFiles()
+        .find(_.getName.endsWith(".parquet")).get
+      Files.copy(part.toPath, java.nio.file.Paths.get(s"$dir/$f.parquet"))
+    }
+
+    val outDir = Files.createTempDirectory("graft_recf_out").toString
+    def runBatch(): Unit = {
+      val out = Pipelines.funnelAlerts(spark,
+        Pipelines.eventStreamFromPath(spark, dir)).toDF()
+      val q = out.writeStream.format("parquet").option("path", outDir)
+        .outputMode("append").option("checkpointLocation", ckpt).start()
+      q.processAllAvailable(); q.stop()
+    }
+    def results() = spark.read.parquet(outDir)
+
+    // run 1: two clicks land in state, nothing resolves yet
+    writeFile(Seq(
+      (1L, base, 7L, "click", 1.0),
+      (2L, base + hourNs / 2, 7L, "click", 1.0)), "f1")
+    runBatch()
+    assert(results().count() === 0)
+
+    // restart 1: a purchase 40 min after click 2 — converts ONLY click 2
+    // (click 1's horizon passed), and the same event's arrival seals
+    // click 1 unconverted. Both clicks came from restored state.
+    writeFile(Seq(
+      (3L, base + hourNs / 2 + 2400L * 1000000000L, 7L, "purchase", 1.0)), "f2")
+    runBatch()
+    val rows = results().collect()
+      .map(r => r.getAs[Long]("event_id") ->
+        ((Option(r.getAs[Any]("next_purchase_us")).map(_.asInstanceOf[Long]),
+          r.getAs[Boolean]("converted")))).toMap
+    assert(rows.keySet === Set(1L, 2L))
+    assert(rows(1L) === ((None, false)))
+    assert(rows(2L) ===
+      ((Some((base + hourNs / 2 + 2400L * 1000000000L) / 1000), true)))
+  }
 }
