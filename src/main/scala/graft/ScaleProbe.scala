@@ -180,6 +180,25 @@ object ScaleProbe {
     time("ivf_topk_sampled_train")(sim.Similarity.ivfTopK(synthEmb,
       numQueries = 10, k = 5, centroidStride = 541, nprobe = 14,
       kmeansIters = 2, trainSampleMod = 20L))
+    // streaming rolling-spend tracker throughput (bounded per-key state:
+    // only in-window (ts, kobo) pairs are retained per account)
+    locally {
+      val dir = java.nio.file.Files.createTempDirectory("graft_sprobe_roll").toString
+      val streamN = math.min(n, 2000000L)
+      synthEvents(spark, streamN, users = 10000)
+        .select("event_id", "ts_ns", "user_id", "event_type", "value", "props")
+        .withColumnRenamed("ts_ns", "ts")
+        .repartition(4).write.parquet(s"$dir/in")
+      val t0 = System.nanoTime()
+      val q = streaming.Pipelines.rollingSpendAlerts(spark,
+          streaming.Pipelines.parsedStreamFromPath(spark, s"$dir/in",
+            maxFilesPerTrigger = Some(1)))
+        .toDF().writeStream.format("noop").outputMode("append").start()
+      q.processAllAvailable(); q.stop()
+      val sec = (System.nanoTime() - t0) / 1e9
+      println(f"PROBE streaming_rolling_spend rows=$streamN sec=$sec%.2f rate=${streamN / sec}%.0f rows/s")
+    }
+
     // event analytics + feature prep at the full 10M-event scale
     val rawEvents = synthEvents(spark, n, users = 10000)
     time("funnel_conversion")(ops.EventAnalytics.clickToPurchase(
