@@ -42,6 +42,35 @@ class PlanShapeSpec extends SparkSpecBase {
     assert(plan.contains("TakeOrderedAndProject"), plan.take(2000))
   }
 
+  test("funnel: one user-keyed exchange, no pair-materializing join") {
+    val plan = formattedPlan(
+      SparkEntry.queries("q_funnel_conversion")(spark, sf0001))
+    val exchanges = "\\(\\d+\\) Exchange".r.findAllIn(plan).size
+    assert(exchanges === 1, plan.take(2000))
+    assert(!plan.contains("Join"), plan.take(2000)) // window form, not self-join
+  }
+
+  test("winsorize: cut broadcasts back; the fact table never sort-merges") {
+    val plan = formattedPlan(SparkEntry.queries("q_winsorize")(spark, sf0001))
+    assert(plan.contains("BroadcastHashJoin"), plan.take(2000))
+    assert(!plan.contains("SortMergeJoin") && !plan.contains("CartesianProduct"))
+  }
+
+  test("part-supplier count: the NOT-IN exclusion plans as a broadcast anti join") {
+    val plan = formattedPlan(
+      SparkEntry.queries("q_part_supplier_cnt")(spark, sf0001))
+    assert(plan.contains("LeftAnti"), plan.take(2000))
+    assert(plan.contains("BroadcastHashJoin"))
+    assert(!plan.contains("SortMergeJoin") && !plan.contains("CartesianProduct"))
+  }
+
+  test("semantic dedup: scan-stage bucketing, one scalar exchange, no joins") {
+    val plan = formattedPlan(SparkEntry.queries("q_semantic_dedup")(spark, sf0001))
+    val exchanges = "\\(\\d+\\) Exchange".r.findAllIn(plan).size
+    assert(exchanges === 1, plan.take(2000))
+    assert(!plan.contains("Join"))
+  }
+
   test("k-means seeding is scan-only (no window, no global sort)") {
     val all = graft.sim.Similarity.withNorm(Tables.embeddings(spark, sf0001))
     val plan = formattedPlan(
