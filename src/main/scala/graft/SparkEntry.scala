@@ -125,6 +125,11 @@ object SparkEntry {
     "q_zscore" -> ((s, dir) =>
       graft.ops.Features.zscore(completed(s, dir))),
 
+    // Equal-width amount histogram per currency (integer-exact bin edges;
+    // two map-side-combined aggs + a broadcast, no sort)
+    "q_amount_histogram" -> ((s, dir) =>
+      graft.ops.Features.amountHistogram(completed(s, dir))),
+
     // P7: inclusive >= high-value threshold
     "q_high_value_filter" -> ((s, dir) =>
       completed(s, dir)
@@ -1395,6 +1400,17 @@ object SparkEntry {
         |            / sqrt((n * s2 - s1 * s1) / CAST(n * n AS DOUBLE))
         |       ELSE 0.0 END AS z
         |FROM t JOIN m USING (currency)""".stripMargin),
+
+    "q_amount_histogram" -> (P +
+      """, t AS (SELECT currency, CAST(round(amount * 100) AS BIGINT) AS kobo
+        |        FROM completed),
+        |ext AS (SELECT currency, min(kobo) AS min_kobo, max(kobo) AS max_kobo
+        |        FROM t GROUP BY 1)
+        |SELECT t.currency,
+        |  ((kobo - min_kobo) * 10) // (max_kobo - min_kobo + 1) AS bin,
+        |  CAST(count(*) AS BIGINT) AS n_txns, min_kobo, max_kobo
+        |FROM t JOIN ext USING (currency)
+        |GROUP BY 1, 2, min_kobo, max_kobo""".stripMargin),
 
     "q_high_value_filter" -> (P +
       s"SELECT txn_id, account_id, amount, currency, event_time_ms FROM completed WHERE amount >= $HighValueThreshold"),

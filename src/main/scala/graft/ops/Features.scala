@@ -43,6 +43,27 @@ object Features {
         (col("kobo") > col("cut_kobo")).as("is_clipped"))
   }
 
+  /** Equal-width histogram of amounts per currency: `nBins` bins over the
+    * group's [min, max] kobo range, bin = (x − min)·nBins div (span + 1)
+    * — all integer arithmetic, so bin edges are engine-exact (a float
+    * width accumulates ulp drift at the edges and can flip a boundary
+    * value's bin between engines). The max value lands in bin nBins−1 by
+    * construction. One min/max aggregation broadcast back + one
+    * map-side-combined count — the classic two-pass distributed
+    * histogram; no sort anywhere. */
+  def amountHistogram(txns: DataFrame, nBins: Int = 10): DataFrame = {
+    val t = txns.select(col("currency"),
+      round(col("amount") * 100).cast("long").as("kobo"))
+    val ext = t.groupBy("currency")
+      .agg(min(col("kobo")).as("min_kobo"), max(col("kobo")).as("max_kobo"))
+    t.join(broadcast(ext), "currency")
+      .withColumn("bin", expr(
+        s"((kobo - min_kobo) * $nBins) div (max_kobo - min_kobo + 1)"))
+      .groupBy("currency", "bin", "min_kobo", "max_kobo")
+      .agg(count(lit(1)).as("n_txns"))
+      .select("currency", "bin", "n_txns", "min_kobo", "max_kobo")
+  }
+
   /** Per-group z-score standardization from EXACT INTEGER moments: the
     * group's Σx and Σx² accumulate as integer kobo (order-independent, so
     * engines and partitionings agree bit-for-bit), and the float work —

@@ -225,6 +225,16 @@ class FeaturesSpec extends SparkSpecBase {
     assert(got(99L) === ((500L, 500L, false))) // group isolation
   }
 
+  test("histogram: integer-exact equal-width bins; max lands in the last bin") {
+    // kobo 100..1000 (span 901): bin = (k - 100) * 10 div 901
+    val txns = (1 to 10).map(i => (i.toLong, "A", i * 1.0))
+      .toDF("txn_id", "currency", "amount")
+    val got = graft.ops.Features.amountHistogram(txns, nBins = 10)
+      .select("bin", "n_txns").as[(Long, Long)].collect().toMap
+    // 100->0, 200->1 ((100*10) div 901), ..., 1000 -> (900*10) div 901 = 9
+    assert(got === (0L to 9L).map(_ -> 1L).toMap)
+  }
+
   test("zscore: exact integer moments; single-valued group emits z = 0") {
     val txns = Seq(
       (1L, "A", 1.0), (2L, "A", 2.0), (3L, "A", 3.0), // kobo 100/200/300
