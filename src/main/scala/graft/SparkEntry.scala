@@ -130,6 +130,13 @@ object SparkEntry {
     "q_amount_histogram" -> ((s, dir) =>
       graft.ops.Features.amountHistogram(completed(s, dir))),
 
+    // Fraud feature matrix capstone: rolling spend + z-score + winsorize
+    // flag for every completed debit, composed in ONE pipeline (a single
+    // account window + two broadcast joins — no fact-to-fact join)
+    "q_fraud_features" -> ((s, dir) =>
+      graft.ops.Features.fraudFeatures(
+        completed(s, dir).filter(Predicates.isDebit(col("txn_type"))))),
+
     // P7: inclusive >= high-value threshold
     "q_high_value_filter" -> ((s, dir) =>
       completed(s, dir)
@@ -1411,6 +1418,33 @@ object SparkEntry {
         |  CAST(count(*) AS BIGINT) AS n_txns, min_kobo, max_kobo
         |FROM t JOIN ext USING (currency)
         |GROUP BY 1, 2, min_kobo, max_kobo""".stripMargin),
+
+    "q_fraud_features" -> (P +
+      """, t AS (SELECT txn_id, account_id, currency, event_time_us,
+        |          CAST(round(amount * 100) AS BIGINT) AS kobo
+        |        FROM completed
+        |        WHERE txn_type IN ('DEBIT','TRANSFER_OUT','FEE','LOAN_REPAYMENT')),
+        |m AS (SELECT currency, CAST(count(*) AS BIGINT) AS n,
+        |        sum(kobo) AS s1, sum(kobo * kobo) AS s2 FROM t GROUP BY 1),
+        |h AS (SELECT currency, kobo, CAST(count(*) AS BIGINT) AS cnt FROM t GROUP BY 1, 2),
+        |rc AS (SELECT *,
+        |         sum(cnt) OVER (PARTITION BY currency ORDER BY kobo
+        |                        ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS cum,
+        |         sum(cnt) OVER (PARTITION BY currency) AS nn
+        |       FROM h),
+        |c AS (SELECT currency, min(kobo) AS cut_kobo FROM rc
+        |      WHERE cum >= ceil(0.99 * nn) GROUP BY 1)
+        |SELECT txn_id, account_id, t.currency, kobo,
+        |  CAST(sum(kobo) OVER wnd AS BIGINT) AS rolling_spend_kobo,
+        |  CAST(count(*) OVER wnd AS BIGINT) AS rolling_n_txns,
+        |  CASE WHEN CAST(n * s2 - s1 * s1 AS DOUBLE) > 0
+        |       THEN (kobo - s1 / CAST(n AS DOUBLE))
+        |            / sqrt(CAST(n * s2 - s1 * s1 AS DOUBLE) / CAST(n * n AS DOUBLE))
+        |       ELSE 0.0 END AS z,
+        |  kobo > cut_kobo AS is_clipped
+        |FROM t JOIN m USING (currency) JOIN c USING (currency)
+        |WINDOW wnd AS (PARTITION BY account_id ORDER BY event_time_us
+        |               RANGE BETWEEN 86400000000 PRECEDING AND CURRENT ROW)""".stripMargin),
 
     "q_high_value_filter" -> (P +
       s"SELECT txn_id, account_id, amount, currency, event_time_ms FROM completed WHERE amount >= $HighValueThreshold"),

@@ -64,6 +64,52 @@ object Features {
       .select("currency", "bin", "n_txns", "min_kobo", "max_kobo")
   }
 
+  /** The fraud feature matrix: every completed debit annotated with its
+    * trailing-24h rolling spend, its per-currency z-score, and its
+    * winsorization flag — the row a fraud model actually consumes,
+    * composed from the individual operators IN ONE PIPELINE: a single
+    * account-partitioned window pass over the fact table, then two
+    * BROADCAST joins (the per-currency moment and cut tables are tiny by
+    * construction). No fact-to-fact join anywhere — deriving each feature
+    * independently and equi-joining on txn_id would sort-merge the fact
+    * table against itself three times. */
+  def fraudFeatures(txns: DataFrame, windowSec: Long = 86400L,
+      p: Double = 0.99): DataFrame = {
+    val dec = "decimal(38,0)"
+    val t = txns.select(col("txn_id"), col("account_id"), col("currency"),
+      col("event_time_us"), round(col("amount") * 100).cast("long").as("kobo"))
+    val w = Window.partitionBy(col("account_id")).orderBy(col("event_time_us"))
+      .rangeBetween(-windowSec * 1000000L, 0L)
+    val moments = t.groupBy("currency").agg(
+      count(lit(1)).as("n"), sum(col("kobo")).as("s1"),
+      sum(col("kobo").cast(dec) * col("kobo").cast(dec)).as("s2"))
+    val hist = t.groupBy("currency", "kobo").agg(count(lit(1)).as("cnt"))
+    val cum = Window.partitionBy(col("currency")).orderBy(col("kobo"))
+      .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    val tot = Window.partitionBy(col("currency"))
+    val cuts = hist
+      .withColumn("__cum", sum(col("cnt")).over(cum))
+      .withColumn("__n", sum(col("cnt")).over(tot))
+      .filter(col("__cum") >= ceil(lit(p) * col("__n")))
+      .groupBy("currency").agg(min(col("kobo")).as("cut_kobo"))
+    t
+      .withColumn("rolling_spend_kobo", sum(col("kobo")).over(w))
+      .withColumn("rolling_n_txns", count(lit(1)).over(w))
+      .join(broadcast(moments), "currency")
+      .join(broadcast(cuts), "currency")
+      .withColumn("z", when(
+          (col("n").cast(dec) * col("s2") -
+            col("s1").cast(dec) * col("s1").cast(dec)).cast("double") > 0,
+          (col("kobo") - col("s1") / col("n").cast("double")) /
+            sqrt((col("n").cast(dec) * col("s2") -
+              col("s1").cast(dec) * col("s1").cast(dec)).cast("double") /
+              (col("n") * col("n")).cast("double")))
+        .otherwise(lit(0.0)))
+      .select(col("txn_id"), col("account_id"), col("currency"), col("kobo"),
+        col("rolling_spend_kobo"), col("rolling_n_txns"), col("z"),
+        (col("kobo") > col("cut_kobo")).as("is_clipped"))
+  }
+
   /** Per-group z-score standardization from EXACT INTEGER moments: the
     * group's Σx and Σx² accumulate as integer kobo (order-independent, so
     * engines and partitionings agree bit-for-bit), and the float work —

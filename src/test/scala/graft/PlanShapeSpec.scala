@@ -71,6 +71,14 @@ class PlanShapeSpec extends SparkSpecBase {
     assert(!plan.contains("Join"))
   }
 
+  test("fraud features: one window pass + broadcasts, never a fact-fact join") {
+    val plan = formattedPlan(
+      SparkEntry.queries("q_fraud_features")(spark, sf0001))
+    assert(!plan.contains("SortMergeJoin"), plan.take(2000))
+    assert(!plan.contains("CartesianProduct"))
+    assert(plan.contains("BroadcastHashJoin"))
+  }
+
   test("k-means seeding is scan-only (no window, no global sort)") {
     val all = graft.sim.Similarity.withNorm(Tables.embeddings(spark, sf0001))
     val plan = formattedPlan(

@@ -235,6 +235,33 @@ class FeaturesSpec extends SparkSpecBase {
     assert(got === (0L to 9L).map(_ -> 1L).toMap)
   }
 
+  test("fraud features == the three component operators joined (sf0.001)") {
+    val base = graft.cdc.EnvelopeOps.upsertsOnly(
+        graft.cdc.EnvelopeOps.parsedTransactions(
+          graft.Tables.events(spark, sf0001)))
+      .filter(Predicates.isCompleted(col("status")) &&
+        Predicates.isDebit(col("txn_type")))
+    val got = graft.ops.Features.fraudFeatures(base)
+      .select("txn_id", "rolling_spend_kobo", "rolling_n_txns", "z", "is_clipped")
+      .collect().map(r => r.getLong(0) ->
+        ((r.getLong(1), r.getLong(2), r.getDouble(3), r.getBoolean(4)))).toMap
+    val roll = Windows.rollingSpend(base, windowSec = 86400L)
+      .select("txn_id", "rolling_spend_kobo", "rolling_n_txns")
+      .collect().map(r => r.getLong(0) -> ((r.getLong(1), r.getLong(2)))).toMap
+    val zs = graft.ops.Features.zscore(base)
+      .select("txn_id", "z").collect()
+      .map(r => r.getLong(0) -> r.getDouble(1)).toMap
+    val wins = graft.ops.Features.winsorize(base)
+      .select("txn_id", "is_clipped").collect()
+      .map(r => r.getLong(0) -> r.getBoolean(1)).toMap
+    assert(got.nonEmpty && got.keySet === roll.keySet)
+    got.foreach { case (id, (rs, rn, z, clip)) =>
+      assert((rs, rn) === roll(id), s"txn $id rolling")
+      assert(z === zs(id), s"txn $id z")
+      assert(clip === wins(id), s"txn $id clip")
+    }
+  }
+
   test("zscore: exact integer moments; single-valued group emits z = 0") {
     val txns = Seq(
       (1L, "A", 1.0), (2L, "A", 2.0), (3L, "A", 3.0), // kobo 100/200/300
