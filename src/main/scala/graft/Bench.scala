@@ -36,17 +36,28 @@ object Bench {
 
     runOnce("q_envelope_parse") // warm-up (JVM + codegen + FS caches)
 
-    // min of two runs per query: single-JVM scheduling noise is ±30% on the
-    // multi-stage queries; the min is the reproducible cost
-    val results = SparkEntry.queries.keys.toSeq.sorted.map { n =>
-      val ok = Seq(runOnce(n), runOnce(n)).filter(_ >= 0)
+    // min of two runs per query, with the passes INTERLEAVED (all queries
+    // once, then all again) rather than back-to-back: a correlated
+    // contention window (GC, co-tenant CPU burst) then inflates at most one
+    // of the two samples of any given query, so the min stays reproducible
+    // even under a noisy host
+    val names = SparkEntry.queries.keys.toSeq.sorted
+    val passA = names.map(n => n -> runOnce(n)).toMap
+    val passB = names.map(n => n -> runOnce(n)).toMap
+    val results = names.map { n =>
+      val ok = Seq(passA(n), passB(n)).filter(_ >= 0)
       n -> (if (ok.isEmpty) -1.0 else ok.min) // -1 only if BOTH runs failed
     }
     val total = results.map(_._2).sum
 
+    // Locale.ROOT: the default-locale f"" interpolator would print a comma
+    // decimal separator on e.g. de_DE hosts and break the JSON contract
+    def d3(v: Double): String =
+      String.format(java.util.Locale.ROOT, "%.3f", Double.box(v))
+
     def record(qs: Seq[(String, Double)], extra: String = ""): String = {
-      val m = qs.map { case (k, v) => f""""$k":$v%.3f""" }.mkString("{", ",", "}")
-      f"""{"metric":"total","value":$total%.3f,"unit":"sec","n_queries":${results.size},"queries":$m$extra,"sf":"$sfDir"}"""
+      val m = qs.map { case (k, v) => s""""$k":${d3(v)}""" }.mkString("{", ",", "}")
+      s"""{"metric":"total","value":${d3(total)},"unit":"sec","n_queries":${results.size},"queries":$m$extra,"sf":"$sfDir"}"""
     }
 
     val full = record(results)

@@ -75,6 +75,28 @@ object DotHelper {
     while (i < n) { s += a.getDouble(i) * b.getDouble(i); i += 1 }
     s
   }
+
+  /** Null-element-aware variant, taken only when either input's element
+    * type has `containsNull = true`: any null element makes the whole
+    * result NULL — the exact semantics of the interpreted
+    * `aggregate(zip_with(a, b, (x, y) -> x * y), 0D, (acc, p) -> acc + p)`
+    * this kernel replaces (null * y = null, null + acc = null). The
+    * per-element `isNullAt` bit test is cheap; the single result box is
+    * per-row, not per-element. */
+  def dotNullable(a: org.apache.spark.sql.catalyst.util.ArrayData,
+      b: org.apache.spark.sql.catalyst.util.ArrayData): java.lang.Double = {
+    val n = a.numElements()
+    require(b.numElements() == n,
+      s"graft_dot: ragged arrays ($n vs ${b.numElements()} dims)")
+    var s = 0.0
+    var i = 0
+    while (i < n) {
+      if (a.isNullAt(i) || b.isNullAt(i)) return null
+      s += a.getDouble(i) * b.getDouble(i)
+      i += 1
+    }
+    java.lang.Double.valueOf(s)
+  }
 }
 
 /** `graft_dot(a, b)`: native codegen'd dot product over `array<double>`
@@ -102,13 +124,42 @@ case class Dot(left: Expression, right: Expression)
   override def dataType: DataType = org.apache.spark.sql.types.DoubleType
   override def prettyName: String = "graft_dot"
 
-  override protected def nullSafeEval(a: Any, b: Any): Any =
-    DotHelper.dot(
-      a.asInstanceOf[org.apache.spark.sql.catalyst.util.ArrayData],
-      b.asInstanceOf[org.apache.spark.sql.catalyst.util.ArrayData])
+  // statically known from the schema: when neither element type admits
+  // nulls the primitive fast path is provably safe; otherwise take the
+  // HOF-equivalent null-propagating path
+  private def mayHaveNullElements: Boolean = Seq(left, right).exists {
+    _.dataType match {
+      case ArrayType(_, containsNull) => containsNull
+      case _ => true
+    }
+  }
+
+  override def nullable: Boolean =
+    left.nullable || right.nullable || mayHaveNullElements
+
+  override protected def nullSafeEval(a: Any, b: Any): Any = {
+    val ad = a.asInstanceOf[org.apache.spark.sql.catalyst.util.ArrayData]
+    val bd = b.asInstanceOf[org.apache.spark.sql.catalyst.util.ArrayData]
+    if (mayHaveNullElements) DotHelper.dotNullable(ad, bd)
+    else DotHelper.dot(ad, bd)
+  }
 
   override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
-    defineCodeGen(ctx, ev, (a, b) => s"graft.functions.DotHelper.dot($a, $b)")
+    if (!mayHaveNullElements) {
+      defineCodeGen(ctx, ev, (a, b) => s"graft.functions.DotHelper.dot($a, $b)")
+    } else {
+      nullSafeCodeGen(ctx, ev, (a, b) => {
+        val boxed = ctx.freshName("dotBoxed")
+        s"""
+           |java.lang.Double $boxed = graft.functions.DotHelper.dotNullable($a, $b);
+           |if ($boxed == null) {
+           |  ${ev.isNull} = true;
+           |} else {
+           |  ${ev.value} = $boxed.doubleValue();
+           |}
+         """.stripMargin
+      })
+    }
 
   override protected def withNewChildrenInternal(newLeft: Expression,
       newRight: Expression): Dot = copy(left = newLeft, right = newRight)

@@ -94,9 +94,24 @@ object Similarity {
         .map(_._2.sortBy(_._2).map(_._3))
     })
 
-  /** Max embedding width — one cheap scan, used to size [[lshPlanes]]. */
-  def embeddingDims(embeddings: DataFrame): Int =
-    embeddings.select(max(size(col("embedding"))).as("d")).head.getInt(0)
+  /** Embedding width — one cheap scan, used to size [[lshPlanes]]. The
+    * plane-literal path (and the codegen'd dot kernel behind it) requires
+    * UNIFORM dims: a mixed-width table would silently bucket short rows
+    * against oversized planes (the per-row `sequence(0, size(v)-1)` form
+    * handled each row's own width). Assert min == max up front so mixed
+    * corpora fail with a clear error at the entry point, not a ragged-dims
+    * require deep inside a task. */
+  def embeddingDims(embeddings: DataFrame): Int = {
+    val r = embeddings
+      .select(min(size(col("embedding"))).as("mn"),
+        max(size(col("embedding"))).as("mx")).head
+    val (mn, mx) = (r.getInt(0), r.getInt(1))
+    require(mn == mx,
+      s"embedding column has mixed widths ($mn..$mx dims); the LSH/ANN " +
+        "entry points require a uniform-dims embedding table — normalize " +
+        "(pad/truncate/split by width) before indexing")
+    mx
+  }
 
   /** [[lshBucket]] over precomputed [[lshPlanes]]: a chain of nBits
     * codegen'd [[graft.functions.Dot]] calls against literal plane
@@ -270,8 +285,21 @@ object Similarity {
       sampleMod: Long = 1L, maxTrainSamples: Int = 1 << 17): DataFrame = {
     val spark = all.sparkSession
     import spark.implicits._
+    // left at the default, the sample modulus is derived from the corpus
+    // size (one count-only scan) so corpora above the driver budget train
+    // on a ~half-budget hash-sample automatically instead of tripping the
+    // require below — the explicit knob stays as the override. Corpora at
+    // or under half the budget keep sampleMod = 1, i.e. bit-identical
+    // training (and oracles) to the pre-derivation behavior.
+    val effectiveMod =
+      if (sampleMod != 1L) sampleMod
+      else {
+        val n = all.count()
+        val target = (maxTrainSamples / 2).toDouble
+        math.max(1L, math.ceil(n / target).toLong)
+      }
     val sample: Array[(Long, Array[Double], Boolean)] = all
-      .filter(pmod(xxhash64(col("vec_id")), lit(sampleMod)) === 0)
+      .filter(pmod(xxhash64(col("vec_id")), lit(effectiveMod)) === 0)
       .select(col("vec_id"), col("v"),
         (pmod(xxhash64(col("vec_id")), lit(stride.toLong)) === 0).as("is_seed"))
       .limit(maxTrainSamples + 1)
@@ -346,9 +374,10 @@ object Similarity {
     val all = withNorm(embeddings)
     // trained eagerly (kmeansCentroids collects per pass), so this is a
     // literal local relation — broadcasting it below costs nothing and can
-    // never re-trigger the Lloyd passes. Corpora beyond the driver-sample
-    // budget MUST pass trainSampleMod ~ N / 100k (the guard inside
-    // kmeansCentroids fails loudly rather than flooding the driver)
+    // never re-trigger the Lloyd passes. At the default trainSampleMod the
+    // modulus is derived from the corpus count, so corpora beyond the
+    // driver-sample budget train on a bounded hash-sample automatically;
+    // the explicit knob remains for callers who want a fixed sample rate
     val centroids = kmeansCentroids(all, centroidStride, kmeansIters,
       sampleMod = trainSampleMod)
 

@@ -312,11 +312,13 @@ object Pipelines {
     import spark.implicits._
     completed(parsed)
       .filter(Predicates.isDebit(col("txn_type")))
+      .withWatermark("event_ts", "0 seconds")
       .select(col("txn_id"), col("account_id"), col("event_time_us"),
-        round(col("amount") * 100).cast("long").as("kobo"))
+        round(col("amount") * 100).cast("long").as("kobo"), col("event_ts"))
       .as[RollTxn]
       .groupByKey(_.account_id)
-      .flatMapGroupsWithState(OutputMode.Append, GroupStateTimeout.NoTimeout)(
+      .flatMapGroupsWithState(OutputMode.Append,
+        GroupStateTimeout.EventTimeTimeout)(
         RollingSpendTracker.process(windowUs))
   }
 
@@ -487,9 +489,10 @@ object FunnelTracker {
   }
 }
 
-/** Input/output rows for the rolling-spend tracker. */
+/** Input/output rows for the rolling-spend tracker — `event_ts` carries
+  * the watermark through the typed projection (same note as [[DormTxn]]). */
 case class RollTxn(txn_id: Long, account_id: Long, event_time_us: Long,
-    kobo: Long)
+    kobo: Long, event_ts: java.sql.Timestamp)
 case class RollRow(txn_id: Long, account_id: Long, event_time_us: Long,
     rolling_spend_kobo: Long, rolling_n_txns: Long)
 
@@ -501,6 +504,15 @@ case class RollRow(txn_id: Long, account_id: Long, event_time_us: Long,
 object RollingSpendTracker {
   def process(windowUs: Long)(accountId: Long, events: Iterator[RollTxn],
       state: GroupState[Seq[(Long, Long)]]): Iterator[RollRow] = {
+    if (events.isEmpty && state.hasTimedOut) {
+      // the watermark passed (newest buffered ts + window): no in-order
+      // arrival can ever include a buffered entry in its frame again, and
+      // an idle account's empty frame is reconstructible — free the state
+      // (without this, total state grows monotonically with the number of
+      // accounts ever seen, even though each key's buffer is bounded)
+      state.remove()
+      return Iterator.empty
+    }
     var buf = state.getOption.getOrElse(Seq.empty)
     val out = scala.collection.mutable.ArrayBuffer.empty[RollRow]
     events.toSeq.sortBy(e => (e.event_time_us, e.txn_id))
@@ -517,6 +529,12 @@ object RollingSpendTracker {
       }
     val maxTs = buf.foldLeft(Long.MinValue)((m, p) => math.max(m, p._1))
     state.update(buf.filter(_._1 >= maxTs - windowUs))
+    // ceil to millis (see DormancyDetector note); floored at watermark+1
+    // because a key whose newest event is already > window behind the
+    // global watermark must still time out in the NEXT batch, not throw
+    state.setTimeoutTimestamp(math.max(
+      (maxTs + windowUs + 999) / 1000,
+      state.getCurrentWatermarkMs() + 1))
     out.iterator
   }
 }

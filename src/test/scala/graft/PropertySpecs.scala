@@ -123,7 +123,8 @@ object RollingSpendProps extends Properties("rolling-spend-tracker") {
   property("tracker == trailing-window model under in-order batch splits") =
     forAll(genEvents, Gen.chooseNum(1, 5)) { (raw, nBatches) =>
       val events = raw.zipWithIndex.map { case ((tsSec, kobo), i) =>
-        RollTxn(i.toLong, 7L, tsSec * 1000000L, kobo)
+        RollTxn(i.toLong, 7L, tsSec * 1000000L, kobo,
+          new java.sql.Timestamp(tsSec * 1000L))
       }.sortBy(e => (e.event_time_us, e.txn_id))
       // contract: batches are time-ordered and same-ts peers share a batch
       val tsGroups = events.groupBy(_.event_time_us).toSeq.sortBy(_._1).map(_._2)
@@ -132,9 +133,13 @@ object RollingSpendProps extends Properties("rolling-spend-tracker") {
 
       var state: Option[Seq[(Long, Long)]] = None
       val got = batches.filter(_.nonEmpty).flatMap { chunk =>
+        // watermark trails the batch max by the window so nothing times
+        // out mid-feed (the timeout path is pinned separately below)
+        val wmMs = math.max(0L,
+          chunk.map(_.event_time_us).max / 1000 - WindowUs / 1000 - 1000)
         val gs = TestGroupState.create[Seq[(Long, Long)]](
           state.fold(Optional.empty[Seq[(Long, Long)]]())(Optional.of),
-          GroupStateTimeout.NoTimeout, 0L, Optional.empty[Long](),
+          GroupStateTimeout.EventTimeTimeout, 0L, Optional.of(wmMs),
           hasTimedOut = false)
         val rows = RollingSpendTracker.process(WindowUs)(7L, chunk.iterator, gs).toList
         state = if (gs.exists) Some(gs.get) else None
@@ -148,6 +153,21 @@ object RollingSpendProps extends Properties("rolling-spend-tracker") {
         (e.txn_id, frame.map(_.kobo).sum, frame.size.toLong)
       }.toSet
       got == want
+    }
+
+  property("event-time timeout frees the state and emits nothing") =
+    forAll(Gen.nonEmptyListOf(Gen.zip(Gen.chooseNum(0L, 300L),
+      Gen.chooseNum(1L, 1000L)))) { raw =>
+      val buf: Seq[(Long, Long)] =
+        raw.map { case (ts, k) => (ts * 1000000L, k) }
+      // timeout fires only once the watermark passed every buffered frame
+      val wmMs = buf.map(_._1).max / 1000 + WindowUs / 1000 + 1
+      val gs = TestGroupState.create[Seq[(Long, Long)]](Optional.of(buf),
+        GroupStateTimeout.EventTimeTimeout, 0L, Optional.of(wmMs),
+        hasTimedOut = true)
+      val rows = RollingSpendTracker.process(WindowUs)(
+        7L, Iterator.empty, gs).toList
+      rows.isEmpty && !gs.exists
     }
 }
 
