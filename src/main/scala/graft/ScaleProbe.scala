@@ -223,6 +223,28 @@ object ScaleProbe {
     time("skew_salted_2phase")(
       ops.Salt.saltedSumCount(skewed, Seq("k"), "v", col("id"), buckets = 32))
 
+    // hot-key skew JOIN: the same 70%-hot key joined to a 1000-key dim
+    // with broadcast disabled (at 100 TB the dim wouldn't fit) — measures
+    // Spark's AQE skew-split against the unsplit SortMergeJoin straggler.
+    // PlanShapeSpec pins that the split FIRES; this measures what it buys.
+    {
+      val conf = spark.conf
+      val dim = spark.range(1000L).select(col("id").as("k"),
+        xxhash64(col("id")).as("attr"))
+      conf.set("spark.sql.autoBroadcastJoinThreshold", "-1")
+      conf.set("spark.sql.adaptive.autoBroadcastJoinThreshold", "-1")
+      conf.set("spark.sql.adaptive.skewJoin.skewedPartitionThresholdInBytes", "16m")
+      conf.set("spark.sql.adaptive.advisoryPartitionSizeInBytes", "8m")
+      conf.set("spark.sql.adaptive.enabled", "false")
+      time("skew_join_no_aqe")(skewed.join(dim, "k"))
+      conf.set("spark.sql.adaptive.enabled", "true")
+      time("skew_join_aqe_split")(skewed.join(dim, "k"))
+      Seq("spark.sql.autoBroadcastJoinThreshold",
+        "spark.sql.adaptive.autoBroadcastJoinThreshold",
+        "spark.sql.adaptive.skewJoin.skewedPartitionThresholdInBytes",
+        "spark.sql.adaptive.advisoryPartitionSizeInBytes").foreach(conf.unset)
+    }
+
     spark.stop()
   }
 }

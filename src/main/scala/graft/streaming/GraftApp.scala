@@ -53,7 +53,21 @@ object GraftApp {
       sink(Pipelines.dailySpendAlerts(parsed, cfg.dailySpendAlert), "daily_spend"),
       // 6 (extension, not in the reference): rolling trailing-24h spend
       // features at every debit — bounded per-key state
-      sink(Pipelines.rollingSpendAlerts(spark, parsed).toDF(), "rolling_spend"))
+      sink(Pipelines.rollingSpendAlerts(spark, parsed).toDF(), "rolling_spend"),
+      // 7-8: the two continuously-maintained KTables (accounts, customers
+      // — reference ABBankTopology.java:107-144), materialized as DimStore
+      // snapshots the enrichment looks up per micro-batch
+      DimStore.maintain(Pipelines.accountsDimStream(spark, srcDir),
+        s"$outBase/acct_store", Seq("account_id"),
+        s"$outBase/_checkpoints/acct_store"),
+      DimStore.maintain(Pipelines.customersDimStream(spark, srcDir),
+        s"$outBase/cust_store", Seq("customer_id"),
+        s"$outBase/_checkpoints/cust_store"),
+      // 9: the declared two-hop enrichment against BOTH live KTables
+      Pipelines.highValueTwoHopCdcStream(parsed,
+        s"$outBase/acct_store", s"$outBase/cust_store",
+        cfg.highValueThreshold, s"$outBase/high_value_two_hop",
+        s"$outBase/_checkpoints/high_value_two_hop"))
   }
 
   def main(args: Array[String]): Unit = {

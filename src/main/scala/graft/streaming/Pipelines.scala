@@ -178,6 +178,73 @@ object Pipelines {
       Seq("account_id"), struct(col("cdc_ts_us")))
   }
 
+  /** Streaming CUSTOMERS KTable maintenance — the second continuously-
+    * maintained KTable of the reference topology
+    * (`ABBankTopology.java:128-144`), same wire path and update-mode
+    * argmax as [[accountsDimStream]]. */
+  def customersDimStream(spark: SparkSession, customerDir: String,
+      glob: String = "customer.parquet"): DataFrame = {
+    val raw = spark.readStream
+      .schema("c_custkey BIGINT, c_name STRING, c_nationkey INT, c_acctbal DOUBLE, c_mktsegment STRING")
+      .option("pathGlobFilter", glob)
+      .parquet(customerDir)
+    val changelog = graft.cdc.DimensionCdc.customerChangelog(raw)
+      .filter(col("customer_id").isNotNull)
+    graft.ops.LatestByKey.latestByMaxBy(changelog,
+      Seq("customer_id"), struct(col("cdc_ts_us")))
+  }
+
+  /** Pipeline 1's declared TWO-HOP form with BOTH dimensions continuously
+    * maintained — the reference declares the customers hop
+    * (`README.md:44`, comment `ABBankTopology.java:212-213`) but never
+    * wires it; here it runs: each high-value micro-batch looks up the
+    * CURRENT accounts snapshot, then the CURRENT customers snapshot, both
+    * [[DimStore]]s fed by their own changelog-stream queries
+    * ([[accountsDimStream]] / [[customersDimStream]] → [[DimStore.maintain]]).
+    * Re-opening the snapshot inside `foreachBatch` is exactly a Kafka
+    * Streams store lookup at batch granularity — a plain stream-static
+    * join would pin the file listing at query start and never see dim
+    * updates. Missing keys (including tombstoned dims) take the
+    * KV-store-miss fallbacks (`:252-253`); a not-yet-committed store
+    * behaves as empty. Both dims broadcast — the transaction stream never
+    * shuffles. Output columns match the batch `q_enrich_cdc_two_hop`. */
+  def highValueTwoHopCdcStream(parsed: DataFrame, accountsStore: String,
+      customersStore: String, threshold: Double, outDir: String,
+      checkpoint: String): org.apache.spark.sql.streaming.StreamingQuery = {
+    val hv = completed(parsed)
+      .filter(Predicates.isHighValue(col("amount"), threshold))
+    hv.writeStream
+      .option("checkpointLocation", checkpoint)
+      .foreachBatch { (batch: DataFrame, _: Long) =>
+        val s = batch.sparkSession
+        val acct = DimStore.read(s, accountsStore)
+          .map(_.select("account_id", "customer_id", "account_number"))
+          .getOrElse(s.sql(
+            """SELECT CAST(NULL AS BIGINT) account_id,
+              |  CAST(NULL AS BIGINT) customer_id,
+              |  CAST(NULL AS STRING) account_number WHERE false""".stripMargin))
+        val cust = DimStore.read(s, customersStore)
+          .map(_.select("customer_id", "first_name", "last_name", "email",
+            "segment"))
+          .getOrElse(s.sql(
+            """SELECT CAST(NULL AS BIGINT) customer_id,
+              |  CAST(NULL AS STRING) first_name,
+              |  CAST(NULL AS STRING) last_name, CAST(NULL AS STRING) email,
+              |  CAST(NULL AS STRING) segment WHERE false""".stripMargin))
+        batch.join(broadcast(acct), Seq("account_id"), "left")
+          .join(broadcast(cust), Seq("customer_id"), "left")
+          .select(col("txn_id"), col("account_id"), col("amount"),
+            coalesce(col("account_number"), lit("N/A")).as("account_number"),
+            when(col("first_name").isNull, lit("N/A"))
+              .otherwise(graft.ops.Notify.fullName(col("first_name"),
+                col("last_name"))).as("customer_name"),
+            coalesce(col("email"), lit("N/A")).as("email"),
+            coalesce(col("segment"), lit("N/A")).as("segment"))
+          .write.mode("append").parquet(outDir)
+      }
+      .start()
+  }
+
   /** CDC delivery is at-least-once (reference
     * `config/ABBankStreamsConfig.java:85-86`): replays duplicate the same
     * transaction id. This stage makes downstream processing

@@ -132,4 +132,46 @@ class PlanShapeSpec extends SparkSpecBase {
     val dirs = new java.io.File(out).listFiles().filter(_.isDirectory).map(_.getName)
     assert(dirs.count(_.startsWith("event_date=")) === 2, dirs.toSeq)
   }
+
+  test("AQE splits a planted power-law skew join (skew=true in the final plan)") {
+    // the velocity hot-account pattern (reference ABBankTopology.java:173-177):
+    // one account carries 90% of the fact rows, so one reducer would own
+    // 90% of the join. ops.Salt covers skewed AGGREGATIONS; for joins the
+    // engine's contract is Spark AQE's skew-split — this pins that the
+    // split actually fires on a planted power-law key (thresholds scaled
+    // to the test corpus; the ratios mirror a 256MB-threshold cluster)
+    val conf = spark.conf
+    val keys = Seq(
+      "spark.sql.autoBroadcastJoinThreshold",
+      "spark.sql.adaptive.autoBroadcastJoinThreshold",
+      "spark.sql.adaptive.skewJoin.skewedPartitionThresholdInBytes",
+      "spark.sql.adaptive.advisoryPartitionSizeInBytes",
+      "spark.sql.adaptive.skewJoin.skewedPartitionFactor")
+    val saved = keys.map(k => k -> conf.getOption(k))
+    try {
+      // broadcast disabled: at probe scale the dim fits in memory, on the
+      // 100 TB cluster it wouldn't — force the shuffled-join path under test
+      conf.set("spark.sql.autoBroadcastJoinThreshold", "-1")
+      conf.set("spark.sql.adaptive.autoBroadcastJoinThreshold", "-1")
+      conf.set("spark.sql.adaptive.skewJoin.skewedPartitionThresholdInBytes", "512k")
+      conf.set("spark.sql.adaptive.advisoryPartitionSizeInBytes", "128k")
+      conf.set("spark.sql.adaptive.skewJoin.skewedPartitionFactor", "2")
+
+      val fact = spark.range(200000L).select(
+        when(pmod(col("id"), lit(10)) < 9, lit(7L))
+          .otherwise(pmod(xxhash64(col("id")), lit(20000L))).as("account_id"),
+        concat(lit("payload-"), col("id").cast("string"),
+          lit("-" + "x" * 48)).as("payload"))
+      val dim = spark.range(20000L).select(col("id").as("account_id"),
+        col("id").cast("string").as("attr"))
+      val joined = fact.join(dim, "account_id")
+
+      val qe = joined.queryExecution
+      qe.executedPlan.execute().count() // finalizes the adaptive plan
+      val finalPlan = qe.executedPlan.toString
+      assert(finalPlan.contains("skew=true"), finalPlan.take(3000))
+    } finally {
+      saved.foreach { case (k, v) => v.fold(conf.unset(k))(conf.set(k, _)) }
+    }
+  }
 }

@@ -37,5 +37,15 @@ class GraftAppSpec extends SparkSpecBase {
     val want = graft.SparkEntry.queries("q_enrich_cdc_dim")(spark, sf0001)
       .collect().toSet
     assert(hv === want)
+
+    // the two KTable stores committed snapshots, and the two-hop sink
+    // emitted every high-value txn (enrichment values depend on dim-vs-txn
+    // arrival order — same as a Kafka Streams stream-table join; the
+    // sequenced equivalence is pinned in PipelinesSpec)
+    Seq("acct_store", "cust_store").foreach { s =>
+      assert(DimStore.currentVersion(s"$outBase/$s").nonEmpty, s)
+    }
+    assert(spark.read.parquet(s"$outBase/high_value_two_hop").count() ===
+      want.size)
   }
 }

@@ -50,6 +50,35 @@ class PipelinesSpec extends SparkSpecBase {
     assert(got.exists(_.getAs[String]("account_number") == "N/A"))
   }
 
+  test("streaming two-hop CDC enrichment (both KTables maintained) == batch q_enrich_cdc_two_hop") {
+    val base = Files.createTempDirectory("graft_twohop").toString
+    // both KTables continuously maintained from their changelog streams
+    val acctQ = DimStore.maintain(
+      Pipelines.accountsDimStream(spark, sf0001),
+      s"$base/acct_store", Seq("account_id"), s"$base/ckpt_acct")
+    val custQ = DimStore.maintain(
+      Pipelines.customersDimStream(spark, sf0001),
+      s"$base/cust_store", Seq("customer_id"), s"$base/ckpt_cust")
+    acctQ.processAllAvailable(); custQ.processAllAvailable()
+    acctQ.stop(); custQ.stop()
+
+    val q = Pipelines.highValueTwoHopCdcStream(
+      Pipelines.parsedStream(spark, sf0001),
+      s"$base/acct_store", s"$base/cust_store", threshold = 200.0,
+      outDir = s"$base/out", checkpoint = s"$base/ckpt_join")
+    q.processAllAvailable(); q.stop()
+
+    val got = spark.read.parquet(s"$base/out").collect().toSet
+    val want = graft.SparkEntry.queries("q_enrich_cdc_two_hop")(spark, sf0001)
+      .collect().toSet
+    assert(got === want)
+    assert(got.nonEmpty)
+    // the second hop actually resolved names (not all fallbacks)
+    assert(got.exists(_.getAs[String]("customer_name") != "N/A"))
+    // and tombstoned dims fall back like KV-store misses
+    assert(got.exists(_.getAs[String]("customer_name") == "N/A"))
+  }
+
   test("streaming velocity (complete mode) == batch velocity operator") {
     val stream = Pipelines.velocityAlerts(
       Pipelines.parsedStream(spark, sf0001), windowSec = 3600, minTxns = 2L)
