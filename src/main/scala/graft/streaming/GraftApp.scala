@@ -74,8 +74,16 @@ object GraftApp {
     val srcDir = args.headOption.getOrElse("/root/testdata/sf0.001")
     val outBase = args.lift(1).getOrElse("/tmp/graft_app_out")
     val spark = GraftSession.create(appName = "graft-app")
-    val queries = start(spark, srcDir, outBase)
-    queries.foreach(_.processAllAvailable())
-    spark.streams.awaitAnyTermination()
+    // ops sidecar (reference ABBankStreamsApp.java:78-79 starts its
+    // HealthServer before awaiting the topology); registered BEFORE the
+    // queries so their started events are tracked
+    val healthPort = spark.conf.getOption("spark.graft.healthPort")
+      .orElse(sys.env.get("ABBANK_HEALTH_PORT")).map(_.toInt).getOrElse(8080)
+    val health = new HealthServer(spark, healthPort).start()
+    try {
+      val queries = start(spark, srcDir, outBase)
+      queries.foreach(_.processAllAvailable())
+      spark.streams.awaitAnyTermination()
+    } finally health.stop()
   }
 }
