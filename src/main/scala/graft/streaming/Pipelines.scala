@@ -118,23 +118,38 @@ object Pipelines {
   }
 
   /** Pipeline 2 — velocity fraud: tumbling count per account
-    * (reference `:160-207`). */
-  def velocityAlerts(parsed: DataFrame, windowSec: Int, minTxns: Long): DataFrame =
+    * (reference `:160-207`).
+    *
+    * `grace` is the Kafka Streams `TimeWindows.ofSizeAndGrace` knob as a
+    * Spark watermark delay: a late row is still folded into its window
+    * while `max(event time) - grace` has not passed the window end, and
+    * dropped after — exactly the reference's grace contract. The
+    * reference topology runs `ofSizeWithNoGrace` (`:175`), the default
+    * here; GraceSpec pins both sides of the matrix for all three window
+    * shapes. */
+  def velocityAlerts(parsed: DataFrame, windowSec: Int, minTxns: Long,
+      grace: String = "0 seconds"): DataFrame =
     Windows.velocityCount(
-      parsed.withWatermark("event_ts", "0 seconds"),
+      parsed.withWatermark("event_ts", grace),
       windowSec, minTxns, tsCol = col("event_ts"))
 
-  /** Pipeline 4 — daily spend: 24 h tumbling debit sum (reference `:373-426`). */
-  def dailySpendAlerts(parsed: DataFrame, threshold: Double): DataFrame =
+  /** Pipeline 4 — daily spend: 24 h tumbling debit sum (reference
+    * `:373-426`). `grace` as in [[velocityAlerts]]. */
+  def dailySpendAlerts(parsed: DataFrame, threshold: Double,
+      grace: String = "0 seconds"): DataFrame =
     Windows.dailySpend(
       completed(parsed).filter(Predicates.isDebit(col("txn_type")))
-        .withWatermark("event_ts", "0 seconds"),
+        .withWatermark("event_ts", grace),
       threshold, tsCol = col("event_ts"))
 
-  /** Pipeline 5 — dormancy: session windows per account (reference `:327-369`). */
-  def dormancyAlerts(parsed: DataFrame, gap: String): DataFrame =
+  /** Pipeline 5 — dormancy: session windows per account (reference
+    * `:327-369`). `grace` is `SessionWindows.ofInactivityGapAndGrace`'s
+    * second argument: a late row within grace still merges into (or
+    * extends) its session; outside grace it is dropped. */
+  def dormancyAlerts(parsed: DataFrame, gap: String,
+      grace: String = "0 seconds"): DataFrame =
     Windows.dormancySessions(
-      parsed.withWatermark("event_ts", "0 seconds"),
+      parsed.withWatermark("event_ts", grace),
       gap, tsCol = col("event_ts"))
 
   /** Streaming KTable maintenance: the continuously-updated latest row per
