@@ -370,7 +370,7 @@ object Similarity {
     * broadcast+avg round, not a plan-shape change. */
   def ivfTopK(embeddings: DataFrame, numQueries: Long, k: Int,
       centroidStride: Int = 23, nprobe: Int = 14, kmeansIters: Int = 2,
-      trainSampleMod: Long = 1L): DataFrame = {
+      trainSampleMod: Long = 1L, refinePasses: Int = 0): DataFrame = {
     val all = withNorm(embeddings)
     // trained eagerly (kmeansCentroids collects per pass), so this is a
     // literal local relation — broadcasting it below costs nothing and can
@@ -378,9 +378,24 @@ object Similarity {
     // modulus is derived from the corpus count, so corpora beyond the
     // driver-sample budget train on a bounded hash-sample automatically;
     // the explicit knob remains for callers who want a fixed sample rate
-    val centroids = kmeansCentroids(all, centroidStride, kmeansIters,
+    val coarse = kmeansCentroids(all, centroidStride, kmeansIters,
       sampleMod = trainSampleMod)
+    // optional distributed refinement over the FULL corpus (not just the
+    // driver sample) — for corpora above the sample budget where the
+    // sample-trained cells are too coarse; opt-in because float centroid
+    // means from a distributed partial aggregation are accumulation-order-
+    // dependent (the default path stays bit-deterministic and oracled)
+    val centroids =
+      if (refinePasses > 0) refineCentroids(all, coarse, refinePasses)
+      else coarse
+    ivfSearch(all, centroids, numQueries, k, nprobe)
+  }
 
+  /** IVF search against a given centroid model (factored from [[ivfTopK]]
+    * so training variants — sample-only, distributed-refined — share one
+    * search path). */
+  def ivfSearch(all: DataFrame, centroids: DataFrame, numQueries: Long,
+      k: Int, nprobe: Int): DataFrame = {
     // assign every vector to its nearest centroid: broadcast NL + max_by
     // argmax — partial aggregation combines map-side, so the shuffle moves
     // ~one row per vector, not the vector×centroid cross product (a
@@ -413,6 +428,65 @@ object Similarity {
         round(dot("qv", "v") / (col("qnorm") * col("norm")), 6).as("cos_sim"))
       .withColumn("rank", row_number().over(w).cast("long"))
       .filter(col("rank") <= k)
+  }
+
+  /** Distributed Lloyd refinement: re-fit the coarse quantizer's centroids
+    * over the FULL corpus — the scale path for training sets above the
+    * driver-sample budget ([[kmeansCentroids]]'s `maxTrainSamples`).
+    * Each pass is (a) one broadcast assignment (the corpus never
+    * shuffles vectors for the argmax — map-side `max_by` partials), then
+    * (b) one map-side-combined [[VecSumDoubleAgg]] aggregation whose
+    * shuffle carries ~one partially-summed array per (partition, cell),
+    * then (c) a driver fold of the cells×dims result — bounded by the
+    * centroid count, the same literal-relation discipline as training.
+    * Cell ids stay the seed ids; emptied cells drop, as in driver Lloyd.
+    * Float means from partial aggregation are accumulation-order-
+    * dependent, so refined models are approximately (not bit-)
+    * reproducible — recall is the contract, measured in tests. */
+  def refineCentroids(all: DataFrame, centroids: DataFrame,
+      passes: Int): DataFrame = {
+    val spark = all.sparkSession
+    val vsum = udaf(VecSumDoubleAgg)
+    var cur = centroids
+    for (_ <- 1 to passes) {
+      val refit = all.join(broadcast(cur))
+        .withColumn("__csim", dot("v", "cv") / (col("norm") * col("cnorm")))
+        .groupBy(col("vec_id"))
+        .agg(
+          max_by(col("c_id"), struct(col("__csim"), -col("c_id"))).as("c_id"),
+          first(col("v")).as("v"))
+        .groupBy(col("c_id"))
+        .agg(vsum(col("v")).as("__sums"), count(lit(1)).as("__n"))
+        .collect() // cells × dims doubles — centroid-model-sized
+      cur = centroidFrame(spark, refit.map { r =>
+        val n = r.getAs[Long]("__n").toDouble
+        (r.getAs[Long]("c_id"), r.getAs[Seq[Double]]("__sums").map(_ / n).toArray)
+      }.sortBy(_._1))
+    }
+    cur
+  }
+
+  /** Grouped DOUBLE vector sum — [[VecSumAgg]]'s float twin, the
+    * map-side-combined building block of [[refineCentroids]] (same
+    * write-amplification argument as the long variant). */
+  object VecSumDoubleAgg extends Aggregator[Array[Double], Array[Double], Array[Double]] {
+    override def zero: Array[Double] = Array.emptyDoubleArray
+    override def reduce(buf: Array[Double], x: Array[Double]): Array[Double] =
+      if (buf.isEmpty) x.clone()
+      else {
+        require(x.length == buf.length,
+          s"VecSumDoubleAgg: ragged vector in group (${x.length} vs ${buf.length} dims)")
+        var i = 0
+        while (i < buf.length) { buf(i) += x(i); i += 1 }
+        buf
+      }
+    override def merge(x: Array[Double], y: Array[Double]): Array[Double] =
+      if (x.isEmpty) y else reduce(x, y)
+    override def finish(buf: Array[Double]): Array[Double] = buf
+    override def bufferEncoder: Encoder[Array[Double]] = ExprEnc
+    override def outputEncoder: Encoder[Array[Double]] = ExprEnc
+    private lazy val ExprEnc: Encoder[Array[Double]] =
+      org.apache.spark.sql.catalyst.encoders.ExpressionEncoder[Array[Double]]()
   }
 
   /** Grouped vector sum as a typed [[Aggregator]]: zip-adds each group's

@@ -368,6 +368,34 @@ class SimilaritySpec extends SparkSpecBase {
     info(s"IVF recall@5 at sf0.1 = $recall")
     assert(recall >= 0.7, s"recall $recall")
   }
+
+  test("IVF distributed refinement recovers recall above the training-sample cap") {
+    val emb = Tables.embeddings(spark, "/root/testdata/sf0.1")
+    val all = Similarity.withNorm(emb)
+    // deliberately exceed the driver budget: cap the sample at 128 of the
+    // 2000 vectors — auto-derivation then trains the coarse quantizer on a
+    // ~3% hash-sample, the regime where sample-only cells get rough
+    val coarse = Similarity.kmeansCentroids(all, stride = 3, iters = 2,
+      maxTrainSamples = 128)
+    val refined = Similarity.refineCentroids(all, coarse, passes = 2)
+
+    val bf = Similarity.bruteForceTopK(emb, 10, 5)
+      .select("q_id", "neighbor_id").as[(Long, Long)].collect().toSet
+    def recallOf(centroids: org.apache.spark.sql.DataFrame): Double = {
+      val ivf = Similarity.ivfSearch(all, centroids, 10, 5, nprobe = 5)
+        .select("q_id", "neighbor_id").as[(Long, Long)].collect().toSet
+      (bf & ivf).size.toDouble / bf.size
+    }
+    val sampleOnly = recallOf(coarse)
+    val withRefine = recallOf(refined)
+    info(s"recall@5: sample-only=$sampleOnly refined=$withRefine")
+    // refinement re-fits cells over the FULL corpus: recall must not
+    // regress vs the capped sample-only model (± one neighbor of 50 for
+    // the float-order wobble of the distributed partial sums)
+    assert(withRefine >= sampleOnly - 0.02,
+      s"sample-only $sampleOnly, refined $withRefine")
+    assert(withRefine >= 0.6, s"refined recall $withRefine")
+  }
 }
 
 class TextAnalysisSpec extends SparkSpecBase {
