@@ -41,7 +41,12 @@ object Bench {
     // contention window (GC, co-tenant CPU burst) then inflates at most one
     // of the two samples of any given query, so the min stays reproducible
     // even under a noisy host
+    // dev iteration: SPARK_GRAFT_ONLY=q_a,q_b limits the run to named
+    // queries (the driver never sets it — full surface by default)
+    val only = sys.env.get("SPARK_GRAFT_ONLY")
+      .map(_.split(",").map(_.trim).toSet)
     val names = SparkEntry.queries.keys.toSeq.sorted
+      .filter(n => only.forall(_.contains(n)))
     val passA = names.map(n => n -> runOnce(n)).toMap
     val passB = names.map(n => n -> runOnce(n)).toMap
     val results = names.map { n =>

@@ -2028,7 +2028,13 @@ object SparkEntry {
          |-- the 7 wrapped hash-step SELECTs (inlining doubles the expression
          |-- tree per layer — same planner trap as the mixture oracle)
          |hv AS MATERIALIZED (SELECT vec_id, ${SqlHash.toSigned(kCol)} AS hv FROM ($seedInner)),
-         |seeds AS (SELECT vec_id FROM hv WHERE hv % $IvfStride = 0),
+         |-- adaptive seed stride (Similarity.kmeansCentroids): cells are
+         |-- floored at ~4*sqrt(n) so training stays sub-quadratic; identity
+         |-- (= $IvfStride) for n <= ~8.5k, and the ceil/sqrt expression is
+         |-- the same correctly-rounded IEEE arithmetic in both engines
+         |strideEff AS (SELECT greatest($IvfStride, CAST(ceil(CAST(count(*) AS DOUBLE) /
+         |  ceil(4.0 * sqrt(CAST(count(*) AS DOUBLE)))) AS BIGINT)) AS s FROM e),
+         |seeds AS (SELECT vec_id FROM hv WHERE hv % (SELECT s FROM strideEff) = 0),
          |c0 AS (SELECT n.vec_id AS c_id, n.v AS cv, n.norm AS cnorm
          |       FROM n JOIN seeds USING (vec_id)),
          |${lloyd("c0", 1)},

@@ -285,23 +285,35 @@ object Similarity {
       sampleMod: Long = 1L, maxTrainSamples: Int = 1 << 17): DataFrame = {
     val spark = all.sparkSession
     import spark.implicits._
-    // left at the default, the sample modulus is derived from the corpus
-    // size (one count-only scan) so corpora above the driver budget train
-    // on a ~half-budget hash-sample automatically instead of tripping the
-    // require below — the explicit knob stays as the override. Corpora at
-    // or under half the budget keep sampleMod = 1, i.e. bit-identical
-    // training (and oracles) to the pre-derivation behavior.
-    val effectiveMod =
-      if (sampleMod != 1L) sampleMod
+    // left at the default, BOTH size knobs derive from the corpus count
+    // (one count-only scan); the explicit sampleMod knob is expert mode
+    // and keeps the given stride untouched.
+    //   - sample modulus: corpora above ~half the driver budget train on
+    //     a bounded hash-sample instead of tripping the require below;
+    //   - seed stride: stride-hash seeding makes the CELL COUNT linear in
+    //     the corpus (k ~ n/stride), so driver Lloyd — O(n*k*d) — would go
+    //     QUADRATIC in n (caught by the sf1 10x gate: 23s vs 1.9s/10x).
+    //     The effective stride floors the cell count at ~4*sqrt(n), the
+    //     FAISS coarse-quantizer sizing, restoring O(n^1.5 * d) training.
+    // Both rules are identity for corpora <= ~8.5k vectors, so the
+    // oracle-gated SFs keep bit-identical training; the IVF oracle SQL
+    // replays the SAME ceil/sqrt expression (IEEE sqrt and ceil are
+    // correctly rounded — engines agree exactly).
+    val (effectiveMod, effectiveStride) =
+      if (sampleMod != 1L) (sampleMod, stride.toLong)
       else {
         val n = all.count()
         val target = (maxTrainSamples / 2).toDouble
-        math.max(1L, math.ceil(n / target).toLong)
+        val mod = math.max(1L, math.ceil(n / target).toLong)
+        val targetCells = math.ceil(4.0 * math.sqrt(n.toDouble))
+        val strideEff = math.max(stride.toLong,
+          math.ceil(n.toDouble / targetCells).toLong)
+        (mod, strideEff)
       }
     val sample: Array[(Long, Array[Double], Boolean)] = all
       .filter(pmod(xxhash64(col("vec_id")), lit(effectiveMod)) === 0)
       .select(col("vec_id"), col("v"),
-        (pmod(xxhash64(col("vec_id")), lit(stride.toLong)) === 0).as("is_seed"))
+        (pmod(xxhash64(col("vec_id")), lit(effectiveStride)) === 0).as("is_seed"))
       .limit(maxTrainSamples + 1)
       .as[(Long, Array[Double], Boolean)].collect()
       .sortBy(_._1)
