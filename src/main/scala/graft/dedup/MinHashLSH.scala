@@ -194,11 +194,33 @@ object MinHashLSH {
     * quote inside a 10k-word document barely moves Jaccard but is
     * guaranteed shared winnow fingerprints). Inverted-index equi-join on
     * the fingerprint, linear in postings. Requires
-    * [[graft.functions.GraftFunctions.register]]. */
+    * [[graft.functions.GraftFunctions.register]].
+    *
+    * `maxDf` is the production scale knob: a fingerprint shared by `df`
+    * documents contributes `df*(df-1)/2` join rows, so one hot
+    * boilerplate n-gram (page headers, license blocks) turns the
+    * candidate join quadratic — the standard inverted-index fix is to
+    * DROP ultra-common postings before pairing (they carry no containment
+    * signal; they are the corpus's stop-shingles). The default keeps
+    * every posting: that is the form the DuckDB oracle replays, and the
+    * form [[verifiedContainmentPairs]]'s superset bound is proved for
+    * (a capped index can miss a contained doc whose fingerprints are ALL
+    * ultra-common, so the cap is opt-in, not silent). */
   def winnowContainmentPairs(documents: DataFrame, minShared: Long,
-      k: Int = 16, w: Int = 16): DataFrame = {
-    val fps = documents
+      k: Int = 16, w: Int = 16, maxDf: Long = Long.MaxValue): DataFrame = {
+    val raw = documents
       .select(col("doc_id"), explode(expr(s"graft_winnow(text, $k, $w)")).as("fp"))
+    val fps =
+      if (maxDf == Long.MaxValue) raw
+      else {
+        // the HOT set (df > maxDf) is tiny by definition — broadcast it
+        // and anti-join, pruning hot postings BEFORE the pair join sees
+        // them (broadcasting the keep-side would ship nearly the whole
+        // fingerprint vocabulary)
+        val hot = raw.groupBy("fp").agg(count(lit(1)).as("__df"))
+          .filter(col("__df") > maxDf).select("fp")
+        raw.join(broadcast(hot), Seq("fp"), "left_anti")
+      }
     fps.as("a")
       .join(fps.as("b"),
         col("a.fp") === col("b.fp") && col("a.doc_id") < col("b.doc_id"))

@@ -167,6 +167,35 @@ class DedupSpec extends SparkSpecBase {
     assert(pairs === Set((1L, 2L))) // quote ⊂ host; `other` unrelated
   }
 
+  test("winnow containment df-cap: hot boilerplate fingerprints pruned, organic pairs survive") {
+    GraftFunctions.register(spark)
+    // every doc shares one hot boilerplate block (df = 6 > maxDf); only
+    // docs 1 and 2 also share organic content
+    val boiler = (1 to 30).map(i => s"legal$i").mkString(" ")
+    val shared = (1 to 30).map(i => s"quoted$i").mkString(" ")
+    val corpus = docs(
+      (1L, s"$boiler $shared"), (2L, s"${(1 to 50).map(i => s"a$i").mkString(" ")} $boiler $shared"),
+      (3L, s"$boiler ${(1 to 50).map(i => s"b$i").mkString(" ")}"),
+      (4L, s"$boiler ${(1 to 50).map(i => s"c$i").mkString(" ")}"),
+      (5L, s"$boiler ${(1 to 50).map(i => s"d$i").mkString(" ")}"),
+      (6L, s"$boiler ${(1 to 50).map(i => s"e$i").mkString(" ")}"))
+    val uncapped = MinHashLSH.winnowContainmentPairs(corpus, minShared = 3, k = 8)
+      .select("doc_a", "doc_b").as[(Long, Long)].collect().toSet
+    val capped = MinHashLSH.winnowContainmentPairs(corpus, minShared = 3, k = 8,
+        maxDf = 5)
+      .select("doc_a", "doc_b").as[(Long, Long)].collect().toSet
+    assert(capped.subsetOf(uncapped))          // cap only removes pairs
+    assert(capped.contains((1L, 2L)), capped)  // organic overlap survives
+    // boilerplate-only pairs are gone (e.g. 3-4 share only the hot block)
+    assert(!capped.contains((3L, 4L)), capped)
+    assert(uncapped.contains((3L, 4L)), uncapped)
+    // and maxDf = infinity is bit-identical to the default (oracle form)
+    val inf = MinHashLSH.winnowContainmentPairs(corpus, minShared = 3, k = 8,
+        maxDf = Long.MaxValue)
+      .select("doc_a", "doc_b").as[(Long, Long)].collect().toSet
+    assert(inf === uncapped)
+  }
+
   test("verified containment == exhaustive substring check (quote-in-host)") {
     GraftFunctions.register(spark)
     val quote = (1 to 20).map(i => s"quoted$i").mkString(" ")
