@@ -40,6 +40,8 @@ object SparkEntry {
                                    // holds (MinHashLSH.verifiedPairs doc)
   val ContainMinTextLen  = 120    // verified containment length gate (winnow
                                   // fingerprint-count superset bound)
+  val ContainmentMaxDf   = 64L    // hot-postings cap for the capped variant
+                                  // (df^2 pair-row blowup guard; SCALING.md)
   val EmbDupThreshold    = 0.45   // cosine near-dup cut (corpus max ~0.51)
   val EmbDupMaxVecId     = 500L
   val SimNumQueries      = 10L    // ANN query set = vec_id < 10
@@ -591,6 +593,17 @@ object SparkEntry {
     "q_dedup_containment" -> ((s, dir) => {
       GraftFunctions.register(s)
       MinHashLSH.winnowContainmentPairs(Tables.documents(s, dir), minShared = 5)
+    }),
+
+    // Dedup: the SAME containment candidates under the production hot-
+    // postings cap (one boilerplate fingerprint contributes df^2/2 join
+    // rows — the sf1 gate measured the blowup; SCALING.md round 5). The
+    // cap itself is oracle-verified: the SQL replays the winnow hashes,
+    // prunes fingerprints with df > cap, then pairs.
+    "q_dedup_containment_capped" -> ((s, dir) => {
+      GraftFunctions.register(s)
+      MinHashLSH.winnowContainmentPairs(Tables.documents(s, dir),
+        minShared = 5, maxDf = ContainmentMaxDf)
     }),
 
     // Dedup: containment composition with exact verification — winnow
@@ -1861,6 +1874,19 @@ object SparkEntry {
         |fp AS (SELECT doc_id, unnest(fps) AS fp FROM sel)
         |SELECT a.doc_id AS doc_a, b.doc_id AS doc_b, CAST(count(*) AS BIGINT) AS n_shared_fps
         |FROM fp a JOIN fp b ON a.fp = b.fp AND a.doc_id < b.doc_id
+        |GROUP BY 1, 2 HAVING count(*) >= 5""".stripMargin),
+
+    // capped variant: hot fingerprints (posting count > cap) pruned
+    // BEFORE pairing — mirrors winnowContainmentPairs(maxDf); df counts
+    // POSTING ROWS (not distinct docs), exactly like the Spark side's
+    // groupBy("fp").count
+    "q_dedup_containment_capped" ->
+      (sqlWinnowCtes(k = 16, w = 16) + s""",
+        |fp AS (SELECT doc_id, unnest(fps) AS fp FROM sel),
+        |hot AS (SELECT fp FROM fp GROUP BY fp HAVING count(*) > $ContainmentMaxDf),
+        |fpk AS (SELECT * FROM fp WHERE fp NOT IN (SELECT fp FROM hot))
+        |SELECT a.doc_id AS doc_a, b.doc_id AS doc_b, CAST(count(*) AS BIGINT) AS n_shared_fps
+        |FROM fpk a JOIN fpk b ON a.fp = b.fp AND a.doc_id < b.doc_id
         |GROUP BY 1, 2 HAVING count(*) >= 5""".stripMargin),
 
     "q_dedup_exact" ->
