@@ -11,8 +11,9 @@ import org.apache.spark.sql.functions._
   * Scale posture (the whole point of these operators): candidate pairs come
   * from equi-joins on (band, bucket) keys — cost is linear in postings and
   * in bucket collision counts, never O(n²) document pairs. Signatures are
-  * built with ONE explode + ONE groupBy (64 min-aggregates evaluated
-  * map-side), i.e. a single shuffle of (doc_id, shingle-hash) pairs.
+  * computed per-row with zero shuffle ([[signaturesPerRow]]); the groupBy
+  * form ([[signatures]]/[[signaturesFromShingles]]) exists for callers
+  * that already materialized the shingle postings for exact verification.
   */
 object MinHashLSH {
 
@@ -47,6 +48,36 @@ object MinHashLSH {
       .agg(minCols.head, minCols.tail: _*)
       .select(col("doc_id"),
         array((0 until NumPerms).map(i => col(s"m$i")): _*).as("sig"))
+  }
+
+  /** The same signature as a single PER-ROW expression — ZERO shuffle.
+    * A document's whole shingle set lives inside its own row, so each of
+    * the 64 permutation minima is an `array_min` fold over a per-row hash
+    * array instead of a min-aggregate over exploded postings. Bit-identical
+    * to [[signatures]] (same murmur3 fold, same permutation arithmetic,
+    * minimized over the same distinct-shingle multiset; asserted in
+    * MinHashLSHSpec), and documents with no shingle (< n words) vanish
+    * from both.
+    *
+    * Scale: the signature stage becomes a pure scan — the only shuffle
+    * left in banded candidate generation is the (band, bucket) equi-join
+    * itself. It is also the only form a STREAMING dedup can use: a groupBy
+    * signature is an update-mode aggregation, which cannot precede the
+    * stateful bucket operator ([[graft.streaming.DocStream]]). */
+  def signaturesPerRow(documents: DataFrame,
+      carry: Seq[String] = Nil): DataFrame = {
+    val sigCols = (0 until NumPerms).map { i =>
+      val (a, b) = perm(i)
+      expr(s"array_min(transform(__h31, h -> (h * ${a}L + ${b}L) % $MersennePrime))")
+    }
+    val keep = col("doc_id") +: carry.map(col)
+    documents
+      .select(keep :+ split(col("text"), " ").as("__w"): _*)
+      .withColumn("__sh", array_distinct(Dedup.shingleArray(3)))
+      .filter(size(col("__sh")) > 0)
+      .withColumn("__h31",
+        expr("transform(__sh, s -> CAST(hash(s) AS BIGINT) & 2147483647)"))
+      .select(keep :+ array(sigCols: _*).as("sig"): _*)
   }
 
   /** The same signature as a single custom [[Aggregator]] (Spark's public
@@ -94,14 +125,23 @@ object MinHashLSH {
     * least one full band — the pure candidate-generation stage, before any
     * estimate or verification. Equi-join on (band, bucket), linear in
     * postings. */
-  def bandingCandidates(sigs: DataFrame): DataFrame = {
+  /** Explode a (doc_id, sig) frame into one (doc_id, band, bucket) row per
+    * band; `carry` columns pass through (the streaming twin carries its
+    * event-time column). Bucket = xxhash64 of the band's signature slice. */
+  def bandedSignatures(sigs: DataFrame, carry: Seq[String] = Nil): DataFrame = {
     val bandCols = (0 until Bands).map { b =>
       val elems = (0 until RowsPerBand)
         .map(r => s"sig[${b * RowsPerBand + r}]").mkString(", ")
       struct(lit(b).as("band"), expr(s"xxhash64($elems)").as("bucket"))
     }
-    val banded = sigs.select(col("doc_id"), explode(array(bandCols: _*)).as("bk"))
-      .select(col("doc_id"), col("bk.band").as("band"), col("bk.bucket").as("bucket"))
+    val keep = col("doc_id") +: carry.map(col)
+    sigs.select(keep :+ explode(array(bandCols: _*)).as("bk"): _*)
+      .select(keep ++ Seq(col("bk.band").as("band"),
+        col("bk.bucket").as("bucket")): _*)
+  }
+
+  def bandingCandidates(sigs: DataFrame): DataFrame = {
+    val banded = bandedSignatures(sigs)
 
     banded.as("a")
       .join(banded.as("b"),
@@ -116,11 +156,12 @@ object MinHashLSH {
   def candidatePairs(documents: DataFrame, threshold: Double): DataFrame = {
     // Signatures are referenced three times (banding + both sides of the
     // verify join); persist the small (doc_id, 64-long) frame so the
-    // shingle explode + 64-way min-agg runs once (at full scale this is a
-    // materialized signature table). Ownership note: blocks stay cached
+    // per-row signature scan runs once (at full scale this is a
+    // materialized signature table). Per-row, not groupBy: the signature
+    // stage shuffles nothing. Ownership note: blocks stay cached
     // until LRU eviction — long-lived sessions calling this repeatedly
     // should unpersist after materializing.
-    val sigs = signatures(documents).persist()
+    val sigs = signaturesPerRow(documents).persist()
 
     bandingCandidates(sigs)
       .join(sigs.withColumnRenamed("doc_id", "doc_a").withColumnRenamed("sig", "sig_a"), "doc_a")

@@ -238,6 +238,20 @@ class DedupSpec extends SparkSpecBase {
     assert(a.nonEmpty)
   }
 
+  test("per-row (zero-shuffle) signatures == 64-min-agg signatures, whole corpus") {
+    val docs = Tables.documents(spark, sf0001)
+    val a = MinHashLSH.signatures(docs)
+      .collect().map(r => r.getLong(0) -> r.getSeq[Long](1)).toMap
+    val b = MinHashLSH.signaturesPerRow(docs)
+      .collect().map(r => r.getLong(0) -> r.getSeq[Long](1)).toMap
+    assert(a === b)
+    assert(a.nonEmpty)
+    // and the per-row plan really is shuffle-free
+    val plan = MinHashLSH.signaturesPerRow(docs)
+      .queryExecution.executedPlan.toString
+    assert(!plan.contains("Exchange"))
+  }
+
   test("simhash: identical docs at hamming 0; unrelated docs far apart") {
     val text = (1 to 30).map(i => s"w$i").mkString(" ")
     val other = (100 to 160).map(i => s"u$i").mkString(" ")
