@@ -55,25 +55,21 @@ object TextAnalysis {
     }
   }
 
-  /** doc_id, per-language ratios (6 dp), predicted language. */
-  def langId(documents: DataFrame): DataFrame = {
+  /** The per-row annotation core shared by [[langId]], [[quality]] and the
+    * streaming ingest gate ([[graft.streaming.DocIngestApp]]): raw
+    * language scores (predictLang compares UNfloored ratios), predicted
+    * language, and the quality columns, added to the input frame. Pure
+    * scan stage — no join, no shuffle — which is exactly why the
+    * streaming ingest can reuse it ahead of its stateful dedup. ONE
+    * definition of the scoring arithmetic: batch and stream cannot
+    * drift. */
+  def annotate(documents: DataFrame): DataFrame = {
     val withWords = documents
       .withColumn("__words", split(col("text"), " "))
     val withScores = langOrder.foldLeft(withWords)((df, l) =>
       df.withColumn(s"score_$l", stopwordRatio(col("__words"), l)))
     withScores
       .withColumn("pred_lang", predictLang)
-      .select(Seq(col("doc_id")) ++
-        langOrder.map(l => floor6(col(s"score_$l")).as(s"score_$l")) :+
-        col("pred_lang"): _*)
-  }
-
-  /** Quality scoring: structural ratios blended into a [0,1] score.
-    * Weights are arbitrary but fixed; the operator shape (cheap per-row
-    * features -> bounded score -> filter) is the production pattern. */
-  def quality(documents: DataFrame): DataFrame =
-    documents
-      .withColumn("__words", split(col("text"), " "))
       .withColumn("n_chars_actual", length(col("text")).cast("long"))
       .withColumn("n_tokens", size(col("__words")).cast("long"))
       .withColumn("avg_token_len",
@@ -84,6 +80,20 @@ object TextAnalysis {
           least(col("n_tokens") / 100.0, lit(1.0)) * 0.5 +
           least(col("avg_token_len") / 8.0, lit(1.0)) * 0.3 +
           col("stopword_ratio") * 0.2))
+  }
+
+  /** doc_id, per-language ratios (6 dp), predicted language. */
+  def langId(documents: DataFrame): DataFrame =
+    annotate(documents)
+      .select(Seq(col("doc_id")) ++
+        langOrder.map(l => floor6(col(s"score_$l")).as(s"score_$l")) :+
+        col("pred_lang"): _*)
+
+  /** Quality scoring: structural ratios blended into a [0,1] score.
+    * Weights are arbitrary but fixed; the operator shape (cheap per-row
+    * features -> bounded score -> filter) is the production pattern. */
+  def quality(documents: DataFrame): DataFrame =
+    annotate(documents)
       .select("doc_id", "n_chars_actual", "n_tokens", "avg_token_len",
         "stopword_ratio", "quality_score")
 
