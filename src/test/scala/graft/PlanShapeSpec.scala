@@ -174,4 +174,37 @@ class PlanShapeSpec extends SparkSpecBase {
       saved.foreach { case (k, v) => v.fold(conf.unset(k))(conf.set(k, _)) }
     }
   }
+
+  test("IVF: assignment is scan-stage (no exchange or join before rerank)") {
+    functions.GraftFunctions.register(spark)
+    val plan = formattedPlan(
+      SparkEntry.queries("q_sim_ivf_topk")(spark, sf0001))
+    // the vector table is scanned, assigned via the plan-constant
+    // graft_ivf_cell argmax, and broadcast-joined to the probe set — the
+    // only sort-merge/cartesian-free shape that survives 100 TB; the old
+    // join+max_by assignment would show a corpus-wide Exchange + HashAggregate
+    assert(plan.contains("graft_ivf_cell"), plan.take(2000))
+    assert(!plan.contains("SortMergeJoin"))
+    assert(!plan.contains("CartesianProduct"))
+    // exactly the rerank/probe broadcasts remain; the corpus-side argmax
+    // contributes no Exchange (window top-k exchanges are per-query-key)
+    assert(plan.contains("BroadcastHashJoin"), plan.take(2000))
+  }
+
+  test("minhash candidates: signature stage is scan-only, banding is the only wide op") {
+    val plan = formattedPlan(
+      graft.dedup.MinHashLSH.bandingCandidates(
+        graft.dedup.MinHashLSH.signaturesPerRow(
+          Tables.documents(spark, sf0001))))
+    // signature computation must never shuffle: every Exchange in the
+    // candidate plan belongs to the (band,bucket) join or the distinct
+    assert(!plan.contains("HashAggregate") || plan.contains("Exchange"),
+      plan.take(2000))
+    assert(!plan.contains("SortMergeJoin"), plan.take(2000))
+    // formatted explain lists each node twice (tree + details): 2 real
+    // scans (the self-join's two sides) = 4 occurrences
+    val scanCount = "Scan parquet".r.findAllIn(plan).size
+    assert(scanCount <= 4, s"signature scan duplicated: $scanCount\n" +
+      plan.take(2000))
+  }
 }
