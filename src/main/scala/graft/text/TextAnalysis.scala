@@ -140,8 +140,11 @@ object TextAnalysis {
     * Two scan-stage passes + one tiny semi join; at 100 TB each gate is a
     * pushed filter and the keeper set is a digest join — no wide shuffle. */
   def curate(documents: DataFrame, lang: String, minQuality: Double): DataFrame = {
-    val gates = quality(documents)
-      .join(langId(documents).select(col("doc_id"), col("pred_lang")), "doc_id")
+    // ONE annotation scan: language and quality gates come from the same
+    // per-row [[annotate]] columns (the quality(...) ⋈ langId(...) join
+    // this replaces scanned the corpus twice and shuffled both sides on
+    // doc_id — measured ~2× the scan cost at sf1 for identical output)
+    val gates = annotate(documents)
       .filter(col("pred_lang") === lang && col("quality_score") >= minQuality)
     val keepers = graft.dedup.Dedup.exact(documents)
       .select(col("keep_doc_id").as("doc_id"))
