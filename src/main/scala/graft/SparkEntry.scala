@@ -32,7 +32,15 @@ object SparkEntry {
 
   // ---- extension-operator knobs (tuned to the corpus distributions) --------
   val JaccardThreshold   = 0.5    // exact n-gram pairs (planted near-dups ~0.95)
-  val JaccardMaxDocId    = 200L   // bounded candidate set for the oracle path
+  val JaccardMaxDocId    = 1000L  // bounded candidate set for the oracle
+                                  // path. 1000, not 200: the sf0.1-derived
+                                  // corpora plant their first near-dup
+                                  // pairs above id 200 (7 pairs < 1000),
+                                  // so the cluster/verified queries were
+                                  // trivially empty at the gated SFs —
+                                  // correct, but zero-row evidence. Still
+                                  // a CONSTANT window: verifier cost does
+                                  // not grow with SF
   val MinhashEstThreshold = 0.7   // banding est-jaccard cut
   val MinhashVerifyThreshold = 0.8 // verified-pairs cut — at/above the 16x4
                                    // banding S-curve so candidate recall ~1
