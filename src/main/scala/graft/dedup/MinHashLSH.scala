@@ -249,8 +249,15 @@ object MinHashLSH {
     * ultra-common, so the cap is opt-in, not silent). */
   def winnowContainmentPairs(documents: DataFrame, minShared: Long,
       k: Int = 16, w: Int = 16, maxDf: Long = Long.MaxValue): DataFrame = {
+    // the winnow scan (rolling hash over every char of the corpus) is the
+    // expensive stage and the postings frame is two longs per fingerprint
+    // — persist it so the self-join's two sides (and the capped path's
+    // hot-set aggregation) reuse ONE pass instead of re-hashing the
+    // corpus 2-3x (ownership: cached until LRU eviction, same policy as
+    // candidatePairs)
     val raw = documents
       .select(col("doc_id"), explode(expr(s"graft_winnow(text, $k, $w)")).as("fp"))
+      .persist()
     val fps =
       if (maxDf == Long.MaxValue) raw
       else {
