@@ -637,14 +637,17 @@ object SparkEntry {
     // — oracle replays per-word xxhash64 and the bit votes in SQL
     "q_dedup_simhash" -> ((s, dir) => MinHashLSH.simhashPairs(Tables.documents(s, dir))),
 
-    // Dedup: SimHash composition with exact verification — 8x8-chunk
-    // hamming candidates, exact Jaccard ONLY for candidates; equals the
-    // exhaustive answer under the hamming-radius precondition asserted in
-    // SimhashVerifiedSpec (see MinHashLSH.verifiedSimhashPairs doc)
+    // Dedup: SimHash composition with exact verification — 16x4-bit-chunk
+    // hamming candidates (radius 15: the verifier window is a CONSTANT
+    // 1000 docs, so selectivity is irrelevant and the wide radius covers
+    // the corpus's observed hamming-9 exact pair with margin; the library
+    // default stays at the selective 8x8), exact Jaccard ONLY for
+    // candidates; equals the exhaustive answer under the hamming-radius
+    // precondition asserted in SimhashVerifiedSpec
     "q_dedup_simhash_verified" -> ((s, dir) =>
       MinHashLSH.verifiedSimhashPairs(
         Tables.documents(s, dir).filter(col("doc_id") < JaccardMaxDocId),
-        MinhashVerifyThreshold)),
+        MinhashVerifyThreshold, nChunks = 16, maxHamming = 15)),
 
     // Dedup: embedding-cosine near-dup pairs — banded sign-LSH candidates
     // (equi-join, no cross product) + exact cosine verify; the DuckDB

@@ -195,6 +195,9 @@ object Dedup {
       .withColumn("__sig",
         graft.sim.Similarity.lshBucketFromPlanes("v", planes))
     val mask = (1L << bitsPerBand) - 1
+    // persisted: both self-join sides reuse one signature pass instead of
+    // re-running the plane dots per side (same discipline as the winnow
+    // postings; (vec_id, band, bucket) is three scalars per posting)
     val posted = e.select(col("vec_id"),
       explode(expr(
         s"""transform(sequence(0, ${nBands - 1}), b ->
@@ -203,6 +206,7 @@ object Dedup {
           .stripMargin)).as("bb"))
       .select(col("vec_id"), col("bb.band").as("band"),
         col("bb.bucket").as("bucket"))
+      .persist()
 
     val cands = posted.as("a")
       .join(posted.as("b"),

@@ -366,19 +366,22 @@ object MinHashLSH {
     * high-Jaccard pair CAN land beyond any fixed radius when its few
     * differing words flip low-margin bit votes (observed: planted ~0.95
     * dups reach hamming 9 under 64-bit fingerprints once the verifier
-    * window covers the sf0.1 corpus's dup range). The defaults therefore
-    * widen the radius to 16x4-bit chunks / hamming <= 15 (6 over the
-    * observed corpus max — fine for the CONSTANT verifier window; open-
-    * world callers tune chunks/radius for selectivity), and
-    * SimhashVerifiedSpec asserts the precondition — every exact pair at
-    * `threshold` sits within the radius — directly against the shipped
-    * corpora, so drift fails a test instead of silently breaking the
-    * equality. Callers on open-world
+    * window covers the sf0.1 corpus's dup range). The library defaults
+    * stay at 8x8-bit chunks / hamming <= 7 — 256-value chunk keys keep
+    * the candidate join selective on open-world corpora (4-bit chunks
+    * would collapse to 16 keys ⇒ ~n²/16 joined rows per position). The
+    * REGISTERED verifier query instead passes 16x4-bit chunks / radius 15
+    * explicitly: its window is a constant 1000 docs, where selectivity is
+    * irrelevant and the wider radius covers the observed hamming-9 pair
+    * with margin. SimhashVerifiedSpec asserts the precondition — every
+    * exact pair at `threshold` sits within the radius used — directly
+    * against the shipped corpora, so drift fails a test instead of
+    * silently breaking the equality. Callers on open-world
     * corpora get candidates-then-verify precision 1 and empirically-high
     * (not guaranteed) recall — that caveat is inherent to simhash, and is
     * why [[verifiedPairs]] is the default dedup composition. */
   def verifiedSimhashPairs(documents: DataFrame, threshold: Double,
-      nChunks: Int = 16, maxHamming: Int = 15): DataFrame = {
+      nChunks: Int = 8, maxHamming: Int = 7): DataFrame = {
     val cands = simhashPairs(documents, maxHamming, nChunks)
     verifyJaccard(cands, Dedup.shingles(documents).persist(), threshold)
   }

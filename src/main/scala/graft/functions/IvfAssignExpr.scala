@@ -25,25 +25,39 @@ object IvfKernel {
     if (n != d)
       throw new IllegalArgumentException(
         s"graft_ivf_cell: vector has $n dims, centroid model has $d")
+    // one validation + unbox pass, not one per centroid: fail-loud on
+    // null elements, then the hot loop reads a primitive array
+    val vv = new Array[Double](d)
+    var i = 0
+    while (i < d) {
+      if (v.isNullAt(i))
+        throw new IllegalArgumentException(
+          s"graft_ivf_cell: null element at index $i")
+      vv(i) = v.getDouble(i)
+      i += 1
+    }
     val k = cids.length
     var best = -1
     var bestSim = Double.NegativeInfinity
+    var bestIsNaN = false
     var c = 0
     while (c < k) {
       var dot = 0.0
-      var i = 0
       val off = c * d
-      while (i < d) {
-        if (v.isNullAt(i))
-          throw new IllegalArgumentException(
-            s"graft_ivf_cell: null element at index $i")
-        dot += v.getDouble(i) * flat(off + i)
-        i += 1
-      }
+      i = 0
+      while (i < d) { dot += vv(i) * flat(off + i); i += 1 }
       val sim = dot / (norm * cnorms(c))
-      if (sim > bestSim) { bestSim = sim; best = c }
+      // NaN ordering parity with the max_by(struct(sim, -c_id)) form this
+      // replaces: Spark orders NaN greater than every double, ties break
+      // to the smallest c_id — so the FIRST NaN wins and nothing beats it
+      if (!bestIsNaN && (sim > bestSim || java.lang.Double.isNaN(sim))) {
+        bestSim = sim; best = c; bestIsNaN = java.lang.Double.isNaN(sim)
+      }
       c += 1
     }
+    // all sims -Infinity (never exceeds the initial bound): max_by ties
+    // break to the smallest c_id
+    if (best < 0) best = 0
     cids(best)
   }
 }

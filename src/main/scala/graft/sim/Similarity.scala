@@ -442,17 +442,33 @@ object Similarity {
       require(cv.length == d, "centroid model has mixed dims")
       System.arraycopy(cv, 0, flat, ci * d, d)
     }
+    // registered under a MODEL-CONTENT-HASHED name: a fixed name would be
+    // session-global mutable state — two concurrent ivfSearch calls (or
+    // an unrefined/refined pair) could resolve each other's centroid
+    // model at analysis time and silently assign against the wrong
+    // quantizer. The FNV name is deterministic (same model ⇒ same name ⇒
+    // reproducible plans); distinct models get distinct entries, bounded
+    // by the number of trained quantizers in the session.
+    val cids = cs.map(_._1)
+    val cnorms = cs.map(_._3)
+    // hash ids AND centroid values: a refined model keeps its coarse
+    // seeds' ids, so ids alone would alias the two
+    val modelBytes =
+      java.nio.ByteBuffer.allocate(8 * (cids.length + flat.length + 1))
+    cids.foreach(modelBytes.putLong)
+    flat.foreach(modelBytes.putDouble)
+    modelBytes.putLong(d.toLong)
+    val fname = f"graft_ivf_cell_${graft.functions.Fnv1a64Helper.hashBytes(modelBytes.array())}%016x"
     spark.sessionState.functionRegistry.createOrReplaceTempFunction(
-      "graft_ivf_cell",
+      fname,
       exprs => {
         require(exprs.size == 2,
-          s"graft_ivf_cell takes 2 arguments, got ${exprs.size}")
-        graft.functions.IvfAssign(exprs.head, exprs(1), flat,
-          cs.map(_._3), cs.map(_._1), d)
+          s"$fname takes 2 arguments, got ${exprs.size}")
+        graft.functions.IvfAssign(exprs.head, exprs(1), flat, cnorms, cids, d)
       },
       "built-in")
     val assigned = all
-      .withColumn("cell", expr("graft_ivf_cell(v, norm)"))
+      .withColumn("cell", expr(s"$fname(v, norm)"))
       .select(col("vec_id"), col("cell"), col("v"), col("norm"))
 
     // queries probe their nprobe nearest cells

@@ -238,6 +238,30 @@ class DedupSpec extends SparkSpecBase {
     assert(a.nonEmpty)
   }
 
+  test("ivf assign kernel: NaN sims order like max_by (first NaN wins, no crash)") {
+    import org.apache.spark.sql.catalyst.util.ArrayData
+    // 3 unit-ish centroids on the x/y/z axes, d=3
+    val flat = Array(1.0, 0, 0, 0, 1.0, 0, 0, 0, 1.0)
+    val cnorms = Array(1.0, 1.0, 1.0)
+    val cids = Array(10L, 20L, 30L)
+    def assign(v: Array[Double], norm: Double): Long =
+      graft.functions.IvfKernel.assign(flat, cnorms, cids, 3,
+        ArrayData.toArrayData(v), norm)
+    // normal case: nearest axis wins
+    assert(assign(Array(0.9, 0.1, 0.0), 0.906) === 10L)
+    // zero-norm vector: every sim is NaN; max_by orders NaN greatest with
+    // smallest-c_id tiebreak -> first cell, and it must NOT crash
+    assert(assign(Array(0.0, 0.0, 0.0), 0.0) === 10L)
+    // one NaN-producing centroid (zero cnorm): NaN beats every finite sim
+    val cn0 = Array(1.0, 0.0, 1.0)
+    assert(graft.functions.IvfKernel.assign(flat, cn0, cids, 3,
+      ArrayData.toArrayData(Array(0.0, 1.0, 0.0)), 1.0) === 20L)
+    // ragged input fails loud
+    intercept[IllegalArgumentException] {
+      assign(Array(1.0, 2.0), 1.0)
+    }
+  }
+
   test("per-row (zero-shuffle) signatures == 64-min-agg signatures, whole corpus") {
     val docs = Tables.documents(spark, sf0001)
     val a = MinHashLSH.signatures(docs)
@@ -280,7 +304,10 @@ class DedupSpec extends SparkSpecBase {
       .agg(smax(expr("bit_count(sh_a ^ sh_b)"))).as[Int].head()
     assert(worst <= 15, s"exact pair beyond hamming radius: $worst")
 
-    val v = MinHashLSH.verifiedSimhashPairs(bounded, SparkEntry.MinhashVerifyThreshold)
+    // same explicit wide-radius geometry as the registered query (the
+    // library default stays at the open-world-selective 8x8)
+    val v = MinHashLSH.verifiedSimhashPairs(bounded,
+        SparkEntry.MinhashVerifyThreshold, nChunks = 16, maxHamming = 15)
       .select("doc_a", "doc_b", "n_inter", "jaccard")
       .as[(Long, Long, Long, Double)].collect().toSet
     val e = exact.select("doc_a", "doc_b", "n_inter", "jaccard")

@@ -196,15 +196,18 @@ class PlanShapeSpec extends SparkSpecBase {
       graft.dedup.MinHashLSH.bandingCandidates(
         graft.dedup.MinHashLSH.signaturesPerRow(
           Tables.documents(spark, sf0001))))
-    // signature computation must never shuffle: every Exchange in the
-    // candidate plan belongs to the (band,bucket) join or the distinct
-    assert(!plan.contains("HashAggregate") || plan.contains("Exchange"),
-      plan.take(2000))
     assert(!plan.contains("SortMergeJoin"), plan.take(2000))
     // formatted explain lists each node twice (tree + details): 2 real
     // scans (the self-join's two sides) = 4 occurrences
     val scanCount = "Scan parquet".r.findAllIn(plan).size
     assert(scanCount <= 4, s"signature scan duplicated: $scanCount\n" +
+      plan.take(2000))
+    // signature computation must never shuffle: the only Exchanges
+    // allowed are the (band,bucket) join's two and the distinct's one —
+    // 3 real = 6 formatted occurrences. A regression to groupBy
+    // signatures adds a per-side signature shuffle and fails this bound
+    val exchangeCount = "Exchange".r.findAllIn(plan).size
+    assert(exchangeCount <= 6, s"unexpected shuffle count: $exchangeCount\n" +
       plan.take(2000))
   }
 }

@@ -40,9 +40,19 @@ class HealthServerSpec extends SparkSpecBase {
       val q = Pipelines.parsedStream(spark, sf0001)
         .writeStream.format("noop").queryName("health_probe_q").start()
       q.processAllAvailable()
+      // processAllAvailable returns when data is processed, but the
+      // progress EVENT reaches the server's listener over the async
+      // listener bus — under full-suite load the first /metrics read can
+      // land before it; poll the endpoint, not the query
+      def metricsNow(): (Int, String) = get(port, "/metrics")
+      var (m0, metrics) = metricsNow()
+      var tries = 0
+      while (!metrics.contains("\"batchId\"") && tries < 100) {
+        Thread.sleep(100); tries += 1
+        val r = metricsNow(); m0 = r._1; metrics = r._2
+      }
       val (r1, _) = get(port, "/ready")
       assert(r1 === 200)
-      val (m0, metrics) = get(port, "/metrics")
       assert(m0 === 200)
       assert(metrics.contains("\"health_probe_q\""), metrics.take(500))
       assert(metrics.contains("\"batchId\""), metrics.take(500)) // real progress JSON
