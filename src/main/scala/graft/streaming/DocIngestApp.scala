@@ -30,6 +30,28 @@ import graft.text.TextAnalysis
   */
 object DocIngestApp {
 
+  /** Ingest knobs, resolved with the same discipline as [[graft.GraftConfig]]
+    * (spark conf > env var > oracle-verified default — the defaults are
+    * exactly `q_corpus_curate`'s arguments, so an unconfigured ingest
+    * reproduces the batch curator). */
+  final case class IngestConfig(lang: String, minQuality: Double,
+      watermarkDelay: String)
+
+  object IngestConfig {
+    private def resolve(spark: SparkSession, sparkKey: String,
+        envKey: String, default: String): String =
+      spark.conf.getOption(s"spark.graft.$sparkKey")
+        .orElse(sys.env.get(envKey))
+        .getOrElse(default)
+
+    def load(spark: SparkSession): IngestConfig = IngestConfig(
+      lang = resolve(spark, "ingestLang", "GRAFT_INGEST_LANG", "en"),
+      minQuality = resolve(spark, "ingestMinQuality",
+        "GRAFT_INGEST_MIN_QUALITY", "0.5").toDouble,
+      watermarkDelay = resolve(spark, "ingestWatermarkDelay",
+        "GRAFT_INGEST_WATERMARK_DELAY", "1 hour"))
+  }
+
   /** Source schema: the `documents` table plus an `ingest_ts` event-time
     * column (prod: producer timestamp / object-store mtime). */
   val docSchema: StructType = StructType(Seq(
@@ -83,7 +105,10 @@ object DocIngestApp {
     val srcDir = args.headOption.getOrElse("/tmp/graft_doc_in")
     val outBase = args.lift(1).getOrElse("/tmp/graft_doc_out")
     val spark = GraftSession.create(appName = "graft-doc-ingest")
-    val queries = start(spark, srcDir, outBase)
+    val cfg = IngestConfig.load(spark)
+    val queries = start(spark, srcDir, outBase,
+      lang = cfg.lang, minQuality = cfg.minQuality,
+      watermarkDelay = cfg.watermarkDelay)
     queries.foreach(_.awaitTermination())
   }
 }

@@ -18,6 +18,17 @@ class GraftConfigSpec extends SparkSpecBase {
     } finally spark.conf.unset("spark.graft.highValueThresholdNgn")
   }
 
+  test("ingest config: batch-curator defaults, spark-conf override") {
+    val d = graft.streaming.DocIngestApp.IngestConfig.load(spark)
+    assert(d.lang === "en" && d.minQuality === 0.5 &&
+      d.watermarkDelay === "1 hour")
+    spark.conf.set("spark.graft.ingestMinQuality", "0.7")
+    try {
+      assert(graft.streaming.DocIngestApp.IngestConfig.load(spark)
+        .minQuality === 0.7)
+    } finally spark.conf.unset("spark.graft.ingestMinQuality")
+  }
+
   test("a configured pipeline uses the loaded threshold end to end") {
     spark.conf.set("spark.graft.highValueThresholdNgn", "300.0")
     try {
