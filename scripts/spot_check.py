@@ -108,7 +108,7 @@ WHERE l.l_orderkey = o.o_orderkey AND o.o_custkey = c.c_custkey
   AND n.n_regionkey IN (SELECT r_regionkey FROM region WHERE r_name = 'ASIA')
   AND o.o_orderdate >= TIMESTAMP '1996-01-01' AND o.o_orderdate < TIMESTAMP '1997-01-01'
 GROUP BY 1""").df().set_index('n_name').rev
-q5m = q5.set_index('n_name').revenue
+q5m = q5.set_index('n_name').revenue_micros / 1e6  # exact micro-NGN out
 check('q5 volume: decimal-exact revenue within float-sum tolerance per nation',
       set(q5m.index) == set(q5x.index)
       and all(abs(q5m[k] - q5x[k]) < 1e-4 * max(1.0, abs(q5x[k])) for k in q5x.index))

@@ -457,12 +457,25 @@ object SparkEntry {
       val one = lit(1).cast("decimal(4,2)")
       val disc = col("l_discount").cast("decimal(4,2)")
       val tax = col("l_tax").cast("decimal(4,2)")
+      // corpus-scaling money sums leave the engine as their exact
+      // unscaled integer (micro-NGN BIGINT; ANSI overflows loud), never
+      // as rounded doubles: at sf2 the DECIMAL(38,6) sums exceed 2^53 in
+      // unscaled magnitude, where decimal->double conversion is engine-
+      // dependent (DuckDB double-rounds) AND downscaling to cents hits
+      // half-way ties — 2dp x 2dp x 2dp products end in ...5000 often —
+      // where the engines' tie modes disagree. Integer out, no rounding
+      // anywhere (the bigram LM's integer micro-nats discipline; caught
+      // by the sf2 probe: sum_charge off by one cent / one ulp).
+      // sum_base_price stays 2dp-exact (sum of DECIMAL(18,2)) and its
+      // unscaled value fits 2^53 up to ~sf1000
       li.groupBy("l_returnflag", "l_linestatus")
         .agg(
           sum(col("l_quantity")).as("sum_qty"), // whole-number doubles: exact
           sum(ext).cast("double").as("sum_base_price"),
-          sum(ext * (one - disc)).cast("double").as("sum_disc_price"),
-          sum(ext * (one - disc) * (one + tax)).cast("double").as("sum_charge"),
+          (sum(ext * (one - disc)) * lit(1000000))
+            .cast("decimal(38,0)").cast("long").as("sum_disc_price_micros"),
+          (sum(ext * (one - disc) * (one + tax)) * lit(1000000))
+            .cast("decimal(38,0)").cast("long").as("sum_charge_micros"),
           count(lit(1)).as("count_order"))
         .withColumn("avg_qty", col("sum_qty") / col("count_order"))
     }),
@@ -489,8 +502,12 @@ object SparkEntry {
         .join(broadcast(nation), col("s_nationkey") === col("n_nationkey"))
         .join(broadcast(region), col("n_regionkey") === col("r_regionkey"))
         .groupBy(col("n_name"))
-        .agg(sum(rev).cast("double").as("revenue"))
-        .orderBy(col("revenue").desc, col("n_name"))
+        // corpus-scaling money sum -> exact micro-NGN integer (see the
+        // q_pricing_summary note: decimal->double and cent-rounding are
+        // both engine-dependent once the sum outgrows 2^53 unscaled)
+        .agg((sum(rev) * lit(1000000)).cast("decimal(38,0)")
+          .cast("long").as("revenue_micros"))
+        .orderBy(col("revenue_micros").desc, col("n_name"))
     }),
 
     // TPC-H Q3-shaped shipping priority: selective dimension filter,
@@ -507,6 +524,9 @@ object SparkEntry {
       li.join(ord, col("l_orderkey") === col("o_orderkey"))
         .join(broadcast(cust), col("o_custkey") === col("c_custkey"))
         .groupBy(col("l_orderkey"), col("o_orderdate"), col("o_orderpriority"))
+        // per-ORDER revenue is bounded by order size, not corpus size:
+        // the DECIMAL(38,4) sum stays far under 2^53 unscaled at any SF,
+        // so the native-scale double cast is exact in both engines
         .agg(sum(rev).cast("double").as("revenue"))
         .select(col("l_orderkey").as("orderkey"),
           // parquet timestamp[ms] arrives as TIMESTAMP_NTZ; the session
@@ -1772,8 +1792,8 @@ object SparkEntry {
       """SELECT l_returnflag, l_linestatus,
         |  sum(l_quantity) AS sum_qty,
         |  CAST(sum(CAST(l_extendedprice AS DECIMAL(18,2))) AS DOUBLE) AS sum_base_price,
-        |  CAST(sum(CAST(l_extendedprice AS DECIMAL(18,2)) * (CAST(1 AS DECIMAL(4,2)) - CAST(l_discount AS DECIMAL(4,2)))) AS DOUBLE) AS sum_disc_price,
-        |  CAST(sum(CAST(l_extendedprice AS DECIMAL(18,2)) * (CAST(1 AS DECIMAL(4,2)) - CAST(l_discount AS DECIMAL(4,2))) * (CAST(1 AS DECIMAL(4,2)) + CAST(l_tax AS DECIMAL(4,2)))) AS DOUBLE) AS sum_charge,
+        |  CAST(CAST(sum(CAST(l_extendedprice AS DECIMAL(18,2)) * (CAST(1 AS DECIMAL(4,2)) - CAST(l_discount AS DECIMAL(4,2)))) * 1000000 AS DECIMAL(38,0)) AS BIGINT) AS sum_disc_price_micros,
+        |  CAST(CAST(sum(CAST(l_extendedprice AS DECIMAL(18,2)) * (CAST(1 AS DECIMAL(4,2)) - CAST(l_discount AS DECIMAL(4,2))) * (CAST(1 AS DECIMAL(4,2)) + CAST(l_tax AS DECIMAL(4,2)))) * 1000000 AS DECIMAL(38,0)) AS BIGINT) AS sum_charge_micros,
         |  CAST(count(*) AS BIGINT) AS count_order,
         |  sum(l_quantity) / count(*) AS avg_qty
         |FROM lineitem WHERE l_shipdate <= TIMESTAMP '2001-09-01'
@@ -1781,7 +1801,7 @@ object SparkEntry {
 
     "q_local_supplier_volume" ->
       """SELECT n_name,
-        |  CAST(sum(CAST(l_extendedprice AS DECIMAL(18,2)) * (CAST(1 AS DECIMAL(4,2)) - CAST(l_discount AS DECIMAL(4,2)))) AS DOUBLE) AS revenue
+        |  CAST(CAST(sum(CAST(l_extendedprice AS DECIMAL(18,2)) * (CAST(1 AS DECIMAL(4,2)) - CAST(l_discount AS DECIMAL(4,2)))) * 1000000 AS DECIMAL(38,0)) AS BIGINT) AS revenue_micros
         |FROM lineitem
         |JOIN orders ON l_orderkey = o_orderkey
         |JOIN customer ON o_custkey = c_custkey
