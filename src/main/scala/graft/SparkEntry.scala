@@ -26,6 +26,7 @@ object SparkEntry {
   val HighValueThreshold = 200.0   // analog of ₦500,000 (inclusive >=)
   val VelocityWindowSec  = 3600    // analog of 60 s (corpus is ~30 days sparse)
   val VelocityMinTxns    = 2L      // analog of >=5
+  val VelocityAdvanceSec = 1800    // hopping advance: 2 overlapping windows
   val DailySpendAlert    = 150.0   // analog of ₦1,000,000 / 24 h (~p90 of daily sums)
   val DormancyGap        = "48 hours" // analog of 30-day inactivity gap
   val DormancyGapUs      = 48L * 3600 * 1000000 // same gap in epoch-micros
@@ -301,6 +302,15 @@ object SparkEntry {
     // W1: velocity fraud check — tumbling window count >= threshold
     "q_velocity_count" -> ((s, dir) =>
       Windows.velocityCount(upserts(s, dir), VelocityWindowSec, VelocityMinTxns)),
+
+    // W1b (declared-intent extension): HOPPING-window velocity — the
+    // reference's dead VelocityState model (model/VelocityState.java:15-63)
+    // hand-rolls a sliding count the topology never wired; Kafka Streams
+    // ofSizeAndAdvance == Spark's two-arg window(). Oracle replays the
+    // per-event window fan-out with a generate_series cross join
+    "q_velocity_hopping" -> ((s, dir) =>
+      Windows.velocityHopping(upserts(s, dir), VelocityWindowSec,
+        VelocityAdvanceSec, VelocityMinTxns)),
 
     // W2: daily spend — 24 h tumbling debit sum >= threshold + Lagos label
     "q_daily_spend_sum" -> ((s, dir) =>
@@ -1597,6 +1607,19 @@ object SparkEntry {
          |  (event_time_ms // ${VelocityWindowSec}000) * ${VelocityWindowSec}000 + ${VelocityWindowSec}000 AS window_end_ms,
          |  CAST(count(*) AS BIGINT) AS n_txns
          |FROM upserts GROUP BY 1, 2, 3 HAVING count(*) >= $VelocityMinTxns""".stripMargin),
+
+    // each event belongs to window/advance epoch-aligned hopping windows:
+    // start = floor(ts/advance)*advance - k*advance for k in
+    // [0, window/advance) — start <= ts < start+window holds for exactly
+    // these k, matching Spark's two-arg window() expansion
+    "q_velocity_hopping" -> (P +
+      s"""SELECT account_id,
+         |  (event_time_ms // ${VelocityAdvanceSec}000) * ${VelocityAdvanceSec}000 - k.k * ${VelocityAdvanceSec}000 AS window_start_ms,
+         |  (event_time_ms // ${VelocityAdvanceSec}000) * ${VelocityAdvanceSec}000 - k.k * ${VelocityAdvanceSec}000 + ${VelocityWindowSec}000 AS window_end_ms,
+         |  CAST(count(*) AS BIGINT) AS n_txns
+         |FROM upserts
+         |CROSS JOIN (SELECT unnest(generate_series(0, ${VelocityWindowSec / VelocityAdvanceSec} - 1)) AS k) k
+         |GROUP BY 1, 2, 3 HAVING count(*) >= $VelocityMinTxns""".stripMargin),
 
     "q_daily_spend_sum" -> (P +
       s"""SELECT account_id,

@@ -39,6 +39,30 @@ object Windows {
         unix_millis(col("w.end")).as("window_end_ms"),
         col("n_txns"))
 
+  /** Hopping (sliding) windowed count — Kafka Streams
+    * `TimeWindows.ofSizeAndAdvance` as Spark's two-argument `window()`.
+    * The reference DECLARES this shape in dead model code: its
+    * `model/VelocityState.java:15-63` hand-rolls a sliding-window event
+    * deque that the topology never wires (SURVEY §1.3) — this is that
+    * declared intent, running. Each event lands in `windowSec/advanceSec`
+    * overlapping epoch-aligned windows (Spark explodes the window list in
+    * the scan stage; the shuffle still moves one row per (event, window)
+    * — the fan-out factor is the overlap count, a query constant). */
+  def velocityHopping(txns: DataFrame, windowSec: Int, advanceSec: Int,
+      minTxns: Long,
+      tsCol: Column = timestamp_micros(col("event_time_us"))): DataFrame =
+    txns
+      .groupBy(
+        col("account_id"),
+        window(tsCol, s"$windowSec seconds", s"$advanceSec seconds").as("w"))
+      .agg(count(lit(1)).as("n_txns"))
+      .filter(col("n_txns") >= minTxns)
+      .select(
+        col("account_id"),
+        unix_millis(col("w.start")).as("window_start_ms"),
+        unix_millis(col("w.end")).as("window_end_ms"),
+        col("n_txns"))
+
   /** W2 daily spend: 24 h tumbling sum of completed debit amounts per
     * account; alert when total >= `alertThreshold`
     * (reference `topology/ABBankTopology.java:385-400`). Sum rounded to the

@@ -133,6 +133,18 @@ object Pipelines {
       parsed.withWatermark("event_ts", grace),
       windowSec, minTxns, tsCol = col("event_ts"))
 
+  /** Hopping-window velocity (the reference's dead VelocityState intent —
+    * see [[graft.ops.Windows.velocityHopping]]): identical streaming
+    * semantics to [[velocityAlerts]], each event just lands in
+    * window/advance overlapping windows, all closed by the same
+    * watermark. */
+  def velocityHoppingAlerts(parsed: DataFrame, windowSec: Int,
+      advanceSec: Int, minTxns: Long,
+      grace: String = "0 seconds"): DataFrame =
+    Windows.velocityHopping(
+      parsed.withWatermark("event_ts", grace),
+      windowSec, advanceSec, minTxns, tsCol = col("event_ts"))
+
   /** Pipeline 4 — daily spend: 24 h tumbling debit sum (reference
     * `:373-426`). `grace` as in [[velocityAlerts]]. */
   def dailySpendAlerts(parsed: DataFrame, threshold: Double,

@@ -88,6 +88,22 @@ class PipelinesSpec extends SparkSpecBase {
     assert(got.nonEmpty)
   }
 
+  test("streaming hopping velocity == batch; every event in exactly window/advance windows") {
+    val stream = Pipelines.velocityHoppingAlerts(
+      Pipelines.parsedStream(spark, sf0001), windowSec = 3600,
+      advanceSec = 1800, minTxns = 2L)
+    val got = runToTable(stream, "vel_hop_stream", "complete").collect().toSet
+    val want = Windows.velocityHopping(batchParsed, 3600, 1800, 2L)
+      .collect().toSet
+    assert(got === want)
+    assert(got.nonEmpty)
+    // overlap arithmetic: with minTxns=1 the per-event fan-out is exactly
+    // window/advance = 2 rows summed across windows
+    val perEvent = Windows.velocityHopping(batchParsed, 3600, 1800, 1L)
+      .agg(sum(col("n_txns"))).head.getLong(0)
+    assert(perEvent === 2L * batchParsed.count())
+  }
+
   test("streaming daily spend (complete mode) == batch daily operator") {
     val stream = Pipelines.dailySpendAlerts(
       Pipelines.parsedStream(spark, sf0001), threshold = 150.0)
