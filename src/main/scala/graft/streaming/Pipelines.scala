@@ -234,7 +234,14 @@ object Pipelines {
     * updates. Missing keys (including tombstoned dims) take the
     * KV-store-miss fallbacks (`:252-253`); a not-yet-committed store
     * behaves as empty. Both dims broadcast — the transaction stream never
-    * shuffles. Output columns match the batch `q_enrich_cdc_two_hop`. */
+    * shuffles. Output columns match the batch `q_enrich_cdc_two_hop`.
+    *
+    * Delivery is at-least-once, so each micro-batch lands in its own
+    * `batch=<id>` subdirectory with overwrite semantics: a replayed batch
+    * rewrites its directory instead of appending duplicates — the same
+    * batch-id-named idempotence discipline as [[DimStore.upsert]]. Readers
+    * open `outDir` with partition discovery (the `batch` column is
+    * droppable metadata). */
   def highValueTwoHopCdcStream(parsed: DataFrame, accountsStore: String,
       customersStore: String, threshold: Double, outDir: String,
       checkpoint: String): org.apache.spark.sql.streaming.StreamingQuery = {
@@ -242,7 +249,7 @@ object Pipelines {
       .filter(Predicates.isHighValue(col("amount"), threshold))
     hv.writeStream
       .option("checkpointLocation", checkpoint)
-      .foreachBatch { (batch: DataFrame, _: Long) =>
+      .foreachBatch { (batch: DataFrame, batchId: Long) =>
         val s = batch.sparkSession
         val acct = DimStore.read(s, accountsStore)
           .map(_.select("account_id", "customer_id", "account_number"))
@@ -267,7 +274,7 @@ object Pipelines {
                 col("last_name"))).as("customer_name"),
             coalesce(col("email"), lit("N/A")).as("email"),
             coalesce(col("segment"), lit("N/A")).as("segment"))
-          .write.mode("append").parquet(outDir)
+          .write.mode("overwrite").parquet(s"$outDir/batch=$batchId")
       }
       .start()
   }
