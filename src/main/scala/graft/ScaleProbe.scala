@@ -168,6 +168,10 @@ object ScaleProbe {
     // bigram LM: the bigram postings <-> type-count join is the scale
     // stress (most synthetic bigrams are unique, worst case for the join)
     time("bigram_logprob")(text.TrainingPrep.bigramLogProb(synthDocs))
+    // the count-cutoff production guard: synthetic text is the worst case
+    // (most bigram types are singletons), so the frequent-type table
+    // collapses and the postings join broadcasts instead of shuffling
+    time("bigram_logprob_capped")(text.TrainingPrep.bigramLogProbCapped(synthDocs))
     // embedding ops at n/10 vectors x 64 dims: semantic dedup is scan +
     // one scalar shuffle; IVF trains on a driver-bounded hash-sample
     // (sampleMod 20 -> ~n/200 vectors) and assigns distributed
@@ -180,6 +184,20 @@ object ScaleProbe {
     time("ivf_topk_sampled_train")(sim.Similarity.ivfTopK(synthEmb,
       numQueries = 10, k = 5, centroidStride = 541, nprobe = 14,
       kmeansIters = 2, trainSampleMod = 20L))
+    // distributed Lloyd refinement above the driver-sample cap: each pass
+    // must cost ≈ one assignment scan (scan-stage argmax + map-side-
+    // combined vector sums), NOT a corpus×cells join re-materialization
+    locally {
+      val all = sim.Similarity.withNorm(synthEmb)
+      val coarse = sim.Similarity.kmeansCentroids(all, stride = 541,
+        iters = 1, sampleMod = 20L)
+      time("ivf_assign_scan")(sim.Similarity.assignCells(all, coarse)
+        .select(col("vec_id"), col("cell")))
+      val t0 = System.nanoTime()
+      sim.Similarity.refineCentroids(all, coarse, passes = 2)
+      val sec = (System.nanoTime() - t0) / 1e9
+      println(f"PROBE ivf_refine_2pass rows=${n / 10} sec=$sec%.2f per_pass=${sec / 2}%.2f")
+    }
     // streaming rolling-spend tracker throughput (bounded per-key state:
     // only in-window (ts, kobo) pairs are retained per account)
     locally {

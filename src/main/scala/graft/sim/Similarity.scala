@@ -297,8 +297,11 @@ object Similarity {
     //     FAISS coarse-quantizer sizing, restoring O(n^1.5 * d) training.
     // Both rules are identity for corpora <= ~8.5k vectors, so the
     // oracle-gated SFs keep bit-identical training; the IVF oracle SQL
-    // replays the SAME ceil/sqrt expression (IEEE sqrt and ceil are
-    // correctly rounded — engines agree exactly).
+    // replays BOTH auto-derivations — the ceil/sqrt stride floor AND the
+    // ceil(n/65536) sample modulus (restricting its Lloyd CTEs to the
+    // same xxhash64 % mod = 0 sample) — so oracle equality survives past
+    // the ~65k-vector point where effectiveMod departs from 1 (IEEE sqrt
+    // and ceil are correctly rounded — engines agree exactly).
     val (effectiveMod, effectiveStride) =
       if (sampleMod != 1L) (sampleMod, stride.toLong)
       else {
@@ -423,15 +426,45 @@ object Similarity {
     * search path). */
   def ivfSearch(all: DataFrame, centroids: DataFrame, numQueries: Long,
       k: Int, nprobe: Int): DataFrame = {
+    val assigned = assignCells(all, centroids)
+      .select(col("vec_id"), col("cell"), col("v"), col("norm"))
+
+    // queries probe their nprobe nearest cells
+    val queries = all.filter(col("vec_id") < numQueries)
+      .select(col("vec_id").as("q_id"), col("v").as("qv"), col("norm").as("qnorm"))
+    val probeW = Window.partitionBy(col("q_id"))
+      .orderBy(col("__qcsim").desc, col("c_id"))
+    val probes = queries.join(broadcast(centroids))
+      .withColumn("__qcsim", dot("qv", "cv") / (col("qnorm") * col("cnorm")))
+      .withColumn("__rn", row_number().over(probeW))
+      .filter(col("__rn") <= nprobe)
+      .select(col("q_id"), col("qv"), col("qnorm"), col("c_id").as("cell"))
+
+    // exact rerank within probed cells only — probes are tiny (queries ×
+    // nprobe), so broadcast them: the vector table never shuffles
+    val w = Window.partitionBy(col("q_id"))
+      .orderBy(col("cos_sim").desc, col("neighbor_id"))
+    assigned.join(broadcast(probes), Seq("cell"))
+      .filter(col("vec_id") =!= col("q_id"))
+      .select(col("q_id"), col("vec_id").as("neighbor_id"),
+        round(dot("qv", "v") / (col("qnorm") * col("norm")), 6).as("cos_sim"))
+      .withColumn("rank", row_number().over(w).cast("long"))
+      .filter(col("rank") <= k)
+  }
+
+  /** Nearest-cell assignment for a centroid model: adds a `cell` column to
+    * a [[withNorm]]-shaped frame with ONE per-row codegen argmax over the
+    * plan-constant centroid matrix ([[graft.functions.IvfAssign]]) — zero
+    * shuffle, zero joined rows. The broadcast-join + max_by form this
+    * replaces materialized |corpus| × |cells| rows and re-shuffled every
+    * vector: ~10 s at sf1 vs ~0.5 s, same flops (bit-identical argmax,
+    * same tiebreak: higher cosine, then smaller centroid id). Shared by
+    * the search path ([[ivfSearch]]) and the distributed Lloyd refit
+    * ([[refineCentroids]]), so the two can never diverge in assignment
+    * semantics. Centroids are a driver-built literal relation, so
+    * collecting them back re-runs no lineage. */
+  def assignCells(all: DataFrame, centroids: DataFrame): DataFrame = {
     val spark = all.sparkSession
-    // assign every vector to its nearest centroid with ONE per-row codegen
-    // argmax over the plan-constant centroid matrix
-    // ([[graft.functions.IvfAssign]]) — zero shuffle, zero joined rows.
-    // The broadcast-join + max_by form this replaces materialized
-    // |corpus| × |cells| rows and re-shuffled every vector: ~10 s at sf1
-    // vs ~0.5 s, same flops (bit-identical argmax, same tiebreak).
-    // Centroids are a driver-built literal relation, so collecting them
-    // back re-runs no lineage.
     val cs = centroids.select(col("c_id"), col("cv"), col("cnorm"))
       .collect()
       .map(r => (r.getLong(0), r.getSeq[Double](1).toArray, r.getDouble(2)))
@@ -467,42 +500,23 @@ object Similarity {
         graft.functions.IvfAssign(exprs.head, exprs(1), flat, cnorms, cids, d)
       },
       "built-in")
-    val assigned = all
-      .withColumn("cell", expr(s"$fname(v, norm)"))
-      .select(col("vec_id"), col("cell"), col("v"), col("norm"))
-
-    // queries probe their nprobe nearest cells
-    val queries = all.filter(col("vec_id") < numQueries)
-      .select(col("vec_id").as("q_id"), col("v").as("qv"), col("norm").as("qnorm"))
-    val probeW = Window.partitionBy(col("q_id"))
-      .orderBy(col("__qcsim").desc, col("c_id"))
-    val probes = queries.join(broadcast(centroids))
-      .withColumn("__qcsim", dot("qv", "cv") / (col("qnorm") * col("cnorm")))
-      .withColumn("__rn", row_number().over(probeW))
-      .filter(col("__rn") <= nprobe)
-      .select(col("q_id"), col("qv"), col("qnorm"), col("c_id").as("cell"))
-
-    // exact rerank within probed cells only — probes are tiny (queries ×
-    // nprobe), so broadcast them: the vector table never shuffles
-    val w = Window.partitionBy(col("q_id"))
-      .orderBy(col("cos_sim").desc, col("neighbor_id"))
-    assigned.join(broadcast(probes), Seq("cell"))
-      .filter(col("vec_id") =!= col("q_id"))
-      .select(col("q_id"), col("vec_id").as("neighbor_id"),
-        round(dot("qv", "v") / (col("qnorm") * col("norm")), 6).as("cos_sim"))
-      .withColumn("rank", row_number().over(w).cast("long"))
-      .filter(col("rank") <= k)
+    all.withColumn("cell", expr(s"$fname(v, norm)"))
   }
 
   /** Distributed Lloyd refinement: re-fit the coarse quantizer's centroids
     * over the FULL corpus — the scale path for training sets above the
     * driver-sample budget ([[kmeansCentroids]]'s `maxTrainSamples`).
-    * Each pass is (a) one broadcast assignment (the corpus never
-    * shuffles vectors for the argmax — map-side `max_by` partials), then
-    * (b) one map-side-combined [[VecSumDoubleAgg]] aggregation whose
+    * Each pass is (a) the [[assignCells]] scan-stage argmax (a per-row
+    * codegen kernel over the plan-constant centroid matrix — the corpus
+    * neither shuffles nor fans out to |corpus| × |cells| joined rows),
+    * then (b) one map-side-combined [[VecSumDoubleAgg]] aggregation whose
     * shuffle carries ~one partially-summed array per (partition, cell),
     * then (c) a driver fold of the cells×dims result — bounded by the
     * centroid count, the same literal-relation discipline as training.
+    * So a pass costs ≈ one assignment scan (measured in ScaleProbe),
+    * exactly the shape [[ivfSearch]] uses — the earlier
+    * broadcast-join + max_by formulation here re-materialized the
+    * corpus×cells product this kernel exists to avoid.
     * Cell ids stay the seed ids; emptied cells drop, as in driver Lloyd.
     * Float means from partial aggregation are accumulation-order-
     * dependent, so refined models are approximately (not bit-)
@@ -513,13 +527,8 @@ object Similarity {
     val vsum = udaf(VecSumDoubleAgg)
     var cur = centroids
     for (_ <- 1 to passes) {
-      val refit = all.join(broadcast(cur))
-        .withColumn("__csim", dot("v", "cv") / (col("norm") * col("cnorm")))
-        .groupBy(col("vec_id"))
-        .agg(
-          max_by(col("c_id"), struct(col("__csim"), -col("c_id"))).as("c_id"),
-          first(col("v")).as("v"))
-        .groupBy(col("c_id"))
+      val refit = assignCells(all, cur)
+        .groupBy(col("cell").as("c_id"))
         .agg(vsum(col("v")).as("__sums"), count(lit(1)).as("__n"))
         .collect() // cells × dims doubles — centroid-model-sized
       cur = centroidFrame(spark, refit.map { r =>
