@@ -27,8 +27,18 @@ object SparkEntry {
   val VelocityWindowSec  = 3600    // analog of 60 s (corpus is ~30 days sparse)
   val VelocityMinTxns    = 2L      // analog of >=5
   val VelocityAdvanceSec = 1800    // hopping advance: 2 overlapping windows
+  // the q_velocity_hopping oracle fans each event out over EXACTLY
+  // window/advance integer hops (generate_series 0 .. w/a - 1); Spark's
+  // two-arg window() also handles non-divisible hops (ceil expansion), so
+  // a knob change to a non-multiple would silently desync the oracle —
+  // fail at class-load instead
+  require(VelocityWindowSec % VelocityAdvanceSec == 0,
+    s"VelocityWindowSec ($VelocityWindowSec) must be a multiple of " +
+      s"VelocityAdvanceSec ($VelocityAdvanceSec): the hopping-window oracle " +
+      "derives its per-event fan-out as window/advance exact hops")
   val DailySpendAlert    = 150.0   // analog of ₦1,000,000 / 24 h (~p90 of daily sums)
   val DormancyGap        = "48 hours" // analog of 30-day inactivity gap
+  val BigramMinCount     = 2L      // LM count cutoff: singleton bigram types prune
   val DormancyGapUs      = 48L * 3600 * 1000000 // same gap in epoch-micros
 
   // ---- extension-operator knobs (tuned to the corpus distributions) --------
@@ -753,6 +763,14 @@ object SparkEntry {
     // micro-nats; the sequence-aware sharpening of q_unigram_logprob)
     "q_bigram_logprob" -> ((s, dir) =>
       graft.text.TrainingPrep.bigramLogProb(Tables.documents(s, dir))),
+
+    // Production guard for the LM-scoring join: Katz-style count pruning
+    // of the bigram type table (count < minCount scores as UNSEEN) — the
+    // surviving frequent-type table broadcasts, so the postings never
+    // shuffle. Oracle replays the prune as a HAVING clause
+    "q_bigram_logprob_capped" -> ((s, dir) =>
+      graft.text.TrainingPrep.bigramLogProbCapped(Tables.documents(s, dir),
+        BigramMinCount)),
 
     // Token-budget curation: each language's budget filled with its
     // highest-quality docs (greedy prefix, strict budget, total order)
@@ -2088,10 +2106,10 @@ object SparkEntry {
       def lloyd(cin: String, i: Int): String =
         s"""asg$i AS (
            |  SELECT vec_id, v, c_id FROM (
-           |    SELECT n.vec_id, n.v, c.c_id,
-           |      row_number() OVER (PARTITION BY n.vec_id
-           |        ORDER BY list_dot_product(n.v, c.cv) / (n.norm * c.cnorm) DESC, c.c_id) AS rn
-           |    FROM n CROSS JOIN $cin c) WHERE rn = 1
+           |    SELECT tr.vec_id, tr.v, c.c_id,
+           |      row_number() OVER (PARTITION BY tr.vec_id
+           |        ORDER BY list_dot_product(tr.v, c.cv) / (tr.norm * c.cnorm) DESC, c.c_id) AS rn
+           |    FROM tr CROSS JOIN $cin c) WHERE rn = 1
            |),
            |m$i AS (
            |  SELECT c_id, d,
@@ -2114,9 +2132,19 @@ object SparkEntry {
          |-- the same correctly-rounded IEEE arithmetic in both engines
          |strideEff AS (SELECT greatest($IvfStride, CAST(ceil(CAST(count(*) AS DOUBLE) /
          |  ceil(4.0 * sqrt(CAST(count(*) AS DOUBLE)))) AS BIGINT)) AS s FROM e),
-         |seeds AS (SELECT vec_id FROM hv WHERE hv % (SELECT s FROM strideEff) = 0),
-         |c0 AS (SELECT n.vec_id AS c_id, n.v AS cv, n.norm AS cnorm
-         |       FROM n JOIN seeds USING (vec_id)),
+         |-- adaptive training-sample modulus (same auto-derivation: corpora
+         |-- above maxTrainSamples/2 = 65536 vectors train on a bounded
+         |-- hash-sample; identity at every gated SF). Sample and seeds
+         |-- share ONE hash: pmod(xxhash64(vec_id), m | s) = 0
+         |modEff AS (SELECT greatest(1, CAST(ceil(CAST(count(*) AS DOUBLE) /
+         |  65536.0) AS BIGINT)) AS m FROM e),
+         |tr AS (SELECT n.* FROM n JOIN hv USING (vec_id)
+         |       WHERE hv % (SELECT m FROM modEff) = 0),
+         |seeds AS (SELECT vec_id FROM hv
+         |          WHERE hv % (SELECT m FROM modEff) = 0
+         |            AND hv % (SELECT s FROM strideEff) = 0),
+         |c0 AS (SELECT tr.vec_id AS c_id, tr.v AS cv, tr.norm AS cnorm
+         |       FROM tr JOIN seeds USING (vec_id)),
          |${lloyd("c0", 1)},
          |${lloyd("c1", 2)},
          |asg AS (
@@ -2281,6 +2309,27 @@ object SparkEntry {
         |  CAST(coalesce(pd.n_bigrams, 0) AS BIGINT) AS n_bigrams,
         |  CAST(coalesce(pd.logprob_micro, 0) AS BIGINT) AS logprob_micro
         |FROM (SELECT DISTINCT doc_id FROM d) d LEFT JOIN pd USING (doc_id)""".stripMargin,
+
+    // same LM replay with the count-cutoff prune: types below minCount
+    // leave bc, and the LEFT JOIN's NULL coalesces to the unseen score
+    "q_bigram_logprob_capped" ->
+      s"""WITH d AS (SELECT doc_id, string_split(text, ' ') AS w FROM documents),
+         |b AS (SELECT doc_id, unnest(w[1:len(w)-1]) AS w1, unnest(w[2:len(w)]) AS w2 FROM d),
+         |bc AS (SELECT w1, w2, CAST(count(*) AS BIGINT) AS bg_n FROM b GROUP BY 1, 2
+         |       HAVING count(*) >= $BigramMinCount),
+         |cc AS (SELECT w1, CAST(count(*) AS BIGINT) AS ctx_n FROM b GROUP BY 1),
+         |v AS (SELECT CAST(count(DISTINCT t) AS BIGINT) AS vn
+         |      FROM (SELECT unnest(w) AS t FROM d)),
+         |lp AS (SELECT doc_id,
+         |         CAST(floor(ln((coalesce(bg_n, 0) + 1) / CAST(ctx_n + vn AS DOUBLE)) * 1e6) AS BIGINT) AS lp_micro
+         |       FROM b LEFT JOIN bc USING (w1, w2) JOIN cc USING (w1) CROSS JOIN v),
+         |pd AS (SELECT doc_id, CAST(count(*) AS BIGINT) AS n_bigrams,
+         |         CAST(sum(lp_micro) AS BIGINT) AS logprob_micro
+         |       FROM lp GROUP BY 1)
+         |SELECT d.doc_id,
+         |  CAST(coalesce(pd.n_bigrams, 0) AS BIGINT) AS n_bigrams,
+         |  CAST(coalesce(pd.logprob_micro, 0) AS BIGINT) AS logprob_micro
+         |FROM (SELECT DISTINCT doc_id FROM d) d LEFT JOIN pd USING (doc_id)""".stripMargin,
 
     "q_doc_chunks" ->
       """WITH c AS (

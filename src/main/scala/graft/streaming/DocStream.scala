@@ -46,8 +46,13 @@ object DocStream {
   case class BandRow(doc_id: Long, ingest_ts: java.sql.Timestamp,
       band: Int, bucket: Long)
 
-  /** Resident doc ids of one (band, bucket) LSH bucket, arrival order. */
-  case class BucketState(residents: List[Long])
+  /** Resident doc ids of one (band, bucket) LSH bucket, arrival order.
+    * A Vector, not a List: admission appends (effectively O(1)) instead of
+    * rebuilding the spine, and the per-arrival membership probe runs
+    * against a Set built once per micro-batch — a hot bucket at the
+    * `maxResidents` cap costs O(residents) per arrival only for the pair
+    * EMISSION (which is output-sized, irreducible), not for bookkeeping. */
+  case class BucketState(residents: Vector[Long])
 
   /** A near-dup candidate: `doc_b` arrived while `doc_a` (an earlier
     * arrival) was resident in the same (band, bucket). Pairs may repeat
@@ -98,7 +103,7 @@ object DocStream {
         process(stateTtlMs, maxResidents))
   }
 
-  private def process(stateTtlMs: Long, maxResidents: Int)(
+  private[graft] def process(stateTtlMs: Long, maxResidents: Int)(
       key: (Int, Long), rows: Iterator[BandRow],
       state: GroupState[BucketState]): Iterator[CandPair] = {
     if (state.hasTimedOut) { state.remove(); Iterator.empty }
@@ -107,13 +112,21 @@ object DocStream {
       // doc_id tiebreak (matches the batch join's doc_id ordering when
       // ids are assigned in ingest order)
       val arrivals = rows.toSeq.sortBy(r => (r.ingest_ts.getTime, r.doc_id))
-      var residents = state.getOption.map(_.residents).getOrElse(Nil)
+      var residents = state.getOption.map(_.residents).getOrElse(Vector.empty)
+      // membership is checked against ADMITTED residents only (a capped-out
+      // arrival re-pairs if it re-arrives — same as the pre-cap semantics);
+      // the Set makes the probe O(1) where List.contains was O(residents)
+      val admitted = scala.collection.mutable.HashSet.empty[Long]
+      admitted ++= residents
       val out = Seq.newBuilder[CandPair]
-      for (r <- arrivals if !residents.contains(r.doc_id)) {
+      for (r <- arrivals if !admitted.contains(r.doc_id)) {
         for (o <- residents)
           out += CandPair(math.min(o, r.doc_id), math.max(o, r.doc_id),
             key._1, key._2)
-        if (residents.size < maxResidents) residents = residents :+ r.doc_id
+        if (residents.size < maxResidents) {
+          residents = residents :+ r.doc_id
+          admitted += r.doc_id
+        }
       }
       state.update(BucketState(residents))
       // expire the bucket TTL past the newest arrival, but never set a

@@ -453,6 +453,59 @@ object TrainingPrep {
         coalesce(col("logprob_micro"), lit(0L)).as("logprob_micro"))
   }
 
+  /** [[bigramLogProb]] with count-threshold pruning of the bigram type
+    * table — the production guard for the LM-scoring join at corpus scale.
+    *
+    * The uncapped form's cost driver is the bigram TYPE table: on a
+    * worst-case corpus (synthetic text, every bigram unique — measured at
+    * 28.8 s in the 10M-row probe, the heaviest join in the suite) it is
+    * corpus-sized, so the postings⇄counts join shuffles EVERYTHING on
+    * (w1, w2). Pruning types with count < `minCount` (Katz-style count
+    * cutoff — the standard n-gram LM pruning) bounds the surviving table
+    * at total_bigrams / minCount and in practice (Zipf) far below it, so
+    * it BROADCASTS and the postings never shuffle at all: same shape as
+    * `winnowContainmentPairs(maxDf)` turning hot postings into a bounded
+    * join, but here the whole shuffle disappears.
+    *
+    * Semantics: a pruned (rare) bigram scores as UNSEEN — add-one
+    * smoothing gives it ln(1 / (c(w1·)+V)) instead of ln((c+1)/(c(w1·)+V))
+    * — a principled LM backoff, exactly replayed by the oracle (the prune
+    * is a deterministic HAVING clause, not a sampling choice). Context
+    * counts and vocabulary stay exact: both are vocabulary-sized.
+    *
+    * The broadcast bound is the caller's knob: minCount=2 drops exactly
+    * the singleton types (the worst-case mass); raise it until the type
+    * table fits the broadcast budget at your scale. */
+  def bigramLogProbCapped(documents: DataFrame,
+      minCount: Long = 2L): DataFrame = {
+    val words = documents.select(col("doc_id"), split(col("text"), " ").as("w"))
+    val bg = words
+      .select(col("doc_id"), explode(expr(
+        """if(size(w) < 2, array(),
+          |  transform(sequence(1, size(w) - 1),
+          |    i -> struct(w[i-1] AS w1, w[i] AS w2)))""".stripMargin)).as("b"))
+      .select(col("doc_id"), col("b.w1").as("w1"), col("b.w2").as("w2"))
+    val bgCounts = bg.groupBy("w1", "w2").agg(count(lit(1)).as("bg_n"))
+      .filter(col("bg_n") >= minCount)
+    val ctxCounts = bg.groupBy("w1").agg(count(lit(1)).as("ctx_n"))
+    val vocabSize = words.select(explode(col("w")).as("t"))
+      .agg(countDistinct(col("t")).as("vn"))
+    val perDoc = bg
+      .join(broadcast(bgCounts), Seq("w1", "w2"), "left")
+      .join(broadcast(ctxCounts), Seq("w1"))
+      .crossJoin(broadcast(vocabSize))
+      .withColumn("__lp_micro",
+        floor(log((coalesce(col("bg_n"), lit(0L)) + 1) /
+          (col("ctx_n") + col("vn")).cast("double")) * 1e6).cast("long"))
+      .groupBy("doc_id")
+      .agg(count(lit(1)).as("n_bigrams"),
+        sum(col("__lp_micro")).as("logprob_micro"))
+    documents.select("doc_id").join(perDoc, Seq("doc_id"), "left")
+      .select(col("doc_id"),
+        coalesce(col("n_bigrams"), lit(0L)).as("n_bigrams"),
+        coalesce(col("logprob_micro"), lit(0L)).as("logprob_micro"))
+  }
+
   /** Overlapping document chunking (the RAG/embedding-index layout, as
     * opposed to [[packSequences]]' disjoint pretraining chunks): windows
     * of `size` chars starting every `stride` chars, so consecutive

@@ -201,3 +201,37 @@ object WinsorizeProps extends Properties("winsorize-cut") {
       histogramCut(kobos, p) == rankCut(kobos, p)
     }
 }
+
+/** The streaming near-dup bucket store at the `maxResidents` cap, against
+  * random arrival streams: the cap bounds STATE, never output — capped-out
+  * arrivals still pair against the residents, and no two non-admitted
+  * docs ever pair with each other (neither is in state to be paired
+  * against). Drives [[graft.streaming.DocStream.process]] directly via
+  * Spark's TestGroupState harness; the end-to-end streaming equivalence
+  * lives in DocStreamSpec. */
+object DocStreamBucketProps extends Properties("docstream-bucket-cap") {
+  import org.apache.spark.api.java.Optional
+  import org.apache.spark.sql.streaming.{GroupStateTimeout, TestGroupState}
+  import graft.streaming.DocStream
+
+  property("residents = first cap distinct arrivals; pairs never join two capped-out docs") =
+    forAll(Gen.chooseNum(1, 6), Gen.nonEmptyListOf(Gen.chooseNum(1L, 25L))) {
+      (cap, ids) =>
+        val state = TestGroupState.create[DocStream.BucketState](
+          Optional.empty(), GroupStateTimeout.EventTimeTimeout,
+          batchProcessingTimeMs = 0L, eventTimeWatermarkMs = Optional.of(1L),
+          hasTimedOut = false)
+        // distinct, increasing timestamps: arrival order == list order
+        val rows = ids.zipWithIndex.map { case (id, i) =>
+          DocStream.BandRow(id, new java.sql.Timestamp(1000000L + i), 0, 7L)
+        }.iterator
+        val out = DocStream.process(stateTtlMs = 60000L, maxResidents = cap)(
+          (0, 7L), rows, state).toSeq
+        val residents = state.get.residents
+        val wantResidents = ids.distinct.take(cap)
+        val admitted = residents.toSet
+        residents == wantResidents.toVector &&
+          out.forall(p => p.doc_a != p.doc_b) &&
+          out.forall(p => admitted.contains(p.doc_a) || admitted.contains(p.doc_b))
+    }
+}

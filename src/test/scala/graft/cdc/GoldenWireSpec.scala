@@ -95,6 +95,141 @@ class GoldenWireSpec extends SparkSpecBase {
     assert(keys.contains("100") && keys.contains("500"))
   }
 
+  // ---- Confluent-framed Avro BINARY fixtures --------------------------------
+  // A minimal independent Avro binary ENCODER (reader lives in main:
+  // AvroWire). Primitive encodings are pinned below against the Avro
+  // spec's own published examples, so encoder and decoder cannot share a
+  // misreading of the format.
+
+  private def vlong(n: Long): Array[Byte] = {
+    var z = (n << 1) ^ (n >> 63) // zigzag
+    val b = scala.collection.mutable.ArrayBuffer.empty[Byte]
+    while ((z & ~0x7fL) != 0) { b += ((z & 0x7f) | 0x80).toByte; z >>>= 7 }
+    b += z.toByte
+    b.toArray
+  }
+  private def dbl(x: Double): Array[Byte] = {
+    val bits = java.lang.Double.doubleToLongBits(x)
+    (0 until 8).map(i => ((bits >> (8 * i)) & 0xff).toByte).toArray
+  }
+  private def sstr(s: String): Array[Byte] = {
+    val b = s.getBytes("UTF-8"); vlong(b.length.toLong) ++ b
+  }
+  private val absent: Array[Byte] = vlong(0) // union branch 0 = null
+  private def present(v: Array[Byte]): Array[Byte] = vlong(1) ++ v
+
+  /** TRANSACTIONS image body, field order = Schemas.transactionRow. */
+  private def txnImageAvro(txnId: Long, acctId: Long, typ: String,
+      amount: Double, status: String, initiatedUs: Long): Array[Byte] =
+    Array(
+      present(dbl(txnId.toDouble)), present(dbl(acctId.toDouble)),
+      present(sstr(s"REF-$txnId")), present(sstr(typ)),
+      present(dbl(amount)), present(sstr("NGN")), present(sstr(status)),
+      present(dbl(1000000.0)), present(dbl(1000000.0 - amount)),
+      present(vlong(initiatedUs)), present(vlong(initiatedUs + 1000000L))
+    ).flatten
+
+  /** Confluent frame: magic 0x00 + BE schema id + envelope body
+    * (field order = Schemas.transactionEnvelope; every field optional). */
+  private def txnFrameAvro(txnId: Long, acctId: Long, typ: String,
+      amount: Double, status: String = "COMPLETED", op: String = "c",
+      initiatedUs: Long = 1700000000000000L,
+      schemaIdNum: Int = 7): Array[Byte] = {
+    val image = txnImageAvro(txnId, acctId, typ, amount, status, initiatedUs)
+    val (before, after) =
+      if (op == "d") (present(image), absent) else (absent, present(image))
+    val source = Array(
+      present(sstr("3.2.0")), present(sstr("oracle")), present(sstr("abbank")),
+      present(vlong(initiatedUs / 1000)), present(sstr("XE")),
+      present(sstr("BANKDB")), present(sstr("TRANSACTIONS")),
+      present(sstr(txnId.toString))).flatten
+    val body = before ++ after ++ present(source) ++ present(sstr(op)) ++
+      present(vlong(initiatedUs / 1000)) ++ present(vlong(initiatedUs)) ++
+      present(vlong(initiatedUs * 1000))
+    Array[Byte](0x00,
+      ((schemaIdNum >> 24) & 0xff).toByte, ((schemaIdNum >> 16) & 0xff).toByte,
+      ((schemaIdNum >> 8) & 0xff).toByte, (schemaIdNum & 0xff).toByte) ++ body
+  }
+
+  private def avroWireFrame(records: Seq[(Long, Array[Byte])]) = {
+    import spark.implicits._
+    records.toDF("k", "value")
+      .select(col("k").cast("string").cast("binary").as("key"), col("value"))
+  }
+
+  test("Avro binary primitives match the Avro spec's published encodings") {
+    // spec 'Binary encoding' examples: zigzag varints 1 -> 02, -2 -> 03,
+    // 64 -> 80 01; union branch indices are plain zigzag ints
+    assert(vlong(1L).toSeq === Seq(0x02.toByte))
+    assert(vlong(-2L).toSeq === Seq(0x03.toByte))
+    assert(vlong(64L).toSeq === Seq(0x80.toByte, 0x01.toByte))
+    assert(absent.toSeq === Seq(0x00.toByte))
+    assert(present(Array.empty).toSeq === Seq(0x02.toByte))
+    // string = length varint + UTF-8 bytes
+    assert(sstr("NGN").toSeq === Seq(0x06.toByte, 'N'.toByte, 'G'.toByte, 'N'.toByte))
+    // double = 8-byte little-endian IEEE 754 (2.0 = 0x4000000000000000)
+    assert(dbl(2.0).toSeq ===
+      Seq[Byte](0, 0, 0, 0, 0, 0, 0, 0x40))
+    // and the reader round-trips them (independent implementations)
+    val r = new AvroWire.BinaryReader(vlong(1700000000000000L) ++ dbl(-1234.56) ++ sstr("DEBIT"), 0)
+    assert(r.readLong() === 1700000000000000L)
+    assert(r.readDouble() === -1234.56)
+    assert(r.readString() === "DEBIT")
+  }
+
+  test("Confluent-framed Avro fixtures decode to the same typed rows as the JSON wire") {
+    val avroWire = avroWireFrame(Seq(
+      (100L, txnFrameAvro(1, 100, "DEBIT", 600000.0)),
+      (100L, txnFrameAvro(2, 100, "DEBIT", 500000.0)),
+      (100L, txnFrameAvro(3, 100, "DEBIT", 499999.99)),
+      (200L, txnFrameAvro(4, 200, "CREDIT", 750000.0)),
+      (300L, txnFrameAvro(5, 300, "TRANSFER_OUT", 50000.0, op = "r")),
+      (400L, txnFrameAvro(6, 400, "DEBIT", 10000.0, op = "d")),
+      (0L, Array[Byte](0x00, 0, 0, 0, 7, 0x02)),          // truncated body
+      (500L, txnFrameAvro(7, 500, "FEE", 1234.56))))
+
+    assert(AvroWire.schemaId(txnFrameAvro(1, 100, "DEBIT", 1.0)) === 7)
+
+    val parsedAvro = EnvelopeOps.parseTxnEnvelope(
+      AvroWire.decodeAvroEnvelope(avroWire))
+    assert(parsedAvro.count() === 8) // permissive: malformed -> null row
+
+    // byte-different wire, identical typed output: the same canonical
+    // records through the JSON seam
+    val jsonWire = wireFrame(Seq(
+      (100L, txnJson(1, 100, "DEBIT", 600000.0)),
+      (100L, txnJson(2, 100, "DEBIT", 500000.0)),
+      (100L, txnJson(3, 100, "DEBIT", 499999.99)),
+      (200L, txnJson(4, 200, "CREDIT", 750000.0)),
+      (300L, txnJson(5, 300, "TRANSFER_OUT", 50000.0, op = "r")),
+      (400L, txnJson(6, 400, "DEBIT", 10000.0, op = "d")),
+      (0L, """{"garbage": true"""),
+      (500L, txnJson(7, 500, "FEE", 1234.56))))
+    val wantLive = EnvelopeOps.upsertsOnly(decodeWire(jsonWire)).collect().toSet
+    val gotLive = EnvelopeOps.upsertsOnly(parsedAvro).collect().toSet
+    assert(gotLive === wantLive)
+    assert(gotLive.map(_.getAs[Long]("txn_id")) === Set(1L, 2L, 3L, 4L, 5L, 7L))
+
+    // spot conversions straight off the binary wire
+    val t7 = parsedAvro.filter(col("txn_id") === 7).head()
+    assert(t7.getAs[Long]("account_id") === 500L)
+    assert(t7.getAs[Long]("event_time_us") === 1700000000000000L)
+    assert(t7.getAs[Long]("event_time_ms") === 1700000000000L)
+    assert(t7.getAs[Double]("amount") === 1234.56)
+  }
+
+  test("Avro wire rejects-to-null without failing: bad magic, truncation, bad branch") {
+    val good = txnFrameAvro(1, 100, "DEBIT", 600000.0)
+    val badMagic = good.clone(); badMagic(0) = 0x01
+    val truncated = good.take(good.length - 3)
+    val badBranch = Array[Byte](0x00, 0, 0, 0, 7) ++ vlong(5) // union branch 5
+    val wire = avroWireFrame(Seq(
+      (1L, good), (2L, badMagic), (3L, truncated), (4L, badBranch)))
+    val parsed = EnvelopeOps.parseTxnEnvelope(AvroWire.decodeAvroEnvelope(wire))
+    assert(parsed.count() === 4)
+    assert(EnvelopeOps.upsertsOnly(parsed).count() === 1)
+  }
+
   test("golden delete keeps its key in the before-image (tombstone contract)") {
     // Debezium deletes carry before=row, after=null; the KTable path keys
     // deletes from the before-image (DimensionCdc.parseAccountEnvelope)

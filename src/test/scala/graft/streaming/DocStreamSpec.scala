@@ -84,6 +84,40 @@ class DocStreamSpec extends SparkSpecBase {
     assert(got === want)
   }
 
+  test("maxResidents boundary: capped bucket still pairs new arrivals, never admits past cap") {
+    import org.apache.spark.api.java.Optional
+    import org.apache.spark.sql.streaming.{GroupStateTimeout, TestGroupState}
+    val key = (0, 7L)
+    def rows(ids: Long*) = ids.map(id =>
+      DocStream.BandRow(id, new java.sql.Timestamp(1000000L + id), 0, 7L)).iterator
+    val state = TestGroupState.create[DocStream.BucketState](
+      Optional.empty(), GroupStateTimeout.EventTimeTimeout,
+      batchProcessingTimeMs = 0L, eventTimeWatermarkMs = Optional.of(1L),
+      hasTimedOut = false)
+    val cap = 4
+
+    // 6 docs land in an empty bucket with cap 4: 1-4 admitted, 5 and 6
+    // pair against the capped residents but do NOT pair with each other
+    val out1 = DocStream.process(stateTtlMs = 60000L, maxResidents = cap)(
+      key, rows(1L, 2L, 3L, 4L, 5L, 6L), state).toSet
+    val admittedPairs =
+      for (a <- 1L to 4L; b <- (a + 1) to 4L) yield (a, b)
+    val cappedPairs =
+      for (n <- Seq(5L, 6L); a <- 1L to 4L) yield (a, n)
+    assert(out1.map(p => (p.doc_a, p.doc_b)) ===
+      (admittedPairs ++ cappedPairs).toSet)
+    assert(state.get.residents === Vector(1L, 2L, 3L, 4L))
+
+    // next batch: a fresh doc still pairs against all 4 residents; a
+    // re-arrival of an ADMITTED doc is suppressed; the non-admitted doc 5
+    // re-pairs on re-arrival (cap semantics: membership = admitted only)
+    val out2 = DocStream.process(stateTtlMs = 60000L, maxResidents = cap)(
+      key, rows(7L, 1L, 5L), state).toSet
+    assert(out2.map(p => (p.doc_a, p.doc_b)) ===
+      ((1L to 4L).map(a => (a, 7L)) ++ (1L to 4L).map(a => (a, 5L))).toSet)
+    assert(state.get.residents === Vector(1L, 2L, 3L, 4L))
+  }
+
   test("near-dup bucket state expires: pairs only within the TTL horizon") {
     implicit val ctx = spark.sqlContext
     val text = "one two three four five six seven eight nine ten"

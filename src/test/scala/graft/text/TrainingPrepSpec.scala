@@ -237,6 +237,32 @@ class TrainingPrepSpec extends SparkSpecBase {
     assert(got(2L) === ((0L, 0L))) // sub-2-token doc surfaces, zeroed
   }
 
+  test("capped bigram logprob: pruned types score as unseen; minCount=1 == uncapped; postings join broadcasts") {
+    val d = docs((1L, "a b a b"), (2L, "a"))
+    // minCount=2 prunes the singleton type (b,a): it scores as unseen,
+    // ln((0+1)/(c(b.)+V)) = ln(1/3); (a,b) keeps its exact count
+    val lpAb = math.floor(math.log(3.0 / 4.0) * 1e6).toLong
+    val lpBaUnseen = math.floor(math.log(1.0 / 3.0) * 1e6).toLong
+    val got = TrainingPrep.bigramLogProbCapped(d, minCount = 2L)
+      .as[(Long, Long, Long)].collect().map(r => r._1 -> ((r._2, r._3))).toMap
+    assert(got(1L) === ((3L, 2 * lpAb + lpBaUnseen)))
+    assert(got(2L) === ((0L, 0L)))
+
+    // minCount=1 prunes nothing: exact equality with the uncapped operator
+    val corpus = docs((1L, "a b a b"), (2L, "a"), (3L, "b c d c b"))
+    val uncapped = TrainingPrep.bigramLogProb(corpus).collect().toSet
+    val capped1 = TrainingPrep.bigramLogProbCapped(corpus, minCount = 1L)
+      .collect().toSet
+    assert(capped1 === uncapped)
+
+    // the load-bearing plan property: the postings side never shuffles for
+    // the type-count join — both joins are broadcast hash joins
+    val plan = TrainingPrep.bigramLogProbCapped(corpus, minCount = 2L)
+      .queryExecution.executedPlan.toString
+    assert(plan.contains("BroadcastHashJoin"))
+    assert(!plan.contains("SortMergeJoin"))
+  }
+
   test("bpe pairs: frequency-weighted adjacent character pair counts") {
     // "abab" x2 and "abc" x1; single-char words contribute nothing
     val d = docs((1L, "abab abc a"), (2L, "abab"))
