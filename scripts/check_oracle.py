@@ -6,7 +6,10 @@ parquet + oracle_sql.json), then this script replays each oracle SQL in
 DuckDB over the same test tables and diffs. Dev tooling only — the Scala
 library has no Python dependency.
 
-Usage: python3 scripts/check_oracle.py <sfDir> <verifyOutDir>
+Usage: python3 scripts/check_oracle.py <sfDir> <verifyOutDir> [jsonOut]
+
+With a third argument, also writes a machine-readable summary (the
+repo-committed CORRECTNESS_sf1.json standing-gate artifact).
 """
 import json, sys, glob, os
 import duckdb
@@ -20,24 +23,29 @@ for p in glob.glob(f"{sfdir}/*.parquet"):
 
 oracle = json.load(open(f"{outdir}/oracle_sql.json"))
 fail = 0
+results = {}
 for name, sql in sorted(oracle.items()):
     spark_dir = f"{outdir}/{name}"
+    def bad(msg):
+        global fail
+        print(f"FAIL {name}: {msg}"); fail += 1
+        results[name] = {"ok": False, "why": msg}
     if not os.path.isdir(spark_dir):
-        print(f"FAIL {name}: no spark output dir"); fail += 1; continue
+        bad("no spark output dir"); continue
     try:
         got = pd.concat([pd.read_parquet(f) for f in glob.glob(f"{spark_dir}/*.parquet")])
     except ValueError:
-        print(f"FAIL {name}: empty spark output"); fail += 1; continue
+        bad("empty spark output"); continue
     try:
         want = con.sql(sql).df()
     except Exception as e:
-        print(f"FAIL {name}: oracle SQL error: {str(e)[:200]}"); fail += 1; continue
+        bad(f"oracle SQL error: {str(e)[:200]}"); continue
     got = got[sorted(got.columns)]
     want = want[sorted(want.columns)]
     if list(got.columns) != list(want.columns):
-        print(f"FAIL {name}: columns {list(got.columns)} vs {list(want.columns)}"); fail += 1; continue
+        bad(f"columns {list(got.columns)} vs {list(want.columns)}"); continue
     if len(got) != len(want):
-        print(f"FAIL {name}: rows {len(got)} vs {len(want)}"); fail += 1; continue
+        bad(f"rows {len(got)} vs {len(want)}"); continue
     # arrays/objects aren't sortable/hashable -> compare stringified
     for c in got.columns:
         if got[c].dtype == object:
@@ -60,8 +68,13 @@ for name, sql in sorted(oracle.items()):
             diff_cols.append((c, int((~eq).sum()),
                               gs[~eq].iloc[0], ws[~eq].iloc[0]))
     if diff_cols:
-        print(f"FAIL {name}: value diffs {diff_cols[:3]}"); fail += 1
+        bad(f"value diffs {[(c, n, str(a)[:60], str(b)[:60]) for c, n, a, b in diff_cols[:3]]}")
     else:
         print(f"OK   {name}: {len(got)} rows")
+        results[name] = {"ok": True, "rows": int(len(got))}
 print("RESULT:", "FAIL" if fail else "ALL OK", f"({len(oracle)-fail}/{len(oracle)})")
+if len(sys.argv) > 3:
+    json.dump({"sf_dir": sfdir, "n_queries": len(oracle),
+               "n_pass": len(oracle) - fail, "n_fail": fail,
+               "queries": results}, open(sys.argv[3], "w"), indent=1)
 sys.exit(1 if fail else 0)

@@ -217,6 +217,33 @@ object ScaleProbe {
       println(f"PROBE streaming_rolling_spend rows=$streamN sec=$sec%.2f rate=${streamN / sec}%.0f rows/s")
     }
 
+    // round-6: incremental KTable store maintenance at dimension scale —
+    // a 1M-key store absorbing 1k-row micro-batches. The bucketed layout's
+    // contract: per-batch write cost tracks the CHANGED buckets (≤ batch
+    // key count), not the store; the full-rewrite form this replaced paid
+    // O(|store|) per batch.
+    locally {
+      val storeDir = java.nio.file.Files.createTempDirectory("graft_sprobe_dim").toString
+      val keys = math.min(n / 10, 1000000L)
+      def dimBatch(ids: org.apache.spark.sql.DataFrame) = ids.select(
+        col("id").as("account_id"),
+        concat(lit("ACCT-"), col("id")).as("account_number"),
+        (col("id") % 97).cast("double").as("balance"),
+        lit("u").as("op"))
+      val t0 = System.nanoTime()
+      streaming.DimStore.upsert(storeDir, Seq("account_id"))(
+        dimBatch(spark.range(keys).toDF()), 0L)
+      val tInit = (System.nanoTime() - t0) / 1e9
+      val batchTimes = (1L to 5L).map { b =>
+        val tb = System.nanoTime()
+        streaming.DimStore.upsert(storeDir, Seq("account_id"))(
+          dimBatch(spark.range(b * 1000L, b * 1000L + 1000L).toDF()), b)
+        (System.nanoTime() - tb) / 1e9
+      }
+      println(f"PROBE dimstore_inc keys=$keys init_sec=$tInit%.2f " +
+        f"batch1k_min_sec=${batchTimes.min}%.2f batch1k_med_sec=${batchTimes.sorted.apply(2)}%.2f")
+    }
+
     // event analytics + feature prep at the full 10M-event scale
     val rawEvents = synthEvents(spark, n, users = 10000)
     time("funnel_conversion")(ops.EventAnalytics.clickToPurchase(

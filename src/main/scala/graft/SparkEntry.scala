@@ -848,6 +848,17 @@ object SparkEntry {
           EnvelopeOps.encodeJsonEnvelope(
             EnvelopeOps.synthesizeTxnEnvelope(Tables.events(s, dir)))))),
 
+    // S1/S2 serde seam over the REAL wire format: envelope -> Confluent-
+    // framed Avro BINARY -> minimal Avro reader -> parse (graft.cdc
+    // .AvroWire — magic byte + schema id + zigzag/LE-IEEE binary body;
+    // swap for to_avro/from_avro + registry when the jars are present;
+    // byte fixtures pinned against the Avro spec in GoldenWireSpec)
+    "q_envelope_avro_serde" -> ((s, dir) =>
+      EnvelopeOps.parseTxnEnvelope(
+        graft.cdc.AvroWire.decodeAvroEnvelope(
+          graft.cdc.AvroWire.encodeAvroEnvelope(
+            EnvelopeOps.synthesizeTxnEnvelope(Tables.events(s, dir)))))),
+
     // Temporal as-of join: each debit sees the newest CREDIT "profile
     // version" at-or-before its own event time (union+sort+carry-forward —
     // one shuffle, no range explosion; oracle = DuckDB's native ASOF JOIN)
@@ -2425,6 +2436,11 @@ object SparkEntry {
         |FROM upserts GROUP BY 1""".stripMargin),
 
     "q_envelope_json_serde" -> (P +
+      "SELECT txn_id, account_id, txn_ref, txn_type, amount, currency, status, event_time_ms, event_time_us, op FROM txns"),
+
+    // the Avro binary wire round-trip must land on the same flat rows —
+    // byte format differs, typed output is the contract
+    "q_envelope_avro_serde" -> (P +
       "SELECT txn_id, account_id, txn_ref, txn_type, amount, currency, status, event_time_ms, event_time_us, op FROM txns"),
 
     "q_asof_enrich" -> (P +

@@ -230,6 +230,28 @@ class GoldenWireSpec extends SparkSpecBase {
     assert(EnvelopeOps.upsertsOnly(parsed).count() === 1)
   }
 
+  test("Avro encode (S2 sink seam): byte-identical to the independent fixture encoder; corpus round-trip exact") {
+    // the main encoder against bytes THIS spec's independent encoder
+    // authored — a shared misreading of the spec would have to be made
+    // twice, in different code, to pass
+    val env = EnvelopeOps.decodeJsonEnvelope(
+      wireFrame(Seq((100L, txnJson(1, 100, "DEBIT", 600000.0))))
+        .select(col("value").cast("string").as("payload")))
+    val got = AvroWire.encodeFrame(env.head().getStruct(0),
+      Schemas.transactionEnvelope, schemaIdNum = 7)
+    assert(got.toSeq === txnFrameAvro(1, 100, "DEBIT", 600000.0).toSeq)
+
+    // full-corpus round-trip: synthesize -> Avro encode -> Avro decode ->
+    // parse equals the batch parse path exactly
+    val events = graft.Tables.events(spark, sf0001)
+    val roundTrip = EnvelopeOps.parseTxnEnvelope(
+      AvroWire.decodeAvroEnvelope(
+        AvroWire.encodeAvroEnvelope(
+          EnvelopeOps.synthesizeTxnEnvelope(events))))
+    assert(roundTrip.collect().toSet ===
+      EnvelopeOps.parsedTransactions(events).collect().toSet)
+  }
+
   test("golden delete keeps its key in the before-image (tombstone contract)") {
     // Debezium deletes carry before=row, after=null; the KTable path keys
     // deletes from the before-image (DimensionCdc.parseAccountEnvelope)
