@@ -252,10 +252,24 @@ object SparkEntry {
         .select("account_id", "customer_id", "account_number", "account_type",
           "balance", "currency", "account_status", "cdc_ts_us")),
 
+    // the same ACCOUNTS KTable with the changelog carried over the BINARY
+    // Avro wire (Confluent frame -> scan-stage AvroWireDecode) instead of
+    // its JSON shadow — S1 is three Avro topics, not one
+    "q_cdc_account_dim_avro" -> ((s, dir) =>
+      DimensionCdc.accountsDimAvro(Tables.customer(s, dir))
+        .select("account_id", "customer_id", "account_number", "account_type",
+          "balance", "currency", "account_status", "cdc_ts_us")),
+
     // J2 over the CUSTOMERS CDC changelog (the second KTable the reference
     // builds, `ABBankTopology.java:127-144`) — EMAIL is the versioned field
     "q_cdc_customer_dim" -> ((s, dir) =>
       DimensionCdc.customersDim(Tables.customer(s, dir))
+        .select("customer_id", "first_name", "last_name", "email", "segment",
+          "cdc_ts_us")),
+
+    // CUSTOMERS KTable over the Avro wire (third of the three S1 topics)
+    "q_cdc_customer_dim_avro" -> ((s, dir) =>
+      DimensionCdc.customersDimAvro(Tables.customer(s, dir))
         .select("customer_id", "first_name", "last_name", "email", "segment",
           "cdc_ts_us")),
 
@@ -1594,7 +1608,19 @@ object SparkEntry {
           |       balance, currency, account_status, cdc_ts_us
           |FROM acct_dim""".stripMargin),
 
+    // wire format differs (Avro binary vs JSON), typed KTable is the
+    // contract — same oracle as the JSON-shadow query
+    "q_cdc_account_dim_avro" ->
+      (s"WITH $sqlAcctDim\n" +
+        """SELECT account_id, customer_id, account_number, account_type,
+          |       balance, currency, account_status, cdc_ts_us
+          |FROM acct_dim""".stripMargin),
+
     "q_cdc_customer_dim" ->
+      (s"WITH $sqlCustDim\n" +
+        "SELECT customer_id, first_name, last_name, email, segment, cdc_ts_us FROM cust_dim"),
+
+    "q_cdc_customer_dim_avro" ->
       (s"WITH $sqlCustDim\n" +
         "SELECT customer_id, first_name, last_name, email, segment, cdc_ts_us FROM cust_dim"),
 

@@ -130,11 +130,30 @@ object DimensionCdc {
         EnvelopeOps.encodeJsonEnvelope(synthesizeAccountEnvelope(customer)),
         schema = Schemas.accountEnvelope))
 
+  /** [[accountChangelog]] over the BINARY Avro wire instead of its JSON
+    * shadow: synthesize -> Confluent-framed Avro encode -> scan-stage
+    * decode ([[AvroWire]]) -> the same typed rows. Proves the S1 seam for
+    * the ACCOUNTS topic — the reference consumes THREE Avro topics
+    * (`topology/ABBankTopology.java:80-83`), not just transactions. */
+  def accountChangelogAvro(customer: DataFrame): DataFrame =
+    parseAccountEnvelope(
+      AvroWire.decodeAvroEnvelope(
+        AvroWire.encodeAvroEnvelope(synthesizeAccountEnvelope(customer),
+          schema = Schemas.accountEnvelope, schemaIdNum = 2),
+        schema = Schemas.accountEnvelope))
+
   /** The accounts KTable: latest version per account, tombstones applied
     * (an account whose newest version is a delete is absent). */
   def accountsDim(customer: DataFrame): DataFrame =
+    accountsDimFrom(accountChangelog(customer))
+
+  /** [[accountsDim]] built from the Avro-wire changelog. */
+  def accountsDimAvro(customer: DataFrame): DataFrame =
+    accountsDimFrom(accountChangelogAvro(customer))
+
+  private def accountsDimFrom(changelog: DataFrame): DataFrame =
     LatestByKey.latestWithTombstones(
-        accountChangelog(customer).filter(col("account_id").isNotNull),
+        changelog.filter(col("account_id").isNotNull),
         Seq("account_id"), Seq(col("cdc_ts_us")))
       .drop("op")
 
@@ -188,10 +207,27 @@ object DimensionCdc {
         EnvelopeOps.encodeJsonEnvelope(synthesizeCustomerEnvelope(customer)),
         schema = Schemas.customerEnvelope))
 
+  /** [[customerChangelog]] over the BINARY Avro wire (see
+    * [[accountChangelogAvro]] — the CUSTOMERS topic of the reference's
+    * three Avro sources). */
+  def customerChangelogAvro(customer: DataFrame): DataFrame =
+    parseCustomerEnvelope(
+      AvroWire.decodeAvroEnvelope(
+        AvroWire.encodeAvroEnvelope(synthesizeCustomerEnvelope(customer),
+          schema = Schemas.customerEnvelope, schemaIdNum = 3),
+        schema = Schemas.customerEnvelope))
+
   /** The customers KTable: latest version per customer, tombstones applied. */
   def customersDim(customer: DataFrame): DataFrame =
+    customersDimFrom(customerChangelog(customer))
+
+  /** [[customersDim]] built from the Avro-wire changelog. */
+  def customersDimAvro(customer: DataFrame): DataFrame =
+    customersDimFrom(customerChangelogAvro(customer))
+
+  private def customersDimFrom(changelog: DataFrame): DataFrame =
     LatestByKey.latestWithTombstones(
-        customerChangelog(customer).filter(col("customer_id").isNotNull),
+        changelog.filter(col("customer_id").isNotNull),
         Seq("customer_id"), Seq(col("cdc_ts_us")))
       .drop("op")
 }

@@ -182,6 +182,40 @@ object GraftFunctions {
       s"graft_winnow takes 1 or 3 arguments, got ${exprs.size}")
   }
 
+  /** Resolve the literal topic/schema-name argument of the SQL Avro serde
+    * functions to its registered envelope StructType — the stand-in for a
+    * Schema Registry lookup (`from_avro(value, registrySchema)` takes the
+    * schema as a literal the same way). */
+  private[functions] def envelopeSchemaFor(e: Expression) = {
+    val name = e.eval() match {
+      case s: org.apache.spark.unsafe.types.UTF8String => s.toString
+      case s: String => s
+      case other => throw new IllegalArgumentException(
+        s"schema name must be a string literal, got $other")
+    }
+    name match {
+      case "transactions" => graft.cdc.Schemas.transactionEnvelope
+      case "accounts" => graft.cdc.Schemas.accountEnvelope
+      case "customers" => graft.cdc.Schemas.customerEnvelope
+      case other => throw new IllegalArgumentException(
+        s"unknown envelope schema '$other' " +
+          "(expected transactions|accounts|customers)")
+    }
+  }
+
+  private[functions] def buildAvroDecode(exprs: Seq[Expression]) = {
+    requireArity("graft_avro_decode", exprs, 2)
+    graft.cdc.AvroWireDecode(exprs.head, envelopeSchemaFor(exprs(1)))
+  }
+
+  private[functions] def buildAvroEncode(exprs: Seq[Expression]) = exprs match {
+    case Seq(v, s) => graft.cdc.AvroWireEncode(v, envelopeSchemaFor(s), 1)
+    case Seq(v, s, id) => graft.cdc.AvroWireEncode(v, envelopeSchemaFor(s),
+      id.eval().asInstanceOf[Number].intValue())
+    case _ => throw new IllegalArgumentException(
+      s"graft_avro_encode takes 2 or 3 arguments, got ${exprs.size}")
+  }
+
   def register(spark: SparkSession): Unit = {
     spark.sessionState.functionRegistry.createOrReplaceTempFunction(
       "graft_fnv64",
@@ -193,6 +227,10 @@ object GraftFunctions {
       "graft_dot",
       exprs => { requireArity("graft_dot", exprs, 2); Dot(exprs(0), exprs(1)) },
       "built-in")
+    spark.sessionState.functionRegistry.createOrReplaceTempFunction(
+      "graft_avro_decode", buildAvroDecode, "built-in")
+    spark.sessionState.functionRegistry.createOrReplaceTempFunction(
+      "graft_avro_encode", buildAvroEncode, "built-in")
   }
 }
 
@@ -220,6 +258,16 @@ class GraftExtensions extends (org.apache.spark.sql.SparkSessionExtensions => Un
         GraftFunctions.requireArity("graft_dot", exprs, 2)
         Dot(exprs(0), exprs(1))
       }))
+    e.injectFunction((
+      new org.apache.spark.sql.catalyst.FunctionIdentifier("graft_avro_decode"),
+      new org.apache.spark.sql.catalyst.expressions.ExpressionInfo(
+        classOf[graft.cdc.AvroWireDecode].getCanonicalName, "graft_avro_decode"),
+      (exprs: Seq[Expression]) => GraftFunctions.buildAvroDecode(exprs)))
+    e.injectFunction((
+      new org.apache.spark.sql.catalyst.FunctionIdentifier("graft_avro_encode"),
+      new org.apache.spark.sql.catalyst.expressions.ExpressionInfo(
+        classOf[graft.cdc.AvroWireEncode].getCanonicalName, "graft_avro_encode"),
+      (exprs: Seq[Expression]) => GraftFunctions.buildAvroEncode(exprs)))
     // planner strategy: rank-filter windows -> bounded-heap per-group
     // top-k (graft.plans.BoundedTopKStrategy scaladoc has the contract)
     e.injectPlannerStrategy(_ => graft.plans.BoundedTopKStrategy)

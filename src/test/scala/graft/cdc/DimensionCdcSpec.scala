@@ -37,6 +37,18 @@ class DimensionCdcSpec extends SparkSpecBase {
     assert(direct.exceptAll(wire).count() === 0)
   }
 
+  test("Avro binary wire yields the same changelog and KTables as the JSON shadow") {
+    // byte format differs, typed output is the contract — both topics
+    val jsonAcct = DimensionCdc.accountChangelog(customers)
+    val avroAcct = DimensionCdc.accountChangelogAvro(customers)
+    assert(avroAcct.exceptAll(jsonAcct).count() === 0)
+    assert(jsonAcct.exceptAll(avroAcct).count() === 0)
+    assert(DimensionCdc.accountsDimAvro(customers).exceptAll(
+      DimensionCdc.accountsDim(customers)).count() === 0)
+    assert(DimensionCdc.customersDimAvro(customers).exceptAll(
+      DimensionCdc.customersDim(customers)).count() === 0)
+  }
+
   test("accountsDim keeps latest version; balance reflects the newest update") {
     val dim = DimensionCdc.accountsDim(customers)
     val row5 = dim.filter(col("account_id") === 5).head()

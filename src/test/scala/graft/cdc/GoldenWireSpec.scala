@@ -252,6 +252,46 @@ class GoldenWireSpec extends SparkSpecBase {
       EnvelopeOps.parsedTransactions(events).collect().toSet)
   }
 
+  test("SQL surface: graft_avro_encode/decode registered by name (registry-literal schema arg)") {
+    // the from_avro-style API: schema named by literal, resolved at plan
+    // time — same expressions the DataFrame seam uses
+    val env = EnvelopeOps.synthesizeTxnEnvelope(
+      eventsDf(Seq((1L, 1700000000000000000L, 100L, "purchase", 600000.0))))
+    val roundTrip = EnvelopeOps.parseTxnEnvelope(
+      env.select(expr("graft_avro_encode(envelope, 'transactions', 7)").as("value"))
+        .select(expr("graft_avro_decode(value, 'transactions')").as("envelope")))
+    assert(roundTrip.collect().toSeq ===
+      EnvelopeOps.parseTxnEnvelope(env).collect().toSeq)
+    // unknown schema name fails loud at plan time
+    val bad = intercept[Exception](
+      env.select(expr("graft_avro_decode(envelope, 'nope')")).collect())
+    assert(bad.getMessage.contains("unknown envelope schema") ||
+      Option(bad.getCause).exists(_.getMessage.contains("unknown envelope schema")))
+  }
+
+  test("Avro decode runs under Structured Streaming (scan-stage expression, file-stream source)") {
+    import org.apache.spark.sql.types._
+    val dir = java.nio.file.Files.createTempDirectory("graft_avro_stream").toString
+    spark.createDataFrame(
+      java.util.Arrays.asList(
+        org.apache.spark.sql.Row(txnFrameAvro(1, 100, "DEBIT", 600000.0)),
+        org.apache.spark.sql.Row(txnFrameAvro(2, 200, "CREDIT", 750000.0)),
+        org.apache.spark.sql.Row("junk".getBytes("UTF-8"))),
+      StructType(Seq(StructField("value", BinaryType))))
+      .write.parquet(s"$dir/in")
+    val parsed = EnvelopeOps.parseTxnEnvelope(
+      AvroWire.decodeAvroEnvelope(
+        spark.readStream.schema("value BINARY").parquet(s"$dir/in")))
+    val q = parsed.writeStream.format("memory")
+      .queryName("avro_stream_decode").outputMode("append").start()
+    try q.processAllAvailable() finally q.stop()
+    val got = spark.table("avro_stream_decode")
+    assert(got.count() === 3) // malformed frame -> null envelope row, not a crash
+    assert(got.filter(col("txn_id").isNotNull).count() === 2)
+    assert(got.filter(col("txn_id") === 1).select("amount")
+      .head().getDouble(0) === 600000.0)
+  }
+
   test("golden delete keeps its key in the before-image (tombstone contract)") {
     // Debezium deletes carry before=row, after=null; the KTable path keys
     // deletes from the before-image (DimensionCdc.parseAccountEnvelope)

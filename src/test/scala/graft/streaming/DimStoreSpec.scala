@@ -61,26 +61,59 @@ class DimStoreSpec extends SparkSpecBase {
     assert(storeRows(dir) === Set((1L, "a1"), (2L, "a2x"), (4L, "a4")))
   }
 
-  test("per-batch write cost is bounded by buckets containing changed keys") {
+  test("per-batch write cost is the batch (delta append), not the store") {
     val dir = Files.createTempDirectory("graft_dimstore_inc").toString
     val nb = 64
-    // 5k-key initial load touches many buckets
+    // 5k-key initial load compacts into the bucketed base
     val init = (1L to 5000L).map(k => (k, s"acct$k", "u"))
     DimStore.upsert(dir, Seq("account_id"), numBuckets = nb)(dim(init), 0L)
     val initialBuckets = bucketsIn(dir, "v0")
     assert(initialBuckets.size > nb / 2)
 
-    // a 3-key batch must rewrite at most 3 buckets, not the store
+    // a 3-key batch appends ONE delta file — no bucket of the 1M-row-scale
+    // base is touched (hash-bucketing alone cannot give this: 3 uniform
+    // keys land in ~3 buckets, but a 1k-key batch lands in ~all of them)
     DimStore.upsert(dir, Seq("account_id"), numBuckets = nb)(
       dim(Seq((10L, "x", "u"), (20L, "y", "u"), (30L, "z", "u"))), 1L)
-    assert(bucketsIn(dir, "v1").size <= 3)
-    // unchanged buckets are carried forward by reference from v0
+    assert(bucketsIn(dir, "v1").isEmpty)
+    assert(Files.exists(Paths.get(dir, "v1", "delta")))
+    // base buckets are carried forward by reference from v0
     val manifest = new String(
       Files.readAllBytes(Paths.get(dir, "manifests", "v1")), "UTF-8")
     assert(manifest.contains("v0/__bucket="))
+    assert(manifest.contains("D\tv1/delta"))
+    // the merged read view resolves deltas over base
     val rows = storeRows(dir)
     assert(rows.size === 5000)
     assert(rows((10L, "x")) && rows((20L, "y")) && rows((5000L, "acct5000")))
+  }
+
+  test("compaction folds the delta window into changed buckets only; deltas then GC") {
+    val dir = Files.createTempDirectory("graft_dimstore_cmp").toString
+    val nb = 64
+    DimStore.upsert(dir, Seq("account_id"), numBuckets = nb, maxDeltas = 2)(
+      dim((1L to 5000L).map(k => (k, s"acct$k", "u"))), 0L)
+    // two delta appends fill the window (update 10, tombstone 20)
+    DimStore.upsert(dir, Seq("account_id"), numBuckets = nb, maxDeltas = 2)(
+      dim(Seq((10L, "x", "u"))), 1L)
+    DimStore.upsert(dir, Seq("account_id"), numBuckets = nb, maxDeltas = 2)(
+      dim(Seq((20L, "gone", "d"))), 2L)
+    // third batch triggers compaction: base buckets for keys {10,20,30}
+    // rewritten, everything else carried forward; no D lines remain
+    DimStore.upsert(dir, Seq("account_id"), numBuckets = nb, maxDeltas = 2)(
+      dim(Seq((30L, "z", "u"))), 3L)
+    val manifest = new String(
+      Files.readAllBytes(Paths.get(dir, "manifests", "v3")), "UTF-8")
+    assert(!manifest.contains("D\t"))
+    assert(bucketsIn(dir, "v3").size <= 3)
+    assert(manifest.contains("v0/__bucket="))
+    val rows = storeRows(dir)
+    assert(rows.size === 5000 - 1) // 10 and 30 updated in place, 20 deleted
+    assert(rows((10L, "x")) && rows((30L, "z")) && !rows.exists(_._1 == 20L))
+    // a second compaction cycle still reads correctly
+    DimStore.upsert(dir, Seq("account_id"), numBuckets = nb, maxDeltas = 2)(
+      dim(Seq((20L, "back", "u"))), 4L)
+    assert(storeRows(dir)((20L, "back")))
   }
 
   test("old snapshots are garbage-collected: disk holds current + one prior") {
