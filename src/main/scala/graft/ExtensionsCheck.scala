@@ -20,8 +20,16 @@ object ExtensionsCheck {
     val planOk = topk.queryExecution.executedPlan.toString.contains("BoundedTopK")
     val rows = topk.collect().map(r => (r.getString(0), r.getInt(1), r.getInt(2))).toSet
     val rowsOk = rows == Set(("a", 3, 1), ("a", 2, 2), ("b", 9, 1))
-    println(s"EXTCHECK fnv64=$h winnow_n=$n topk_plan=$planOk " +
-      (if (h == 0x85944171f73967e8L && n > 0 && planOk && rowsOk) "OK" else "MISMATCH"))
+    // the Avro wire serde functions resolve and round-trip through SQL
+    // (op 'x' exercises the string + union-null paths of the envelope)
+    val avroOk = spark.sql(
+      """SELECT graft_avro_decode(
+        |  graft_avro_encode(named_struct('op', 'x'), 'transactions', 7),
+        |  'transactions').op AS op""".stripMargin)
+      .head().getString(0) == "x"
+    println(s"EXTCHECK fnv64=$h winnow_n=$n topk_plan=$planOk avro=$avroOk " +
+      (if (h == 0x85944171f73967e8L && n > 0 && planOk && rowsOk && avroOk) "OK"
+       else "MISMATCH"))
     spark.stop()
   }
 }

@@ -54,6 +54,27 @@ object Pipelines {
       .withColumn("event_ts", timestamp_micros(col("event_time_us")))
   }
 
+  /** The parsed stream over the REAL wire shape: a monitored directory of
+    * parquet files carrying the (key BINARY, value BINARY) column pair a
+    * Kafka source yields, value = Confluent-framed Avro envelope frames —
+    * decoded scan-stage by [[graft.cdc.AvroWire.decodeAvroEnvelope]] and
+    * parsed identically to [[parsedStream]]. The production swap is ONE
+    * line: `format("kafka")` (+ registry `from_avro`) replaces the file
+    * reader; everything downstream of the value column is this code.
+    * Malformed frames become null envelopes and are dropped by the
+    * upserts filter — the reference's LogAndContinue contract. */
+  def parsedWireStreamAvro(spark: SparkSession, dir: String, glob: String = "*",
+      maxFilesPerTrigger: Option[Int] = None): DataFrame = {
+    val reader = spark.readStream.schema("key BINARY, value BINARY")
+      .option("pathGlobFilter", glob)
+    val withOpt = maxFilesPerTrigger
+      .fold(reader)(n => reader.option("maxFilesPerTrigger", n.toString))
+    val parsed = EnvelopeOps.parseTxnEnvelope(
+      graft.cdc.AvroWire.decodeAvroEnvelope(withOpt.parquet(dir)))
+    EnvelopeOps.upsertsOnly(parsed)
+      .withColumn("event_ts", timestamp_micros(col("event_time_us")))
+  }
+
   /** Raw-event stream (same derived columns as the [[graft.Tables.events]]
     * batch loader) — for consumers of the event stream itself
     * (funnel/retention analytics) rather than the synthesized CDC

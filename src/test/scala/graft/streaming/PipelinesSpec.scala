@@ -37,6 +37,22 @@ class PipelinesSpec extends SparkSpecBase {
     assert(got.nonEmpty)
   }
 
+  test("Avro-wire streaming ingestion == batch parse (the Kafka-source swap seam)") {
+    import graft.cdc.AvroWire
+    val dir = Files.createTempDirectory("graft_avro_wire_stream").toString + "/frames"
+    // publish the corpus as (key, value) binary frames — the Kafka shape
+    val events = Tables.events(spark, sf0001)
+    AvroWire.encodeAvroEnvelope(EnvelopeOps.synthesizeTxnEnvelope(events))
+      .select(lit(null).cast("binary").as("key"), col("value"))
+      .write.parquet(dir)
+    val got = runToTable(
+      Pipelines.parsedWireStreamAvro(spark, dir), "avro_wire_stream", "append")
+      .drop("event_ts").collect().toSet
+    val want = batchParsed.collect().toSet
+    assert(got === want)
+    assert(got.nonEmpty)
+  }
+
   test("streaming CDC-dim enrichment == batch q_enrich_cdc_dim (stream-KTable join)") {
     val stream = Pipelines.highValueCdcEnriched(
       Pipelines.parsedStream(spark, sf0001),
