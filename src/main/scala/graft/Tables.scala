@@ -14,24 +14,43 @@ object Tables {
   def table(spark: SparkSession, sfDir: String, name: String): DataFrame =
     spark.read.parquet(s"$sfDir/$name.parquet")
 
-  /** `events` is written with parquet TIMESTAMP(NANOS) which Spark's vectorized
-    * reader cannot map to TimestampType (micros). We read nanos as a plain
-    * LongType (`spark.sql.legacy.parquet.nanosAsLong`) and derive:
-    *   - `event_ts`   TimestampType, truncated nanos -> micros (matches what
-    *                  DuckDB's CAST(ts AS TIMESTAMP) produces for the oracle)
+  /** The events corpus has shipped with two physical encodings for `ts`:
+    * parquet TIMESTAMP(NANOS) (readable only as LongType via
+    * `spark.sql.legacy.parquet.nanosAsLong`, set in [[GraftSession]]) and
+    * parquet timestamp[us] (read as TIMESTAMP_NTZ). [[deriveEventTime]]
+    * adapts to whichever the files carry; loaders make no assumption.
+    */
+  def events(spark: SparkSession, sfDir: String): DataFrame =
+    deriveEventTime(table(spark, sfDir, "events"))
+
+  /** Schema-adaptive event-time derivation. Accepts the raw frame with `ts`
+    * as TIMESTAMP / TIMESTAMP_NTZ (micros) or LongType (epoch-nanos), or an
+    * already-renamed `ts_ns` long, and emits the engine's event-time
+    * contract regardless of source encoding:
+    *   - `ts_ns`      LongType epoch-nanos (raw resolution)
     *   - `ts_us`      LongType epoch-micros (exact integer event time; all
     *                  window arithmetic uses this to stay engine-agnostic)
-    * The raw ns column is kept as `ts_ns`.
+    *   - `event_ts`   TimestampType at micros (matches the DuckDB oracle's
+    *                  CAST(ts AS TIMESTAMP))
+    * Requires session timezone UTC (GraftSession sets it) so the NTZ cast
+    * is epoch-exact.
     */
-  def events(spark: SparkSession, sfDir: String): DataFrame = {
-    spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
-    deriveEventTime(table(spark, sfDir, "events").withColumnRenamed("ts", "ts_ns"))
-  }
-
-  /** Derive micros + timestamp event-time columns from a raw `ts_ns` long. */
-  def deriveEventTime(df: DataFrame): DataFrame =
-    df.withColumn("ts_us", expr("ts_ns div 1000"))
+  def deriveEventTime(df: DataFrame): DataFrame = {
+    import org.apache.spark.sql.types.{LongType, TimestampNTZType, TimestampType}
+    val withNs =
+      if (df.columns.contains("ts_ns")) df
+      else df.schema("ts").dataType match {
+        case LongType => df.withColumnRenamed("ts", "ts_ns")
+        case TimestampType | TimestampNTZType =>
+          // select (not withColumn+drop) keeps ts_ns at ts's position
+          val tsNs = (unix_micros(col("ts").cast(TimestampType)) * 1000L).as("ts_ns")
+          df.select(df.columns.map(c => if (c == "ts") tsNs else col(c)).toSeq: _*)
+        case other => throw new IllegalArgumentException(
+          s"events.ts has unsupported type $other — expected TIMESTAMP, TIMESTAMP_NTZ, or BIGINT epoch-nanos")
+      }
+    withNs.withColumn("ts_us", expr("ts_ns div 1000"))
       .withColumn("event_ts", timestamp_micros(col("ts_us")))
+  }
 
   def customer(spark: SparkSession, sfDir: String): DataFrame =
     table(spark, sfDir, "customer")
@@ -44,6 +63,86 @@ object Tables {
 
   def embeddings(spark: SparkSession, sfDir: String): DataFrame =
     table(spark, sfDir, "embeddings")
+
+  /** Schema tripwire (see VERDICT r6 item 2): diff every corpus table's
+    * on-disk parquet schema against the expected column→type map and fail
+    * with ONE loud message naming every mismatch, instead of letting a
+    * silent encoding drift surface as dozens of opaque per-query analysis
+    * errors. `ts` deliberately admits both corpus encodings (timestamp
+    * micros and int64-nanos) — [[deriveEventTime]] adapts to either.
+    * Metadata-only (schema reads, no data scan); called at Verify/Bench
+    * startup.
+    */
+  def schemaProbe(spark: SparkSession, sfDir: String): Unit = {
+    import org.apache.spark.sql.types._
+    // expected logical types, pinned against /root/testdata as of r7.
+    // Sentinels: Ts = any event-time encoding deriveEventTime adapts to
+    // (timestamp micros / int64-nanos); Dt = the timestamp-typed "date"
+    // columns the queries consume via string-literal compare + cast (either
+    // TZ flavor fine, a flip to long would break them → flagged).
+    object Ts; object Dt
+    val expected: Map[String, Seq[(String, Any)]] = Map(
+      "region" -> Seq("r_regionkey" -> IntegerType, "r_name" -> StringType),
+      "nation" -> Seq("n_nationkey" -> IntegerType, "n_name" -> StringType,
+        "n_regionkey" -> IntegerType),
+      "customer" -> Seq("c_custkey" -> LongType, "c_name" -> StringType,
+        "c_nationkey" -> IntegerType, "c_acctbal" -> DoubleType,
+        "c_mktsegment" -> StringType),
+      "supplier" -> Seq("s_suppkey" -> LongType, "s_name" -> StringType,
+        "s_nationkey" -> IntegerType, "s_acctbal" -> DoubleType),
+      "part" -> Seq("p_partkey" -> LongType, "p_name" -> StringType,
+        "p_brand" -> StringType, "p_type" -> StringType,
+        "p_size" -> IntegerType, "p_retailprice" -> DoubleType),
+      "orders" -> Seq("o_orderkey" -> LongType, "o_custkey" -> LongType,
+        "o_orderstatus" -> StringType, "o_totalprice" -> DoubleType,
+        "o_orderdate" -> Dt, "o_orderpriority" -> StringType),
+      "lineitem" -> Seq("l_orderkey" -> LongType, "l_partkey" -> LongType,
+        "l_suppkey" -> LongType, "l_linenumber" -> IntegerType,
+        "l_quantity" -> DoubleType, "l_extendedprice" -> DoubleType,
+        "l_discount" -> DoubleType, "l_tax" -> DoubleType,
+        "l_returnflag" -> StringType, "l_linestatus" -> StringType,
+        "l_shipdate" -> Dt),
+      "events" -> Seq("event_id" -> LongType, "ts" -> Ts,
+        "user_id" -> LongType, "event_type" -> StringType,
+        "value" -> DoubleType, "props" -> StringType),
+      "documents" -> Seq("doc_id" -> LongType, "text" -> StringType,
+        "lang" -> StringType, "source" -> StringType,
+        "n_chars" -> LongType),
+      "embeddings" -> Seq("vec_id" -> LongType,
+        "embedding" -> ArrayType(FloatType, containsNull = true),
+        "label" -> IntegerType))
+    def ok(exp: Any, got: DataType): Boolean = (exp, got) match {
+      case (Ts, TimestampType | TimestampNTZType | LongType) => true
+      case (Dt, TimestampType | TimestampNTZType | DateType) => true
+      case (ArrayType(e, _), ArrayType(g, _)) => e == g // element nullability: reader's choice
+      case (e: DataType, g) => e == g
+      case _ => false
+    }
+    def show(exp: Any): String = exp match {
+      case Ts => "TIMESTAMP[_NTZ]|BIGINT-nanos"
+      case Dt => "TIMESTAMP[_NTZ]|DATE"
+      case e => e.toString
+    }
+    val problems = expected.toSeq.sortBy(_._1).flatMap { case (name, cols) =>
+      try {
+        val actual = spark.read.parquet(s"$sfDir/$name.parquet").schema
+        val byName = actual.fields.map(f => f.name -> f.dataType).toMap
+        cols.flatMap { case (c, exp) =>
+          byName.get(c) match {
+            case None => Some(s"$name.$c: MISSING (have: ${actual.fieldNames.mkString(",")})")
+            case Some(got) if !ok(exp, got) =>
+              Some(s"$name.$c: expected ${show(exp)}, found $got")
+            case _ => None
+          }
+        }
+      } catch {
+        case e: Throwable => Seq(s"$name: unreadable (${e.getMessage})")
+      }
+    }
+    if (problems.nonEmpty) throw new IllegalStateException(
+      s"[graft] corpus schema drift at $sfDir — fix Tables loaders before trusting any query result:\n  " +
+        problems.mkString("\n  "))
+  }
 
   /** Register every corpus table as a temp view + the parsed-transaction
     * view, giving users an ad-hoc `spark.sql` surface over the engine
