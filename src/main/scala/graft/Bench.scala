@@ -22,6 +22,8 @@ object Bench {
   def main(args: Array[String]): Unit = {
     val sfDir = sys.env.getOrElse("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
     val spark = GraftSession.create(appName = "graft-bench")
+    // fail loudly on corpus schema drift BEFORE timing anything
+    Tables.schemaProbe(spark, sfDir)
 
     def runOnce(name: String): Double = {
       val t0 = System.nanoTime()

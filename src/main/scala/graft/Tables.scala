@@ -20,8 +20,12 @@ object Tables {
     * parquet timestamp[us] (read as TIMESTAMP_NTZ). [[deriveEventTime]]
     * adapts to whichever the files carry; loaders make no assumption.
     */
-  def events(spark: SparkSession, sfDir: String): DataFrame =
+  def events(spark: SparkSession, sfDir: String): DataFrame = {
+    // belt-and-suspenders for sessions not built via GraftSession: a
+    // nanos-encoded corpus is unreadable without this conf (ADVICE r7)
+    spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
     deriveEventTime(table(spark, sfDir, "events"))
+  }
 
   /** Schema-adaptive event-time derivation. Accepts the raw frame with `ts`
     * as TIMESTAMP / TIMESTAMP_NTZ (micros) or LongType (epoch-nanos), or an
@@ -37,6 +41,16 @@ object Tables {
     */
   def deriveEventTime(df: DataFrame): DataFrame = {
     import org.apache.spark.sql.types.{LongType, TimestampNTZType, TimestampType}
+    // Long-sourced ns values (parquet int64 or a caller-renamed ts_ns) are a
+    // CLAIM of nanos, not a guarantee — if a caller mislabels micros/millis
+    // as ts_ns, every window/join downstream silently drifts 1000×
+    // (VERDICT r6/r7's recurring bug class). Guard per-row in codegen:
+    // modern epoch-nanos are ≥1e17 (~1973-03); a positive value below that
+    // is micros/millis/seconds wearing the wrong label → loud error.
+    // Nulls and non-positive values pass (pre-1970 nanos are negative).
+    val fromLong = df.columns.contains("ts_ns") ||
+      df.schema("ts").dataType == LongType
+    val minPlausibleNs = 100000000000000000L // 1e17
     val withNs =
       if (df.columns.contains("ts_ns")) df
       else df.schema("ts").dataType match {
@@ -48,7 +62,16 @@ object Tables {
         case other => throw new IllegalArgumentException(
           s"events.ts has unsupported type $other — expected TIMESTAMP, TIMESTAMP_NTZ, or BIGINT epoch-nanos")
       }
-    withNs.withColumn("ts_us", expr("ts_ns div 1000"))
+    val guarded =
+      if (!fromLong) withNs
+      else withNs.withColumn("ts_ns",
+        when(col("ts_ns").isNull || col("ts_ns") <= 0L ||
+            col("ts_ns") >= minPlausibleNs, col("ts_ns"))
+          .otherwise(raise_error(concat(
+            lit("[graft] ts_ns unit mismatch: "), col("ts_ns").cast("string"),
+            lit(s" is positive but < 1e17 — epoch-micros/millis mislabeled as nanos? " +
+              "Pass the raw frame to Tables.deriveEventTime instead of renaming.")))))
+    guarded.withColumn("ts_us", expr("ts_ns div 1000"))
       .withColumn("event_ts", timestamp_micros(col("ts_us")))
   }
 

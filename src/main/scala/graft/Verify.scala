@@ -11,6 +11,8 @@ object Verify {
     val spark = GraftSession.create(
       master = s"local[${sys.env.getOrElse("SPARK_GRAFT_CPUS", "4")}]",
       appName = "graft-verify")
+    // fail loudly on corpus schema drift BEFORE trusting any query result
+    Tables.schemaProbe(spark, sfDir)
     new java.io.File(outDir).mkdirs()
     SparkEntry.queries
       .filter { case (name, _) => only.forall(_.contains(name)) }

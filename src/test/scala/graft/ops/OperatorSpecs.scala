@@ -301,13 +301,15 @@ class EventAnalyticsSpec extends SparkSpecBase {
 
   test("retention: cohort = first active week, one count per user per cell") {
     val weekNs = 7L * 86400 * 1000000000L
+    val W = 2800L // epoch-week base (~Aug 2023) — modern times, so the
+                  // deriveEventTime unit guard sees plausible nanos
     val rows = Seq(
-      (1L, 1 * weekNs, 7L, "view", 1.0),      // user 7 cohort week 1
-      (2L, 1 * weekNs + 5, 7L, "view", 1.0),  // same week: counted once
-      (3L, 3 * weekNs, 7L, "view", 1.0),      // +2 weeks
-      (4L, 2 * weekNs, 9L, "view", 1.0))      // user 9 cohort week 2
+      (1L, (W + 1) * weekNs, 7L, "view", 1.0),      // user 7 cohort week W+1
+      (2L, (W + 1) * weekNs + 5, 7L, "view", 1.0),  // same week: counted once
+      (3L, (W + 3) * weekNs, 7L, "view", 1.0),      // +2 weeks
+      (4L, (W + 2) * weekNs, 9L, "view", 1.0))      // user 9 cohort week W+2
     val got = EventAnalytics.weeklyRetention(eventsDf(rows))
       .as[(Long, Long, Long)].collect().toSet
-    assert(got === Set((1L, 0L, 1L), (1L, 2L, 1L), (2L, 0L, 1L)))
+    assert(got === Set((W + 1, 0L, 1L), (W + 1, 2L, 1L), (W + 2, 0L, 1L)))
   }
 }
