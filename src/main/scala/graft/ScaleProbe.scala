@@ -32,7 +32,12 @@ object ScaleProbe {
     val spark = GraftSession.create(appName = "graft-scale-probe")
     spark.sparkContext.setLogLevel("ERROR")
 
+    // GRAFT_PROBE_ONLY=<substring> runs just the matching timed probes
+    // (dev iteration — e.g. GRAFT_PROBE_ONLY=skew_join for the skew trial)
+    val only = sys.env.get("GRAFT_PROBE_ONLY")
+
     def time(name: String)(df: => DataFrame): Unit = {
+      if (!only.forall(name.contains)) return
       val runs = (1 to 2).map { _ =>
         val t0 = System.nanoTime()
         df.write.format("noop").mode("overwrite").save()
@@ -56,7 +61,7 @@ object ScaleProbe {
 
     // streaming state throughput: synth events -> parquet -> file stream
     // in 4 micro-batches -> flatMapGroupsWithState reconciliation
-    {
+    if (only.forall("streaming_reconcile".contains)) {
       val dir = java.nio.file.Files.createTempDirectory("graft_sprobe").toString
       val streamN = math.min(n, 2000000L)
       synthEvents(spark, streamN, users = 10000)
@@ -97,7 +102,8 @@ object ScaleProbe {
     // flatMapGroupsWithState reconciliation with 20x the keys, on the
     // default (heap) provider vs RocksDB (the 100 TB configuration —
     // state spills to local disk instead of the JVM heap)
-    for (provider <- Seq("default", "rocksdb")) {
+    for (provider <- Seq("default", "rocksdb")
+        if only.forall(s"streaming_reconcile_$provider".contains)) {
       val prev = spark.conf.getOption("spark.sql.streaming.stateStore.providerClass")
       if (provider == "rocksdb")
         spark.conf.set("spark.sql.streaming.stateStore.providerClass",
@@ -187,7 +193,7 @@ object ScaleProbe {
     // distributed Lloyd refinement above the driver-sample cap: each pass
     // must cost ≈ one assignment scan (scan-stage argmax + map-side-
     // combined vector sums), NOT a corpus×cells join re-materialization
-    locally {
+    if (only.forall("ivf_refine".contains)) {
       val all = sim.Similarity.withNorm(synthEmb)
       val coarse = sim.Similarity.kmeansCentroids(all, stride = 541,
         iters = 1, sampleMod = 20L)
@@ -278,22 +284,42 @@ object ScaleProbe {
     time("skew_salted_2phase")(
       ops.Salt.saltedSumCount(skewed, Seq("k"), "v", col("id"), buckets = 32))
 
-    // hot-key skew JOIN: the same 70%-hot key joined to a 1000-key dim
-    // with broadcast disabled (at 100 TB the dim wouldn't fit) — measures
-    // Spark's AQE skew-split against the unsplit SortMergeJoin straggler.
-    // PlanShapeSpec pins that the split FIRES; this measures what it buys.
+    // hot-key skew JOIN under a true Zipf(s=2) key law (inverse-CDF over
+    // a deterministic hash-uniform: rank ≈ 1/(1-u); hottest key carries
+    // ~50% of all rows, #2 ~17%, ... — the adversarial shape of real
+    // account/user activity). Dim = 1000 keys with broadcast disabled (at
+    // 100 TB the dim wouldn't fit). Three plans over identical input:
+    //   - no AQE: the unsplit SortMergeJoin straggler (one reducer owns
+    //     half the fact table);
+    //   - AQE skew-split: runtime re-plan splits the hot partition;
+    //   - salted join (ops/Salt.saltedJoin): static spreading, dim×32
+    //     replication — the guarantee for stages where AQE has no stats.
+    // PlanShapeSpec pins that the AQE split FIRES; this measures what each
+    // buys. Results recorded in SCALING.md.
     {
       val conf = spark.conf
-      val dim = spark.range(1000L).select(col("id").as("k"),
+      val nDimKeys = 1000L
+      val zipfFact = spark.range(n).select(
+        least(floor(lit(1.0) /
+            (lit(1.0) - (pmod(xxhash64(col("id")), lit(1000000L)) / 1000000.0)
+              * (lit(1.0) - lit(1.0 / nDimKeys)))) - 1,
+          lit(nDimKeys - 1)).cast("long").as("k"),
+        (pmod(xxhash64(col("id"), lit(9)), lit(1000L)) * 1.0).as("v"),
+        col("id"))
+      val dim = spark.range(nDimKeys).select(col("id").as("k"),
         xxhash64(col("id")).as("attr"))
       conf.set("spark.sql.autoBroadcastJoinThreshold", "-1")
       conf.set("spark.sql.adaptive.autoBroadcastJoinThreshold", "-1")
       conf.set("spark.sql.adaptive.skewJoin.skewedPartitionThresholdInBytes", "16m")
       conf.set("spark.sql.adaptive.advisoryPartitionSizeInBytes", "8m")
       conf.set("spark.sql.adaptive.enabled", "false")
-      time("skew_join_no_aqe")(skewed.join(dim, "k"))
+      time("skew_join_zipf_no_aqe")(zipfFact.join(dim, "k"))
+      time("skew_join_zipf_salted")(
+        ops.Salt.saltedJoin(zipfFact, dim, "k", col("id"), buckets = 32))
       conf.set("spark.sql.adaptive.enabled", "true")
-      time("skew_join_aqe_split")(skewed.join(dim, "k"))
+      time("skew_join_zipf_aqe_split")(zipfFact.join(dim, "k"))
+      time("skew_join_zipf_salted_aqe")(
+        ops.Salt.saltedJoin(zipfFact, dim, "k", col("id"), buckets = 32))
       Seq("spark.sql.autoBroadcastJoinThreshold",
         "spark.sql.adaptive.autoBroadcastJoinThreshold",
         "spark.sql.adaptive.skewJoin.skewedPartitionThresholdInBytes",

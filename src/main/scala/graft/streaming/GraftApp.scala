@@ -12,9 +12,9 @@ import graft.{GraftConfig, GraftSession, Tables}
   * state store; thresholds come from [[GraftConfig]] (spark conf >
   * `ABBANK_*` env vars > oracle-verified defaults).
   *
-  * Sinks are parquet directories under `outBase` (swap for
-  * `format("kafka")` + [[graft.cdc.EnvelopeOps.kafkaWireFormat]] when the
-  * connector jar is present); each query checkpoints under
+  * Source and sinks are config-driven ([[Sources]]): files (default) or
+  * `format("kafka")` the day a connector jar is present — a `--conf`
+  * switch, not a code change. Each query checkpoints under
   * `outBase/_checkpoints/<name>` so a restart resumes exactly where it
   * stopped (RecoverySpec proves the state recovery path).
   *
@@ -26,17 +26,13 @@ object GraftApp {
     * and tests — control their lifecycle). */
   def start(spark: SparkSession, srcDir: String, outBase: String): Seq[StreamingQuery] = {
     val cfg = GraftConfig.load(spark)
-    val parsed = Pipelines.parsedStream(spark, srcDir)
+    // transport chosen by spark.graft.source (files | files-avro | kafka)
+    // and spark.graft.sink (parquet | kafka) — see [[Sources]]
+    val parsed = Sources.cdcSource(spark, srcDir)
     val customerDim = Tables.customer(spark, srcDir)
 
     def sink(df: DataFrame, name: String, mode: String = "append"): StreamingQuery =
-      df.writeStream
-        .outputMode(mode)
-        .option("checkpointLocation", s"$outBase/_checkpoints/$name")
-        .format("parquet")
-        .option("path", s"$outBase/$name")
-        .queryName(name)
-        .start()
+      Sources.sink(df, name, outBase, mode)
 
     Seq(
       // 1: high-value alerts against the CDC-built accounts KTable

@@ -88,10 +88,9 @@ object Pipelines {
       .option("pathGlobFilter", glob)
     val withOpt = maxFilesPerTrigger
       .fold(reader)(n => reader.option("maxFilesPerTrigger", n.toString))
-    val parsed = EnvelopeOps.parseTxnEnvelope(
-      graft.cdc.AvroWire.decodeAvroEnvelope(withOpt.parquet(dir)))
-    EnvelopeOps.upsertsOnly(parsed)
-      .withColumn("event_ts", timestamp_micros(col("event_time_us")))
+    // decode is the transport-blind shared chain — byte-identical to what
+    // the kafka branch of [[Sources.cdcSource]] runs
+    Sources.parsedFromWire(withOpt.parquet(dir))
   }
 
   /** Raw-event stream (same derived columns as the [[graft.Tables.events]]

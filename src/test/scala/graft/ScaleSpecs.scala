@@ -22,6 +22,22 @@ class SaltSpec extends SparkSpecBase {
       .as[(Long, Double, Long)].collect().toSet
     assert(salted === plain)
   }
+
+  test("salted join == plain inner join (hot fact key spread over buckets)") {
+    // 80%-hot key 0; dim misses key 2 so the inner-join drop is exercised
+    val fact = (1 to 500).map(i =>
+        (if (i % 5 != 0) 0L else (i % 3).toLong, i.toLong))
+      .toDF("k", "id")
+    val dim = Seq((0L, "a"), (1L, "b"), (3L, "unused"))
+      .toDF("k", "attr")
+    val plain = fact.join(dim, "k")
+      .as[(Long, Long, String)].collect().toSet
+    val salted = Salt.saltedJoin(fact, dim, "k", $"id", buckets = 8)
+      .select("k", "id", "attr")
+      .as[(Long, Long, String)].collect().toSet
+    assert(salted === plain)
+    assert(plain.nonEmpty)
+  }
 }
 
 class BucketingSpec extends SparkSpecBase {
