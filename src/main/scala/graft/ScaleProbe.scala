@@ -193,6 +193,17 @@ object ScaleProbe {
     // distributed Lloyd refinement above the driver-sample cap: each pass
     // must cost ≈ one assignment scan (scan-stage argmax + map-side-
     // combined vector sums), NOT a corpus×cells join re-materialization
+    // round-8: product quantization at 1M×64 — training is sample-bounded
+    // (modEff ≈ 16 here), encode/ADC are scan-stage vs codebook literals
+    if (only.forall("pq".contains)) {
+      val t0 = System.nanoTime()
+      val pqModel = sim.PQ.train(synthEmb)
+      println(f"PROBE pq_train rows=${n / 10} sec=${(System.nanoTime() - t0) / 1e9}%.2f")
+      time("pq_encode")(sim.PQ.encode(synthEmb, pqModel))
+      time("pq_topk")(sim.PQ.topK(synthEmb, pqModel, numQueries = 10, k = 5,
+        rerankFactor = 8))
+    }
+
     if (only.forall("ivf_refine".contains)) {
       val all = sim.Similarity.withNorm(synthEmb)
       val coarse = sim.Similarity.kmeansCentroids(all, stride = 541,

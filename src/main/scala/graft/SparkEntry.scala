@@ -69,6 +69,9 @@ object SparkEntry {
   val IvfStride          = 23     // IVF coarse-quantizer knobs — shared by the
   val IvfNprobe          = 14     // query registration AND its SQL oracle so
   val IvfIters           = 2      // the two can never desynchronize
+  val PqM                = 16     // PQ subspaces (graft.sim.PQ defaults —
+  val PqKsub             = 16     // shared with the SQL oracle like the IVF
+  val PqRerank           = 8      // knobs above)
   val LargeOrderQty      = 300L   // Q18-shaped HAVING cut (~top 0.1% of
                                   // orders; corpus avg order qty ~103)
   val BoilerplateMinDocs = 5L     // segment-frequency boilerplate cut
@@ -747,6 +750,21 @@ object SparkEntry {
     "q_sim_quantized_topk" -> ((s, dir) =>
       Similarity.quantizedTopK(Tables.embeddings(s, dir), SimNumQueries, SimTopK)),
 
+    // Product quantization encode: 16 4-bit codes per vector (8 bytes —
+    // 32x smaller than the floats). ALL-integer pipeline (unit-sphere
+    // grid + integer-L2 Lloyd + argmin encode), so the oracle replays
+    // training/encoding value-exact with no float-fold forcing
+    "q_pq_encode" -> ((s, dir) =>
+      graft.sim.PQ.encodeQuery(Tables.embeddings(s, dir), m = PqM,
+        ksub = PqKsub)),
+
+    // PQ ADC search: per-query integer LUT against codebook literals, m
+    // lookups per candidate, float rerank on survivors only (recall@5
+    // 0.86 vs brute force at the shipped defaults)
+    "q_sim_pq_topk" -> ((s, dir) =>
+      graft.sim.PQ.topKQuery(Tables.embeddings(s, dir), SimNumQueries,
+        SimTopK, m = PqM, ksub = PqKsub, rerankFactor = PqRerank)),
+
     // Multimodal: binary payload + metadata -> batched stub-decode features
     "q_multimodal_meta" -> ((s, dir) => Multimodal.decodeFeatures(s, Tables.documents(s, dir))),
 
@@ -1345,6 +1363,67 @@ object SparkEntry {
     * Ends with `n(vec_id, v, norm)` and `buck(vec_id, bucket)`; callers
     * append their own CTEs/SELECT. Used by the LSH ANN oracle (nBits=4)
     * and the semantic-dedup oracle (nBits=[[SemDedupBits]]). */
+  /** DuckDB replay of the FULL product-quantization pipeline
+    * (`graft.sim.PQ`) — unit-sphere normalization, per-dimension grid,
+    * hash-gated training sample, integer-L2 Lloyd (2 passes, unrolled),
+    * argmin codes. All-integer after the grid, so no order-forced float
+    * folds are needed anywhere (the advantage the PQ design was chosen
+    * for). Ends with `codes(vec_id, s, code)` and `n(vec_id, v, norm)`;
+    * callers append their pivot/search CTEs. */
+  private def sqlPqCodesCtes: String = {
+    val (kSteps, kCol) = SqlHash.xxh64LongSteps("vec_id::HUGEINT", "42", "__k")
+    val seedInner = SqlHash.applySteps("SELECT vec_id FROM e", kSteps)
+    // one Lloyd pass: assign each sampled subvector to its nearest
+    // centroid (integer L2, tie -> lowest c_id), rebuild centroids as
+    // elementwise integer-division means; empty cells drop out
+    def lloyd(cin: String, i: Int): String =
+      s"""d$i AS (SELECT t.vec_id, t.s, c.c_id,
+         |    sum((t.g - c.cg) * (t.g - c.cg)) AS dist
+         |  FROM trg t JOIN $cin c ON t.s = c.s AND t.dl = c.dl
+         |  GROUP BY t.vec_id, t.s, c.c_id),
+         |a$i AS (SELECT vec_id, s, c_id FROM (
+         |  SELECT vec_id, s, c_id, row_number() OVER (PARTITION BY vec_id, s
+         |    ORDER BY dist, c_id) AS rn FROM d$i) WHERE rn = 1),
+         |cen$i AS (SELECT a.s, a.c_id, t.dl, sum(t.g) // count(*) AS cg
+         |  FROM a$i a JOIN trg t ON a.vec_id = t.vec_id AND a.s = t.s
+         |  GROUP BY a.s, a.c_id, t.dl)""".stripMargin
+    s"""e AS (SELECT vec_id, CAST(embedding AS DOUBLE[]) AS v FROM embeddings),
+       |n AS (SELECT vec_id, v, sqrt(list_dot_product(v, v)) AS norm FROM e),
+       |un AS (SELECT vec_id,
+       |         list_transform(v, x -> x / greatest(norm, 1e-12)) AS u FROM n),
+       |sdim AS (SELECT CAST((SELECT max(len(embedding)) FROM embeddings) // $PqM AS BIGINT) AS sd),
+       |gstat AS (SELECT d, min(u[d]) AS dmin,
+       |    greatest((max(u[d]) - min(u[d])) / 256.0, 1e-12) AS dscale
+       |  FROM un CROSS JOIN (SELECT unnest(range(1,
+       |    (SELECT max(len(embedding)) FROM embeddings) + 1)) AS d)
+       |  GROUP BY d),
+       |sub AS (SELECT un.vec_id, gs.d,
+       |    least(CAST(floor((un.u[gs.d] - gs.dmin) / gs.dscale) AS BIGINT), 255) AS g,
+       |    CAST((gs.d - 1) // (SELECT sd FROM sdim) AS BIGINT) AS s,
+       |    CAST((gs.d - 1) % (SELECT sd FROM sdim) AS BIGINT) AS dl
+       |  FROM un CROSS JOIN gstat gs),
+       |-- MATERIALIZED: same planner trap as the IVF/mixture oracles
+       |hv AS MATERIALIZED (SELECT vec_id, ${SqlHash.toSigned(kCol)} AS hv FROM ($seedInner)),
+       |modEff AS (SELECT greatest(1, CAST(ceil(CAST(count(*) AS DOUBLE) /
+       |  65536.0) AS BIGINT)) AS m FROM e),
+       |tr AS (SELECT vec_id FROM hv WHERE hv % (SELECT m FROM modEff) = 0),
+       |seeds AS (SELECT vec_id, CAST(rn - 1 AS BIGINT) AS c_id FROM (
+       |  SELECT vec_id, row_number() OVER (ORDER BY vec_id) AS rn FROM tr)
+       |  WHERE rn <= $PqKsub),
+       |trg AS (SELECT s.* FROM sub s JOIN tr USING (vec_id)),
+       |cen0 AS (SELECT sd.c_id, t.s, t.dl, t.g AS cg
+       |  FROM trg t JOIN seeds sd USING (vec_id)),
+       |${lloyd("cen0", 1)},
+       |${lloyd("cen1", 2)},
+       |ed AS (SELECT t.vec_id, t.s, c.c_id,
+       |    sum((t.g - c.cg) * (t.g - c.cg)) AS dist
+       |  FROM sub t JOIN cen2 c ON t.s = c.s AND t.dl = c.dl
+       |  GROUP BY t.vec_id, t.s, c.c_id),
+       |codes AS (SELECT vec_id, s, c_id AS code FROM (
+       |  SELECT vec_id, s, c_id, row_number() OVER (PARTITION BY vec_id, s
+       |    ORDER BY dist, c_id) AS rn FROM ed) WHERE rn = 1)""".stripMargin
+  }
+
   private def sqlLshBucketCtes(nBits: Int): String = {
     val (seedSteps, seedCol) = SqlHash.xxh64IntSteps("b", "42", "__s")
     val (compSteps, compCol) = SqlHash.xxh64IntSteps("d", seedCol, "__t")
@@ -2240,6 +2319,44 @@ object SparkEntry {
          |         FROM n CROSS JOIN q WHERE vec_id <> q_id),
          |r AS (SELECT *, CAST(row_number() OVER (PARTITION BY q_id ORDER BY cos_sim DESC, neighbor_id) AS BIGINT) AS rank
          |      FROM sims)
+         |SELECT q_id, neighbor_id, cos_sim, rank FROM r WHERE rank <= $SimTopK""".stripMargin,
+
+    // product quantization, training included: the all-integer pipeline
+    // (unit grid -> integer Lloyd -> argmin codes) replays value-exact —
+    // see sqlPqCodesCtes. The encode output pivots codes(vec_id, s, code)
+    // into the m per-subspace columns the Spark query emits
+    "q_pq_encode" ->
+      s"""WITH $sqlPqCodesCtes
+         |SELECT vec_id, ${(0 until PqM).map(s =>
+            s"CAST(max(CASE WHEN s = $s THEN code END) AS BIGINT) AS code_$s")
+            .mkString(", ")}
+         |FROM codes GROUP BY vec_id""".stripMargin,
+
+    // PQ ADC search: qd IS the per-query LUT (distance from the query's
+    // grid codes to every surviving centroid); joining it through each
+    // candidate's codes and summing replays Spark's m element_at lookups
+    // integer-exactly. Float arithmetic only at the rerank, in the same
+    // rounded-cosine form as every other search oracle
+    "q_sim_pq_topk" ->
+      s"""WITH $sqlPqCodesCtes,
+         |qd AS (SELECT t.vec_id AS q_id, c.s, c.c_id,
+         |    sum((t.g - c.cg) * (t.g - c.cg)) AS dist
+         |  FROM sub t JOIN cen2 c ON t.s = c.s AND t.dl = c.dl
+         |  WHERE t.vec_id < $SimNumQueries
+         |  GROUP BY t.vec_id, c.s, c.c_id),
+         |adc AS (SELECT qd.q_id, co.vec_id, sum(qd.dist) AS adc
+         |  FROM qd JOIN codes co ON qd.s = co.s AND qd.c_id = co.code
+         |  WHERE co.vec_id <> qd.q_id GROUP BY qd.q_id, co.vec_id),
+         |cand AS (SELECT q_id, vec_id FROM (
+         |  SELECT q_id, vec_id, row_number() OVER (PARTITION BY q_id
+         |    ORDER BY adc, vec_id) AS rn FROM adc)
+         |  WHERE rn <= ${SimTopK * PqRerank}),
+         |rr AS (SELECT c.q_id, c.vec_id AS neighbor_id,
+         |    round(list_dot_product(q.v, a.v) / (q.norm * a.norm), 6) AS cos_sim
+         |  FROM cand c JOIN n a ON a.vec_id = c.vec_id
+         |  JOIN n q ON q.vec_id = c.q_id),
+         |r AS (SELECT *, CAST(row_number() OVER (PARTITION BY q_id
+         |    ORDER BY cos_sim DESC, neighbor_id) AS BIGINT) AS rank FROM rr)
          |SELECT q_id, neighbor_id, cos_sim, rank FROM r WHERE rank <= $SimTopK""".stripMargin,
 
     "q_bpe_pairs" ->
