@@ -191,6 +191,24 @@ class PlanShapeSpec extends SparkSpecBase {
     assert(plan.contains("BroadcastHashJoin"), plan.take(2000))
   }
 
+  test("PQ: encode is scan-stage, ADC search never sort-merges the corpus") {
+    functions.GraftFunctions.register(spark)
+    val emb = Tables.embeddings(spark, sf0001)
+    val model = graft.sim.PQ.train(emb)
+    // encode: grid + kernel argmin in the scan stage — zero exchanges
+    val enc = formattedPlan(graft.sim.PQ.encode(emb, model))
+    assert(enc.contains("graft_pq_encode"), enc.take(2000))
+    assert(!enc.contains("Exchange"), enc.take(2000))
+    // search: candidates come from a broadcast of the tiny query set; the
+    // coded corpus is scanned, never sort-merged or fanned out wide
+    val topk = formattedPlan(graft.sim.PQ.topK(emb, model, 10, 5))
+    assert(topk.contains("graft_pq_lut"), topk.take(2000))
+    assert(!topk.contains("SortMergeJoin"))
+    assert(!topk.contains("CartesianProduct"))
+    assert(topk.contains("BroadcastNestedLoopJoin") ||
+      topk.contains("BroadcastHashJoin"), topk.take(2000))
+  }
+
   test("minhash candidates: signature stage is scan-only, banding is the only wide op") {
     val plan = formattedPlan(
       graft.dedup.MinHashLSH.bandingCandidates(
