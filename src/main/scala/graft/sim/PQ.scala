@@ -103,12 +103,21 @@ object PQ {
     * gated SF, bounded at 100 TB, and replayed exactly by the oracle. */
   def train(embeddings: DataFrame, m: Int = 16, ksub: Int = 16,
       iters: Int = 2, maxTrainSamples: Int = 1 << 17): PqModel = {
-    val dims = Similarity.embeddingDims(embeddings)
+    // dims uniformity + corpus count in ONE job (the separate
+    // embeddingDims + count() calls cost a scheduler round-trip each —
+    // measurable at bench granularity, pure overhead at scale)
+    val meta = embeddings.select(
+      min(size(col("embedding"))).as("mn"),
+      max(size(col("embedding"))).as("mx"),
+      count(lit(1)).as("n")).head
+    val (mnD, mxD, n) = (meta.getInt(0), meta.getInt(1), meta.getLong(2))
+    require(mnD == mxD,
+      s"embedding column has mixed widths ($mnD..$mxD dims); PQ requires " +
+        "a uniform-dims embedding table")
+    val dims = mxD
     require(dims % m == 0, s"dims=$dims not divisible by m=$m subspaces")
     val subDim = dims / m
     val (dmin, dscale) = gridStats(embeddings, dims)
-
-    val n = embeddings.count()
     val modEff = math.max(1L, math.ceil(n.toDouble / (maxTrainSamples / 2).toDouble).toLong)
     val sampleRows = withGrid(embeddings, dmin, dscale)
       .filter(pmod(xxhash64(col("vec_id")), lit(modEff)) === 0L)
