@@ -235,3 +235,78 @@ object DocStreamBucketProps extends Properties("docstream-bucket-cap") {
           out.forall(p => admitted.contains(p.doc_a) || admitted.contains(p.doc_b))
     }
 }
+
+/** The PQ codegen kernels ([[graft.functions.PqKernel]]) against a naive
+  * reference written independently of the flattened layout: same codes,
+  * same LUT entries, for arbitrary codebooks and grid vectors — the
+  * layout arithmetic (subspace offsets, slot indexing, tie-breaks) is the
+  * part a unit fixture could silently get wrong in both places. */
+object PqKernelProps extends Properties("pq-kernel") {
+  import org.apache.spark.sql.catalyst.util.{ArrayData, GenericArrayData}
+  import graft.functions.PqKernel
+
+  private val geom = for {
+    m <- Gen.choose(1, 4)
+    subDim <- Gen.choose(1, 4)
+    // per subspace: 1..4 centroids with ascending ids in 0..7
+    books <- Gen.listOfN(m, for {
+      ids <- Gen.someOf(0 to 7).suchThat(_.nonEmpty)
+      cvs <- Gen.listOfN(ids.size,
+        Gen.listOfN(subDim, Gen.choose(0L, 255L)))
+    } yield ids.toSeq.sorted.zip(cvs.map(_.toArray)))
+    g <- Gen.listOfN(m * subDim, Gen.choose(0L, 255L))
+  } yield (m, subDim, books, g.toArray)
+
+  private def flatten(m: Int, subDim: Int,
+      books: Seq[Seq[(Int, Array[Long])]]) = {
+    val cids = books.flatMap(_.map(_._1.toLong)).toArray
+    val off = books.scanLeft(0)(_ + _.size).toArray
+    val cen = books.flatMap(_.flatMap(_._2)).toArray
+    (cen, cids, off)
+  }
+
+  private def naiveDist(a: Array[Long], b: Array[Long]): Long =
+    a.zip(b).map { case (x, y) => (x - y) * (x - y) }.sum
+
+  property("encode == naive per-subspace argmin with lowest-id ties") =
+    forAll(geom) { case (m, subDim, books, g) =>
+      val (cen, cids, off) = flatten(m, subDim, books)
+      val got = PqKernel.encode(cen, cids, off, m, subDim,
+        new GenericArrayData(g)).toLongArray.toSeq
+      val want = (0 until m).map { s =>
+        val sub = g.slice(s * subDim, (s + 1) * subDim)
+        books(s).map { case (id, cv) => (naiveDist(sub, cv), id) }
+          .minBy { case (d, id) => (d, id) }._2.toLong
+      }
+      got == want
+    }
+
+  property("lut == naive distances at id slots, MaxValue elsewhere") =
+    forAll(geom) { case (m, subDim, books, g) =>
+      val (cen, cids, off) = flatten(m, subDim, books)
+      val ksubMax = books.map(_.map(_._1).max + 1).max
+      val got = PqKernel.lut(cen, cids, off, m, subDim, ksubMax,
+        new GenericArrayData(g)).toLongArray
+      (0 until m).forall { s =>
+        val sub = g.slice(s * subDim, (s + 1) * subDim)
+        val byId = books(s).map { case (id, cv) => id -> naiveDist(sub, cv) }.toMap
+        (0 until ksubMax).forall { c =>
+          got(s * ksubMax + c) == byId.getOrElse(c, Long.MaxValue)
+        }
+      }
+    }
+
+  property("encode code is always the argmin the lut reports") =
+    forAll(geom) { case (m, subDim, books, g) =>
+      val (cen, cids, off) = flatten(m, subDim, books)
+      val ksubMax = books.map(_.map(_._1).max + 1).max
+      val codes = PqKernel.encode(cen, cids, off, m, subDim,
+        new GenericArrayData(g)).toLongArray
+      val lut = PqKernel.lut(cen, cids, off, m, subDim, ksubMax,
+        new GenericArrayData(g)).toLongArray
+      (0 until m).forall { s =>
+        val row = (0 until ksubMax).map(c => lut(s * ksubMax + c))
+        row(codes(s).toInt) == row.min
+      }
+    }
+}
