@@ -217,7 +217,7 @@ object ScaleProbe {
     }
     // streaming rolling-spend tracker throughput (bounded per-key state:
     // only in-window (ts, kobo) pairs are retained per account)
-    locally {
+    if (only.forall("streaming_rolling_spend".contains)) {
       val dir = java.nio.file.Files.createTempDirectory("graft_sprobe_roll").toString
       val streamN = math.min(n, 2000000L)
       synthEvents(spark, streamN, users = 10000)
@@ -241,7 +241,7 @@ object ScaleProbe {
     // rewrite cost is amortized 1/maxDeltas per batch, where both the
     // naive form AND a bucketed-base-only form paid O(|store|) per batch
     // (1k uniformly-hashed keys touch ~every bucket).
-    locally {
+    if (only.forall("dimstore_inc".contains)) {
       val storeDir = java.nio.file.Files.createTempDirectory("graft_sprobe_dim").toString
       val keys = math.min(n / 10, 1000000L)
       def dimBatch(ids: org.apache.spark.sql.DataFrame) = ids.select(
@@ -282,6 +282,31 @@ object ScaleProbe {
       parsed.filter(ops.Predicates.isCompleted(col("status")))))
     time("token_budget")(text.TrainingPrep.tokenBudgetCurate(synthDocs,
       budgetPerLang = 1000000L))
+
+    // round-8: the two temporal-join infra ops at full scale. As-of:
+    // 10M facts enriched against 100k dim versions (10k keys × 10) — the
+    // union+sort+carry-forward shape is ONE shuffle + per-partition sort,
+    // no range explosion. Interval: 10M×10M self-ish pairing bounded by
+    // the ±60s bucket equi-join, never a key-wide cross product.
+    if (only.forall("temporal_join".contains)) {
+      val dimVersions = spark.range(100000L).select(
+        pmod(col("id"), lit(10000L)).as("account_id"),
+        (lit(1700000000000000L) +
+          expr("id div 10000") * 259200000000L).as("ver_ts_us"),
+        xxhash64(col("id")).as("dim_attr"))
+      time("temporal_join_asof")(ops.AsOfJoin.asOfLeft(
+        parsed.select("txn_id", "account_id", "event_time_us"),
+        dimVersions, "account_id", "event_time_us", "ver_ts_us"))
+      val credits = parsed.filter(!ops.Predicates.isDebit(col("txn_type")))
+        .select(col("account_id").as("c_acct"), col("txn_id").as("credit_txn_id"),
+          col("event_time_us").as("credit_ts_us"))
+        .withColumnRenamed("c_acct", "account_id")
+      time("temporal_join_interval")(ops.IntervalJoin.inner(
+        parsed.filter(ops.Predicates.isDebit(col("txn_type")))
+          .select("txn_id", "account_id", "event_time_us"),
+        credits, "account_id", "event_time_us", "credit_ts_us",
+        -60000000L, 60000000L))
+    }
 
     // hot-key skew: 90% of rows on one key — plain groupBy puts them on
     // one reducer; salted two-phase spreads them over 32
