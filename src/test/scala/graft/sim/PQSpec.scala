@@ -60,6 +60,24 @@ class PQSpec extends SparkSpecBase {
     assert(recall >= 0.6, s"recall $recall")
   }
 
+  test("streaming twin: encode lifts to a readStream frame unchanged (frozen model)") {
+    // train batch-side on the warehoused corpus, encode the live stream
+    // against the frozen plan-constant model — every transform in encode
+    // is stateless scan-stage work, so the SAME code runs both modes
+    val stream = spark.readStream
+      .schema(spark.read.parquet(s"$sf0001/embeddings.parquet").schema)
+      .option("pathGlobFilter", "embeddings.parquet")
+      .parquet(sf0001)
+    val q = PQ.encode(stream, model)
+      .writeStream.format("memory").queryName("pq_stream_enc")
+      .outputMode("append").start()
+    q.processAllAvailable(); q.stop()
+    val got = spark.table("pq_stream_enc").collect().map(_.toSeq).toSet
+    val want = PQ.encode(emb, model).collect().map(_.toSeq).toSet
+    assert(got === want)
+    assert(got.nonEmpty)
+  }
+
   test("ADC recall@5 >= 0.6 holds at the 10x corpus (sf0.1) too") {
     val emb1 = Tables.embeddings(spark, "/root/testdata/sf0.1")
     val bf = pairs(Similarity.bruteForceTopK(emb1, 10, 5))
