@@ -202,6 +202,15 @@ object ScaleProbe {
       time("pq_encode")(sim.PQ.encode(synthEmb, pqModel))
       time("pq_topk")(sim.PQ.topK(synthEmb, pqModel, numQueries = 10, k = 5,
         rerankFactor = 8))
+      // the composed tier: coarse cells prune the ADC scan to
+      // ~nprobe/cells of the corpus before any code is scored. Index
+      // build (coarse k-means, timed under ivf probes) is a one-off
+      // amortized cost — this times the per-query-set search path
+      val coarse = sim.Similarity.kmeansCentroids(
+        sim.Similarity.withNorm(synthEmb), stride = 541, iters = 2,
+        sampleMod = 20L)
+      time("pq_ivfpq_search")(sim.PQ.ivfPqSearch(synthEmb, coarse, pqModel,
+        numQueries = 10, k = 5, nprobe = 14, rerankFactor = 8))
     }
 
     if (only.forall("ivf_refine".contains)) {

@@ -765,6 +765,17 @@ object SparkEntry {
       graft.sim.PQ.topKQuery(Tables.embeddings(s, dir), SimNumQueries,
         SimTopK, m = PqM, ksub = PqKsub, rerankFactor = PqRerank)),
 
+    // IVF-PQ — the full FAISS layering from the two tiers above: coarse
+    // cells PRUNE the scan (nprobe cells per query), PQ codes SCORE the
+    // survivors (integer ADC over 8-byte codes), floats rerank only
+    // k*rerankFactor rows. One corpus scan computes cell + codes via two
+    // codegen kernels; fully oracle-replayed (IVF float CTEs + PQ integer
+    // CTEs composed in one WITH)
+    "q_sim_ivfpq_topk" -> ((s, dir) =>
+      graft.sim.PQ.ivfPqTopK(Tables.embeddings(s, dir), SimNumQueries,
+        SimTopK, IvfStride, IvfNprobe, IvfIters, m = PqM, ksub = PqKsub,
+        rerankFactor = PqRerank)),
+
     // Multimodal: binary payload + metadata -> batched stub-decode features
     "q_multimodal_meta" -> ((s, dir) => Multimodal.decodeFeatures(s, Tables.documents(s, dir))),
 
@@ -1370,7 +1381,19 @@ object SparkEntry {
     * folds are needed anywhere (the advantage the PQ design was chosen
     * for). Ends with `codes(vec_id, s, code)` and `n(vec_id, v, norm)`;
     * callers append their pivot/search CTEs. */
-  private def sqlPqCodesCtes: String = {
+  /** The shared `e` (vectors) + `n` (norms) CTE pair every ANN oracle
+    * starts from — emitted ONCE per WITH, so fragments that compose
+    * (IVF cells + PQ codes) don't redefine them. */
+  private val sqlAnnBaseCtes: String =
+    s"""e AS (SELECT vec_id, CAST(embedding AS DOUBLE[]) AS v FROM embeddings),
+       |n AS (SELECT vec_id, v, sqrt(list_dot_product(v, v)) AS norm FROM e)""".stripMargin
+
+  /** PQ pipeline CTEs (everything after `e`/`n` — see [[sqlPqCodesCtes]]
+    * for the full story). Internal names are `pq_`-prefixed where they
+    * would collide with the IVF fragment's (`hv`/`modEff`/`tr`/`seeds`),
+    * so [[sqlIvfCellCtes]] + this can share one WITH for the IVF-PQ
+    * composition. Ends with `codes(vec_id, s, code)`. */
+  private def sqlPqCodesInner: String = {
     val (kSteps, kCol) = SqlHash.xxh64LongSteps("vec_id::HUGEINT", "42", "__k")
     val seedInner = SqlHash.applySteps("SELECT vec_id FROM e", kSteps)
     // one Lloyd pass: assign each sampled subvector to its nearest
@@ -1387,9 +1410,7 @@ object SparkEntry {
          |cen$i AS (SELECT a.s, a.c_id, t.dl, sum(t.g) // count(*) AS cg
          |  FROM a$i a JOIN trg t ON a.vec_id = t.vec_id AND a.s = t.s
          |  GROUP BY a.s, a.c_id, t.dl)""".stripMargin
-    s"""e AS (SELECT vec_id, CAST(embedding AS DOUBLE[]) AS v FROM embeddings),
-       |n AS (SELECT vec_id, v, sqrt(list_dot_product(v, v)) AS norm FROM e),
-       |un AS (SELECT vec_id,
+    s"""un AS (SELECT vec_id,
        |         list_transform(v, x -> x / greatest(norm, 1e-12)) AS u FROM n),
        |sdim AS (SELECT CAST((SELECT max(len(embedding)) FROM embeddings) // $PqM AS BIGINT) AS sd),
        |gstat AS (SELECT d, min(u[d]) AS dmin,
@@ -1403,16 +1424,16 @@ object SparkEntry {
        |    CAST((gs.d - 1) % (SELECT sd FROM sdim) AS BIGINT) AS dl
        |  FROM un CROSS JOIN gstat gs),
        |-- MATERIALIZED: same planner trap as the IVF/mixture oracles
-       |hv AS MATERIALIZED (SELECT vec_id, ${SqlHash.toSigned(kCol)} AS hv FROM ($seedInner)),
-       |modEff AS (SELECT greatest(1, CAST(ceil(CAST(count(*) AS DOUBLE) /
+       |pq_hv AS MATERIALIZED (SELECT vec_id, ${SqlHash.toSigned(kCol)} AS hv FROM ($seedInner)),
+       |pq_mod AS (SELECT greatest(1, CAST(ceil(CAST(count(*) AS DOUBLE) /
        |  65536.0) AS BIGINT)) AS m FROM e),
-       |tr AS (SELECT vec_id FROM hv WHERE hv % (SELECT m FROM modEff) = 0),
-       |seeds AS (SELECT vec_id, CAST(rn - 1 AS BIGINT) AS c_id FROM (
-       |  SELECT vec_id, row_number() OVER (ORDER BY vec_id) AS rn FROM tr)
+       |pq_tr AS (SELECT vec_id FROM pq_hv WHERE hv % (SELECT m FROM pq_mod) = 0),
+       |pq_seeds AS (SELECT vec_id, CAST(rn - 1 AS BIGINT) AS c_id FROM (
+       |  SELECT vec_id, row_number() OVER (ORDER BY vec_id) AS rn FROM pq_tr)
        |  WHERE rn <= $PqKsub),
-       |trg AS (SELECT s.* FROM sub s JOIN tr USING (vec_id)),
+       |trg AS (SELECT s.* FROM sub s JOIN pq_tr USING (vec_id)),
        |cen0 AS (SELECT sd.c_id, t.s, t.dl, t.g AS cg
-       |  FROM trg t JOIN seeds sd USING (vec_id)),
+       |  FROM trg t JOIN pq_seeds sd USING (vec_id)),
        |${lloyd("cen0", 1)},
        |${lloyd("cen1", 2)},
        |ed AS (SELECT t.vec_id, t.s, c.c_id,
@@ -1422,6 +1443,77 @@ object SparkEntry {
        |codes AS (SELECT vec_id, s, c_id AS code FROM (
        |  SELECT vec_id, s, c_id, row_number() OVER (PARTITION BY vec_id, s
        |    ORDER BY dist, c_id) AS rn FROM ed) WHERE rn = 1)""".stripMargin
+  }
+
+  private def sqlPqCodesCtes: String =
+    s"$sqlAnnBaseCtes,\n$sqlPqCodesInner"
+
+  /** IVF coarse-quantizer CTEs (extracted verbatim from the r4
+    * q_sim_ivf_topk oracle so that query AND the IVF-PQ composition share
+    * one replay): float Lloyd with order-forced folds, XXH64 seeds,
+    * adaptive stride/sample. Starts after `e`/`n` ([[sqlAnnBaseCtes]]);
+    * ends with `asg(vec_id, v, norm, cell)` and
+    * `probes(q_id, qv, qnorm, cell)`. */
+  private def sqlIvfCellCtes: String = {
+    val (kSteps, kCol) = SqlHash.xxh64LongSteps("vec_id::HUGEINT", "42", "__k")
+    val seedInner = SqlHash.applySteps("SELECT vec_id FROM e", kSteps)
+    // one Lloyd pass: assign every vector to its best centroid from
+    // `cin`, then rebuild centroids as order-forced per-dim means
+    def lloyd(cin: String, i: Int): String =
+      s"""asg$i AS (
+         |  SELECT vec_id, v, c_id FROM (
+         |    SELECT tr.vec_id, tr.v, c.c_id,
+         |      row_number() OVER (PARTITION BY tr.vec_id
+         |        ORDER BY list_dot_product(tr.v, c.cv) / (tr.norm * c.cnorm) DESC, c.c_id) AS rn
+         |    FROM tr CROSS JOIN $cin c) WHERE rn = 1
+         |),
+         |m$i AS (
+         |  SELECT c_id, d,
+         |    list_reduce(list_prepend(0.0::DOUBLE, list(v[d] ORDER BY vec_id)),
+         |      (acc, x) -> acc + x) / count(*) AS x
+         |  FROM asg$i, dims GROUP BY c_id, d),
+         |c$i AS (
+         |  SELECT c_id, cv, sqrt(list_dot_product(cv, cv)) AS cnorm
+         |  FROM (SELECT c_id, list(x ORDER BY d) AS cv FROM m$i GROUP BY c_id))""".stripMargin
+    s"""dims AS (SELECT unnest(range(1, (SELECT max(len(embedding)) FROM embeddings) + 1)) AS d),
+       |-- MATERIALIZED stops the seed predicate being pushed down through
+       |-- the 7 wrapped hash-step SELECTs (inlining doubles the expression
+       |-- tree per layer — same planner trap as the mixture oracle)
+       |hv AS MATERIALIZED (SELECT vec_id, ${SqlHash.toSigned(kCol)} AS hv FROM ($seedInner)),
+       |-- adaptive seed stride (Similarity.kmeansCentroids): cells are
+       |-- floored at ~4*sqrt(n) so training stays sub-quadratic; identity
+       |-- (= $IvfStride) for n <= ~8.5k, and the ceil/sqrt expression is
+       |-- the same correctly-rounded IEEE arithmetic in both engines
+       |strideEff AS (SELECT greatest($IvfStride, CAST(ceil(CAST(count(*) AS DOUBLE) /
+       |  ceil(4.0 * sqrt(CAST(count(*) AS DOUBLE)))) AS BIGINT)) AS s FROM e),
+       |-- adaptive training-sample modulus (same auto-derivation: corpora
+       |-- above maxTrainSamples/2 = 65536 vectors train on a bounded
+       |-- hash-sample; identity at every gated SF). Sample and seeds
+       |-- share ONE hash: pmod(xxhash64(vec_id), m | s) = 0
+       |modEff AS (SELECT greatest(1, CAST(ceil(CAST(count(*) AS DOUBLE) /
+       |  65536.0) AS BIGINT)) AS m FROM e),
+       |tr AS (SELECT n.* FROM n JOIN hv USING (vec_id)
+       |       WHERE hv % (SELECT m FROM modEff) = 0),
+       |seeds AS (SELECT vec_id FROM hv
+       |          WHERE hv % (SELECT m FROM modEff) = 0
+       |            AND hv % (SELECT s FROM strideEff) = 0),
+       |c0 AS (SELECT tr.vec_id AS c_id, tr.v AS cv, tr.norm AS cnorm
+       |       FROM tr JOIN seeds USING (vec_id)),
+       |${lloyd("c0", 1)},
+       |${lloyd("c1", 2)},
+       |asg AS (
+       |  SELECT vec_id, v, norm, c_id AS cell FROM (
+       |    SELECT n.vec_id, n.v, n.norm, c.c_id,
+       |      row_number() OVER (PARTITION BY n.vec_id
+       |        ORDER BY list_dot_product(n.v, c.cv) / (n.norm * c.cnorm) DESC, c.c_id) AS rn
+       |    FROM n CROSS JOIN c2 c) WHERE rn = 1),
+       |q AS (SELECT vec_id AS q_id, v AS qv, norm AS qnorm FROM n WHERE vec_id < $SimNumQueries),
+       |probes AS (
+       |  SELECT q_id, qv, qnorm, c_id AS cell FROM (
+       |    SELECT q.q_id, q.qv, q.qnorm, c.c_id,
+       |      row_number() OVER (PARTITION BY q.q_id
+       |        ORDER BY list_dot_product(q.qv, c.cv) / (q.qnorm * c.cnorm) DESC, c.c_id) AS rn
+       |    FROM q CROSS JOIN c2 c) WHERE rn <= $IvfNprobe)""".stripMargin
   }
 
   private def sqlLshBucketCtes(nBits: Int): String = {
@@ -2214,76 +2306,16 @@ object SparkEntry {
     // pmod(xxhash64(vec_id), stride) == 0 via the XXH64.hashLong steps;
     // assignment/probe argmax tiebreaks (sim DESC, c_id ASC) match
     // max_by(struct(sim, -c_id)); two Lloyd passes are unrolled as CTEs
-    "q_sim_ivf_topk" -> {
-      val (kSteps, kCol) = SqlHash.xxh64LongSteps("vec_id::HUGEINT", "42", "__k")
-      val seedInner = SqlHash.applySteps("SELECT vec_id FROM e", kSteps)
-      // one Lloyd pass: assign every vector to its best centroid from
-      // `cin`, then rebuild centroids as order-forced per-dim means
-      def lloyd(cin: String, i: Int): String =
-        s"""asg$i AS (
-           |  SELECT vec_id, v, c_id FROM (
-           |    SELECT tr.vec_id, tr.v, c.c_id,
-           |      row_number() OVER (PARTITION BY tr.vec_id
-           |        ORDER BY list_dot_product(tr.v, c.cv) / (tr.norm * c.cnorm) DESC, c.c_id) AS rn
-           |    FROM tr CROSS JOIN $cin c) WHERE rn = 1
-           |),
-           |m$i AS (
-           |  SELECT c_id, d,
-           |    list_reduce(list_prepend(0.0::DOUBLE, list(v[d] ORDER BY vec_id)),
-           |      (acc, x) -> acc + x) / count(*) AS x
-           |  FROM asg$i, dims GROUP BY c_id, d),
-           |c$i AS (
-           |  SELECT c_id, cv, sqrt(list_dot_product(cv, cv)) AS cnorm
-           |  FROM (SELECT c_id, list(x ORDER BY d) AS cv FROM m$i GROUP BY c_id))""".stripMargin
-      s"""WITH e AS (SELECT vec_id, CAST(embedding AS DOUBLE[]) AS v FROM embeddings),
-         |n AS (SELECT vec_id, v, sqrt(list_dot_product(v, v)) AS norm FROM e),
-         |dims AS (SELECT unnest(range(1, (SELECT max(len(embedding)) FROM embeddings) + 1)) AS d),
-         |-- MATERIALIZED stops the seed predicate being pushed down through
-         |-- the 7 wrapped hash-step SELECTs (inlining doubles the expression
-         |-- tree per layer — same planner trap as the mixture oracle)
-         |hv AS MATERIALIZED (SELECT vec_id, ${SqlHash.toSigned(kCol)} AS hv FROM ($seedInner)),
-         |-- adaptive seed stride (Similarity.kmeansCentroids): cells are
-         |-- floored at ~4*sqrt(n) so training stays sub-quadratic; identity
-         |-- (= $IvfStride) for n <= ~8.5k, and the ceil/sqrt expression is
-         |-- the same correctly-rounded IEEE arithmetic in both engines
-         |strideEff AS (SELECT greatest($IvfStride, CAST(ceil(CAST(count(*) AS DOUBLE) /
-         |  ceil(4.0 * sqrt(CAST(count(*) AS DOUBLE)))) AS BIGINT)) AS s FROM e),
-         |-- adaptive training-sample modulus (same auto-derivation: corpora
-         |-- above maxTrainSamples/2 = 65536 vectors train on a bounded
-         |-- hash-sample; identity at every gated SF). Sample and seeds
-         |-- share ONE hash: pmod(xxhash64(vec_id), m | s) = 0
-         |modEff AS (SELECT greatest(1, CAST(ceil(CAST(count(*) AS DOUBLE) /
-         |  65536.0) AS BIGINT)) AS m FROM e),
-         |tr AS (SELECT n.* FROM n JOIN hv USING (vec_id)
-         |       WHERE hv % (SELECT m FROM modEff) = 0),
-         |seeds AS (SELECT vec_id FROM hv
-         |          WHERE hv % (SELECT m FROM modEff) = 0
-         |            AND hv % (SELECT s FROM strideEff) = 0),
-         |c0 AS (SELECT tr.vec_id AS c_id, tr.v AS cv, tr.norm AS cnorm
-         |       FROM tr JOIN seeds USING (vec_id)),
-         |${lloyd("c0", 1)},
-         |${lloyd("c1", 2)},
-         |asg AS (
-         |  SELECT vec_id, v, norm, c_id AS cell FROM (
-         |    SELECT n.vec_id, n.v, n.norm, c.c_id,
-         |      row_number() OVER (PARTITION BY n.vec_id
-         |        ORDER BY list_dot_product(n.v, c.cv) / (n.norm * c.cnorm) DESC, c.c_id) AS rn
-         |    FROM n CROSS JOIN c2 c) WHERE rn = 1),
-         |q AS (SELECT vec_id AS q_id, v AS qv, norm AS qnorm FROM n WHERE vec_id < $SimNumQueries),
-         |probes AS (
-         |  SELECT q_id, qv, qnorm, c_id AS cell FROM (
-         |    SELECT q.q_id, q.qv, q.qnorm, c.c_id,
-         |      row_number() OVER (PARTITION BY q.q_id
-         |        ORDER BY list_dot_product(q.qv, c.cv) / (q.qnorm * c.cnorm) DESC, c.c_id) AS rn
-         |    FROM q CROSS JOIN c2 c) WHERE rn <= $IvfNprobe),
+    "q_sim_ivf_topk" ->
+      s"""WITH $sqlAnnBaseCtes,
+         |$sqlIvfCellCtes,
          |cand AS (
          |  SELECT p.q_id, a.vec_id AS neighbor_id,
          |    round(list_dot_product(p.qv, a.v) / (p.qnorm * a.norm), 6) AS cos_sim
          |  FROM asg a JOIN probes p USING (cell) WHERE a.vec_id <> p.q_id),
          |r AS (SELECT *, CAST(row_number() OVER (PARTITION BY q_id ORDER BY cos_sim DESC, neighbor_id) AS BIGINT) AS rank
          |      FROM cand)
-         |SELECT q_id, neighbor_id, cos_sim, rank FROM r WHERE rank <= $SimTopK""".stripMargin
-    },
+         |SELECT q_id, neighbor_id, cos_sim, rank FROM r WHERE rank <= $SimTopK""".stripMargin,
 
     // the full LSH ANN path replayed in SQL: the pseudo-random hyperplane
     // components come from Spark's xxhash64 (XXH64 over ints, seed 42),
@@ -2347,6 +2379,37 @@ object SparkEntry {
          |adc AS (SELECT qd.q_id, co.vec_id, sum(qd.dist) AS adc
          |  FROM qd JOIN codes co ON qd.s = co.s AND qd.c_id = co.code
          |  WHERE co.vec_id <> qd.q_id GROUP BY qd.q_id, co.vec_id),
+         |cand AS (SELECT q_id, vec_id FROM (
+         |  SELECT q_id, vec_id, row_number() OVER (PARTITION BY q_id
+         |    ORDER BY adc, vec_id) AS rn FROM adc)
+         |  WHERE rn <= ${SimTopK * PqRerank}),
+         |rr AS (SELECT c.q_id, c.vec_id AS neighbor_id,
+         |    round(list_dot_product(q.v, a.v) / (q.norm * a.norm), 6) AS cos_sim
+         |  FROM cand c JOIN n a ON a.vec_id = c.vec_id
+         |  JOIN n q ON q.vec_id = c.q_id),
+         |r AS (SELECT *, CAST(row_number() OVER (PARTITION BY q_id
+         |    ORDER BY cos_sim DESC, neighbor_id) AS BIGINT) AS rank FROM rr)
+         |SELECT q_id, neighbor_id, cos_sim, rank FROM r WHERE rank <= $SimTopK""".stripMargin,
+
+    // IVF-PQ composition: the IVF fragment supplies asg (vector -> cell)
+    // and probes (query -> nprobe cells); the PQ fragment supplies codes;
+    // candidates are their cell equi-join, scored by the qd LUT join (the
+    // same integer ADC as q_sim_pq_topk), reranked on floats
+    "q_sim_ivfpq_topk" ->
+      s"""WITH $sqlAnnBaseCtes,
+         |$sqlIvfCellCtes,
+         |$sqlPqCodesInner,
+         |qd AS (SELECT t.vec_id AS q_id, c.s, c.c_id,
+         |    sum((t.g - c.cg) * (t.g - c.cg)) AS dist
+         |  FROM sub t JOIN cen2 c ON t.s = c.s AND t.dl = c.dl
+         |  WHERE t.vec_id < $SimNumQueries
+         |  GROUP BY t.vec_id, c.s, c.c_id),
+         |cand0 AS (SELECT p.q_id, a.vec_id
+         |  FROM asg a JOIN probes p USING (cell) WHERE a.vec_id <> p.q_id),
+         |adc AS (SELECT c0.q_id, c0.vec_id, sum(qd.dist) AS adc
+         |  FROM cand0 c0 JOIN codes co ON co.vec_id = c0.vec_id
+         |  JOIN qd ON qd.q_id = c0.q_id AND qd.s = co.s AND qd.c_id = co.code
+         |  GROUP BY c0.q_id, c0.vec_id),
          |cand AS (SELECT q_id, vec_id FROM (
          |  SELECT q_id, vec_id, row_number() OVER (PARTITION BY q_id
          |    ORDER BY adc, vec_id) AS rn FROM adc)

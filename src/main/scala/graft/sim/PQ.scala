@@ -76,20 +76,25 @@ object PQ {
     (dmin, dscale)
   }
 
+  /** The grid-code expression over a unit-vector column — shared by the
+    * whole-corpus and composed-frame paths so the two can't drift. */
+  private def gridExprSql(uCol: String): String =
+    s"""transform($uCol, (x, i) ->
+       |  least(cast(floor((x - element_at(__dmin, i + 1)) /
+       |    element_at(__dscale, i + 1)) as bigint), 255L))""".stripMargin
+
+  private def withGridLits(df: DataFrame, dmin: Array[Double],
+      dscale: Array[Double]): DataFrame =
+    df.withColumn("__dmin", array(dmin.toIndexedSeq.map(lit): _*))
+      .withColumn("__dscale", array(dscale.toIndexedSeq.map(lit): _*))
+
   /** (vec_id, v, g) for the whole corpus — grid codes are scan-stage
     * against the grid literals, codegen'd. */
   private def withGrid(embeddings: DataFrame, dmin: Array[Double],
-      dscale: Array[Double]): DataFrame = {
-    val mnLit = array(dmin.toIndexedSeq.map(lit): _*)
-    val scLit = array(dscale.toIndexedSeq.map(lit): _*)
-    unitVectors(embeddings)
-      .withColumn("__dmin", mnLit).withColumn("__dscale", scLit)
-      .withColumn("g", expr(
-        """transform(v, (x, i) ->
-          |  least(cast(floor((x - element_at(__dmin, i + 1)) /
-          |    element_at(__dscale, i + 1)) as bigint), 255L))""".stripMargin))
+      dscale: Array[Double]): DataFrame =
+    withGridLits(unitVectors(embeddings), dmin, dscale)
+      .withColumn("g", expr(gridExprSql("v")))
       .drop("__dmin", "__dscale")
-  }
 
   private def sqDistL2(a: Array[Long], b: Array[Long]): Long = {
     var s = 0L; var i = 0
@@ -273,4 +278,103 @@ object PQ {
       rerankFactor: Int = 8): DataFrame =
     topK(embeddings, train(embeddings, m, ksub, iters), numQueries, k,
       rerankFactor)
+
+  /** IVF-PQ — the full FAISS layering, composed from the two existing
+    * tiers: the coarse quantizer PRUNES (each query touches only its
+    * `nprobe` cells — the [[Similarity.ivfSearch]] contract), the PQ
+    * codes SCORE (ADC over 8-byte codes — 1/32 of the float bytes), and
+    * floats rerank only the `k × rerankFactor` survivors. At 100 TB this
+    * is the shape that works: candidate generation is a cell EQUI-join
+    * against a broadcast probe set (no corpus shuffle, no inequality
+    * fan-out), and the scored bytes are the compressed tier.
+    *
+    * One corpus scan derives everything per vector — raw norm (coarse
+    * assignment + rerank are cosine on RAW vectors, bit-matching the IVF
+    * oracle fragment), unit-grid codes, coarse cell ([[graft.functions
+    * .IvfAssign]] kernel), PQ codes ([[graft.functions.PqEncode]]
+    * kernel) — so the composition adds zero extra passes over plain PQ.
+    * Fully oracle-replayed: IVF training/probes CTEs + PQ codebook CTEs
+    * composed in SQL exactly as here. */
+  def ivfPqTopK(embeddings: DataFrame, numQueries: Long, k: Int,
+      centroidStride: Int = 23, nprobe: Int = 14, kmeansIters: Int = 2,
+      m: Int = 16, ksub: Int = 16, iters: Int = 2,
+      rerankFactor: Int = 8): DataFrame = {
+    val all = Similarity.withNorm(embeddings)
+    val coarse = Similarity.kmeansCentroids(all, centroidStride, kmeansIters)
+    val model = train(embeddings, m, ksub, iters)
+    ivfPqSearch(embeddings, coarse, model, numQueries, k, nprobe,
+      rerankFactor)
+  }
+
+  /** IVF-PQ search against pre-trained models (factored from
+    * [[ivfPqTopK]] like [[Similarity.ivfSearch]] — index build is a
+    * one-off cost amortized across queries; this is the per-query-set
+    * path). */
+  def ivfPqSearch(embeddings: DataFrame, coarse: DataFrame, model: PqModel,
+      numQueries: Long, k: Int, nprobe: Int = 14,
+      rerankFactor: Int = 8): DataFrame = {
+    val spark = embeddings.sparkSession
+    val all = Similarity.withNorm(embeddings)
+    val encFn = registerKernel(spark, model, "encode",
+      (g, cen, cids, off) =>
+        graft.functions.PqEncode(g, cen, cids, off, model.m, model.subDim))
+    val ksubMax = model.codebooks.map(b => b.keys.max + 1).max
+    val lutFn = registerKernel(spark, model, "lut",
+      (g, cen, cids, off) =>
+        graft.functions.PqLut(g, cen, cids, off, model.m, model.subDim,
+          ksubMax))
+
+    // ONE scan: raw v/norm (assignment + rerank), unit grid -> PQ codes,
+    // coarse cell — two codegen kernels and the grid expr, zero joins
+    val coded = withGridLits(
+        Similarity.assignCells(all, coarse), model.dmin, model.dscale)
+      .withColumn("__u", expr(
+        "transform(v, x -> x / greatest(norm, 1e-12))"))
+      .withColumn("codes", expr(s"$encFn(${gridExprSql("__u")})"))
+      .select("vec_id", "cell", "codes")
+
+    // queries probe their nprobe nearest cells (the ivfSearch contract)
+    // and carry their ADC LUT
+    val queries = withGridLits(all.filter(col("vec_id") < numQueries),
+        model.dmin, model.dscale)
+      .withColumn("__u", expr(
+        "transform(v, x -> x / greatest(norm, 1e-12))"))
+      .withColumn("lut", expr(s"$lutFn(${gridExprSql("__u")})"))
+      .select(col("vec_id").as("q_id"), col("v").as("qv"),
+        col("norm").as("qnorm"), col("lut"))
+    val probeW = Window.partitionBy(col("q_id"))
+      .orderBy(col("__qcsim").desc, col("c_id"))
+    val probes = queries.join(broadcast(coarse))
+      .withColumn("__qcsim",
+        Similarity.dot("qv", "cv") / (col("qnorm") * col("cnorm")))
+      .withColumn("__rn", row_number().over(probeW))
+      .filter(col("__rn") <= nprobe)
+      .select(col("q_id"), col("lut"), col("c_id").as("cell"))
+
+    val adc = expr(s"""aggregate(
+      zip_with(sequence(0L, ${model.m - 1}), codes,
+        (s, c) -> element_at(lut, cast(s * $ksubMax + c + 1 as int))),
+      0L, (a, x) -> a + x)""")
+    val candW = Window.partitionBy(col("q_id"))
+      .orderBy(col("__adc").asc, col("vec_id").asc)
+    val cands = coded.join(broadcast(probes), Seq("cell"))
+      .filter(col("vec_id") =!= col("q_id"))
+      .withColumn("__adc", adc)
+      .select("q_id", "vec_id", "__adc")
+      .withColumn("__rn", row_number().over(candW))
+      .filter(col("__rn") <= k * rerankFactor)
+
+    val qv = all.select(col("vec_id").as("q_id"), col("v").as("qv"),
+      col("norm").as("qnorm"))
+    val w = Window.partitionBy(col("q_id"))
+      .orderBy(col("cos_sim").desc, col("neighbor_id"))
+    cands
+      .join(all, "vec_id")
+      .join(broadcast(qv), "q_id")
+      .select(col("q_id"), col("vec_id").as("neighbor_id"),
+        round(Similarity.dot("qv", "v") / (col("qnorm") * col("norm")), 6)
+          .as("cos_sim"))
+      .withColumn("rank", row_number().over(w).cast("long"))
+      .filter(col("rank") <= k)
+  }
 }
