@@ -209,6 +209,21 @@ class PlanShapeSpec extends SparkSpecBase {
       topk.contains("BroadcastHashJoin"), topk.take(2000))
   }
 
+  test("IVF-PQ: one scan carries both kernels; candidates come from a broadcast cell join") {
+    functions.GraftFunctions.register(spark)
+    val plan = formattedPlan(
+      SparkEntry.queries("q_sim_ivfpq_topk")(spark, sf0001))
+    // the corpus scan computes coarse cell AND PQ codes via the two
+    // plan-constant kernels — no join or exchange materializes
+    // |corpus| x |cells| rows anywhere
+    assert(plan.contains("graft_ivf_cell"), plan.take(2000))
+    assert(plan.contains("graft_pq_encode"), plan.take(2000))
+    assert(plan.contains("graft_pq_lut"), plan.take(2000))
+    assert(!plan.contains("SortMergeJoin"))
+    assert(!plan.contains("CartesianProduct"))
+    assert(plan.contains("BroadcastHashJoin"), plan.take(2000))
+  }
+
   test("minhash candidates: signature stage is scan-only, banding is the only wide op") {
     val plan = formattedPlan(
       graft.dedup.MinHashLSH.bandingCandidates(
