@@ -606,6 +606,122 @@ object SparkEntry {
         .agg(countDistinct(col("l_suppkey")).as("supplier_cnt"))
     }),
 
+    // ---- subquery-decorrelation family (r8): the TPC-H shapes whose SQL
+    //      form is a correlated EXISTS / NOT EXISTS / scalar subquery,
+    //      expressed directly as the decorrelated plan Catalyst would have
+    //      to derive — semi joins, anti joins, broadcast scalar attachment,
+    //      and the one-grouped-pass rewrite of a double self-join ----------
+
+    // TPC-H Q4-shaped priority check: orders having SOME late-shipping
+    // lineitem (EXISTS with a correlated range predicate) -> LEFT SEMI join
+    // on the order key with the range condition in the join predicate. The
+    // fact side is projected to (l_orderkey, l_shipdate) before the
+    // exchange; the semi join dedupes order-side matches inside the join
+    // (no DISTINCT stage), one shuffle each side.
+    "q_priority_semi" -> ((s, dir) => {
+      val ord = Tables.table(s, dir, "orders")
+        .filter(col("o_orderdate") >= lit("1997-01-01") &&
+          col("o_orderdate") < lit("1997-04-01"))
+      val li = Tables.table(s, dir, "lineitem")
+        .select("l_orderkey", "l_shipdate")
+      ord.join(li,
+          col("l_orderkey") === col("o_orderkey") &&
+            col("l_shipdate") > col("o_orderdate") + expr("INTERVAL 60 DAYS"),
+          "left_semi")
+        .groupBy(col("o_orderpriority"))
+        .agg(count(lit(1)).as("order_count"))
+    }),
+
+    // TPC-H Q17-shaped small-quantity revenue: the correlated scalar-agg
+    // subquery (per-part average quantity) decorrelated into a grouped
+    // pass over ONLY the brand-filtered lines (the broadcast part prune
+    // runs before the agg, so the per-part stats job is 1/#brands of the
+    // fact), then broadcast back. avg compare is cross-multiplied
+    // (qty * 5 * n < sum) so no engine-dependent division ever happens —
+    // quantities are whole-number doubles, exact.
+    "q_small_qty_revenue" -> ((s, dir) => {
+      val brandParts = Tables.table(s, dir, "part")
+        .filter(col("p_brand") === "Brand#13").select("p_partkey")
+      val li = Tables.table(s, dir, "lineitem")
+        .join(broadcast(brandParts), col("l_partkey") === col("p_partkey"))
+        .select("l_partkey", "l_quantity", "l_extendedprice")
+      val stats = li.groupBy("l_partkey")
+        .agg(sum(col("l_quantity")).as("sum_q"), count(lit(1)).as("n_q"))
+      li.join(broadcast(stats), "l_partkey")
+        .filter(col("l_quantity") * lit(5) * col("n_q") < col("sum_q"))
+        .agg((sum(col("l_extendedprice").cast("decimal(18,2)")) * lit(1000000))
+          .cast("decimal(38,0)").cast("long").as("revenue_micros"),
+          count(lit(1)).as("n_lines"))
+    }),
+
+    // TPC-H Q21-shaped waiting-supplier scan: the classic EXISTS(other
+    // supplier on the order) AND NOT EXISTS(other FLAGGED supplier) double
+    // self-join, rewritten as ONE grouped pass over the fact — per order,
+    // count distinct suppliers and distinct flagged suppliers; a supplier's
+    // flagged line "waits" iff the order is multi-supplier and they are its
+    // only flagged one. Two narrow shuffles on the order key replace two
+    // fact-size self-joins (the decorrelation a 100 TB plan needs — the
+    // EXISTS pair would scan lineitem three times).
+    "q_waiting_supplier" -> ((s, dir) => {
+      val li = Tables.table(s, dir, "lineitem")
+      val perOrder = li.groupBy("l_orderkey").agg(
+        countDistinct(col("l_suppkey")).as("n_supp"),
+        countDistinct(when(col("l_returnflag") === "R", col("l_suppkey")))
+          .as("n_flagged_supp"))
+      val flaggedLines = li.filter(col("l_returnflag") === "R")
+        .select("l_orderkey", "l_suppkey").distinct()
+      flaggedLines.join(perOrder, "l_orderkey")
+        .filter(col("n_supp") > 1 && col("n_flagged_supp") === 1)
+        .join(broadcast(Tables.table(s, dir, "supplier")),
+          col("l_suppkey") === col("s_suppkey"))
+        .groupBy(col("s_name"))
+        .agg(count(lit(1)).as("numwait"))
+    }),
+
+    // TPC-H Q22-shaped idle-customer stats: scalar subquery (positive-
+    // balance average) + NOT EXISTS recent order. The scalar arrives as a
+    // broadcast one-row (sum, count) pair and the avg compare is
+    // cross-multiplied in DECIMAL (c_acctbal * n > sum) — division-free,
+    // engine-exact; the NOT EXISTS is a LEFT ANTI join against the
+    // date-pruned order keys. Money out as exact integer cents.
+    "q_idle_customer_stats" -> ((s, dir) => {
+      val cust = Tables.customer(s, dir)
+      val bal = col("c_acctbal").cast("decimal(18,2)")
+      val posAvg = cust.filter(col("c_acctbal") > 0)
+        .agg(sum(bal).as("pos_sum"), count(lit(1)).as("pos_n"))
+      val recent = Tables.table(s, dir, "orders")
+        .filter(col("o_orderdate") >= lit("2000-01-01")).select("o_custkey")
+      cust.crossJoin(broadcast(posAvg))
+        .filter(bal * col("pos_n") > col("pos_sum"))
+        .join(recent, col("c_custkey") === col("o_custkey"), "left_anti")
+        .groupBy(col("c_nationkey"))
+        .agg(count(lit(1)).as("numcust"),
+          (sum(bal) * lit(100)).cast("decimal(38,0)").cast("long")
+            .as("totacctbal_cents"))
+    }),
+
+    // TPC-H Q15-shaped top supplier: the view-plus-global-max shape — the
+    // per-supplier revenue agg computed once, its max attached as a
+    // broadcast one-row scalar, equality on exact integer micros (ties
+    // would surface as multiple rows, as in the spec's Q15). The fact
+    // scans once; everything after the agg is supplier-cardinality.
+    "q_top_supplier" -> ((s, dir) => {
+      val rev = Tables.table(s, dir, "lineitem")
+        .filter(col("l_shipdate") >= lit("1996-01-01") &&
+          col("l_shipdate") < lit("1996-04-01"))
+        .groupBy("l_suppkey")
+        .agg((sum(col("l_extendedprice").cast("decimal(18,2)") *
+            (lit(1).cast("decimal(4,2)") - col("l_discount").cast("decimal(4,2)"))) *
+          lit(1000000)).cast("decimal(38,0)").cast("long").as("total_rev_micros"))
+      val mx = rev.agg(max(col("total_rev_micros")).as("max_rev_micros"))
+      rev.crossJoin(broadcast(mx))
+        .filter(col("total_rev_micros") === col("max_rev_micros"))
+        .join(broadcast(Tables.table(s, dir, "supplier")),
+          col("l_suppkey") === col("s_suppkey"))
+        .select(col("s_suppkey").as("suppkey"), col("s_name"),
+          col("total_rev_micros"))
+    }),
+
     // ---- LLM-data-pipeline extensions (SURVEY §7.2 step 8) -----------------
 
     // Text analysis: stopword-profile language ID (argmax w/ fixed tiebreak)
@@ -2090,6 +2206,76 @@ object SparkEntry {
         |WHERE p_brand <> 'Brand#1'
         |  AND l_suppkey NOT IN (SELECT s_suppkey FROM supplier WHERE s_acctbal < 0)
         |GROUP BY 1, 2, 3""".stripMargin,
+
+    // the oracle keeps the CORRELATED form on purpose: DuckDB decorrelates
+    // it itself, independently verifying the Spark-side manual rewrite
+    "q_priority_semi" ->
+      """SELECT o_orderpriority, CAST(count(*) AS BIGINT) AS order_count
+        |FROM orders o
+        |WHERE o_orderdate >= TIMESTAMP '1997-01-01'
+        |  AND o_orderdate < TIMESTAMP '1997-04-01'
+        |  AND EXISTS (SELECT 1 FROM lineitem l
+        |              WHERE l.l_orderkey = o.o_orderkey
+        |                AND l.l_shipdate > o.o_orderdate + INTERVAL 60 DAY)
+        |GROUP BY 1""".stripMargin,
+
+    "q_small_qty_revenue" ->
+      """WITH li AS (
+        |  SELECT l_partkey, l_quantity, l_extendedprice
+        |  FROM lineitem JOIN part ON l_partkey = p_partkey
+        |  WHERE p_brand = 'Brand#13'
+        |), st AS (
+        |  SELECT l_partkey, sum(l_quantity) AS sum_q, count(*) AS n_q
+        |  FROM li GROUP BY 1
+        |)
+        |SELECT
+        |  CAST(CAST(sum(CAST(l_extendedprice AS DECIMAL(18,2))) * 1000000 AS DECIMAL(38,0)) AS BIGINT) AS revenue_micros,
+        |  CAST(count(*) AS BIGINT) AS n_lines
+        |FROM li JOIN st USING (l_partkey)
+        |WHERE l_quantity * 5 * n_q < sum_q""".stripMargin,
+
+    // correlated EXISTS/NOT-EXISTS form kept as the oracle — the engine
+    // runs the one-grouped-pass decorrelation; equality here proves the
+    // rewrite
+    "q_waiting_supplier" ->
+      """SELECT s_name, CAST(count(*) AS BIGINT) AS numwait
+        |FROM (SELECT DISTINCT l_orderkey, l_suppkey FROM lineitem
+        |      WHERE l_returnflag = 'R') l1
+        |JOIN supplier ON l1.l_suppkey = s_suppkey
+        |WHERE EXISTS (SELECT 1 FROM lineitem l2
+        |              WHERE l2.l_orderkey = l1.l_orderkey
+        |                AND l2.l_suppkey <> l1.l_suppkey)
+        |  AND NOT EXISTS (SELECT 1 FROM lineitem l3
+        |                  WHERE l3.l_orderkey = l1.l_orderkey
+        |                    AND l3.l_suppkey <> l1.l_suppkey
+        |                    AND l3.l_returnflag = 'R')
+        |GROUP BY 1""".stripMargin,
+
+    "q_idle_customer_stats" ->
+      """SELECT c_nationkey, CAST(count(*) AS BIGINT) AS numcust,
+        |  CAST(CAST(sum(CAST(c_acctbal AS DECIMAL(18,2))) * 100 AS DECIMAL(38,0)) AS BIGINT) AS totacctbal_cents
+        |FROM customer c,
+        |  (SELECT sum(CAST(c_acctbal AS DECIMAL(18,2))) AS pos_sum,
+        |          count(*) AS pos_n
+        |   FROM customer WHERE c_acctbal > 0) p
+        |WHERE CAST(c_acctbal AS DECIMAL(18,2)) * pos_n > pos_sum
+        |  AND NOT EXISTS (SELECT 1 FROM orders o
+        |                  WHERE o.o_custkey = c.c_custkey
+        |                    AND o.o_orderdate >= TIMESTAMP '2000-01-01')
+        |GROUP BY 1""".stripMargin,
+
+    "q_top_supplier" ->
+      """WITH rev AS (
+        |  SELECT l_suppkey,
+        |    CAST(CAST(sum(CAST(l_extendedprice AS DECIMAL(18,2)) * (CAST(1 AS DECIMAL(4,2)) - CAST(l_discount AS DECIMAL(4,2)))) * 1000000 AS DECIMAL(38,0)) AS BIGINT) AS total_rev_micros
+        |  FROM lineitem
+        |  WHERE l_shipdate >= TIMESTAMP '1996-01-01'
+        |    AND l_shipdate < TIMESTAMP '1996-04-01'
+        |  GROUP BY 1
+        |)
+        |SELECT l_suppkey AS suppkey, s_name, total_rev_micros
+        |FROM rev JOIN supplier ON l_suppkey = s_suppkey
+        |WHERE total_rev_micros = (SELECT max(total_rev_micros) FROM rev)""".stripMargin,
 
     "q_text_langid" ->
       s"""WITH d AS (SELECT doc_id, string_split(text, ' ') AS w FROM documents),

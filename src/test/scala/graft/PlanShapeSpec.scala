@@ -243,4 +243,50 @@ class PlanShapeSpec extends SparkSpecBase {
     assert(exchangeCount <= 6, s"unexpected shuffle count: $exchangeCount\n" +
       plan.take(2000))
   }
+
+  // ---- subquery-decorrelation family (r8) ---------------------------------
+
+  test("priority check: EXISTS plans as ONE left-semi join, lineitem pruned to 2 columns") {
+    val plan = formattedPlan(SparkEntry.queries("q_priority_semi")(spark, sf0001))
+    assert(plan.contains("LeftSemi"), plan.take(2000))
+    assert(!plan.contains("CartesianProduct"))
+    val liSchema = plan.linesIterator
+      .filter(_.contains("ReadSchema")).find(_.contains("l_orderkey"))
+    assert(liSchema.exists(l => l.contains("l_shipdate") &&
+      !l.contains("l_quantity") && !l.contains("l_extendedprice")),
+      s"lineitem scan not pruned: $liSchema")
+  }
+
+  test("small-qty revenue: per-part stats broadcast back, no fact sort-merge") {
+    val plan = formattedPlan(
+      SparkEntry.queries("q_small_qty_revenue")(spark, sf0001))
+    assert(plan.contains("BroadcastHashJoin"), plan.take(2000))
+    assert(!plan.contains("SortMergeJoin") && !plan.contains("CartesianProduct"))
+  }
+
+  test("waiting supplier: decorrelated to one grouped pass — fact scans at most twice, supplier broadcasts") {
+    val plan = formattedPlan(
+      SparkEntry.queries("q_waiting_supplier")(spark, sf0001))
+    // the EXISTS/NOT-EXISTS literal form would scan lineitem 3x; the
+    // grouped rewrite reads it twice (formatted explain doubles nodes)
+    val scanCount = "Scan parquet".r.findAllIn(plan).size
+    assert(scanCount <= 6, s"fact scanned too often: $scanCount\n" + plan.take(2000))
+    assert(plan.contains("BroadcastHashJoin"), plan.take(2000))
+    assert(!plan.contains("CartesianProduct"))
+  }
+
+  test("idle customers: scalar attaches as one-row broadcast, NOT EXISTS as left anti") {
+    val plan = formattedPlan(
+      SparkEntry.queries("q_idle_customer_stats")(spark, sf0001))
+    assert(plan.contains("LeftAnti"), plan.take(2000))
+    assert(plan.contains("BroadcastNestedLoopJoin") ||
+      plan.contains("BroadcastHashJoin"), plan.take(2000))
+    assert(!plan.contains("CartesianProduct"))
+  }
+
+  test("top supplier: one fact scan feeds both the agg and its max (no rescan), ties kept") {
+    val plan = formattedPlan(SparkEntry.queries("q_top_supplier")(spark, sf0001))
+    assert(!plan.contains("CartesianProduct"), plan.take(2000))
+    assert(plan.contains("BroadcastHashJoin"), plan.take(2000))
+  }
 }
