@@ -138,6 +138,13 @@ object SparkEntry {
     "q_weekly_retention" -> ((s, dir) =>
       graft.ops.EventAnalytics.weeklyRetention(Tables.events(s, dir))),
 
+    // Time-series gap fill: per-account daily spend densified to every day
+    // between the account's first and last activity (zero-filled, flagged)
+    // — integer kobo + integer epoch days, engine-exact
+    "q_gap_fill_daily" -> ((s, dir) =>
+      graft.ops.EventAnalytics.gapFillDailySpend(
+        completed(s, dir).filter(Predicates.isDebit(col("txn_type"))))),
+
     // Rank-exact winsorization at the p99 order statistic per currency —
     // the cut comes from the cumulative DISTINCT-VALUE histogram (only
     // distinct (currency, kobo) pairs sort; the fact table never does)
@@ -839,6 +846,13 @@ object SparkEntry {
     // Similarity: brute-force cosine top-k (broadcast queries, no shuffle)
     "q_sim_bruteforce_topk" -> ((s, dir) =>
       Similarity.bruteForceTopK(Tables.embeddings(s, dir), SimNumQueries, SimTopK)),
+
+    // Contrastive-training data prep: per query, the k most-similar vectors
+    // of a DIFFERENT label (hard negatives) — the label-mismatch predicate
+    // prunes in the scan stage next to the fused dot product, and the
+    // candidate generator swaps for the IVF/IVF-PQ tier unchanged at scale
+    "q_hard_negatives" -> ((s, dir) =>
+      Similarity.hardNegatives(Tables.embeddings(s, dir), SimNumQueries, SimTopK)),
 
     // Similarity: IVF-style pruned ANN (recall-tested vs brute force).
     // Fully oracle-replayable since the quantizer moved to driver-side
@@ -1757,6 +1771,25 @@ object SparkEntry {
         |  CAST(count(DISTINCT w.user_id) AS BIGINT) AS n_users
         |FROM w JOIN f USING (user_id) GROUP BY 1, 2""".stripMargin,
 
+    "q_gap_fill_daily" -> (P +
+      """, daily AS (
+        |  SELECT account_id, event_time_ms // 86400000 AS day,
+        |    sum(CAST(round(amount * 100) AS BIGINT)) AS spend_kobo,
+        |    CAST(count(*) AS BIGINT) AS n_txns
+        |  FROM completed
+        |  WHERE txn_type IN ('DEBIT','TRANSFER_OUT','FEE','LOAN_REPAYMENT')
+        |  GROUP BY 1, 2
+        |), spans AS (
+        |  SELECT account_id, min(day) AS d0, max(day) AS d1 FROM daily GROUP BY 1
+        |), grid AS (
+        |  SELECT account_id, unnest(generate_series(d0, d1)) AS day FROM spans
+        |)
+        |SELECT g.account_id, g.day,
+        |  coalesce(d.spend_kobo, 0) AS spend_kobo,
+        |  coalesce(d.n_txns, 0) AS n_txns,
+        |  d.n_txns IS NULL AS filled
+        |FROM grid g LEFT JOIN daily d USING (account_id, day)""".stripMargin),
+
     "q_winsorize" -> (P +
       """, t AS (SELECT txn_id, currency, CAST(round(amount * 100) AS BIGINT) AS kobo
         |        FROM completed),
@@ -2482,6 +2515,19 @@ object SparkEntry {
          |r AS (SELECT *, CAST(row_number() OVER (PARTITION BY q_id ORDER BY cos_sim DESC, neighbor_id) AS BIGINT) AS rank
          |      FROM sims)
          |SELECT q_id, neighbor_id, cos_sim, rank FROM r WHERE rank <= $SimTopK""".stripMargin,
+
+    "q_hard_negatives" ->
+      s"""WITH e AS (SELECT vec_id, label, CAST(embedding AS DOUBLE[]) AS v FROM embeddings),
+         |n AS (SELECT vec_id, label, v, sqrt(list_dot_product(v, v)) AS norm FROM e),
+         |q AS (SELECT vec_id AS q_id, label AS q_label, v AS qv, norm AS qnorm
+         |      FROM n WHERE vec_id < $SimNumQueries),
+         |sims AS (SELECT q_id, q_label, vec_id AS neighbor_id, label AS neg_label,
+         |           round(list_dot_product(qv, v) / (qnorm * norm), 6) AS cos_sim
+         |         FROM n CROSS JOIN q WHERE vec_id <> q_id AND label <> q_label),
+         |r AS (SELECT *, CAST(row_number() OVER (PARTITION BY q_id ORDER BY cos_sim DESC, neighbor_id) AS BIGINT) AS rank
+         |      FROM sims)
+         |SELECT q_id, q_label, neighbor_id, neg_label, cos_sim, rank
+         |FROM r WHERE rank <= $SimTopK""".stripMargin,
 
     // the full IVF ANN path replayed in SQL — the k-means training
     // included. The quantizer trains on the driver over a vec_id-SORTED

@@ -58,4 +58,39 @@ object EventAnalytics {
       .groupBy(col("cohort_week"), (col("week") - col("cohort_week")).as("weeks_since"))
       .agg(countDistinct(col("user_id")).as("n_users"))
   }
+
+  /** Time-series gap filling: the per-account DAILY spend series with the
+    * missing days zero-filled between each account's first and last active
+    * day — the dense-grid prep every downstream model (forecasting,
+    * anomaly scoring, feature windows) assumes, and exactly what a sparse
+    * event log does not give you. `filled = true` marks manufactured rows.
+    *
+    * Money is integer kobo (round-at-source, summed as BIGINT) so the
+    * grouped sums are order-independent and engine-exact; days are integer
+    * epoch-day floors — no calendar arithmetic anywhere.
+    *
+    * Scale posture: the daily agg is the only fact-size shuffle (narrow
+    * (account, day, kobo) rows, map-side combined). The span table is one
+    * row per account; the grid explode fans each account to its OWN day
+    * range (output is bounded by Σ per-account active spans — it never
+    * materializes accounts × global-calendar). The fill join keys on
+    * (account_id, day), co-partitioned with the agg that produced both
+    * sides. Nothing global-sorts, nothing collects. */
+  def gapFillDailySpend(completedDebits: DataFrame): DataFrame = {
+    val daily = completedDebits
+      .select(col("account_id"),
+        expr("event_time_ms div 86400000").as("day"),
+        expr("CAST(round(amount * 100) AS BIGINT)").as("kobo"))
+      .groupBy("account_id", "day")
+      .agg(sum(col("kobo")).as("spend_kobo"), count(lit(1)).as("n_txns"))
+    val spans = daily.groupBy("account_id")
+      .agg(min(col("day")).as("d0"), max(col("day")).as("d1"))
+    val grid = spans.select(col("account_id"),
+      explode(sequence(col("d0"), col("d1"))).as("day"))
+    grid.join(daily, Seq("account_id", "day"), "left")
+      .select(col("account_id"), col("day"),
+        coalesce(col("spend_kobo"), lit(0L)).as("spend_kobo"),
+        coalesce(col("n_txns"), lit(0L)).as("n_txns"),
+        col("n_txns").isNull.as("filled"))
+  }
 }

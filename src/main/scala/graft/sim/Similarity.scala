@@ -49,6 +49,41 @@ object Similarity {
       .filter(col("rank") <= k)
   }
 
+  /** Hard-negative mining for contrastive training: for each query vector
+    * (vec_id < numQueries, its `label` is the positive class), the k most
+    * cosine-similar vectors of a DIFFERENT label — the near-miss negatives
+    * a contrastive or reranker loss learns the most from (the random-
+    * negative baseline is what [[graft.text.TrainingPrep.mixtureSample]]'s
+    * hash sampling gives for free).
+    *
+    * Scale posture: identical to [[bruteForceTopK]] — queries broadcast,
+    * the label-mismatch predicate evaluates in the scan stage next to the
+    * fused dot product (it PRUNES candidate rows before the top-k window,
+    * never after), and only (q_id, neighbor_id, sim) scalars reach the
+    * per-query top-k. At 100 TB swap the candidate generator for the IVF /
+    * IVF-PQ tier unchanged: the mismatch predicate composes with any of
+    * them as the same scan-stage filter on the candidate set. */
+  def hardNegatives(embeddings: DataFrame, numQueries: Long, k: Int): DataFrame = {
+    val all = embeddings
+      .select(col("vec_id"), col("label"),
+        col("embedding").cast("array<double>").as("v"))
+      .withColumn("norm", sqrt(expr("graft_dot(v, v)")))
+    val queries = all.filter(col("vec_id") < numQueries)
+      .select(col("vec_id").as("q_id"), col("label").as("q_label"),
+        col("v").as("qv"), col("norm").as("qnorm"))
+
+    val sims = all.join(broadcast(queries),
+        col("vec_id") =!= col("q_id") && col("label") =!= col("q_label"))
+      .select(col("q_id"), col("q_label"), col("vec_id").as("neighbor_id"),
+        col("label").as("neg_label"),
+        round(dot("qv", "v") / (col("qnorm") * col("norm")), 6).as("cos_sim"))
+
+    val w = Window.partitionBy(col("q_id"))
+      .orderBy(col("cos_sim").desc, col("neighbor_id"))
+    sims.withColumn("rank", row_number().over(w).cast("long"))
+      .filter(col("rank") <= k)
+  }
+
   /** Sign-random-projection LSH for cosine: `nBits` deterministic
     * pseudo-random hyperplanes (components derived from xxhash64(bit, dim)
     * — stable across runs/partitions, no stored model), bucket = the sign

@@ -379,6 +379,26 @@ class SimilaritySpec extends SparkSpecBase {
     assert(got.toSeq === Seq(10L, 11L, 12L))
   }
 
+  test("hard negatives: every mined row crosses labels, and is the label-filtered brute-force prefix") {
+    val emb = Tables.embeddings(spark, sf0001)
+    val got = Similarity.hardNegatives(emb, 10, 5)
+      .select("q_id", "q_label", "neighbor_id", "neg_label", "rank").collect()
+    assert(got.nonEmpty)
+    got.foreach(r => assert(r.getAs[Int]("q_label") != r.getAs[Int]("neg_label"),
+      s"same-label pair mined: $r"))
+    // model: rank the full brute-force similarity list per query, drop
+    // same-label rows, take the first k — hardNegatives must equal it
+    val labels = emb.select("vec_id", "label").as[(Long, Int)].collect().toMap
+    val expected = Similarity.bruteForceTopK(emb, 10, Int.MaxValue - 1)
+      .select("q_id", "neighbor_id", "rank").as[(Long, Long, Long)].collect()
+      .groupBy(_._1).toSeq.flatMap { case (q, rows) =>
+        rows.sortBy(_._3).map(_._2)
+          .filter(n => labels(n) != labels(q)).take(5).map(q -> _)
+      }.toSet
+    val gotSet = got.map(r => (r.getAs[Long]("q_id"), r.getAs[Long]("neighbor_id"))).toSet
+    assert(gotSet === expected)
+  }
+
   test("int8 quantization: codes bounded, error within one quantization step") {
     val got = Similarity.quantizeInt8(Tables.embeddings(spark, sf0001)).collect()
     assert(got.nonEmpty)

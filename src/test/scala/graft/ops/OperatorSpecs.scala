@@ -312,4 +312,25 @@ class EventAnalyticsSpec extends SparkSpecBase {
       .as[(Long, Long, Long)].collect().toSet
     assert(got === Set((W + 1, 0L, 1L), (W + 1, 2L, 1L), (W + 2, 0L, 1L)))
   }
+
+  test("gap fill: dense per-account day grid, zeros flagged, spans independent") {
+    val dayNs = 86400L * 1000000000L
+    val D = 19675L // epoch-day base (~Nov 2023, inside the nanos guard)
+    val rows = Seq(
+      (1L, D * dayNs, 7L, "purchase", 12.34),        // user 7, day D
+      (2L, (D + 3) * dayNs, 7L, "purchase", 1.00),   // user 7, day D+3 (gap D+1..D+2)
+      (3L, (D + 3) * dayNs + 5, 7L, "purchase", 2.00), // same day: summed
+      (4L, (D + 1) * dayNs, 7L, "signup", 99.0),     // CREDIT: excluded pre-fill
+      (5L, (D + 9) * dayNs, 9L, "purchase", 5.00))   // user 9: own 1-day span
+    val debits = txns(rows).filter(
+      Predicates.isCompleted(col("status")) && Predicates.isDebit(col("txn_type")))
+    val got = EventAnalytics.gapFillDailySpend(debits)
+      .as[(Long, Long, Long, Long, Boolean)].collect().toSet
+    assert(got === Set(
+      (7L, D, 1234L, 1L, false),
+      (7L, D + 1, 0L, 0L, true),     // credit on D+1 must NOT break the fill
+      (7L, D + 2, 0L, 0L, true),
+      (7L, D + 3, 300L, 2L, false),
+      (9L, D + 9, 500L, 1L, false))) // user 9 never densifies to user 7's span
+  }
 }
