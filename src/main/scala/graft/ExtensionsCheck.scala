@@ -27,8 +27,11 @@ object ExtensionsCheck {
         |  graft_avro_encode(named_struct('op', 'x'), 'transactions', 7),
         |  'transactions').op AS op""".stripMargin)
       .head().getString(0) == "x"
-    println(s"EXTCHECK fnv64=$h winnow_n=$n topk_plan=$planOk avro=$avroOk " +
-      (if (h == 0x85944171f73967e8L && n > 0 && planOk && rowsOk && avroOk) "OK"
+    // Morton interleave kernel: 5 = 101b, 3 = 011b -> z = 011011b = 27
+    val zOk = spark.sql("SELECT graft_zorder(5L, 3L, 16) AS z")
+      .head().getLong(0) == 27L
+    println(s"EXTCHECK fnv64=$h winnow_n=$n topk_plan=$planOk avro=$avroOk zorder=$zOk " +
+      (if (h == 0x85944171f73967e8L && n > 0 && planOk && rowsOk && avroOk && zOk) "OK"
        else "MISMATCH"))
     spark.stop()
   }

@@ -707,6 +707,20 @@ object SparkEntry {
             .as("totacctbal_cents"))
     }),
 
+    // Z-order clustering key: Morton interleave of the two quantized
+    // filter dimensions — the published lakehouse Z-ORDER layout trick.
+    // Bounds come from ONE broadcast min/max scalar; quantization is
+    // integer-exact; the interleave runs as the codegen'd graft_zorder
+    // kernel in the scan stage. ZOrderSpec measures the actual skipping
+    // win (per-file min/max envelopes vs a box predicate)
+    "q_zorder_curve" -> ((s, dir) => {
+      GraftFunctions.register(s)
+      graft.sources.ZOrderLayout.withZValue(
+        Tables.table(s, dir, "lineitem")
+          .select("l_orderkey", "l_linenumber", "l_partkey", "l_suppkey"),
+        "l_partkey", "l_suppkey")
+    }),
+
     // TPC-H Q15-shaped top supplier: the view-plus-global-max shape — the
     // per-supplier revenue agg computed once, its max attached as a
     // broadcast one-row scalar, equality on exact integer micros (ties
@@ -2296,6 +2310,19 @@ object SparkEntry {
         |                  WHERE o.o_custkey = c.c_custkey
         |                    AND o.o_orderdate >= TIMESTAMP '2000-01-01')
         |GROUP BY 1""".stripMargin,
+
+    "q_zorder_curve" ->
+      """WITH b AS (SELECT min(l_partkey) AS xmin, max(l_partkey) AS xmax,
+        |                  min(l_suppkey) AS ymin, max(l_suppkey) AS ymax
+        |           FROM lineitem),
+        |q AS (SELECT l_orderkey, l_linenumber, l_partkey, l_suppkey,
+        |        ((l_partkey - xmin) * 65536) // (xmax - xmin + 1) AS qx,
+        |        ((l_suppkey - ymin) * 65536) // (ymax - ymin + 1) AS qy
+        |      FROM lineitem, b)
+        |SELECT l_orderkey, l_linenumber, l_partkey, l_suppkey,
+        |  CAST(list_sum(list_transform(range(0, 16), i ->
+        |    (((qx >> i) & 1) << (2*i)) + (((qy >> i) & 1) << (2*i+1)))) AS BIGINT) AS zval
+        |FROM q""".stripMargin,
 
     "q_top_supplier" ->
       """WITH rev AS (

@@ -216,11 +216,21 @@ object GraftFunctions {
       s"graft_avro_encode takes 2 or 3 arguments, got ${exprs.size}")
   }
 
+  private[functions] def buildZOrder(exprs: Seq[Expression]): ZOrder2 = exprs match {
+    case Seq(x, y) => ZOrder2(x, y, bits = 16)
+    case Seq(x, y, bE) =>
+      ZOrder2(x, y, bE.eval().asInstanceOf[Number].intValue())
+    case _ => throw new IllegalArgumentException(
+      s"graft_zorder takes 2 or 3 arguments, got ${exprs.size}")
+  }
+
   def register(spark: SparkSession): Unit = {
     spark.sessionState.functionRegistry.createOrReplaceTempFunction(
       "graft_fnv64",
       exprs => { requireArity("graft_fnv64", exprs, 1); Fnv1a64(exprs.head) },
       "built-in")
+    spark.sessionState.functionRegistry.createOrReplaceTempFunction(
+      "graft_zorder", buildZOrder, "built-in")
     spark.sessionState.functionRegistry.createOrReplaceTempFunction(
       "graft_winnow", buildWinnow, "built-in")
     spark.sessionState.functionRegistry.createOrReplaceTempFunction(
@@ -268,6 +278,11 @@ class GraftExtensions extends (org.apache.spark.sql.SparkSessionExtensions => Un
       new org.apache.spark.sql.catalyst.expressions.ExpressionInfo(
         classOf[graft.cdc.AvroWireEncode].getCanonicalName, "graft_avro_encode"),
       (exprs: Seq[Expression]) => GraftFunctions.buildAvroEncode(exprs)))
+    e.injectFunction((
+      new org.apache.spark.sql.catalyst.FunctionIdentifier("graft_zorder"),
+      new org.apache.spark.sql.catalyst.expressions.ExpressionInfo(
+        classOf[ZOrder2].getCanonicalName, "graft_zorder"),
+      (exprs: Seq[Expression]) => GraftFunctions.buildZOrder(exprs)))
     // planner strategy: rank-filter windows -> bounded-heap per-group
     // top-k (graft.plans.BoundedTopKStrategy scaladoc has the contract)
     e.injectPlannerStrategy(_ => graft.plans.BoundedTopKStrategy)
