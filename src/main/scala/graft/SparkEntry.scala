@@ -707,6 +707,31 @@ object SparkEntry {
             .as("totacctbal_cents"))
     }),
 
+    // CUBE multi-level aggregation (the full 2^n grouping-set lattice;
+    // ROLLUP's q_rollup_spend covers the hierarchy form) — grouping_id
+    // disambiguates aggregated-away NULLs; integer-kobo money. One
+    // shuffle: Spark expands the lattice map-side and combines partials
+    "q_cube_spend" -> ((s, dir) => {
+      val t = completed(s, dir)
+        .select(col("currency"), col("txn_type"),
+          expr("CAST(round(amount * 100) AS BIGINT)").as("kobo"))
+      t.cube("currency", "txn_type")
+        .agg(grouping_id().cast("long").as("gid"),
+          sum(col("kobo")).as("spend_kobo"), count(lit(1)).as("n_txns"))
+    }),
+
+    // Set operation EXCEPT as a first-class query (churn: accounts active
+    // active in the corpus window, silent in its final days) —
+    // plans as distinct + left-anti, both shuffling once on account_id
+    "q_churn_accounts" -> ((s, dir) => {
+      val t = completed(s, dir).select("account_id", "event_time_ms")
+      val active = t.filter(col("event_time_ms") < lit(1706486400000L))
+        .select("account_id").distinct()
+      val lastDays = t.filter(col("event_time_ms") >= lit(1706486400000L))
+        .select("account_id").distinct()
+      active.except(lastDays)
+    }),
+
     // Z-order clustering key: Morton interleave of the two quantized
     // filter dimensions — the published lakehouse Z-ORDER layout trick.
     // Bounds come from ONE broadcast min/max scalar; quantization is
@@ -2310,6 +2335,21 @@ object SparkEntry {
         |                  WHERE o.o_custkey = c.c_custkey
         |                    AND o.o_orderdate >= TIMESTAMP '2000-01-01')
         |GROUP BY 1""".stripMargin,
+
+    "q_cube_spend" -> (P +
+      """SELECT currency, txn_type,
+        |  CAST(GROUPING(currency, txn_type) AS BIGINT) AS gid,
+        |  sum(CAST(round(amount * 100) AS BIGINT)) AS spend_kobo,
+        |  CAST(count(*) AS BIGINT) AS n_txns
+        |FROM completed
+        |GROUP BY CUBE (currency, txn_type)""".stripMargin),
+
+    "q_churn_accounts" -> (P +
+      """SELECT DISTINCT account_id FROM completed
+        |WHERE event_time_ms < 1706486400000
+        |EXCEPT
+        |SELECT DISTINCT account_id FROM completed
+        |WHERE event_time_ms >= 1706486400000""".stripMargin),
 
     "q_zorder_curve" ->
       """WITH b AS (SELECT min(l_partkey) AS xmin, max(l_partkey) AS xmax,
