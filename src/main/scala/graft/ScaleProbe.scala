@@ -371,6 +371,45 @@ object ScaleProbe {
         "spark.sql.adaptive.advisoryPartitionSizeInBytes").foreach(conf.unset)
     }
 
+    // ---- Z-order layout at scale: what the curve write costs over a plain
+    //      single-column sorted write (both are one range shuffle — the
+    //      delta is the z-value kernel + two-dim boundary sampling), and
+    //      what it buys (files scanned for a secondary-dimension box, from
+    //      the same per-file min/max envelopes the parquet footers carry).
+    //      ZOrderSpec pins the correctness; this measures cost at N rows.
+    if (only.forall("zorder".contains)) {
+      graft.functions.GraftFunctions.register(spark)
+      val dims = spark.range(n).select(
+        col("id"),
+        pmod(xxhash64(col("id")), lit(100000L)).as("x"),
+        pmod(xxhash64(col("id"), lit(7)), lit(100000L)).as("y"))
+      val base = java.nio.file.Files.createTempDirectory("graft_zprobe").toString
+      val nFiles = 64
+      def timeWrite(name: String)(f: => Unit): Unit = {
+        val runs = (1 to 2).map { _ =>
+          val t0 = System.nanoTime()
+          f
+          (System.nanoTime() - t0) / 1e9
+        }
+        println(f"PROBE $name rows=$n min_sec=${runs.min}%.2f")
+      }
+      timeWrite("zorder_write_linear")(
+        dims.repartitionByRange(nFiles, col("x")).sortWithinPartitions("x")
+          .write.mode("overwrite").parquet(s"$base/linear"))
+      timeWrite("zorder_write_curve")(
+        sources.ZOrderLayout.writeClustered(dims, "x", "y", s"$base/curve", nFiles))
+      def scanned(dir: String): (Long, Long) = {
+        val env = spark.read.parquet(dir).groupBy(input_file_name())
+          .agg(min("y").as("y0"), max("y").as("y1"))
+          .select("y0", "y1").collect()
+        val hit = env.count(r => r.getLong(1) >= 40000L && r.getLong(0) <= 55000L)
+        (hit.toLong, env.length.toLong)
+      }
+      val (zh, zn) = scanned(s"$base/curve")
+      val (lh, ln) = scanned(s"$base/linear")
+      println(s"PROBE zorder_skip_ybox curve=$zh/$zn linear=$lh/$ln")
+    }
+
     spark.stop()
   }
 }
