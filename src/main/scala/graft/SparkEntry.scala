@@ -145,6 +145,13 @@ object SparkEntry {
       graft.ops.EventAnalytics.gapFillDailySpend(
         completed(s, dir).filter(Predicates.isDebit(col("txn_type"))))),
 
+    // CEP / MATCH_RECOGNIZE stand-in: click -> view -> purchase, each step
+    // strictly later and within 1h of the previous — one shared window
+    // pass + a narrow co-partitioned join, never an A×B×C explosion
+    "q_funnel_3step" -> ((s, dir) =>
+      graft.ops.EventAnalytics.threeStepPattern(Tables.events(s, dir),
+        withinSec = 3600L)),
+
     // Rank-exact winsorization at the p99 order statistic per currency —
     // the cut comes from the cumulative DISTINCT-VALUE histogram (only
     // distinct (currency, kobo) pairs sort; the fact table never does)
@@ -1809,6 +1816,26 @@ object SparkEntry {
         |SELECT cohort_week, week - cohort_week AS weeks_since,
         |  CAST(count(DISTINCT w.user_id) AS BIGINT) AS n_users
         |FROM w JOIN f USING (user_id) GROUP BY 1, 2""".stripMargin,
+
+    "q_funnel_3step" ->
+      """WITH e AS (SELECT event_id, user_id,
+        |             epoch_us(CAST(ts AS TIMESTAMP)) AS ts_us, event_type
+        |           FROM events),
+        |a AS (SELECT *,
+        |        min(CASE WHEN event_type = 'view' THEN ts_us END) OVER
+        |          (PARTITION BY user_id ORDER BY ts_us
+        |           RANGE BETWEEN 1 FOLLOWING AND 3600000000 FOLLOWING) AS next_view_us,
+        |        min(CASE WHEN event_type = 'purchase' THEN ts_us END) OVER
+        |          (PARTITION BY user_id ORDER BY ts_us
+        |           RANGE BETWEEN 1 FOLLOWING AND 3600000000 FOLLOWING) AS next_purchase_us
+        |      FROM e),
+        |v AS (SELECT user_id AS v_user, ts_us AS view_ts,
+        |        min(next_purchase_us) AS purchase_us
+        |      FROM a WHERE event_type = 'view' GROUP BY 1, 2)
+        |SELECT event_id, user_id, ts_us, next_view_us, purchase_us,
+        |  next_view_us IS NOT NULL AND purchase_us IS NOT NULL AS completed
+        |FROM a LEFT JOIN v ON user_id = v_user AND next_view_us = view_ts
+        |WHERE event_type = 'click'""".stripMargin,
 
     "q_gap_fill_daily" -> (P +
       """, daily AS (

@@ -59,6 +59,45 @@ object EventAnalytics {
       .agg(countDistinct(col("user_id")).as("n_users"))
   }
 
+  /** Three-step sequence pattern (CEP / MATCH_RECOGNIZE stand-in, which
+    * Spark has no native operator for): click → view → purchase per user,
+    * each step STRICTLY later than the previous and within `withinSec` of
+    * it (the same no-causal-order-at-equal-ts rule as [[clickToPurchase]]).
+    * Emits one row per click with the matched step timestamps (nulls where
+    * the pattern stalls) and a `completed` flag.
+    *
+    * Shape: ONE window pass computes both "first view after me" and
+    * "first purchase after me" for every event (same partition + order ⇒
+    * one Window node, no extra shuffle), then clicks join the view rows on
+    * (user, matched view ts) to read the purchase hop — a narrow
+    * co-partitioned equi join, NOT an (A,B,C) candidate explosion; the
+    * naive triple self-join this replaces would materialize every
+    * click×view×purchase triple in the horizon. Views collapse to one row
+    * per (user, ts) first, so equal-ts view twins cannot fan clicks out. */
+  def threeStepPattern(events: DataFrame, withinSec: Long): DataFrame = {
+    val horizonUs = withinSec * 1000000L
+    val w = Window.partitionBy(col("user_id")).orderBy(col("ts_us"))
+      .rangeBetween(1L, horizonUs)
+    val annotated = events
+      .withColumn("next_view_us",
+        min(when(col("event_type") === "view", col("ts_us"))).over(w))
+      .withColumn("next_purchase_us",
+        min(when(col("event_type") === "purchase", col("ts_us"))).over(w))
+    val clicks = annotated.filter(col("event_type") === "click")
+      .select(col("event_id"), col("user_id"), col("ts_us"),
+        col("next_view_us"))
+    val views = annotated.filter(col("event_type") === "view")
+      .groupBy(col("user_id").as("v_user"), col("ts_us").as("view_ts"))
+      .agg(min(col("next_purchase_us")).as("purchase_us"))
+    clicks.join(views,
+        col("user_id") === col("v_user") &&
+          col("next_view_us") === col("view_ts"), "left")
+      .select(col("event_id"), col("user_id"), col("ts_us"),
+        col("next_view_us"), col("purchase_us"),
+        (col("next_view_us").isNotNull && col("purchase_us").isNotNull)
+          .as("completed"))
+  }
+
   /** Time-series gap filling: the per-account DAILY spend series with the
     * missing days zero-filled between each account's first and last active
     * day — the dense-grid prep every downstream model (forecasting,

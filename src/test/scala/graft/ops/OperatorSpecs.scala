@@ -313,6 +313,31 @@ class EventAnalyticsSpec extends SparkSpecBase {
     assert(got === Set((W + 1, 0L, 1L), (W + 1, 2L, 1L), (W + 2, 0L, 1L)))
   }
 
+  test("3-step pattern: each hop strictly later within horizon; stalls emit nulls") {
+    val base = 1700000000000000000L
+    val S = 1000000000L // 1 s in ns
+    val rows = Seq(
+      (1L, base, 7L, "click", 1.0),              // full chain: view +10s, purchase +20s
+      (2L, base + 10 * S, 7L, "view", 1.0),
+      (3L, base + 20 * S, 7L, "purchase", 1.0),
+      (4L, base + 100 * S, 7L, "click", 1.0),    // view but NO purchase after it
+      (5L, base + 110 * S, 7L, "view", 1.0),
+      (6L, base + 7200 * S, 9L, "click", 1.0),   // view outside 1h horizon
+      (7L, base + 7200 * S + 4000 * S, 9L, "view", 1.0),
+      (8L, base + 50000 * S, 11L, "click", 1.0), // purchase WITHOUT view: not a match
+      (9L, base + 50010 * S, 11L, "purchase", 1.0))
+    val got = EventAnalytics.threeStepPattern(eventsDf(rows), withinSec = 3600L)
+      .select("event_id", "next_view_us", "purchase_us", "completed")
+      .collect().map(r => r.getLong(0) ->
+        ((Option(r.get(1)), Option(r.get(2)), r.getBoolean(3)))).toMap
+    val us = (ns: Long) => ns / 1000
+    assert(got(1L) === ((Some(us(base + 10 * S)), Some(us(base + 20 * S)), true)))
+    assert(got(4L) === ((Some(us(base + 110 * S)), None, false)))
+    assert(got(6L) === ((None, None, false)))
+    assert(got(8L) === ((None, None, false))) // hop 2 without hop 1 never completes
+    assert(got.size === 4) // one row per click, no fan-out
+  }
+
   test("gap fill: dense per-account day grid, zeros flagged, spans independent") {
     val dayNs = 86400L * 1000000000L
     val D = 19675L // epoch-day base (~Nov 2023, inside the nanos guard)
