@@ -477,6 +477,28 @@ object Pipelines {
         GroupStateTimeout.EventTimeTimeout)(FunnelTracker.process(horizonUs))
   }
 
+  /** 3-step sequence pattern as incremental state + event-time timers —
+    * the streaming twin of [[graft.ops.EventAnalytics.threeStepPattern]]
+    * (CEP: click → view → purchase, each hop strictly later within the
+    * horizon of the previous step). Stage-1 state holds clicks awaiting
+    * their view; a matching view promotes them to stage-2 (awaiting
+    * purchase); a purchase resolves stage-2 entries immediately; under
+    * the in-order feed contract any later same-user event seals entries
+    * whose hop horizon it has passed, and an event-time timer at the
+    * earliest pending horizon expires the rest when the watermark
+    * passes. Per-key state is bounded by the horizon's event count. */
+  def pattern3Alerts(spark: SparkSession, events: DataFrame,
+      horizonUs: Long = 3600L * 1000000L): Dataset[Pattern3Row] = {
+    import spark.implicits._
+    events
+      .withWatermark("event_ts", "0 seconds")
+      .selectExpr("event_id", "user_id", "ts_us", "event_type", "event_ts")
+      .as[FunnelEvent]
+      .groupByKey(_.user_id)
+      .flatMapGroupsWithState(OutputMode.Append,
+        GroupStateTimeout.EventTimeTimeout)(Pattern3Tracker.process(horizonUs))
+  }
+
   /** Pipeline 3 — balance reconciliation: true incremental per-key state via
     * `flatMapGroupsWithState` (the streaming twin of
     * [[graft.ops.Reconcile]]; reference
@@ -617,6 +639,79 @@ object FunnelTracker {
       // ceil to millis (see DormancyDetector note)
       state.setTimeoutTimestamp(
         (pending.map(_._2).min + horizonUs + 999) / 1000)
+    }
+    out.iterator
+  }
+}
+
+/** Output row — same shape as the batch 3-step pattern operator. */
+case class Pattern3Row(event_id: Long, user_id: Long, ts_us: Long,
+    next_view_us: Option[Long], purchase_us: Option[Long], completed: Boolean)
+
+/** Two-stage pattern state: clicks awaiting a view, and (click, view)
+  * pairs awaiting a purchase. */
+case class Pattern3State(stage1: Seq[(Long, Long)],
+    stage2: Seq[(Long, Long, Long)])
+
+/** Stateful 3-step pattern tracker. In-order processing makes "first
+  * view/purchase after" local: a pending click's matching view is the
+  * first in-window view to ARRIVE (any earlier one would already have
+  * claimed it), mirroring the batch operator's frame-min. Strictly-after
+  * at every hop — an event at exactly the previous step's timestamp never
+  * matches (the batch RANGE frame's 1-µs-following bound). */
+object Pattern3Tracker {
+  def process(horizonUs: Long)(userId: Long, events: Iterator[FunnelEvent],
+      state: GroupState[Pattern3State]): Iterator[Pattern3Row] = {
+    val s0 = state.getOption.getOrElse(Pattern3State(Seq.empty, Seq.empty))
+    var s1 = s0.stage1
+    var s2 = s0.stage2
+    val out = scala.collection.mutable.ArrayBuffer.empty[Pattern3Row]
+    def seal(beforeUs: Long): Unit = {
+      val (e1, l1) = s1.partition(_._2 + horizonUs < beforeUs)
+      e1.foreach { case (id, ts) =>
+        out += Pattern3Row(id, userId, ts, None, None, completed = false)
+      }
+      s1 = l1
+      val (e2, l2) = s2.partition(_._3 + horizonUs < beforeUs)
+      e2.foreach { case (id, cts, vts) =>
+        out += Pattern3Row(id, userId, cts, Some(vts), None, completed = false)
+      }
+      s2 = l2
+    }
+    if (events.isEmpty && state.hasTimedOut) {
+      seal(state.getCurrentWatermarkMs() * 1000)
+    } else {
+      events.toSeq.sortBy(e => (e.ts_us, e.event_id)).foreach { e =>
+        seal(e.ts_us)
+        e.event_type match {
+          case "view" =>
+            val (hit, rest) = s1.partition(c =>
+              c._2 < e.ts_us && e.ts_us <= c._2 + horizonUs)
+            s2 ++= hit.map { case (id, cts) => (id, cts, e.ts_us) }
+            s1 = rest
+          case "purchase" =>
+            val (hit, rest) = s2.partition(v =>
+              v._3 < e.ts_us && e.ts_us <= v._3 + horizonUs)
+            hit.foreach { case (id, cts, vts) =>
+              out += Pattern3Row(id, userId, cts, Some(vts), Some(e.ts_us),
+                completed = true)
+            }
+            s2 = rest
+          case "click" =>
+            s1 :+= (e.event_id, e.ts_us)
+          case _ => ()
+        }
+      }
+    }
+    if (s1.isEmpty && s2.isEmpty) state.remove()
+    else {
+      state.update(Pattern3State(s1, s2))
+      val earliest = (s1.map(_._2) ++ s2.map(_._3)).min
+      // ceil to millis (see DormancyDetector note); floored at watermark+1
+      // so an already-overdue key times out next batch instead of throwing
+      state.setTimeoutTimestamp(math.max(
+        (earliest + horizonUs + 999) / 1000,
+        state.getCurrentWatermarkMs() + 1))
     }
     out.iterator
   }

@@ -189,6 +189,75 @@ class PipelinesSpec extends SparkSpecBase {
     assert(got.size === 3)
   }
 
+  test("streaming 3-step pattern (two-stage state) == batch window+join form") {
+    import spark.implicits._
+    val base = 1700000000000000000L
+    val secNs = 1000000000L
+    // every user's stream ends with a far 'error' event so all pending
+    // entries seal in-batch (same in-order contract as the funnel test)
+    val rows = Seq(
+      (1L, base, 7L, "click", 1.0),                       // full chain
+      (2L, base + 10 * secNs, 7L, "view", 1.0),
+      (3L, base + 20 * secNs, 7L, "purchase", 1.0),
+      (4L, base + 100 * secNs, 7L, "click", 1.0),         // view, no purchase
+      (5L, base + 110 * secNs, 7L, "view", 1.0),
+      (6L, base + 90000 * secNs, 7L, "error", 1.0),
+      (7L, base, 9L, "click", 1.0),                       // view out of horizon
+      (8L, base + 4000 * secNs, 9L, "view", 1.0),
+      (9L, base, 11L, "click", 1.0),                      // same-ts view: no match
+      (10L, base, 11L, "view", 1.0),
+      (11L, base + 5 * secNs, 11L, "view", 1.0),          // real hop 1
+      (12L, base + 3600 * secNs + 5 * secNs, 11L, "purchase", 1.0), // == v+h edge
+      (13L, base + 90000 * secNs, 9L, "error", 1.0),
+      (14L, base + 90000 * secNs, 11L, "error", 1.0))
+    val dir = Files.createTempDirectory("graft_p3").toString + "/in"
+    rows.toDF("event_id", "ts", "user_id", "event_type", "value")
+      .withColumn("props", lit("{}"))
+      .coalesce(1).write.parquet(dir)
+    val stream = Pipelines.pattern3Alerts(spark,
+      Pipelines.eventStreamFromPath(spark, dir))
+    val got = runToTable(stream.toDF(), "p3_stream", "append")
+      .select("event_id", "next_view_us", "purchase_us", "completed")
+      .collect().toSet
+    val want = graft.ops.EventAnalytics.threeStepPattern(
+        eventsDf(rows), withinSec = 3600L)
+      .select("event_id", "next_view_us", "purchase_us", "completed")
+      .collect().toSet
+    assert(got === want)
+    assert(got.size === 4)
+    assert(got.count(_.getBoolean(3)) === 2) // chains 1 and 9 complete
+  }
+
+  test("streaming 3-step pattern: stalled second hop expires via timer") {
+    import spark.implicits._
+    val base = 1700000000000000000L
+    val hourNs = 3600L * 1000000000L
+    val dir = Files.createTempDirectory("graft_p3_t").toString
+    // user 7 reaches stage 2 (click+view) but no purchase ever comes;
+    // the sentinel batch advances the watermark past view+horizon
+    val chunk1 = Seq(
+      (1L, base, 7L, "click", 1.0),
+      (2L, base + hourNs / 2, 7L, "view", 1.0))
+    val sentinel = Seq((3L, base + 10 * hourNs, 9L, "view", 1.0))
+    def write(rows: Seq[(Long, Long, Long, String, Double)], f: String): Unit = {
+      val staging = Files.createTempDirectory("graft_stage_p3").toString
+      rows.toDF("event_id", "ts", "user_id", "event_type", "value")
+        .withColumn("props", lit("{}"))
+        .coalesce(1).write.mode("overwrite").parquet(staging)
+      val part = new java.io.File(staging).listFiles()
+        .filter(_.getName.endsWith(".parquet")).head
+      Files.copy(part.toPath, java.nio.file.Paths.get(s"$dir/$f.parquet"))
+    }
+    write(chunk1, "c1"); Thread.sleep(20); write(sentinel, "c2")
+    val stream = Pipelines.pattern3Alerts(spark,
+      Pipelines.eventStreamFromPath(spark, dir, maxFilesPerTrigger = Some(1)))
+    val got = runToTable(stream.toDF(), "p3_timer_stream", "append")
+      .select("event_id", "next_view_us", "purchase_us", "completed")
+      .collect().toSet
+    assert(got === Set(org.apache.spark.sql.Row(1L,
+      (base + hourNs / 2) / 1000, null, false)))
+  }
+
   test("streaming funnel: unresolved click expires via event-time timer") {
     import spark.implicits._
     val base = 1700000000000000000L
