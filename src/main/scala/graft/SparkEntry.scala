@@ -1217,6 +1217,13 @@ object SparkEntry {
       Dedup.dedupManifest(Tables.documents(s, dir), JaccardThreshold,
         JaccardMaxDocId)),
 
+    // Keeper-by-quality variant: per duplicate cluster the LONGEST member
+    // survives (doc_id tiebreak) — the keep-the-best-copy policy; keeper
+    // election is one map-side max_by over scalars, no window
+    "q_dedup_keep_best" -> ((s, dir) =>
+      Dedup.dedupManifestKeepBest(Tables.documents(s, dir), JaccardThreshold,
+        JaccardMaxDocId)),
+
     // Cross-document boilerplate removal over deterministic planted headers
     // (the corpus has none — same planting pattern as the PII scrubber);
     // the cleaning pass itself is scan-only against a plan-constant set
@@ -3169,6 +3176,28 @@ object SparkEntry {
          |       di.doc_id = coalesce(c.cluster_id, di.doc_id) AS is_kept
          |FROM (SELECT doc_id FROM documents WHERE doc_id < $JaccardMaxDocId) di
          |LEFT JOIN clus c USING (doc_id)""".stripMargin),
+
+    "q_dedup_keep_best" ->
+      (sqlJaccardCtes.replace("WITH ", "WITH RECURSIVE ") + s""",
+         |edges AS (SELECT doc_a AS s, doc_b AS d FROM jpairs
+         |          UNION ALL SELECT doc_b, doc_a FROM jpairs),
+         |reach(node, r) AS (
+         |  SELECT s, s FROM (SELECT DISTINCT s FROM edges) t
+         |  UNION
+         |  SELECT re.node, e.d FROM reach re JOIN edges e ON e.s = re.r
+         |),
+         |clus AS (SELECT node AS doc_id, min(r) AS cluster_id FROM reach GROUP BY node),
+         |mem AS (SELECT di.doc_id, CAST(length(di.text) AS BIGINT) AS len,
+         |          coalesce(c.cluster_id, di.doc_id) AS cluster_id
+         |        FROM (SELECT doc_id, text FROM documents WHERE doc_id < $JaccardMaxDocId) di
+         |        LEFT JOIN clus c USING (doc_id)),
+         |k AS (SELECT cluster_id, doc_id AS keep_doc_id FROM (
+         |        SELECT *, row_number() OVER (PARTITION BY cluster_id
+         |                    ORDER BY len DESC, doc_id) AS rn FROM mem)
+         |      WHERE rn = 1)
+         |SELECT m.doc_id, m.cluster_id, k.keep_doc_id,
+         |       m.doc_id = k.keep_doc_id AS is_kept
+         |FROM mem m JOIN k USING (cluster_id)""".stripMargin),
 
     "q_boilerplate_strip" ->
       s"""WITH d0 AS (

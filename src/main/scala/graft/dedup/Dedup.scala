@@ -149,6 +149,33 @@ object Dedup {
       .withColumn("is_kept", col("doc_id") === col("cluster_id"))
   }
 
+  /** Near-dup manifest with QUALITY keeper selection — the RefinedWeb-style
+    * "keep the best copy of each duplicate cluster" policy (vs
+    * [[dedupManifest]]'s canonical min-id keeper): per cluster the LONGEST
+    * member survives, doc_id ascending tiebreak. The policy is the one
+    * `max_by` ordering struct — swap in any scalar quality signal there.
+    *
+    * Scale shape: identical to [[dedupManifest]] (clusters come from the
+    * same bounded candidate stage and broadcast back); keeper election is
+    * ONE map-side-combinable `max_by` over (cluster_id, len, doc_id)
+    * scalars — no window, no sort, and the wide text column contributes
+    * only its length to the shuffle. */
+  def dedupManifestKeepBest(documents: DataFrame, threshold: Double,
+      maxDocId: Long, n: Int = 3): DataFrame = {
+    val clusters = dupClusters(ngramJaccardPairs(documents, threshold, maxDocId, n))
+    val members = documents.filter(col("doc_id") < maxDocId)
+      .select(col("doc_id"), length(col("text")).as("len"))
+      .join(broadcast(clusters), Seq("doc_id"), "left")
+      .select(col("doc_id"), col("len"),
+        coalesce(col("cluster_id"), col("doc_id")).as("cluster_id"))
+    val keepers = members.groupBy("cluster_id")
+      .agg(max_by(col("doc_id"),
+        struct(col("len"), (-col("doc_id")).as("nid"))).as("keep_doc_id"))
+    members.join(broadcast(keepers), "cluster_id")
+      .select(col("doc_id"), col("cluster_id"), col("keep_doc_id"),
+        (col("doc_id") === col("keep_doc_id")).as("is_kept"))
+  }
+
   /** Embedding-cosine near-duplicate pairs (exact all-pairs, bounded
     * candidate set). Norms are precomputed per vector (one pass) so the
     * pair stage is a single fused dot product. This is the TEST-ORACLE

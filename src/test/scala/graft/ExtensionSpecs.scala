@@ -156,6 +156,21 @@ class DedupSpec extends SparkSpecBase {
     assert(got === Map(5L -> 2L, 9L -> 2L, 2L -> 2L, 7L -> 7L, 8L -> 7L))
   }
 
+  test("keep-best manifest: longest cluster member survives, singletons keep themselves") {
+    // docs 1/2/3 near-dup (3-shingle jaccard 1.0 on the shared prefix);
+    // doc 2 is the longest -> it is the keeper, NOT min-id 1
+    val a = "w1 w2 w3 w4 w5"
+    val got = Dedup.dedupManifestKeepBest(
+        docs((1L, a), (2L, a + " tail"), (3L, a), (9L, "z1 z2 z3 z4")),
+        threshold = 0.5, maxDocId = 100L)
+      .as[(Long, Long, Long, Boolean)].collect()
+      .map(r => r._1 -> ((r._2, r._3, r._4))).toMap
+    assert(got(1L) === ((1L, 2L, false)))
+    assert(got(2L) === ((1L, 2L, true)))  // longest wins over min-id
+    assert(got(3L) === ((1L, 2L, false)))
+    assert(got(9L) === ((9L, 9L, true)))  // singleton keeps itself
+  }
+
   test("winnow containment: a long quote inside a much larger doc is caught") {
     GraftFunctions.register(spark)
     val quote = (1 to 20).map(i => s"quoted$i").mkString(" ") // ~160 chars
