@@ -157,21 +157,25 @@ object Dedup {
     *
     * Scale shape: identical to [[dedupManifest]] (clusters come from the
     * same bounded candidate stage and broadcast back); keeper election is
-    * ONE map-side-combinable `max_by` over (cluster_id, len, doc_id)
-    * scalars — no window, no sort, and the wide text column contributes
-    * only its length to the shuffle. */
+    * one cluster-keyed window over (cluster_id, len, doc_id) SCALARS — the
+    * wide text column contributes only its length, the per-cluster sort is
+    * bounded by cluster size, and the candidate stage stays in ONE plan
+    * branch (an agg-then-join-back formulation would re-execute the whole
+    * pair/cluster lineage for the keeper side — measured 1.9 s vs 1.1 s
+    * for [[dedupManifest]] at sf0.1 before this was folded into a window). */
   def dedupManifestKeepBest(documents: DataFrame, threshold: Double,
       maxDocId: Long, n: Int = 3): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
     val clusters = dupClusters(ngramJaccardPairs(documents, threshold, maxDocId, n))
     val members = documents.filter(col("doc_id") < maxDocId)
       .select(col("doc_id"), length(col("text")).as("len"))
       .join(broadcast(clusters), Seq("doc_id"), "left")
       .select(col("doc_id"), col("len"),
         coalesce(col("cluster_id"), col("doc_id")).as("cluster_id"))
-    val keepers = members.groupBy("cluster_id")
-      .agg(max_by(col("doc_id"),
-        struct(col("len"), (-col("doc_id")).as("nid"))).as("keep_doc_id"))
-    members.join(broadcast(keepers), "cluster_id")
+    val w = Window.partitionBy(col("cluster_id"))
+      .orderBy(col("len").desc, col("doc_id"))
+      .rowsBetween(Window.unboundedPreceding, Window.unboundedFollowing)
+    members.withColumn("keep_doc_id", first(col("doc_id")).over(w))
       .select(col("doc_id"), col("cluster_id"), col("keep_doc_id"),
         (col("doc_id") === col("keep_doc_id")).as("is_kept"))
   }
