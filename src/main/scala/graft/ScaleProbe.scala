@@ -50,6 +50,11 @@ object ScaleProbe {
       cdc.EnvelopeOps.parsedTransactions(synthEvents(spark, n, users = 10000)))
 
     time("envelope_parse")(parsed)
+    time("gap_fill_daily")(ops.EventAnalytics.gapFillDailySpend(
+      parsed.filter(ops.Predicates.isCompleted(col("status")) &&
+        ops.Predicates.isDebit(col("txn_type")))))
+    time("pattern3_batch")(ops.EventAnalytics.threeStepPattern(
+      synthEvents(spark, n, users = 10000), withinSec = 3600L))
     time("latest_by_key")(ops.LatestByKey.latestByMaxBy(parsed,
       Seq("account_id"), struct(col("event_time_us"), col("txn_id"))))
     time("daily_spend")(ops.Windows.dailySpend(
