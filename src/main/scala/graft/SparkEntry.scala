@@ -152,6 +152,13 @@ object SparkEntry {
       graft.ops.EventAnalytics.threeStepPattern(Tables.events(s, dir),
         withinSec = 3600L)),
 
+    // Anomaly capstone over the DENSE series: days >= 2 sigma from the
+    // account's own mean, moments as whole-partition window aggs over the
+    // gap-filled grid (sparse-log moments would omit the zero days)
+    "q_spend_anomaly" -> ((s, dir) =>
+      graft.ops.EventAnalytics.spendAnomaly(
+        completed(s, dir).filter(Predicates.isDebit(col("txn_type"))))),
+
     // Rank-exact winsorization at the p99 order statistic per currency —
     // the cut comes from the cumulative DISTINCT-VALUE histogram (only
     // distinct (currency, kobo) pairs sort; the fact table never does)
@@ -1843,6 +1850,41 @@ object SparkEntry {
         |  next_view_us IS NOT NULL AND purchase_us IS NOT NULL AS completed
         |FROM a LEFT JOIN v ON user_id = v_user AND next_view_us = view_ts
         |WHERE event_type = 'click'""".stripMargin,
+
+    "q_spend_anomaly" -> (P +
+      """, daily AS (
+        |  SELECT account_id, event_time_ms // 86400000 AS day,
+        |    sum(CAST(round(amount * 100) AS BIGINT)) AS spend_kobo,
+        |    CAST(count(*) AS BIGINT) AS n_txns
+        |  FROM completed
+        |  WHERE txn_type IN ('DEBIT','TRANSFER_OUT','FEE','LOAN_REPAYMENT')
+        |  GROUP BY 1, 2
+        |), spans AS (
+        |  SELECT account_id, min(day) AS d0, max(day) AS d1 FROM daily GROUP BY 1
+        |), grid AS (
+        |  SELECT account_id, unnest(generate_series(d0, d1)) AS day FROM spans
+        |), filled AS (
+        |  SELECT g.account_id, g.day,
+        |    coalesce(d.spend_kobo, 0) AS spend_kobo,
+        |    d.n_txns IS NULL AS filled
+        |  FROM grid g LEFT JOIN daily d USING (account_id, day)
+        |), sc AS (
+        |  SELECT *, CAST(count(*) OVER w AS BIGINT) AS n_days,
+        |    sum(spend_kobo) OVER w AS s1,
+        |    sum(spend_kobo * spend_kobo) OVER w AS s2
+        |  FROM filled
+        |  WINDOW w AS (PARTITION BY account_id)
+        |), z AS (
+        |  SELECT account_id, day, spend_kobo, filled, n_days,
+        |    s1 / CAST(n_days AS DOUBLE) AS mean_kobo,
+        |    (n_days * s2 - s1 * s1) / CAST(n_days * n_days AS DOUBLE) AS var_kobo,
+        |    CASE WHEN (n_days * s2 - s1 * s1) / CAST(n_days * n_days AS DOUBLE) > 0
+        |         THEN (spend_kobo - s1 / CAST(n_days AS DOUBLE))
+        |              / sqrt((n_days * s2 - s1 * s1) / CAST(n_days * n_days AS DOUBLE))
+        |         ELSE 0.0 END AS z
+        |  FROM sc
+        |)
+        |SELECT * FROM z WHERE abs(z) >= 2.0""".stripMargin),
 
     "q_gap_fill_daily" -> (P +
       """, daily AS (

@@ -132,4 +132,43 @@ object EventAnalytics {
         coalesce(col("n_txns"), lit(0L)).as("n_txns"),
         col("n_txns").isNull.as("filled"))
   }
+
+  /** Spend-anomaly capstone: days whose spend deviates ≥ `zThreshold`
+    * standard deviations from the account's OWN mean, computed over the
+    * GAP-FILLED series — the composition is the point: moments over the
+    * sparse log would omit the zero days and overstate every account's
+    * mean (a quiet account's single big day would look normal).
+    *
+    * Exactness follows [[graft.ops.Features.zscore]]: integer-kobo Σx/Σx²
+    * in DECIMAL(38,0) (order-independent, ~10¹⁵-day headroom), one cast
+    * to double, one fixed IEEE expression for mean/var/z — the oracle
+    * reproduces the same bits, so the |z| ≥ threshold cut can never
+    * disagree across engines.
+    *
+    * Scale shape: per-account moments are WHOLE-PARTITION window
+    * aggregates (no orderBy ⇒ no sort) over the account-partitioned fill
+    * output — one pass, single plan branch; an agg-then-join-back would
+    * both re-execute the fill lineage and need a non-broadcastable
+    * #accounts-row join side. */
+  def spendAnomaly(completedDebits: DataFrame,
+      zThreshold: Double = 2.0): DataFrame = {
+    val dec = "decimal(38,0)"
+    val w = Window.partitionBy(col("account_id"))
+    val scored = gapFillDailySpend(completedDebits)
+      .withColumn("n_days", count(lit(1)).over(w))
+      .withColumn("s1", sum(col("spend_kobo")).over(w))
+      .withColumn("s2",
+        sum(col("spend_kobo").cast(dec) * col("spend_kobo").cast(dec)).over(w))
+      .withColumn("mean_kobo", col("s1") / col("n_days").cast("double"))
+      .withColumn("var_kobo",
+        (col("n_days").cast(dec) * col("s2") -
+          col("s1").cast(dec) * col("s1").cast(dec)).cast("double") /
+          (col("n_days") * col("n_days")).cast("double"))
+      .withColumn("z", when(col("var_kobo") > 0,
+          (col("spend_kobo") - col("mean_kobo")) / sqrt(col("var_kobo")))
+        .otherwise(lit(0.0)))
+    scored.filter(abs(col("z")) >= zThreshold)
+      .select("account_id", "day", "spend_kobo", "filled", "n_days",
+        "mean_kobo", "var_kobo", "z")
+  }
 }

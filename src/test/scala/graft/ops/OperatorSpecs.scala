@@ -338,6 +338,22 @@ class EventAnalyticsSpec extends SparkSpecBase {
     assert(got.size === 4) // one row per click, no fan-out
   }
 
+  test("spend anomaly: dense-series moments flag the spike a sparse log would miss") {
+    val dayNs = 86400L * 1000000000L
+    val D = 19675L
+    // series [1000, 0 x8, 100] kobo: z(spike) ~= 2.99 -> flagged; on the
+    // SPARSE log (n=2, mean 550) the same spike is z=1.0 and invisible
+    val rows = Seq(
+      (1L, D * dayNs, 7L, "purchase", 10.0),
+      (2L, (D + 9) * dayNs, 7L, "purchase", 1.0))
+    val debits = txns(rows).filter(
+      Predicates.isCompleted(col("status")) && Predicates.isDebit(col("txn_type")))
+    val got = EventAnalytics.spendAnomaly(debits)
+      .select("account_id", "day", "spend_kobo", "n_days")
+      .as[(Long, Long, Long, Long)].collect().toSeq
+    assert(got === Seq((7L, D, 1000L, 10L))) // the spike, judged against 10 dense days
+  }
+
   test("gap fill: dense per-account day grid, zeros flagged, spans independent") {
     val dayNs = 86400L * 1000000000L
     val D = 19675L // epoch-day base (~Nov 2023, inside the nanos guard)
