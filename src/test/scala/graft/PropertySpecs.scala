@@ -310,3 +310,48 @@ object PqKernelProps extends Properties("pq-kernel") {
       }
     }
 }
+
+/** Properties of the Morton (Z-order) interleave kernel — the bit-exact
+  * invariants the layout's skipping argument rests on: bijectivity (via
+  * de-interleave roundtrip), monotonicity in each dimension's high bit,
+  * and the locality guarantee that a shared bit-prefix in BOTH dims pins
+  * a contiguous curve range. */
+object ZOrderProps extends Properties("zorder-interleave") {
+  import graft.functions.ZOrderHelper.interleave
+
+  private def deinterleave(z: Long, bits: Int): (Long, Long) = {
+    var x = 0L; var y = 0L
+    for (i <- 0 until bits) {
+      x |= ((z >> (2 * i)) & 1L) << i
+      y |= ((z >> (2 * i + 1)) & 1L) << i
+    }
+    (x, y)
+  }
+
+  private val cell16 = Gen.chooseNum(0L, 65535L)
+
+  property("roundtrip: deinterleave(interleave(x, y)) == (x, y)") =
+    forAll(cell16, cell16) { (x, y) =>
+      deinterleave(interleave(x, y, 16), 16) == ((x, y))
+    }
+
+  property("injective on sampled distinct pairs") =
+    forAll(cell16, cell16, cell16, cell16) { (x1, y1, x2, y2) =>
+      ((x1, y1) == (x2, y2)) == (interleave(x1, y1, 16) == interleave(x2, y2, 16))
+    }
+
+  property("quadrant prefix: same top-k bits in both dims => same curve block") =
+    forAll(cell16, cell16, Gen.chooseNum(1, 8)) { (x, y, k) =>
+      // all cells sharing x and y's top k bits land in one contiguous
+      // 2^(2*(16-k))-sized block of the curve — the skipping invariant
+      val blockBits = 2 * (16 - k)
+      val z = interleave(x, y, 16)
+      val zTop = interleave(x >> (16 - k) << (16 - k), y >> (16 - k) << (16 - k), 16)
+      (z >> blockBits) == (zTop >> blockBits)
+    }
+
+  property("out-of-range input throws, never aliases") =
+    forAll(Gen.chooseNum(65536L, Long.MaxValue / 2)) { x =>
+      scala.util.Try(interleave(x, 0L, 16)).isFailure
+    }
+}

@@ -104,4 +104,53 @@ class RecoverySpec extends SparkSpecBase {
     assert(rows(2L) ===
       ((Some((base + hourNs / 2 + 2400L * 1000000000L) / 1000), true)))
   }
+
+  test("3-step pattern two-stage state survives restart from checkpoint") {
+    val dir = Files.createTempDirectory("graft_recp_in").toString
+    val ckpt = Files.createTempDirectory("graft_recp_ck").toString
+    val base = 1700000000000000000L
+    val minNs = 60L * 1000000000L
+
+    def writeFile(rows: Seq[(Long, Long, Long, String, Double)], f: String): Unit = {
+      val staging = Files.createTempDirectory("graft_recp_st").toString
+      rows.toDF("event_id", "ts", "user_id", "event_type", "value")
+        .withColumn("props", lit("{}"))
+        .coalesce(1).write.mode("overwrite").parquet(staging)
+      val part = new java.io.File(staging).listFiles()
+        .find(_.getName.endsWith(".parquet")).get
+      Files.copy(part.toPath, java.nio.file.Paths.get(s"$dir/$f.parquet"))
+    }
+
+    val outDir = Files.createTempDirectory("graft_recp_out").toString
+    def runBatch(): Unit = {
+      val out = Pipelines.pattern3Alerts(spark,
+        Pipelines.eventStreamFromPath(spark, dir)).toDF()
+      val q = out.writeStream.format("parquet").option("path", outDir)
+        .outputMode("append").option("checkpointLocation", ckpt).start()
+      q.processAllAvailable(); q.stop()
+    }
+    def results() = spark.read.parquet(outDir)
+
+    // run 1: click + its view — the pair is promoted to STAGE-2 state,
+    // nothing emits yet
+    writeFile(Seq(
+      (1L, base, 7L, "click", 1.0),
+      (2L, base + 10 * minNs, 7L, "view", 1.0)), "f1")
+    runBatch()
+    assert(results().count() === 0)
+
+    // restart: the purchase arrives 30 min after the view — it must
+    // resolve the RESTORED stage-2 pair into a completed chain
+    writeFile(Seq(
+      (3L, base + 40 * minNs, 7L, "purchase", 1.0)), "f2")
+    runBatch()
+    val rows = results().collect().map(r =>
+      (r.getAs[Long]("event_id"),
+        Option(r.getAs[Any]("next_view_us")).map(_.asInstanceOf[Long]),
+        Option(r.getAs[Any]("purchase_us")).map(_.asInstanceOf[Long]),
+        r.getAs[Boolean]("completed")))
+    assert(rows.toSeq === Seq((1L,
+      Some((base + 10 * minNs) / 1000),
+      Some((base + 40 * minNs) / 1000), true)))
+  }
 }
