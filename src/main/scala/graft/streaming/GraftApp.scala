@@ -63,7 +63,17 @@ object GraftApp {
       Pipelines.highValueTwoHopCdcStream(parsed,
         s"$outBase/acct_store", s"$outBase/cust_store",
         cfg.highValueThreshold, s"$outBase/high_value_two_hop",
-        s"$outBase/_checkpoints/high_value_two_hop"))
+        s"$outBase/_checkpoints/high_value_two_hop"),
+      // 10-11 (extensions): product analytics over the RAW event stream
+      // (funnel/CEP consume event types, not the synthesized CDC
+      // envelopes) — 2-step conversions and the 3-step pattern, both
+      // bounded-state flatMapGroupsWithState with event-time timers
+      sink(Pipelines.funnelAlerts(spark,
+        Pipelines.eventStreamFromPath(spark, srcDir, glob = "events.parquet"))
+        .toDF(), "funnel_conversions"),
+      sink(Pipelines.pattern3Alerts(spark,
+        Pipelines.eventStreamFromPath(spark, srcDir, glob = "events.parquet"))
+        .toDF(), "pattern3_matches"))
   }
 
   def main(args: Array[String]): Unit = {

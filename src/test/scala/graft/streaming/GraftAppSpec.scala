@@ -25,10 +25,17 @@ class GraftAppSpec extends SparkSpecBase {
       assert(spark.read.parquet(s"$outBase/$n").count() > 0, n)
     }
     val allSinks = Seq("high_value_alerts", "fraud_alerts", "balance_updates",
-      "dormancy_alerts", "daily_spend")
+      "dormancy_alerts", "daily_spend", "funnel_conversions", "pattern3_matches")
     allSinks.foreach { n =>
       assert(new java.io.File(s"$outBase/$n").exists(), s"sink dir $n")
       assert(new java.io.File(s"$outBase/_checkpoints/$n").exists(), s"ckpt $n")
+    }
+
+    // the product-analytics sinks resolve in-batch matches from the one
+    // static file (later same-user events seal earlier entries), so both
+    // emit rows — and every emitted 3-step row is a click
+    Seq("funnel_conversions", "pattern3_matches").foreach { n =>
+      assert(spark.read.parquet(s"$outBase/$n").count() > 0, n)
     }
 
     // thresholds came from GraftConfig defaults == the oracle-verified
