@@ -721,6 +721,55 @@ object SparkEntry {
             .as("totacctbal_cents"))
     }),
 
+    // TPC-H Q2-shaped minimum-cost supplier: the correlated scalar-MIN
+    // subquery (cheapest offer per part, ties kept) decorrelated into a
+    // whole-partition window min over the size-pruned offers — ONE fact
+    // scan, one partkey shuffle; the agg-then-join-back form would rescan
+    // the fact for the min side (the keep-best lesson). Unit price is one
+    // IEEE division — bit-identical across engines
+    "q_min_cost_supplier" -> ((s, dir) => {
+      val sized = Tables.table(s, dir, "part")
+        .filter(col("p_size") === 25).select("p_partkey")
+      val offers = Tables.table(s, dir, "lineitem")
+        .join(broadcast(sized), col("l_partkey") === col("p_partkey"))
+        .select(col("l_partkey"), col("l_suppkey"),
+          (col("l_extendedprice") / col("l_quantity")).as("unit_price"))
+      val w = org.apache.spark.sql.expressions.Window.partitionBy("l_partkey")
+      offers.withColumn("min_price", min(col("unit_price")).over(w))
+        .filter(col("unit_price") === col("min_price"))
+        .select(col("l_partkey").as("partkey"), col("l_suppkey").as("suppkey"),
+          col("min_price"))
+        .distinct()
+    }),
+
+    // RFM customer segmentation (recency / frequency / monetary quartile
+    // scores, 4 = best): one account-level agg, then three cume_dist
+    // windows ASSIGN the quartiles — the sorts are account-cardinality
+    // (dimension-sized), the fact aggregates exactly once; integer
+    // day/count/kobo metrics keep everything engine-exact, and tied
+    // metric values share a cume_dist value so ties can never split
+    "q_rfm_segments" -> ((s, dir) => {
+      import org.apache.spark.sql.expressions.Window
+      val nowMs = 1706659200000L // 2024-02-01: just past the corpus window
+      val t = completed(s, dir).groupBy("account_id").agg(
+        expr(s"CAST(($nowMs - max(event_time_ms)) div 86400000 AS BIGINT)")
+          .as("recency_days"),
+        count(lit(1)).as("frequency"),
+        sum(expr("CAST(round(amount * 100) AS BIGINT)")).as("monetary_kobo"))
+      def score(cd: org.apache.spark.sql.Column): org.apache.spark.sql.Column =
+        (lit(1) + (cd > 0.25).cast("int") + (cd > 0.5).cast("int") +
+          (cd > 0.75).cast("int")).cast("long")
+      val scored = t
+        .withColumn("r_score", score(cume_dist().over(
+          Window.orderBy(col("recency_days").desc)))) // fresher = higher
+        .withColumn("f_score", score(cume_dist().over(
+          Window.orderBy(col("frequency")))))
+        .withColumn("m_score", score(cume_dist().over(
+          Window.orderBy(col("monetary_kobo")))))
+      scored.withColumn("segment",
+        col("r_score") * 100 + col("f_score") * 10 + col("m_score"))
+    }),
+
     // CUBE multi-level aggregation (the full 2^n grouping-set lattice;
     // ROLLUP's q_rollup_spend covers the hierarchy form) — grouping_id
     // disambiguates aggregated-away NULLs; integer-kobo money. One
@@ -2411,6 +2460,41 @@ object SparkEntry {
         |                  WHERE o.o_custkey = c.c_custkey
         |                    AND o.o_orderdate >= TIMESTAMP '2000-01-01')
         |GROUP BY 1""".stripMargin,
+
+    "q_min_cost_supplier" ->
+      """WITH po AS (
+        |  SELECT l_partkey, l_suppkey, l_extendedprice / l_quantity AS unit_price
+        |  FROM lineitem JOIN part ON l_partkey = p_partkey
+        |  WHERE p_size = 25
+        |), m AS (
+        |  SELECT *, min(unit_price) OVER (PARTITION BY l_partkey) AS min_price
+        |  FROM po
+        |)
+        |SELECT DISTINCT l_partkey AS partkey, l_suppkey AS suppkey, min_price
+        |FROM m WHERE unit_price = min_price""".stripMargin,
+
+    "q_rfm_segments" -> (P +
+      """, t AS (
+        |  SELECT account_id,
+        |    CAST((1706659200000 - max(event_time_ms)) // 86400000 AS BIGINT) AS recency_days,
+        |    CAST(count(*) AS BIGINT) AS frequency,
+        |    sum(CAST(round(amount * 100) AS BIGINT)) AS monetary_kobo
+        |  FROM completed GROUP BY 1
+        |), sc AS (
+        |  SELECT *,
+        |    cume_dist() OVER (ORDER BY recency_days DESC) AS cd_r,
+        |    cume_dist() OVER (ORDER BY frequency) AS cd_f,
+        |    cume_dist() OVER (ORDER BY monetary_kobo) AS cd_m
+        |  FROM t
+        |)
+        |SELECT account_id, recency_days, frequency, monetary_kobo,
+        |  CAST(1 + (cd_r > 0.25)::INT + (cd_r > 0.5)::INT + (cd_r > 0.75)::INT AS BIGINT) AS r_score,
+        |  CAST(1 + (cd_f > 0.25)::INT + (cd_f > 0.5)::INT + (cd_f > 0.75)::INT AS BIGINT) AS f_score,
+        |  CAST(1 + (cd_r > 0.25)::INT + (cd_r > 0.5)::INT + (cd_r > 0.75)::INT AS BIGINT) * 100
+        |    + CAST(1 + (cd_f > 0.25)::INT + (cd_f > 0.5)::INT + (cd_f > 0.75)::INT AS BIGINT) * 10
+        |    + CAST(1 + (cd_m > 0.25)::INT + (cd_m > 0.5)::INT + (cd_m > 0.75)::INT AS BIGINT) AS segment,
+        |  CAST(1 + (cd_m > 0.25)::INT + (cd_m > 0.5)::INT + (cd_m > 0.75)::INT AS BIGINT) AS m_score
+        |FROM sc""".stripMargin),
 
     "q_cube_spend" -> (P +
       """SELECT currency, txn_type,
