@@ -242,13 +242,30 @@ object TrainingPrep {
     * slice stands in for the benchmark suite, as in `q_decontaminate`.
     *
     * Scale posture: every stage is a scan-stage gate or a semi/anti join
-    * against a SMALL derived set (contaminated ids, the broadcast dedup
-    * keepers) — the corpus itself crosses the network zero times. */
+    * against a SMALL derived set (contaminated ids) — the corpus itself
+    * crosses the network zero times, and it is READ exactly twice: one
+    * annotate scan that also carries the dedup digest (keeper election is
+    * a whole-partition window min over that digest on the post-scan
+    * NARROW projection — the separate `curate ⋈semi Dedup.exact` form
+    * cost a third full-text scan for identical output), and one shingle
+    * scan inside [[bloomDecontaminate]] (unavoidable: it computes a
+    * different per-row function). The mixture semi-join side scans
+    * (doc_id, lang) only — column pruning keeps it off the text bytes. */
   def trainingManifest(documents: DataFrame, lang: String = "en",
       minQuality: Double = 0.5): DataFrame = {
     val train = documents.filter(col("doc_id") % 50 =!= 0)
     val evalSlice = documents.filter(col("doc_id") % 50 === 0)
-    TextAnalysis.curate(train, lang, minQuality)
+    val w = Window.partitionBy(col("__digest"))
+    val gated = TextAnalysis.annotate(train)
+      .select(col("doc_id"), col("pred_lang"), col("quality_score"),
+        col("n_tokens"),
+        sha2(lower(trim(col("text"))), 256).as("__digest"))
+      .withColumn("__keeper", min(col("doc_id")).over(w))
+      .filter(col("pred_lang") === lang &&
+        col("quality_score") >= minQuality &&
+        col("doc_id") === col("__keeper"))
+      .select("doc_id", "pred_lang", "quality_score", "n_tokens")
+    gated
       .join(bloomDecontaminate(train, evalSlice).select("doc_id"),
         Seq("doc_id"), "left_anti")
       .join(mixtureSample(train, Map(lang -> (1, 2))).select("doc_id"),
