@@ -53,6 +53,9 @@ object ScaleProbe {
     time("gap_fill_daily")(ops.EventAnalytics.gapFillDailySpend(
       parsed.filter(ops.Predicates.isCompleted(col("status")) &&
         ops.Predicates.isDebit(col("txn_type")))))
+    time("spend_anomaly")(ops.EventAnalytics.spendAnomaly(
+      parsed.filter(ops.Predicates.isCompleted(col("status")) &&
+        ops.Predicates.isDebit(col("txn_type")))))
     time("pattern3_batch")(ops.EventAnalytics.threeStepPattern(
       synthEvents(spark, n, users = 10000), withinSec = 3600L))
     time("latest_by_key")(ops.LatestByKey.latestByMaxBy(parsed,
