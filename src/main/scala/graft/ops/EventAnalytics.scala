@@ -66,14 +66,17 @@ object EventAnalytics {
     * Emits one row per click with the matched step timestamps (nulls where
     * the pattern stalls) and a `completed` flag.
     *
-    * Shape: ONE window pass computes both "first view after me" and
-    * "first purchase after me" for every event (same partition + order ⇒
-    * one Window node, no extra shuffle), then clicks join the view rows on
-    * (user, matched view ts) to read the purchase hop — a narrow
+    * Shape: the shared window annotation computes "first view after me"
+    * and "first purchase after me" per event; the click and view branches
+    * of the final self-join each take a COLUMN-PRUNED pass over it (two
+    * narrow user-keyed window passes physically — Catalyst prunes each
+    * branch to the one hop column it needs), then clicks join the view
+    * rows on (user, matched view ts) to read the purchase hop — a narrow
     * co-partitioned equi join, NOT an (A,B,C) candidate explosion; the
     * naive triple self-join this replaces would materialize every
     * click×view×purchase triple in the horizon. Views collapse to one row
-    * per (user, ts) first, so equal-ts view twins cannot fan clicks out. */
+    * per (user, ts) first, so equal-ts view twins cannot fan clicks out.
+    * Measured 3.86 s at 10M events / 10k users (ScaleProbe). */
   def threeStepPattern(events: DataFrame, withinSec: Long): DataFrame = {
     val horizonUs = withinSec * 1000000L
     val w = Window.partitionBy(col("user_id")).orderBy(col("ts_us"))
