@@ -289,4 +289,35 @@ class PlanShapeSpec extends SparkSpecBase {
     assert(!plan.contains("CartesianProduct"), plan.take(2000))
     assert(plan.contains("BroadcastHashJoin"), plan.take(2000))
   }
+
+  test("min-cost supplier: window-min keeps the fact in ONE plan branch (no rescan)") {
+    val plan = formattedPlan(
+      SparkEntry.queries("q_min_cost_supplier")(spark, sf0001))
+    // formatted explain doubles nodes: 2 real scans (lineitem + part) = 4
+    val scans = "Scan parquet".r.findAllIn(plan).size
+    assert(scans <= 4, s"fact rescanned: $scans\n" + plan.take(2000))
+    assert(!plan.contains("CartesianProduct") && !plan.contains("SortMergeJoin"))
+  }
+
+  test("RFM: the fact aggregates exactly once; quartile sorts are account-cardinality") {
+    val plan = formattedPlan(SparkEntry.queries("q_rfm_segments")(spark, sf0001))
+    val scans = "Scan parquet".r.findAllIn(plan).size
+    assert(scans <= 2, s"fact rescanned: $scans\n" + plan.take(2000)) // 1 real scan
+    assert(!plan.contains("Join"), plan.take(2000)) // pure agg + windows
+  }
+
+  test("training manifest: at most 4 text scans (2 train-corpus + eval-slice reads)") {
+    val plan = formattedPlan(
+      SparkEntry.queries("q_training_manifest")(spark, sf0001))
+    // full-text reads in the plan: the fused annotate+digest pass and the
+    // decontamination shingle pass over the TRAIN corpus (the 98% slice —
+    // these are the expensive ones; the pre-fusion form had THREE), plus
+    // the 2%-slice eval-gram reads. The mixture side scans (doc_id, lang)
+    // only and must never pull text. A 5th text scan = the fusion
+    // regressed.
+    val textScans = plan.linesIterator
+      .filter(_.contains("ReadSchema")).count(_.contains("text"))
+    assert(textScans <= 4, s"text read $textScans times\n" + plan.take(3000))
+    assert(!plan.contains("CartesianProduct"))
+  }
 }
