@@ -6,6 +6,17 @@ parquet + oracle_sql.json), then this script replays each oracle SQL in
 DuckDB over the same test tables and diffs. Dev tooling only — the Scala
 library has no Python dependency.
 
+STRICTNESS: the driver's hash is type- and value-sensitive, so this gate
+must be at least as strict as the driver or it predicts nothing (round 8
+shipped 4 driver-red queries behind a locally-green gate that sorted
+columns and stringify-coerced dtypes). Hence:
+  - column NAMES must match positionally (no sorting);
+  - dtypes must match after mapping arrow<->duckdb equivalents
+    (datetime64 units collapse; no other coercion);
+  - an oracle whose result schema contains HUGEINT fails outright — the
+    SQL forgot a CAST(... AS BIGINT) around an integer sum (DuckDB
+    promotes sum(BIGINT) -> HUGEINT; Spark stays BIGINT).
+
 Usage: python3 scripts/check_oracle.py <sfDir> <verifyOutDir> [jsonOut]
 
 With a third argument, also writes a machine-readable summary (the
@@ -20,6 +31,19 @@ con = duckdb.connect()
 for p in glob.glob(f"{sfdir}/*.parquet"):
     name = os.path.basename(p)[:-len(".parquet")]
     con.execute(f"CREATE VIEW {name} AS SELECT * FROM read_parquet('{p}')")
+
+
+def norm_dtype(dt):
+    """Collapse representation-only differences between pyarrow->pandas
+    (spark parquet) and duckdb->pandas dtypes. Everything else must match
+    exactly — int64 vs float64 (the nullable-int promotion) only matches
+    when BOTH converters promoted, which they do iff the column really
+    has nulls on both sides."""
+    s = str(dt)
+    if s.startswith("datetime64"):
+        return "datetime64"  # ns vs us tick unit is a converter choice
+    return s
+
 
 oracle = json.load(open(f"{outdir}/oracle_sql.json"))
 fail = 0
@@ -37,13 +61,22 @@ for name, sql in sorted(oracle.items()):
     except ValueError:
         bad("empty spark output"); continue
     try:
-        want = con.sql(sql).df()
+        rel = con.sql(sql)
+        otypes = [str(t) for t in rel.types]
+        want = rel.df()
     except Exception as e:
         bad(f"oracle SQL error: {str(e)[:200]}"); continue
-    got = got[sorted(got.columns)]
-    want = want[sorted(want.columns)]
+    huge = [c for c, t in zip(rel.columns, otypes) if "HUGEINT" in t.upper()]
+    if huge:
+        bad(f"oracle emits HUGEINT column(s) {huge} — wrap the sum in "
+            f"CAST(... AS BIGINT)"); continue
     if list(got.columns) != list(want.columns):
-        bad(f"columns {list(got.columns)} vs {list(want.columns)}"); continue
+        bad(f"column order/names {list(got.columns)} vs {list(want.columns)}")
+        continue
+    dt_bad = [(c, str(got[c].dtype), str(want[c].dtype)) for c in got.columns
+              if norm_dtype(got[c].dtype) != norm_dtype(want[c].dtype)]
+    if dt_bad:
+        bad(f"dtype mismatch (spark vs oracle): {dt_bad}"); continue
     if len(got) != len(want):
         bad(f"rows {len(got)} vs {len(want)}"); continue
     # arrays/objects aren't sortable/hashable -> compare stringified
@@ -54,15 +87,9 @@ for name, sql in sorted(oracle.items()):
             want[c] = want[c].astype(str)
     g = got.sort_values(by=list(got.columns), ignore_index=True)
     w = want.sort_values(by=list(want.columns), ignore_index=True)
-    # normalize dtypes: compare stringified values (like a value hash would)
     diff_cols = []
     for c in g.columns:
         gs, ws = g[c], w[c]
-        try:
-            if gs.dtype != ws.dtype:
-                gs = gs.astype(ws.dtype)
-        except (TypeError, ValueError):
-            pass
         eq = (gs.astype(str) == ws.astype(str))
         if not eq.all():
             diff_cols.append((c, int((~eq).sum()),
