@@ -743,11 +743,19 @@ object SparkEntry {
     }),
 
     // RFM customer segmentation (recency / frequency / monetary quartile
-    // scores, 4 = best): one account-level agg, then three cume_dist
-    // windows ASSIGN the quartiles — the sorts are account-cardinality
-    // (dimension-sized), the fact aggregates exactly once; integer
-    // day/count/kobo metrics keep everything engine-exact, and tied
-    // metric values share a cume_dist value so ties can never split
+    // scores, 4 = best): one account-level agg, then the three quartile
+    // CUT VALUES come from the cumulative distinct-value histogram — the
+    // winsorize pattern ([[graft.ops.Features.winsorize]]) — and score
+    // per-row off the broadcast 9-cut scalar. NO unpartitioned window:
+    // the metrics stack into long format so the histogram cumsum
+    // partitions by metric, and the only sorted frame is the distinct
+    // (metric, value) histogram, not the account dimension (the previous
+    // three global cume_dist sorts were the repo's one single-reducer
+    // plan). Cut semantics are exactly cume_dist's: cut_k = min value
+    // with 4·cnt(<=v) > k·N (integer-rational, so `value >= cut_k` iff
+    // `cume_dist(value) > k/4` — ties share a count, so they can never
+    // split a quartile); recency negates so "fresher = higher" rides the
+    // same ascending machinery.
     "q_rfm_segments" -> ((s, dir) => {
       import org.apache.spark.sql.expressions.Window
       val nowMs = 1706659200000L // 2024-02-01: just past the corpus window
@@ -756,18 +764,35 @@ object SparkEntry {
           .as("recency_days"),
         count(lit(1)).as("frequency"),
         sum(expr("CAST(round(amount * 100) AS BIGINT)")).as("monetary_kobo"))
-      def score(cd: org.apache.spark.sql.Column): org.apache.spark.sql.Column =
-        (lit(1) + (cd > 0.25).cast("int") + (cd > 0.5).cast("int") +
-          (cd > 0.75).cast("int")).cast("long")
-      val scored = t
-        .withColumn("r_score", score(cume_dist().over(
-          Window.orderBy(col("recency_days").desc)))) // fresher = higher
-        .withColumn("f_score", score(cume_dist().over(
-          Window.orderBy(col("frequency")))))
-        .withColumn("m_score", score(cume_dist().over(
-          Window.orderBy(col("monetary_kobo")))))
-      scored.withColumn("segment",
-        col("r_score") * 100 + col("f_score") * 10 + col("m_score"))
+      val hist = t.select(explode(map(
+          lit("r"), -col("recency_days"), // fresher = higher
+          lit("f"), col("frequency"),
+          lit("m"), col("monetary_kobo"))).as(Seq("metric", "value")))
+        .groupBy("metric", "value").agg(count(lit(1)).as("cnt"))
+      val cum = Window.partitionBy("metric").orderBy("value")
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+      val tot = Window.partitionBy("metric")
+      def cut(m: String, k: Int) = min(when(
+        col("metric") === m && col("__cum") * 4 > col("__n") * k,
+        col("value")))
+      val cuts = hist
+        .withColumn("__cum", sum(col("cnt")).over(cum))
+        .withColumn("__n", sum(col("cnt")).over(tot))
+        .agg(cut("r", 1).as("r1"), cut("r", 2).as("r2"), cut("r", 3).as("r3"),
+          cut("f", 1).as("f1"), cut("f", 2).as("f2"), cut("f", 3).as("f3"),
+          cut("m", 1).as("m1"), cut("m", 2).as("m2"), cut("m", 3).as("m3"))
+      def score(v: org.apache.spark.sql.Column, c: String) =
+        (lit(1) + (v >= col(c + "1")).cast("int") +
+          (v >= col(c + "2")).cast("int") +
+          (v >= col(c + "3")).cast("int")).cast("long")
+      t.crossJoin(broadcast(cuts))
+        .withColumn("r_score", score(-col("recency_days"), "r"))
+        .withColumn("f_score", score(col("frequency"), "f"))
+        .withColumn("m_score", score(col("monetary_kobo"), "m"))
+        .withColumn("segment",
+          col("r_score") * 100 + col("f_score") * 10 + col("m_score"))
+        .select("account_id", "recency_days", "frequency", "monetary_kobo",
+          "r_score", "f_score", "m_score", "segment")
     }),
 
     // CUBE multi-level aggregation (the full 2^n grouping-set lattice;
@@ -1275,7 +1300,8 @@ object SparkEntry {
 
     // Keeper-by-quality variant: per duplicate cluster the LONGEST member
     // survives (doc_id tiebreak) — the keep-the-best-copy policy; keeper
-    // election is one map-side max_by over scalars, no window
+    // election is one cluster-keyed window over (len, doc_id) scalars,
+    // keeping the candidate lineage in a single plan branch
     "q_dedup_keep_best" -> ((s, dir) =>
       Dedup.dedupManifestKeepBest(Tables.documents(s, dir), JaccardThreshold,
         JaccardMaxDocId)),
@@ -1924,7 +1950,8 @@ object SparkEntry {
         |  FROM filled
         |  WINDOW w AS (PARTITION BY account_id)
         |), z AS (
-        |  SELECT account_id, day, spend_kobo, filled, n_days,
+        |  SELECT account_id, day, CAST(spend_kobo AS BIGINT) AS spend_kobo,
+        |    filled, n_days,
         |    s1 / CAST(n_days AS DOUBLE) AS mean_kobo,
         |    (n_days * s2 - s1 * s1) / CAST(n_days * n_days AS DOUBLE) AS var_kobo,
         |    CASE WHEN (n_days * s2 - s1 * s1) / CAST(n_days * n_days AS DOUBLE) > 0
@@ -1949,8 +1976,8 @@ object SparkEntry {
         |  SELECT account_id, unnest(generate_series(d0, d1)) AS day FROM spans
         |)
         |SELECT g.account_id, g.day,
-        |  coalesce(d.spend_kobo, 0) AS spend_kobo,
-        |  coalesce(d.n_txns, 0) AS n_txns,
+        |  CAST(coalesce(d.spend_kobo, 0) AS BIGINT) AS spend_kobo,
+        |  CAST(coalesce(d.n_txns, 0) AS BIGINT) AS n_txns,
         |  d.n_txns IS NULL AS filled
         |FROM grid g LEFT JOIN daily d USING (account_id, day)""".stripMargin),
 
@@ -2478,7 +2505,7 @@ object SparkEntry {
         |  SELECT account_id,
         |    CAST((1706659200000 - max(event_time_ms)) // 86400000 AS BIGINT) AS recency_days,
         |    CAST(count(*) AS BIGINT) AS frequency,
-        |    sum(CAST(round(amount * 100) AS BIGINT)) AS monetary_kobo
+        |    CAST(sum(CAST(round(amount * 100) AS BIGINT)) AS BIGINT) AS monetary_kobo
         |  FROM completed GROUP BY 1
         |), sc AS (
         |  SELECT *,
@@ -2490,16 +2517,16 @@ object SparkEntry {
         |SELECT account_id, recency_days, frequency, monetary_kobo,
         |  CAST(1 + (cd_r > 0.25)::INT + (cd_r > 0.5)::INT + (cd_r > 0.75)::INT AS BIGINT) AS r_score,
         |  CAST(1 + (cd_f > 0.25)::INT + (cd_f > 0.5)::INT + (cd_f > 0.75)::INT AS BIGINT) AS f_score,
+        |  CAST(1 + (cd_m > 0.25)::INT + (cd_m > 0.5)::INT + (cd_m > 0.75)::INT AS BIGINT) AS m_score,
         |  CAST(1 + (cd_r > 0.25)::INT + (cd_r > 0.5)::INT + (cd_r > 0.75)::INT AS BIGINT) * 100
         |    + CAST(1 + (cd_f > 0.25)::INT + (cd_f > 0.5)::INT + (cd_f > 0.75)::INT AS BIGINT) * 10
-        |    + CAST(1 + (cd_m > 0.25)::INT + (cd_m > 0.5)::INT + (cd_m > 0.75)::INT AS BIGINT) AS segment,
-        |  CAST(1 + (cd_m > 0.25)::INT + (cd_m > 0.5)::INT + (cd_m > 0.75)::INT AS BIGINT) AS m_score
+        |    + CAST(1 + (cd_m > 0.25)::INT + (cd_m > 0.5)::INT + (cd_m > 0.75)::INT AS BIGINT) AS segment
         |FROM sc""".stripMargin),
 
     "q_cube_spend" -> (P +
       """SELECT currency, txn_type,
         |  CAST(GROUPING(currency, txn_type) AS BIGINT) AS gid,
-        |  sum(CAST(round(amount * 100) AS BIGINT)) AS spend_kobo,
+        |  CAST(sum(CAST(round(amount * 100) AS BIGINT)) AS BIGINT) AS spend_kobo,
         |  CAST(count(*) AS BIGINT) AS n_txns
         |FROM completed
         |GROUP BY CUBE (currency, txn_type)""".stripMargin),

@@ -159,7 +159,7 @@ object EventAnalytics {
     val w = Window.partitionBy(col("account_id"))
     val scored = gapFillDailySpend(completedDebits)
       .withColumn("n_days", count(lit(1)).over(w))
-      .withColumn("s1", sum(col("spend_kobo")).over(w))
+      .withColumn("s1", sum(col("spend_kobo").cast(dec)).over(w))
       .withColumn("s2",
         sum(col("spend_kobo").cast(dec) * col("spend_kobo").cast(dec)).over(w))
       .withColumn("mean_kobo", col("s1") / col("n_days").cast("double"))

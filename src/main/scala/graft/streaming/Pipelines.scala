@@ -698,7 +698,7 @@ object Pattern3Tracker {
             }
             s2 = rest
           case "click" =>
-            s1 :+= (e.event_id, e.ts_us)
+            s1 :+= ((e.event_id, e.ts_us))
           case _ => ()
         }
       }

@@ -299,11 +299,28 @@ class PlanShapeSpec extends SparkSpecBase {
     assert(!plan.contains("CartesianProduct") && !plan.contains("SortMergeJoin"))
   }
 
-  test("RFM: the fact aggregates exactly once; quartile sorts are account-cardinality") {
-    val plan = formattedPlan(SparkEntry.queries("q_rfm_segments")(spark, sf0001))
-    val scans = "Scan parquet".r.findAllIn(plan).size
-    assert(scans <= 2, s"fact rescanned: $scans\n" + plan.take(2000)) // 1 real scan
-    assert(!plan.contains("Join"), plan.take(2000)) // pure agg + windows
+  test("RFM: no unpartitioned window; the fact scans+aggregates once at runtime") {
+    import org.apache.spark.sql.catalyst.plans.logical.{Window => LWindow}
+    val df = SparkEntry.queries("q_rfm_segments")(spark, sf0001)
+    // the quartile-cut windows run over the (metric, value) histogram,
+    // partitioned by metric — the account dimension itself never sorts
+    // (the pre-r9 form ran three global cume_dist sorts = single reducer)
+    val wins = df.queryExecution.optimizedPlan.collect { case w: LWindow => w }
+    assert(wins.nonEmpty, "expected histogram cumsum windows")
+    assert(wins.forall(_.partitionSpec.nonEmpty),
+      "unpartitioned Window = global single-task sort:\n" +
+        df.queryExecution.optimizedPlan.toString.take(2000))
+    // runtime: AQE reuses the account-partitioned partial-agg exchange
+    // between the histogram branch and the score branch — ONE fact scan,
+    // one fact aggregation (the final adaptive plan prints before the
+    // "== Initial Plan ==" marker; the initial plan legitimately shows 2)
+    df.collect()
+    val p = df.queryExecution.executedPlan.toString
+    val finalPlan = p.split("== Initial Plan ==")(0)
+    val scans = "FileScan parquet".r.findAllIn(finalPlan).size
+    assert(scans == 1, s"fact rescanned at runtime: $scans scans\n" +
+      finalPlan.take(2000))
+    assert(finalPlan.contains("ReusedExchange"), finalPlan.take(2000))
   }
 
   test("training manifest: at most 4 text scans (2 train-corpus + eval-slice reads)") {
