@@ -52,6 +52,11 @@ object SparkEntry {
                                   // correct, but zero-row evidence. Still
                                   // a CONSTANT window: verifier cost does
                                   // not grow with SF
+  val MultimodalDupThreshold = 0.5 // frame-SET Jaccard cut: the planted
+                                   // near-dups differ by ONE 64-char frame
+                                   // (frame overlap (n-1)/(n+1) ≥ 0.5 from
+                                   // n=3), while unrelated docs share no
+                                   // frames — 0.5 splits the two cleanly
   val MinhashEstThreshold = 0.7   // banding est-jaccard cut
   val MinhashVerifyThreshold = 0.8 // verified-pairs cut — at/above the 16x4
                                    // banding S-curve so candidate recall ~1
@@ -1038,6 +1043,19 @@ object SparkEntry {
 
     // Multimodal: frame sampling (1 -> N controlled explosion + pad-resize)
     "q_multimodal_frames" -> ((s, dir) => Multimodal.sampleFrames(Tables.documents(s, dir))),
+
+    // Multimodal: perceptual near-dup pairs — frame fingerprints ->
+    // doc-level SimHash -> chunk-bucketed hamming candidates (shared
+    // MinHashLSH machinery, bucketed equi-join, never all-pairs) -> exact
+    // frame-set Jaccard verify. 32x2-bit chunks / radius 27: few-frame
+    // docs give noisy majority-vote signatures (observed pair hamming up
+    // to 20 on the shipped corpora) — MultimodalSpec asserts the radius
+    // covers every exact pair, so candidates ⊇ truth and the exhaustive
+    // oracle equality holds (the q_dedup_simhash_verified contract)
+    "q_multimodal_near_dup" -> ((s, dir) =>
+      Multimodal.nearDupPairs(
+        Tables.documents(s, dir).filter(col("doc_id") < JaccardMaxDocId),
+        MultimodalDupThreshold)),
 
     // Training prep: GPT-style sequence packing — per-shard concat-then-
     // chunk layout; one hash shuffle on shard, partitioned running sum
@@ -3281,6 +3299,30 @@ object SparkEntry {
         |  CAST(length(substring(text, (i - 1) * 64 + 1, 64)) AS BIGINT) AS frame_len,
         |  rpad(substring(text, (i - 1) * 64 + 1, 64), 64, '.') AS frame_resized
         |FROM f""".stripMargin,
+
+    // exhaustive ground truth for the candidates-then-verify composition:
+    // all-pairs frame-set Jaccard over the same bounded window — equality
+    // holds because MultimodalSpec asserts every exact pair sits within
+    // the signature hamming radius (candidates ⊇ truth; verify is exact)
+    "q_multimodal_near_dup" ->
+      s"""WITH f AS (
+         |  SELECT doc_id, text,
+         |         unnest(generate_series(1, CAST(ceil(length(text) / 64.0) AS INT))) AS i
+         |  FROM documents WHERE doc_id < $JaccardMaxDocId
+         |), fr AS (
+         |  SELECT DISTINCT doc_id, substring(text, (i - 1) * 64 + 1, 64) AS frame FROM f
+         |), sz AS (
+         |  SELECT doc_id, count(*) AS n_sh FROM fr GROUP BY 1
+         |), inter AS (
+         |  SELECT a.doc_id AS doc_a, b.doc_id AS doc_b, CAST(count(*) AS BIGINT) AS n_inter
+         |  FROM fr a JOIN fr b ON a.frame = b.frame AND a.doc_id < b.doc_id GROUP BY 1, 2
+         |), j AS (
+         |  SELECT doc_a, doc_b, n_inter,
+         |    floor((n_inter * 1.0 / (x.n_sh + y.n_sh - n_inter)) * 1000000.0) / 1000000.0 AS jaccard
+         |  FROM inter JOIN sz x ON doc_a = x.doc_id JOIN sz y ON doc_b = y.doc_id
+         |)
+         |SELECT doc_a, doc_b, n_inter, jaccard FROM j
+         |WHERE jaccard >= $MultimodalDupThreshold""".stripMargin,
 
     "q_interval_join" -> (P +
       """SELECT f.txn_id, f.account_id, CAST(count(e.ctxn) AS BIGINT) AS n_nearby_credits

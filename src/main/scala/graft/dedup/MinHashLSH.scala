@@ -329,7 +329,18 @@ object MinHashLSH {
     * a wider guaranteed hamming radius at the cost of smaller (noisier)
     * bucket keys; the default 4x16 is the precision-leaning choice. */
   def simhashPairs(documents: DataFrame, maxHamming: Int = 3,
-      nChunks: Int = 4): DataFrame = {
+      nChunks: Int = 4): DataFrame =
+    simhashPairsFromSignatures(simhash(documents), maxHamming, nChunks)
+
+  /** The chunk-bucketed hamming candidate stage over an ALREADY-COMPUTED
+    * `(doc_id, simhash)` signature frame — the machinery [[simhashPairs]]
+    * (text word-vote signatures) and the multimodal frame-signature
+    * composition ([[graft.multimodal.Multimodal.nearDupPairs]]) share.
+    * Same pigeonhole recall guarantee: differing bits of a pair within
+    * `nChunks - 1` hamming cannot cover every chunk, so the pair shares
+    * at least one bucket. */
+  def simhashPairsFromSignatures(signatures: DataFrame, maxHamming: Int,
+      nChunks: Int): DataFrame = {
     require(nChunks >= 2 && 64 % nChunks == 0,
       "chunks must evenly divide the 64-bit fingerprint")
     require(maxHamming <= nChunks - 1,
@@ -337,8 +348,8 @@ object MinHashLSH {
     val bits = 64 / nChunks
     val mask = (1L << bits) - 1
     // tiny (doc_id, long) frame reused on both sides of the self-join —
-    // persist so the fingerprint pass over the corpus runs once, not twice
-    val sh = simhash(documents).persist()
+    // persist so the signature pass over the corpus runs once, not twice
+    val sh = signatures.persist()
     val chunked = sh.select(col("doc_id"), col("simhash"),
         explode(array((0 until nChunks).map(k =>
           struct(lit(k).as("k"),

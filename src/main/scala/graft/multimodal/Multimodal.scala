@@ -87,4 +87,77 @@ object Multimodal {
     val media: Dataset[MediaRow] = asMedia(documents).as[MediaRow]
     media.mapPartitions(_.map(FakeDecoder.decode)).toDF()
   }
+
+  /** Per-document frame-fingerprint postings: one row per DISTINCT frame,
+    * named `shingle` so the frame set drops straight into the shared
+    * dedup verify stage ([[graft.dedup.MinHashLSH.verifyJaccard]] treats
+    * any (doc_id, shingle) postings frame alike — text n-grams there,
+    * media frames here). The fingerprint itself (xxhash64 over the frame
+    * payload) is the pHash STAND-IN: a real perceptual hash replaces that
+    * one expression; every downstream stage is payload-agnostic. */
+  def framePostings(documents: DataFrame, frameWidth: Int = 64): DataFrame =
+    sampleFrames(documents, frameWidth)
+      .select(col("doc_id"), col("frame").as("shingle")).distinct()
+
+  /** Doc-level 64-bit SimHash over the frame-fingerprint set: each frame's
+    * xxhash64 casts one ±1 vote per bit position, the signed vote totals
+    * collapse to sign bits. All 64 vote sums ride ONE map-side-combined
+    * aggregation (64 long sums — codegen'd, order-independent), so the
+    * signature pass is a single shuffle of (doc_id, 64 longs).
+    *
+    * Noise model callers must respect: with only n frames per document,
+    * each bit is a majority of n coin flips, so two documents sharing
+    * n−1 of n frames still land ~n/4·(expected low-margin bits) apart —
+    * short media need a WIDE hamming radius (the registered query uses
+    * 32×2-bit chunks, radius 27, covering the observed max of 20 on the
+    * shipped corpora with margin; MultimodalSpec asserts the recall
+    * precondition). Longer media concentrate votes and support the tight
+    * text-style radii. */
+  def frameSignatures(postings: DataFrame): DataFrame = {
+    val votes = (0 until 64).map(j =>
+      sum(expr(s"IF((shiftright(__fh, $j) & 1) = 1, 1L, -1L)")).as(s"__v$j"))
+    postings.select(col("doc_id"), xxhash64(col("shingle")).as("__fh"))
+      .groupBy("doc_id")
+      .agg(votes.head, votes.tail: _*)
+      .select(col("doc_id"), expr((0 until 64).map(j =>
+        s"IF(__v$j > 0, shiftleft(1L, $j), 0L)").mkString(" + ")).as("simhash"))
+  }
+
+  /** Perceptual near-duplicate media pairs: frame fingerprints → doc-level
+    * SimHash signatures → chunk-bucketed hamming candidates (the shared
+    * [[graft.dedup.MinHashLSH.simhashPairsFromSignatures]] machinery — a
+    * bucketed equi self-join, never all-pairs) → EXACT frame-set Jaccard
+    * verify for candidates only ([[graft.dedup.MinHashLSH.verifyJaccard]]).
+    * The verified quantity is over the frame STRINGS, not their hashes, so
+    * a fingerprint collision can at worst add a candidate, never corrupt a
+    * verdict. Precision is 1 by construction; recall on the shipped
+    * corpora is total under the spec-asserted radius precondition (the
+    * same contract as `q_dedup_simhash_verified`). */
+  def nearDupPairs(documents: DataFrame, threshold: Double,
+      nChunks: Int = 32, maxHamming: Int = 27,
+      frameWidth: Int = 64): DataFrame = {
+    // postings feed the signature pass AND both verify sides: persist
+    val sh = framePostings(documents, frameWidth).persist()
+    val cands = graft.dedup.MinHashLSH.simhashPairsFromSignatures(
+      frameSignatures(sh), maxHamming, nChunks)
+    graft.dedup.MinHashLSH.verifyJaccard(cands, sh, threshold)
+  }
+
+  /** Exhaustive frame-set Jaccard pairs via the frame inverted index —
+    * TEST-ORACLE path only (any pair with jaccard > 0 shares a frame, so
+    * the frame-postings self-join IS exhaustive for positive thresholds);
+    * the registered query goes through [[nearDupPairs]]'s signature-
+    * bucketed candidates instead. */
+  def exhaustiveNearDupPairs(documents: DataFrame, threshold: Double,
+      frameWidth: Int = 64): DataFrame = {
+    require(threshold > 0.0, "inverted-index exhaustiveness needs jaccard > 0")
+    val sh = framePostings(documents, frameWidth).persist()
+    val cands = sh.as("a")
+      .join(sh.as("b"),
+        col("a.shingle") === col("b.shingle") &&
+          col("a.doc_id") < col("b.doc_id"))
+      .select(col("a.doc_id").as("doc_a"), col("b.doc_id").as("doc_b"))
+      .distinct()
+    graft.dedup.MinHashLSH.verifyJaccard(cands, sh, threshold)
+  }
 }

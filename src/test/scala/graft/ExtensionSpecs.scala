@@ -554,6 +554,59 @@ class MultimodalSpec extends SparkSpecBase {
     assert(got.getAs[Int]("height") === 64 + 21)
     assert(got.getAs[String]("format") === "fake-rgb")
   }
+
+  test("near-dup: shared-frame pair found with exact jaccard; stranger excluded") {
+    // docs 1/2 tile into 3 frames each and share the first two (the third
+    // differs), so frame-set jaccard = 2/4 = 0.5; doc 3 shares nothing
+    val a64 = "a" * 64; val b64 = "b" * 64
+    val df = Seq(
+      (1L, a64 + b64 + "c" * 64),
+      (2L, a64 + b64 + "d" * 64),
+      (3L, "z" * 192)).toDF("doc_id", "text")
+    val got = Multimodal.nearDupPairs(df, 0.5)
+      .select("doc_a", "doc_b", "n_inter", "jaccard")
+      .as[(Long, Long, Long, Double)].collect()
+    assert(got.toSeq === Seq((1L, 2L, 2L, 0.5)))
+  }
+
+  test("multimodal near-dup == exhaustive frame-jaccard; hamming precondition holds") {
+    import org.apache.spark.sql.functions.{col, expr, max => smax}
+    // the radius precondition is asserted at BOTH gated SFs: few-frame
+    // docs make majority-vote signatures noisy (observed pair hamming up
+    // to 20), which is exactly why the registered geometry is 32x2-bit
+    // chunks / radius 27 — corpus drift past the radius breaks THIS
+    // assertion, not the silent oracle equality
+    for (dir <- Seq(sf0001, "/root/testdata/sf0.01")) {
+      val bounded = Tables.documents(spark, dir)
+        .filter(col("doc_id") < SparkEntry.JaccardMaxDocId)
+      val exact = Multimodal.exhaustiveNearDupPairs(bounded,
+        SparkEntry.MultimodalDupThreshold)
+      val sig = Multimodal.frameSignatures(Multimodal.framePostings(bounded))
+      val worst = exact
+        .join(sig.select(col("doc_id").as("doc_a"), col("simhash").as("sh_a")), "doc_a")
+        .join(sig.select(col("doc_id").as("doc_b"), col("simhash").as("sh_b")), "doc_b")
+        .agg(smax(expr("cast(bit_count(sh_a ^ sh_b) as int)"))).as[Int].head()
+      assert(worst <= 27, s"$dir: exact pair beyond hamming radius: $worst")
+
+      val v = Multimodal.nearDupPairs(bounded, SparkEntry.MultimodalDupThreshold)
+        .select("doc_a", "doc_b", "n_inter", "jaccard")
+        .as[(Long, Long, Long, Double)].collect().toSet
+      val e = exact.select("doc_a", "doc_b", "n_inter", "jaccard")
+        .as[(Long, Long, Long, Double)].collect().toSet
+      assert(v === e, s"$dir: verified != exhaustive")
+      assert(e.nonEmpty, s"$dir: zero-row evidence")
+    }
+  }
+
+  test("near-dup candidates are a bucketed equi-join, never all-pairs") {
+    val plan = Multimodal.nearDupPairs(
+        Tables.documents(spark, sf0001)
+          .filter(col("doc_id") < SparkEntry.JaccardMaxDocId),
+        SparkEntry.MultimodalDupThreshold)
+      .queryExecution.executedPlan.toString
+    assert(!plan.contains("CartesianProduct"), plan.take(2000))
+    assert(!plan.contains("BroadcastNestedLoopJoin"), plan.take(2000))
+  }
 }
 
 class QuantizedSearchSpec extends SparkSpecBase {
