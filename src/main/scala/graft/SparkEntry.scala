@@ -157,6 +157,15 @@ object SparkEntry {
       graft.ops.EventAnalytics.threeStepPattern(Tables.events(s, dir),
         withinSec = 3600L)),
 
+    // k-step CEP: the same pruned-window construction folded over an
+    // arbitrary chain — here k=4 (signup -> click -> view -> purchase),
+    // each hop strictly later and within 1h of the PREVIOUS matched
+    // event; one shared window annotation + k-2 narrow co-partitioned
+    // stage joins, never a k-way candidate explosion
+    "q_funnel_k" -> ((s, dir) =>
+      graft.ops.EventAnalytics.kStepPattern(Tables.events(s, dir),
+        Seq("signup", "click", "view", "purchase"), withinSec = 3600L)),
+
     // Anomaly capstone over the DENSE series: days >= 2 sigma from the
     // account's own mean, moments as whole-partition window aggs over the
     // gap-filled grid (sparse-log moments would omit the zero days)
@@ -1943,6 +1952,31 @@ object SparkEntry {
         |  next_view_us IS NOT NULL AND purchase_us IS NOT NULL AS completed
         |FROM a LEFT JOIN v ON user_id = v_user AND next_view_us = view_ts
         |WHERE event_type = 'click'""".stripMargin,
+
+    // the k=4 chain in the same correlated window/collapse/join form the
+    // 3-step oracle uses, one collapse CTE per intermediate hop
+    "q_funnel_k" ->
+      """WITH e AS (SELECT event_id, user_id,
+        |             epoch_us(CAST(ts AS TIMESTAMP)) AS ts_us, event_type
+        |           FROM events),
+        |a AS (SELECT *,
+        |        min(CASE WHEN event_type = 'click' THEN ts_us END) OVER w AS n1,
+        |        min(CASE WHEN event_type = 'view' THEN ts_us END) OVER w AS n2,
+        |        min(CASE WHEN event_type = 'purchase' THEN ts_us END) OVER w AS n3
+        |      FROM e
+        |      WINDOW w AS (PARTITION BY user_id ORDER BY ts_us
+        |                   RANGE BETWEEN 1 FOLLOWING AND 3600000000 FOLLOWING)),
+        |c AS (SELECT user_id AS cu, ts_us AS ct, min(n2) AS c_next
+        |      FROM a WHERE event_type = 'click' GROUP BY 1, 2),
+        |v AS (SELECT user_id AS vu, ts_us AS vt, min(n3) AS v_next
+        |      FROM a WHERE event_type = 'view' GROUP BY 1, 2)
+        |SELECT event_id, user_id, ts_us,
+        |  n1 AS step1_us, c_next AS step2_us, v_next AS step3_us,
+        |  n1 IS NOT NULL AND c_next IS NOT NULL AND v_next IS NOT NULL AS completed
+        |FROM a
+        |LEFT JOIN c ON user_id = cu AND n1 = ct
+        |LEFT JOIN v ON user_id = vu AND c_next = vt
+        |WHERE event_type = 'signup'""".stripMargin,
 
     "q_spend_anomaly" -> (P +
       """, daily AS (

@@ -77,28 +77,58 @@ object EventAnalytics {
     * click×view×purchase triple in the horizon. Views collapse to one row
     * per (user, ts) first, so equal-ts view twins cannot fan clicks out.
     * Measured 3.86 s at 10M events / 10k users (ScaleProbe). */
-  def threeStepPattern(events: DataFrame, withinSec: Long): DataFrame = {
+  def threeStepPattern(events: DataFrame, withinSec: Long): DataFrame =
+    kStepPattern(events, Seq("click", "view", "purchase"), withinSec)
+      .withColumnRenamed("step1_us", "next_view_us")
+      .withColumnRenamed("step2_us", "purchase_us")
+
+  /** k-step sequence pattern — the [[threeStepPattern]] construction
+    * generalized to any strictly-ordered chain of distinct event types
+    * (MATCH_RECOGNIZE-class coverage for `A -> B -> ... -> Z` funnels):
+    * one row per `steps(0)` event, with `step<i>_us` = the timestamp of
+    * the first `steps(i)` event strictly after the matched `steps(i-1)`
+    * event and within `withinSec` OF THAT EVENT (nulls from the first
+    * stalled hop onward — a null join key never matches, so stalls
+    * propagate through the remaining hops for free), plus a `completed`
+    * flag when every hop matched.
+    *
+    * Shape: ONE shared window annotation computes "first step-i event
+    * after me" for every hop type (same window spec ⇒ a single Window
+    * node; Catalyst prunes each consumer branch to the one hop column it
+    * needs, so physically k−1 narrow user-keyed window passes). Hop i
+    * rows collapse to one per (user, ts) BEFORE joining — equal-ts twins
+    * cannot fan the chain out — and each hop resolves with a narrow
+    * co-partitioned equi-join on (user, matched ts). The naive k-way
+    * self-join this replaces would materialize every candidate tuple in
+    * the horizon (|A|·|B|·...·|Z| per user worst-case); this stays linear
+    * in events per hop. */
+  def kStepPattern(events: DataFrame, steps: Seq[String],
+      withinSec: Long): DataFrame = {
+    require(steps.size >= 2, "a pattern needs at least two steps")
+    require(steps.distinct.size == steps.size,
+      "repeated step types unsupported: next-step annotations key on type")
+    val k = steps.size
     val horizonUs = withinSec * 1000000L
     val w = Window.partitionBy(col("user_id")).orderBy(col("ts_us"))
       .rangeBetween(1L, horizonUs)
-    val annotated = events
-      .withColumn("next_view_us",
-        min(when(col("event_type") === "view", col("ts_us"))).over(w))
-      .withColumn("next_purchase_us",
-        min(when(col("event_type") === "purchase", col("ts_us"))).over(w))
-    val clicks = annotated.filter(col("event_type") === "click")
+    val annotated = (1 until k).foldLeft(events) { (df, i) =>
+      df.withColumn(s"__next_$i",
+        min(when(col("event_type") === steps(i), col("ts_us"))).over(w))
+    }
+    val s0 = annotated.filter(col("event_type") === steps(0))
       .select(col("event_id"), col("user_id"), col("ts_us"),
-        col("next_view_us"))
-    val views = annotated.filter(col("event_type") === "view")
-      .groupBy(col("user_id").as("v_user"), col("ts_us").as("view_ts"))
-      .agg(min(col("next_purchase_us")).as("purchase_us"))
-    clicks.join(views,
-        col("user_id") === col("v_user") &&
-          col("next_view_us") === col("view_ts"), "left")
-      .select(col("event_id"), col("user_id"), col("ts_us"),
-        col("next_view_us"), col("purchase_us"),
-        (col("next_view_us").isNotNull && col("purchase_us").isNotNull)
-          .as("completed"))
+        col("__next_1").as("step1_us"))
+    val folded = (1 until k - 1).foldLeft(s0) { (acc, i) =>
+      val stage = annotated.filter(col("event_type") === steps(i))
+        .groupBy(col("user_id").as(s"__u$i"), col("ts_us").as(s"__t$i"))
+        .agg(min(col(s"__next_${i + 1}")).as(s"step${i + 1}_us"))
+      acc.join(stage,
+          col("user_id") === col(s"__u$i") &&
+            col(s"step${i}_us") === col(s"__t$i"), "left")
+        .drop(s"__u$i", s"__t$i")
+    }
+    folded.withColumn("completed",
+      (1 until k).map(i => col(s"step${i}_us").isNotNull).reduce(_ && _))
   }
 
   /** Time-series gap filling: the per-account DAILY spend series with the

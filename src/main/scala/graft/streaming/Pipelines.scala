@@ -490,13 +490,36 @@ object Pipelines {
   def pattern3Alerts(spark: SparkSession, events: DataFrame,
       horizonUs: Long = 3600L * 1000000L): Dataset[Pattern3Row] = {
     import spark.implicits._
+    patternKAlerts(spark, events, Seq("click", "view", "purchase"), horizonUs)
+      .map(r => Pattern3Row(r.event_id, r.user_id, r.ts_us,
+        r.matched_us.lift(1), r.matched_us.lift(2), r.completed))
+  }
+
+  /** k-step sequence pattern as incremental state + event-time timers —
+    * the streaming twin of [[graft.ops.EventAnalytics.kStepPattern]] (the
+    * 3-step machine generalized: stage index IS the matched-prefix
+    * length). A pending chain at prefix length i awaits the first
+    * `steps(i)` event strictly later than and within the horizon of its
+    * LAST matched event; a matching arrival claims every such chain
+    * (in-order processing makes "first after" local, mirroring the batch
+    * frame-min); any later same-user event — or the event-time timer at
+    * the earliest pending horizon — seals chains whose hop window has
+    * passed, emitting the partial prefix. Per-key state is bounded by
+    * the horizon's event count × (k−1) stages. */
+  def patternKAlerts(spark: SparkSession, events: DataFrame,
+      steps: Seq[String],
+      horizonUs: Long = 3600L * 1000000L): Dataset[PatternKRow] = {
+    import spark.implicits._
+    require(steps.size >= 2 && steps.distinct.size == steps.size,
+      "pattern needs >= 2 distinct step types")
     events
       .withWatermark("event_ts", "0 seconds")
       .selectExpr("event_id", "user_id", "ts_us", "event_type", "event_ts")
       .as[FunnelEvent]
       .groupByKey(_.user_id)
       .flatMapGroupsWithState(OutputMode.Append,
-        GroupStateTimeout.EventTimeTimeout)(Pattern3Tracker.process(horizonUs))
+        GroupStateTimeout.EventTimeTimeout)(
+        PatternKTracker.process(steps, horizonUs))
   }
 
   /** Pipeline 3 — balance reconciliation: true incremental per-key state via
@@ -648,65 +671,72 @@ object FunnelTracker {
 case class Pattern3Row(event_id: Long, user_id: Long, ts_us: Long,
     next_view_us: Option[Long], purchase_us: Option[Long], completed: Boolean)
 
-/** Two-stage pattern state: clicks awaiting a view, and (click, view)
-  * pairs awaiting a purchase. */
-case class Pattern3State(stage1: Seq[(Long, Long)],
-    stage2: Seq[(Long, Long, Long)])
+/** One pending partial chain: the `steps(0)` event id plus every matched
+  * timestamp so far (head = the step-0 event's own ts). The chain's stage
+  * is `matched_us.length` — it awaits `steps(matched_us.length)`. */
+case class PendingChain(event_id: Long, matched_us: Seq[Long])
 
-/** Stateful 3-step pattern tracker. In-order processing makes "first
-  * view/purchase after" local: a pending click's matching view is the
-  * first in-window view to ARRIVE (any earlier one would already have
-  * claimed it), mirroring the batch operator's frame-min. Strictly-after
-  * at every hop — an event at exactly the previous step's timestamp never
-  * matches (the batch RANGE frame's 1-µs-following bound). */
-object Pattern3Tracker {
-  def process(horizonUs: Long)(userId: Long, events: Iterator[FunnelEvent],
-      state: GroupState[Pattern3State]): Iterator[Pattern3Row] = {
-    val s0 = state.getOption.getOrElse(Pattern3State(Seq.empty, Seq.empty))
-    var s1 = s0.stage1
-    var s2 = s0.stage2
-    val out = scala.collection.mutable.ArrayBuffer.empty[Pattern3Row]
+/** k-step output row: `matched_us` is the matched step-timestamp PREFIX
+  * (head = the step-0 event itself); a stalled chain's prefix stops at
+  * the last matched hop. `completed` ⟺ `matched_us.length == k`. */
+case class PatternKRow(event_id: Long, user_id: Long, ts_us: Long,
+    matched_us: Seq[Long], completed: Boolean)
+
+/** Stateful k-step pattern tracker — the 3-step machine with the stage
+  * number generalized into the matched-prefix length. In-order processing
+  * makes "first `steps(i)` after" local: a pending chain's matching event
+  * is the first in-window arrival of its awaited type (any earlier one
+  * would already have claimed it), mirroring the batch operator's
+  * frame-min. Strictly-after at every hop — an event at exactly the
+  * previous step's timestamp never matches (the batch RANGE frame's
+  * 1-µs-following bound). */
+object PatternKTracker {
+  def process(steps: Seq[String], horizonUs: Long)(userId: Long,
+      events: Iterator[FunnelEvent],
+      state: GroupState[Seq[PendingChain]]): Iterator[PatternKRow] = {
+    val k = steps.size
+    var pending = state.getOption.getOrElse(Seq.empty)
+    val out = scala.collection.mutable.ArrayBuffer.empty[PatternKRow]
     def seal(beforeUs: Long): Unit = {
-      val (e1, l1) = s1.partition(_._2 + horizonUs < beforeUs)
-      e1.foreach { case (id, ts) =>
-        out += Pattern3Row(id, userId, ts, None, None, completed = false)
+      val (expired, live) = pending.partition(
+        _.matched_us.last + horizonUs < beforeUs)
+      expired.foreach { c =>
+        out += PatternKRow(c.event_id, userId, c.matched_us.head,
+          c.matched_us, completed = false)
       }
-      s1 = l1
-      val (e2, l2) = s2.partition(_._3 + horizonUs < beforeUs)
-      e2.foreach { case (id, cts, vts) =>
-        out += Pattern3Row(id, userId, cts, Some(vts), None, completed = false)
-      }
-      s2 = l2
+      pending = live
     }
     if (events.isEmpty && state.hasTimedOut) {
       seal(state.getCurrentWatermarkMs() * 1000)
     } else {
       events.toSeq.sortBy(e => (e.ts_us, e.event_id)).foreach { e =>
         seal(e.ts_us)
-        e.event_type match {
-          case "view" =>
-            val (hit, rest) = s1.partition(c =>
-              c._2 < e.ts_us && e.ts_us <= c._2 + horizonUs)
-            s2 ++= hit.map { case (id, cts) => (id, cts, e.ts_us) }
-            s1 = rest
-          case "purchase" =>
-            val (hit, rest) = s2.partition(v =>
-              v._3 < e.ts_us && e.ts_us <= v._3 + horizonUs)
-            hit.foreach { case (id, cts, vts) =>
-              out += Pattern3Row(id, userId, cts, Some(vts), Some(e.ts_us),
-                completed = true)
+        val stage = steps.indexOf(e.event_type)
+        if (stage == 0) {
+          pending :+= PendingChain(e.event_id, Seq(e.ts_us))
+        } else if (stage > 0) {
+          val (hit, rest) = pending.partition(c =>
+            c.matched_us.length == stage &&
+              c.matched_us.last < e.ts_us &&
+              e.ts_us <= c.matched_us.last + horizonUs)
+          val advanced = hit.map(c =>
+            c.copy(matched_us = c.matched_us :+ e.ts_us))
+          if (stage == k - 1) {
+            advanced.foreach { c =>
+              out += PatternKRow(c.event_id, userId, c.matched_us.head,
+                c.matched_us, completed = true)
             }
-            s2 = rest
-          case "click" =>
-            s1 :+= ((e.event_id, e.ts_us))
-          case _ => ()
+            pending = rest
+          } else {
+            pending = rest ++ advanced
+          }
         }
       }
     }
-    if (s1.isEmpty && s2.isEmpty) state.remove()
+    if (pending.isEmpty) state.remove()
     else {
-      state.update(Pattern3State(s1, s2))
-      val earliest = (s1.map(_._2) ++ s2.map(_._3)).min
+      state.update(pending)
+      val earliest = pending.map(_.matched_us.last).min
       // ceil to millis (see DormancyDetector note); floored at watermark+1
       // so an already-overdue key times out next batch instead of throwing
       state.setTimeoutTimestamp(math.max(

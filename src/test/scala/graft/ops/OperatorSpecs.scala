@@ -338,6 +338,59 @@ class EventAnalyticsSpec extends SparkSpecBase {
     assert(got.size === 4) // one row per click, no fan-out
   }
 
+  test("k-step pattern (k=4): per-hop horizons, stall propagation, no fan-out") {
+    val base = 1700000000000000000L
+    val S = 1000000000L // 1 s in ns
+    val rows = Seq(
+      // full chain: signup -> click(+10s) -> view(+20s) -> purchase(+30s)
+      (1L, base, 7L, "signup", 1.0),
+      (2L, base + 10 * S, 7L, "click", 1.0),
+      (3L, base + 20 * S, 7L, "view", 1.0),
+      (4L, base + 30 * S, 7L, "purchase", 1.0),
+      // hop-3 horizon is relative to the VIEW: purchase 50 min after the
+      // view (but >1h after the signup) still completes the chain
+      (5L, base + 50000 * S, 9L, "signup", 1.0),
+      (6L, base + 50600 * S, 9L, "click", 1.0),
+      (7L, base + 51200 * S, 9L, "view", 1.0),
+      (8L, base + 54200 * S, 9L, "purchase", 1.0),
+      // stalls at hop 2: click but no view in its horizon
+      (9L, base + 100000 * S, 11L, "signup", 1.0),
+      (10L, base + 100010 * S, 11L, "click", 1.0),
+      (11L, base + 110000 * S, 11L, "view", 1.0))
+    val got = EventAnalytics.kStepPattern(eventsDf(rows),
+        Seq("signup", "click", "view", "purchase"), withinSec = 3600L)
+      .select("event_id", "step1_us", "step2_us", "step3_us", "completed")
+      .collect().map(r => r.getLong(0) ->
+        ((Option(r.get(1)), Option(r.get(2)), Option(r.get(3)),
+          r.getBoolean(4)))).toMap
+    val us = (ns: Long) => ns / 1000
+    assert(got(1L) === ((Some(us(base + 10 * S)), Some(us(base + 20 * S)),
+      Some(us(base + 30 * S)), true)))
+    assert(got(5L) === ((Some(us(base + 50600 * S)), Some(us(base + 51200 * S)),
+      Some(us(base + 54200 * S)), true)))
+    assert(got(9L) === ((Some(us(base + 100010 * S)), None, None, false)))
+    assert(got.size === 3) // one row per signup
+  }
+
+  test("k=3 kStepPattern equals the dedicated threeStepPattern") {
+    val base = 1700000000000000000L
+    val S = 1000000000L
+    val rows = Seq(
+      (1L, base, 7L, "click", 1.0),
+      (2L, base + 10 * S, 7L, "view", 1.0),
+      (3L, base + 20 * S, 7L, "purchase", 1.0),
+      (4L, base + 100 * S, 7L, "click", 1.0),
+      (5L, base + 110 * S, 7L, "view", 1.0))
+    val a = EventAnalytics.threeStepPattern(eventsDf(rows), 3600L)
+      .select("event_id", "next_view_us", "purchase_us", "completed")
+      .collect().toSet
+    val b = EventAnalytics.kStepPattern(eventsDf(rows),
+        Seq("click", "view", "purchase"), 3600L)
+      .select("event_id", "step1_us", "step2_us", "completed")
+      .collect().toSet
+    assert(a === b)
+  }
+
   test("spend anomaly: dense-series moments flag the spike a sparse log would miss") {
     val dayNs = 86400L * 1000000000L
     val D = 19675L

@@ -228,6 +228,49 @@ class PipelinesSpec extends SparkSpecBase {
     assert(got.count(_.getBoolean(3)) === 2) // chains 1 and 9 complete
   }
 
+  test("streaming k-step pattern (k=4) == batch kStepPattern") {
+    import spark.implicits._
+    val base = 1700000000000000000L
+    val secNs = 1000000000L
+    // every user's stream ends with a far 'error' event so all pending
+    // chains seal in-batch (same in-order contract as the 3-step test)
+    val rows = Seq(
+      (1L, base, 7L, "signup", 1.0),                      // full 4-chain
+      (2L, base + 10 * secNs, 7L, "click", 1.0),
+      (3L, base + 20 * secNs, 7L, "view", 1.0),
+      (4L, base + 30 * secNs, 7L, "purchase", 1.0),
+      (5L, base + 90000 * secNs, 7L, "error", 1.0),
+      (6L, base, 9L, "signup", 1.0),                      // stalls at hop 3
+      (7L, base + 10 * secNs, 9L, "click", 1.0),
+      (8L, base + 20 * secNs, 9L, "view", 1.0),
+      (9L, base + 90000 * secNs, 9L, "error", 1.0),
+      (10L, base, 11L, "signup", 1.0),                    // click out of horizon
+      (11L, base + 4000 * secNs, 11L, "click", 1.0),
+      (12L, base + 90000 * secNs, 11L, "error", 1.0))
+    val dir = Files.createTempDirectory("graft_pk").toString + "/in"
+    rows.toDF("event_id", "ts", "user_id", "event_type", "value")
+      .withColumn("props", lit("{}"))
+      .coalesce(1).write.parquet(dir)
+    val steps = Seq("signup", "click", "view", "purchase")
+    val stream = Pipelines.patternKAlerts(spark,
+      Pipelines.eventStreamFromPath(spark, dir), steps)
+    val got = runToTable(stream.toDF(), "pk_stream", "append")
+      .as[(Long, Long, Long, Seq[Long], Boolean)].collect()
+      .map(r => (r._1, r._4, r._5)).toSet
+    // batch rows -> matched prefix (step-0 ts plus hops until first stall)
+    val want = graft.ops.EventAnalytics.kStepPattern(
+        eventsDf(rows), steps, withinSec = 3600L)
+      .select("event_id", "ts_us", "step1_us", "step2_us", "step3_us", "completed")
+      .collect().map { r =>
+        val hops = (2 to 4).map(i => Option(r.get(i)).map(_.asInstanceOf[Long]))
+          .takeWhile(_.isDefined).flatten
+        (r.getLong(0), r.getLong(1) +: hops, r.getBoolean(5))
+      }.toSet
+    assert(got === want)
+    assert(got.size === 3)
+    assert(got.count(_._3) === 1)
+  }
+
   test("streaming 3-step pattern: stalled second hop expires via timer") {
     import spark.implicits._
     val base = 1700000000000000000L
