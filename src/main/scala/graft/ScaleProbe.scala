@@ -58,6 +58,34 @@ object ScaleProbe {
         ops.Predicates.isDebit(col("txn_type")))))
     time("pattern3_batch")(ops.EventAnalytics.threeStepPattern(
       synthEvents(spark, n, users = 10000), withinSec = 3600L))
+    time("pattern4_batch")(ops.EventAnalytics.kStepPattern(
+      synthEvents(spark, n, users = 10000),
+      Seq("signup", "click", "view", "purchase"), withinSec = 3600L))
+
+    // RFM at an n-account DIMENSION: the r9 histogram-cut shape vs the
+    // pre-r9 three global cume_dist windows (a single-reducer sort of the
+    // whole dimension, three times — kept here as the measured strawman)
+    val accounts = spark.range(n).select(
+      col("id").as("account_id"),
+      pmod(xxhash64(col("id")), lit(365)).as("recency_days"),
+      (pmod(xxhash64(col("id"), lit(1)), lit(1000)) + 1).as("frequency"),
+      pmod(xxhash64(col("id"), lit(2)), lit(100000000L)).as("monetary_kobo"))
+    time("rfm_hist_cuts")(ops.EventAnalytics.rfmScores(accounts))
+    time("rfm_global_windows") {
+      import org.apache.spark.sql.expressions.Window
+      def score(cd: org.apache.spark.sql.Column) =
+        (lit(1) + (cd > 0.25).cast("int") + (cd > 0.5).cast("int") +
+          (cd > 0.75).cast("int")).cast("long")
+      accounts
+        .withColumn("r_score", score(cume_dist().over(
+          Window.orderBy(col("recency_days").desc))))
+        .withColumn("f_score", score(cume_dist().over(
+          Window.orderBy(col("frequency")))))
+        .withColumn("m_score", score(cume_dist().over(
+          Window.orderBy(col("monetary_kobo")))))
+        .withColumn("segment",
+          col("r_score") * 100 + col("f_score") * 10 + col("m_score"))
+    }
     time("latest_by_key")(ops.LatestByKey.latestByMaxBy(parsed,
       Seq("account_id"), struct(col("event_time_us"), col("txn_id"))))
     time("daily_spend")(ops.Windows.dailySpend(

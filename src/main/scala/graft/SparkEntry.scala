@@ -771,42 +771,13 @@ object SparkEntry {
     // split a quartile); recency negates so "fresher = higher" rides the
     // same ascending machinery.
     "q_rfm_segments" -> ((s, dir) => {
-      import org.apache.spark.sql.expressions.Window
       val nowMs = 1706659200000L // 2024-02-01: just past the corpus window
-      val t = completed(s, dir).groupBy("account_id").agg(
-        expr(s"CAST(($nowMs - max(event_time_ms)) div 86400000 AS BIGINT)")
-          .as("recency_days"),
-        count(lit(1)).as("frequency"),
-        sum(expr("CAST(round(amount * 100) AS BIGINT)")).as("monetary_kobo"))
-      val hist = t.select(explode(map(
-          lit("r"), -col("recency_days"), // fresher = higher
-          lit("f"), col("frequency"),
-          lit("m"), col("monetary_kobo"))).as(Seq("metric", "value")))
-        .groupBy("metric", "value").agg(count(lit(1)).as("cnt"))
-      val cum = Window.partitionBy("metric").orderBy("value")
-        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
-      val tot = Window.partitionBy("metric")
-      def cut(m: String, k: Int) = min(when(
-        col("metric") === m && col("__cum") * 4 > col("__n") * k,
-        col("value")))
-      val cuts = hist
-        .withColumn("__cum", sum(col("cnt")).over(cum))
-        .withColumn("__n", sum(col("cnt")).over(tot))
-        .agg(cut("r", 1).as("r1"), cut("r", 2).as("r2"), cut("r", 3).as("r3"),
-          cut("f", 1).as("f1"), cut("f", 2).as("f2"), cut("f", 3).as("f3"),
-          cut("m", 1).as("m1"), cut("m", 2).as("m2"), cut("m", 3).as("m3"))
-      def score(v: org.apache.spark.sql.Column, c: String) =
-        (lit(1) + (v >= col(c + "1")).cast("int") +
-          (v >= col(c + "2")).cast("int") +
-          (v >= col(c + "3")).cast("int")).cast("long")
-      t.crossJoin(broadcast(cuts))
-        .withColumn("r_score", score(-col("recency_days"), "r"))
-        .withColumn("f_score", score(col("frequency"), "f"))
-        .withColumn("m_score", score(col("monetary_kobo"), "m"))
-        .withColumn("segment",
-          col("r_score") * 100 + col("f_score") * 10 + col("m_score"))
-        .select("account_id", "recency_days", "frequency", "monetary_kobo",
-          "r_score", "f_score", "m_score", "segment")
+      graft.ops.EventAnalytics.rfmScores(
+        completed(s, dir).groupBy("account_id").agg(
+          expr(s"CAST(($nowMs - max(event_time_ms)) div 86400000 AS BIGINT)")
+            .as("recency_days"),
+          count(lit(1)).as("frequency"),
+          sum(expr("CAST(round(amount * 100) AS BIGINT)")).as("monetary_kobo")))
     }),
 
     // CUBE multi-level aggregation (the full 2^n grouping-set lattice;
