@@ -62,15 +62,48 @@ object ScaleProbe {
       synthEvents(spark, n, users = 10000),
       Seq("signup", "click", "view", "purchase"), withinSec = 3600L))
 
-    // RFM at an n-account DIMENSION: the r9 histogram-cut shape vs the
-    // pre-r9 three global cume_dist windows (a single-reducer sort of the
-    // whole dimension, three times — kept here as the measured strawman)
+    // RFM at an n-account DIMENSION, three cut strategies: (a) the r9
+    // shipped shape — exact range-narrowing selection, cuts as plan
+    // literals (no sort anywhere); (b) distinct-value-histogram cuts with
+    // a metric-partitioned cumsum window (the winsorize trick — degrades
+    // when a metric is all-distinct: the histogram IS the dimension);
+    // (c) the pre-r9 three global cume_dist windows (single-reducer ×3).
+    // monetary is ~all-distinct here by construction — the hard regime.
     val accounts = spark.range(n).select(
       col("id").as("account_id"),
       pmod(xxhash64(col("id")), lit(365)).as("recency_days"),
       (pmod(xxhash64(col("id"), lit(1)), lit(1000)) + 1).as("frequency"),
       pmod(xxhash64(col("id"), lit(2)), lit(100000000L)).as("monetary_kobo"))
-    time("rfm_hist_cuts")(ops.EventAnalytics.rfmScores(accounts))
+    time("rfm_select_cuts")(ops.EventAnalytics.rfmScores(accounts))
+    time("rfm_hist_cuts") {
+      import org.apache.spark.sql.expressions.Window
+      val hist = accounts.select(explode(map(
+          lit("r"), -col("recency_days"), lit("f"), col("frequency"),
+          lit("m"), col("monetary_kobo"))).as(Seq("metric", "value")))
+        .groupBy("metric", "value").agg(count(lit(1)).as("cnt"))
+      val cum = Window.partitionBy("metric").orderBy("value")
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+      val tot = Window.partitionBy("metric")
+      def cut(m: String, k: Int) = min(when(
+        col("metric") === m && col("__cum") * 4 > col("__n") * k,
+        col("value")))
+      val cuts = hist
+        .withColumn("__cum", sum(col("cnt")).over(cum))
+        .withColumn("__n", sum(col("cnt")).over(tot))
+        .agg(cut("r", 1).as("r1"), cut("r", 2).as("r2"), cut("r", 3).as("r3"),
+          cut("f", 1).as("f1"), cut("f", 2).as("f2"), cut("f", 3).as("f3"),
+          cut("m", 1).as("m1"), cut("m", 2).as("m2"), cut("m", 3).as("m3"))
+      def score(v: org.apache.spark.sql.Column, c: String) =
+        (lit(1) + (v >= col(c + "1")).cast("int") +
+          (v >= col(c + "2")).cast("int") +
+          (v >= col(c + "3")).cast("int")).cast("long")
+      accounts.crossJoin(broadcast(cuts))
+        .withColumn("r_score", score(-col("recency_days"), "r"))
+        .withColumn("f_score", score(col("frequency"), "f"))
+        .withColumn("m_score", score(col("monetary_kobo"), "m"))
+        .withColumn("segment",
+          col("r_score") * 100 + col("f_score") * 10 + col("m_score"))
+    }
     time("rfm_global_windows") {
       import org.apache.spark.sql.expressions.Window
       def score(cd: org.apache.spark.sql.Column) =

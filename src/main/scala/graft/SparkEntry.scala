@@ -1037,6 +1037,15 @@ object SparkEntry {
         Tables.documents(s, dir).filter(col("doc_id") < JaccardMaxDocId),
         MultimodalDupThreshold)),
 
+    // Multimodal: the near-dup composition resolved to a corpus manifest —
+    // label-propagation clusters + keep-best election (most frames = the
+    // longest media survives, doc_id tiebreak); clusters/keepers are
+    // pair-touched-only frames broadcast back, the corpus never shuffles
+    "q_multimodal_manifest" -> ((s, dir) =>
+      Multimodal.nearDupManifest(
+        Tables.documents(s, dir).filter(col("doc_id") < JaccardMaxDocId),
+        MultimodalDupThreshold)),
+
     // Training prep: GPT-style sequence packing — per-shard concat-then-
     // chunk layout; one hash shuffle on shard, partitioned running sum
     "q_seq_pack" -> ((s, dir) =>
@@ -3328,6 +3337,49 @@ object SparkEntry {
          |)
          |SELECT doc_a, doc_b, n_inter, jaccard FROM j
          |WHERE jaccard >= $MultimodalDupThreshold""".stripMargin,
+
+    // near-dup pairs -> recursive transitive closure -> most-frames keeper
+    // election -> full-corpus labeling (the q_dedup_keep_best pattern over
+    // frame-set jaccard instead of n-gram jaccard)
+    "q_multimodal_manifest" ->
+      s"""WITH RECURSIVE f AS (
+         |  SELECT doc_id, text,
+         |         unnest(generate_series(1, CAST(ceil(length(text) / 64.0) AS INT))) AS i
+         |  FROM documents WHERE doc_id < $JaccardMaxDocId
+         |), fr AS (
+         |  SELECT DISTINCT doc_id, substring(text, (i - 1) * 64 + 1, 64) AS frame FROM f
+         |), sz AS (
+         |  SELECT doc_id, count(*) AS n_sh FROM fr GROUP BY 1
+         |), inter AS (
+         |  SELECT a.doc_id AS doc_a, b.doc_id AS doc_b, CAST(count(*) AS BIGINT) AS n_inter
+         |  FROM fr a JOIN fr b ON a.frame = b.frame AND a.doc_id < b.doc_id GROUP BY 1, 2
+         |), j AS (
+         |  SELECT doc_a, doc_b, n_inter,
+         |    floor((n_inter * 1.0 / (x.n_sh + y.n_sh - n_inter)) * 1000000.0) / 1000000.0 AS jaccard
+         |  FROM inter JOIN sz x ON doc_a = x.doc_id JOIN sz y ON doc_b = y.doc_id
+         |), jp AS (
+         |  SELECT doc_a, doc_b FROM j WHERE jaccard >= $MultimodalDupThreshold
+         |), edges AS (
+         |  SELECT doc_a AS s, doc_b AS d FROM jp
+         |  UNION ALL SELECT doc_b, doc_a FROM jp
+         |), reach(node, r) AS (
+         |  SELECT s, s FROM (SELECT DISTINCT s FROM edges) t
+         |  UNION
+         |  SELECT re.node, e.d FROM reach re JOIN edges e ON e.s = re.r
+         |), clus AS (
+         |  SELECT node AS doc_id, min(r) AS cluster_id FROM reach GROUP BY node
+         |), keep AS (
+         |  SELECT c.doc_id, c.cluster_id,
+         |    first_value(c.doc_id) OVER (PARTITION BY c.cluster_id
+         |      ORDER BY s.n_sh DESC, c.doc_id) AS keep_doc_id
+         |  FROM clus c JOIN sz s USING (doc_id)
+         |)
+         |SELECT di.doc_id,
+         |  coalesce(k.cluster_id, di.doc_id) AS cluster_id,
+         |  coalesce(k.keep_doc_id, di.doc_id) AS keep_doc_id,
+         |  di.doc_id = coalesce(k.keep_doc_id, di.doc_id) AS is_kept
+         |FROM (SELECT doc_id FROM documents WHERE doc_id < $JaccardMaxDocId) di
+         |LEFT JOIN keep k USING (doc_id)""".stripMargin,
 
     "q_interval_join" -> (P +
       """SELECT f.txn_id, f.account_id, CAST(count(e.ctxn) AS BIGINT) AS n_nearby_credits

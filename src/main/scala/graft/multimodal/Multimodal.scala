@@ -143,6 +143,44 @@ object Multimodal {
     graft.dedup.MinHashLSH.verifyJaccard(cands, sh, threshold)
   }
 
+  /** Media dedup manifest: the [[nearDupPairs]] composition resolved to a
+    * consumable corpus — every in-scope doc labeled with its duplicate
+    * cluster (via [[graft.dedup.Dedup.dupClusters]] label propagation)
+    * and a keep-best decision: the member with the MOST distinct frames
+    * survives (the longest media is the best copy — the media analog of
+    * the keep-longest-text policy), doc_id ascending tiebreak.
+    *
+    * Scale posture mirrors [[graft.dedup.Dedup.dedupManifestKeepBest]]:
+    * clusters cover only pair-touched docs (tiny by construction) and
+    * broadcast into the postings scan, so the frame-count election
+    * aggregates a pruned frame and its keeper window sorts per-cluster
+    * scalars; the corpus itself never shuffles — the final labeling is
+    * one broadcast join against the id column. */
+  def nearDupManifest(documents: DataFrame, threshold: Double,
+      nChunks: Int = 32, maxHamming: Int = 27,
+      frameWidth: Int = 64): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    val sh = framePostings(documents, frameWidth).persist()
+    val cands = graft.dedup.MinHashLSH.simhashPairsFromSignatures(
+      frameSignatures(sh), maxHamming, nChunks)
+    val pairs = graft.dedup.MinHashLSH.verifyJaccard(cands, sh, threshold)
+    val clusters = graft.dedup.Dedup.dupClusters(pairs)
+    val elect = sh.join(broadcast(clusters), "doc_id")
+      .groupBy("doc_id", "cluster_id").agg(count(lit(1)).as("n_frames"))
+    val w = Window.partitionBy("cluster_id")
+      .orderBy(col("n_frames").desc, col("doc_id"))
+      .rowsBetween(Window.unboundedPreceding, Window.unboundedFollowing)
+    val keepers = elect
+      .withColumn("keep_doc_id", first(col("doc_id")).over(w))
+      .select("doc_id", "cluster_id", "keep_doc_id")
+    documents.select("doc_id")
+      .join(broadcast(keepers), Seq("doc_id"), "left")
+      .select(col("doc_id"),
+        coalesce(col("cluster_id"), col("doc_id")).as("cluster_id"),
+        coalesce(col("keep_doc_id"), col("doc_id")).as("keep_doc_id"))
+      .withColumn("is_kept", col("doc_id") === col("keep_doc_id"))
+  }
+
   /** Exhaustive frame-set Jaccard pairs via the frame inverted index —
     * TEST-ORACLE path only (any pair with jaccard > 0 shares a frame, so
     * the frame-postings self-join IS exhaustive for positive thresholds);

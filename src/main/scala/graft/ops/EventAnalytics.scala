@@ -133,42 +133,42 @@ object EventAnalytics {
 
   /** RFM quartile scoring over an account-level metric frame
     * `(account_id, recency_days, frequency, monetary_kobo)` — the three
-    * quartile CUT VALUES come from the cumulative distinct-value
-    * histogram (the [[Features.winsorize]] pattern) and broadcast back as
-    * one 9-scalar row; scoring is then per-row. NO unpartitioned window:
-    * the metrics stack into (metric, value) long format so the cumsum
-    * window partitions by metric, and the only sorted frame is the
-    * distinct histogram, never the account dimension (a global cume_dist
-    * formulation funnels every account through one reducer, three times —
-    * measured 10× slower at a 10M-account dimension, see SCALING.md r9).
+    * quartile CUT VALUES per metric come from
+    * [[OrderStatistics.kthSmallest]] (iterative range-narrowing exact
+    * selection — NO sort of any kind, no window, nothing single-task; the
+    * distinct-value-histogram trick does not survive an all-distinct
+    * metric like monetary, where the histogram IS the dimension and its
+    * cumsum window is a single reducer again — measured at a 10M-account
+    * dimension: selection 14.0 s vs histogram-window 28.2 s vs naive
+    * global cume_dist 17.3 s, SCALING.md round-9) and then enter the
+    * plan as LITERALS, so the scored frame is one map-side pass over the
+    * (persisted) account dimension: no join, no shuffle, no sort.
     *
-    * Cut rule: cut_k = min value with 4·cnt(≤v) > k·N — integer-exact and
-    * bit-identical to `cume_dist(value) > k/4` (ties share a count, so
-    * they can never split a quartile); recency negates so fresher = a
-    * higher score rides the same ascending machinery. */
+    * Cut rule: cut_k = the (⌊k·N/4⌋+1)-th smallest value — identical to
+    * `min value with 4·cnt(≤v) > k·N`, i.e. bit-identical to
+    * `cume_dist(value) > k/4` (ties share a count, so they can never
+    * split a quartile); recency negates so fresher = a higher score
+    * rides the same ascending machinery. */
   def rfmScores(t: DataFrame): DataFrame = {
-    val hist = t.select(explode(map(
-        lit("r"), -col("recency_days"), // fresher = higher
-        lit("f"), col("frequency"),
-        lit("m"), col("monetary_kobo"))).as(Seq("metric", "value")))
-      .groupBy("metric", "value").agg(count(lit(1)).as("cnt"))
-    val cum = Window.partitionBy("metric").orderBy("value")
-      .rowsBetween(Window.unboundedPreceding, Window.currentRow)
-    val tot = Window.partitionBy("metric")
-    def cut(m: String, k: Int) = min(when(
-      col("metric") === m && col("__cum") * 4 > col("__n") * k,
-      col("value")))
-    val cuts = hist
-      .withColumn("__cum", sum(col("cnt")).over(cum))
-      .withColumn("__n", sum(col("cnt")).over(tot))
-      .agg(cut("r", 1).as("r1"), cut("r", 2).as("r2"), cut("r", 3).as("r3"),
-        cut("f", 1).as("f1"), cut("f", 2).as("f2"), cut("f", 3).as("f3"),
-        cut("m", 1).as("m1"), cut("m", 2).as("m2"), cut("m", 3).as("m3"))
-    def score(v: org.apache.spark.sql.Column, c: String) =
-      (lit(1) + (v >= col(c + "1")).cast("int") +
-        (v >= col(c + "2")).cast("int") +
-        (v >= col(c + "3")).cast("int")).cast("long")
-    t.crossJoin(broadcast(cuts))
+    // the metric frame is consumed by the selection passes AND the final
+    // scoring scan: persist the (small) account dimension so the fact
+    // aggregates exactly once (ownership: cached until LRU eviction —
+    // the plan-constant-model policy of the PQ/IVF trainings)
+    val tp = t.persist()
+    val lf = tp.select(explode(map(
+      lit("r"), -col("recency_days"), // fresher = higher
+      lit("f"), col("frequency"),
+      lit("m"), col("monetary_kobo"))).as(Seq("metric", "value")))
+    val n = tp.count()
+    require(n > 0, "rfmScores needs a non-empty account frame")
+    val rks = (1 to 3).map(k => k * n / 4 + 1L)
+    val cuts = OrderStatistics.kthSmallest(lf, "metric", "value",
+      Map("r" -> rks, "f" -> rks, "m" -> rks))
+    def score(v: org.apache.spark.sql.Column, g: String) =
+      (lit(1) + (v >= lit(cuts((g, rks(0))))).cast("int") +
+        (v >= lit(cuts((g, rks(1))))).cast("int") +
+        (v >= lit(cuts((g, rks(2))))).cast("int")).cast("long")
+    tp
       .withColumn("r_score", score(-col("recency_days"), "r"))
       .withColumn("f_score", score(col("frequency"), "f"))
       .withColumn("m_score", score(col("monetary_kobo"), "m"))

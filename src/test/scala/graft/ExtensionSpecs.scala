@@ -598,6 +598,53 @@ class MultimodalSpec extends SparkSpecBase {
     }
   }
 
+  test("near-dup manifest: most-frames member keeps; strangers self-keep") {
+    // doc 2 shares its first 3 frames with doc 1 but has one MORE frame
+    // (jaccard 3/4 = 0.75): the longer media must win the election even
+    // though doc 1 has the lower id; doc 3 is untouched and self-keeps
+    val a = "a" * 64; val b = "b" * 64; val c = "c" * 64; val d = "d" * 64
+    val df = Seq(
+      (1L, a + b + c),
+      (2L, a + b + c + d),
+      (3L, "z" * 64)).toDF("doc_id", "text")
+    val got = Multimodal.nearDupManifest(df, 0.5)
+      .select("doc_id", "cluster_id", "keep_doc_id", "is_kept")
+      .as[(Long, Long, Long, Boolean)].collect().toSet
+    assert(got === Set(
+      (1L, 1L, 2L, false),
+      (2L, 1L, 2L, true),
+      (3L, 3L, 3L, true)))
+  }
+
+  test("near-dup manifest on the corpus: keepers maximize frames, clusters match pairs") {
+    import org.apache.spark.sql.functions.col
+    val bounded = Tables.documents(spark, sf0001)
+      .filter(col("doc_id") < SparkEntry.JaccardMaxDocId)
+    val man = Multimodal.nearDupManifest(bounded, SparkEntry.MultimodalDupThreshold)
+      .as[(Long, Long, Long, Boolean)].collect()
+    val pairs = Multimodal.nearDupPairs(bounded, SparkEntry.MultimodalDupThreshold)
+      .select("doc_a", "doc_b").as[(Long, Long)].collect()
+    val paired = pairs.flatMap(p => Seq(p._1, p._2)).toSet
+    // every pair-touched doc shares its cluster with its partner
+    val cl = man.map(r => r._1 -> r._2).toMap
+    pairs.foreach { case (x, y) => assert(cl(x) === cl(y), s"pair ($x,$y) split") }
+    // untouched docs are singleton self-keepers
+    man.filterNot(r => paired(r._1)).foreach { r =>
+      assert(r._2 === r._1 && r._3 === r._1 && r._4, s"stranger ${r._1} not self-kept")
+    }
+    // exactly one keeper per cluster, and it has the max frame count
+    val nFrames = Multimodal.framePostings(bounded)
+      .groupBy("doc_id").count().as[(Long, Long)].collect().toMap
+    man.groupBy(_._2).foreach { case (cid, members) =>
+      val keepers = members.filter(_._4)
+      assert(keepers.size === 1, s"cluster $cid has ${keepers.size} keepers")
+      val maxF = members.map(m => nFrames.getOrElse(m._1, 0L)).max
+      assert(nFrames.getOrElse(keepers.head._1, 0L) === maxF,
+        s"cluster $cid keeper is not a most-frames member")
+    }
+    assert(paired.nonEmpty)
+  }
+
   test("near-dup candidates are a bucketed equi-join, never all-pairs") {
     val plan = Multimodal.nearDupPairs(
         Tables.documents(spark, sf0001)

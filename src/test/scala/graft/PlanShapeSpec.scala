@@ -299,28 +299,24 @@ class PlanShapeSpec extends SparkSpecBase {
     assert(!plan.contains("CartesianProduct") && !plan.contains("SortMergeJoin"))
   }
 
-  test("RFM: no unpartitioned window; the fact scans+aggregates once at runtime") {
-    import org.apache.spark.sql.catalyst.plans.logical.{Window => LWindow}
+  test("RFM: cuts are plan literals — no window, no join, no sort in the scored plan") {
+    import org.apache.spark.sql.catalyst.plans.logical.{Window => LWindow, Join => LJoin}
+    // the quartile cuts come from range-narrowing exact selection at
+    // construction time (driver-bounded passes, nothing sorts) and enter
+    // the plan as literals: the final frame is ONE map-side pass over the
+    // persisted account dimension (the pre-r9 form ran three global
+    // cume_dist sorts = a single reducer, three times)
     val df = SparkEntry.queries("q_rfm_segments")(spark, sf0001)
-    // the quartile-cut windows run over the (metric, value) histogram,
-    // partitioned by metric — the account dimension itself never sorts
-    // (the pre-r9 form ran three global cume_dist sorts = single reducer)
-    val wins = df.queryExecution.optimizedPlan.collect { case w: LWindow => w }
-    assert(wins.nonEmpty, "expected histogram cumsum windows")
-    assert(wins.forall(_.partitionSpec.nonEmpty),
-      "unpartitioned Window = global single-task sort:\n" +
-        df.queryExecution.optimizedPlan.toString.take(2000))
-    // runtime: AQE reuses the account-partitioned partial-agg exchange
-    // between the histogram branch and the score branch — ONE fact scan,
-    // one fact aggregation (the final adaptive plan prints before the
-    // "== Initial Plan ==" marker; the initial plan legitimately shows 2)
+    val opt = df.queryExecution.optimizedPlan
+    assert(opt.collect { case w: LWindow => w }.isEmpty, opt.toString.take(2000))
+    assert(opt.collect { case j: LJoin => j }.isEmpty, opt.toString.take(2000))
     df.collect()
     val p = df.queryExecution.executedPlan.toString
-    val finalPlan = p.split("== Initial Plan ==")(0)
-    val scans = "FileScan parquet".r.findAllIn(finalPlan).size
-    assert(scans == 1, s"fact rescanned at runtime: $scans scans\n" +
-      finalPlan.take(2000))
-    assert(finalPlan.contains("ReusedExchange"), finalPlan.take(2000))
+    assert(!p.contains("Window"), p.take(2000))
+    assert(!p.contains("SortMergeJoin") && !p.contains("CartesianProduct"),
+      p.take(2000))
+    // the nine cut literals are visible in the score expressions
+    assert(p.contains("r_score") && p.contains(">="), p.take(2000))
   }
 
   test("training manifest: at most 4 text scans (2 train-corpus + eval-slice reads)") {

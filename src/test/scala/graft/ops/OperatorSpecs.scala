@@ -279,6 +279,47 @@ class FeaturesSpec extends SparkSpecBase {
   }
 }
 
+class OrderStatisticsSpec extends SparkSpecBase {
+  import spark.implicits._
+
+  private def model(vals: Seq[Long], rank: Long): Long =
+    vals.sorted.apply((rank - 1).toInt)
+
+  test("kth smallest == sorted model: duplicates, negatives, wide range") {
+    val g1 = Seq(5L, -3L, 5L, 5L, 0L, 1000000007L, -3L, 42L)
+    val g2 = Seq(Long.MinValue / 2, 0L, Long.MaxValue / 2)
+    val df = (g1.map(("a", _)) ++ g2.map(("b", _))).toDF("g", "v")
+    val ranks = Map("a" -> Seq(1L, 2L, 4L, 8L), "b" -> Seq(1L, 2L, 3L))
+    val got = OrderStatistics.kthSmallest(df, "g", "v", ranks)
+    for ((g, rs) <- ranks; r <- rs) {
+      val vals = if (g == "a") g1 else g2
+      assert(got((g, r)) === model(vals, r), s"group $g rank $r")
+    }
+  }
+
+  test("convergence: 100k near-all-distinct values resolve within the pass cap") {
+    val df = spark.range(100000).select(lit("g").as("g"),
+      org.apache.spark.sql.functions.xxhash64(col("id")).as("v"))
+    val got = OrderStatistics.kthSmallest(df, "g", "v",
+      Map("g" -> Seq(1L, 25001L, 50001L, 100000L)))
+    val sorted = df.select("v").as[Long].collect().sorted
+    assert(got(("g", 1L)) === sorted.head)
+    assert(got(("g", 25001L)) === sorted(25000))
+    assert(got(("g", 50001L)) === sorted(50000))
+    assert(got(("g", 100000L)) === sorted.last)
+  }
+
+  test("out-of-range rank and unknown group fail loudly") {
+    val df = Seq(("a", 1L), ("a", 2L)).toDF("g", "v")
+    intercept[IllegalArgumentException] {
+      OrderStatistics.kthSmallest(df, "g", "v", Map("a" -> Seq(3L)))
+    }
+    intercept[IllegalArgumentException] {
+      OrderStatistics.kthSmallest(df, "g", "v", Map("zz" -> Seq(1L)))
+    }
+  }
+}
+
 class EventAnalyticsSpec extends SparkSpecBase {
   import spark.implicits._
 
