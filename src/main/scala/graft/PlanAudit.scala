@@ -33,6 +33,7 @@ object PlanAudit {
         // the SMJs are the wrapped label-propagation rounds
         "q_dedup_manifest" -> "wraps dupClusters label propagation",
         "q_dedup_keep_best" -> "wraps dupClusters label propagation",
+        "q_multimodal_manifest" -> "wraps dupClusters label propagation",
         // bucketized range join: both sides fact-sized, co-partitioned on
         // (key, bucket) — large-large by design
         "q_interval_join" -> "bucketized range join (large-large)",
@@ -47,7 +48,7 @@ object PlanAudit {
       // clusters is iterative: SMJ count grows with convergence rounds
       // (up to ~2 per round, maxRounds = 10); interval join has exactly 1
       val expectedCounts = Map("q_dedup_clusters" -> 20, "q_dedup_manifest" -> 20,
-        "q_dedup_keep_best" -> 20,
+        "q_dedup_keep_best" -> 20, "q_multimodal_manifest" -> 20,
         "q_interval_join" -> 1, "q_importance_resample" -> 2)
       val smjUnexpected = smjCount > expectedCounts.getOrElse(name, 0)
       val flags = Seq(

@@ -179,6 +179,13 @@ object SparkEntry {
     "q_winsorize" -> ((s, dir) =>
       graft.ops.Features.winsorize(completed(s, dir))),
 
+    // Exact per-currency p50/p90/p99 as order statistics (rank
+    // ceil(p*n), duplicates counted) via range-narrowing selection —
+    // exact unlike percentile_approx, sort-free unlike a row_number
+    // window; the oracle replays the ranks with a per-group row_number
+    "q_exact_percentiles" -> ((s, dir) =>
+      graft.ops.Features.exactPercentiles(completed(s, dir))),
+
     // Per-currency z-scores from exact integer moments (Σx, Σx² in kobo;
     // the float mean/σ/z are one fixed-order IEEE expression per row)
     "q_zscore" -> ((s, dir) =>
@@ -2012,6 +2019,19 @@ object SparkEntry {
         |  CAST(coalesce(d.n_txns, 0) AS BIGINT) AS n_txns,
         |  d.n_txns IS NULL AS filled
         |FROM grid g LEFT JOIN daily d USING (account_id, day)""".stripMargin),
+
+    "q_exact_percentiles" -> (P +
+      """, t AS (SELECT currency, CAST(round(amount * 100) AS BIGINT) AS kobo
+        |        FROM completed),
+        |n AS (SELECT currency, CAST(count(*) AS BIGINT) AS cnt FROM t GROUP BY 1),
+        |r AS (SELECT currency, kobo,
+        |        row_number() OVER (PARTITION BY currency ORDER BY kobo) AS rk
+        |      FROM t),
+        |tgt AS (SELECT currency, CAST(num AS DOUBLE) / den AS p,
+        |          (num * cnt + den - 1) // den AS rank
+        |        FROM n CROSS JOIN (VALUES (1, 2), (9, 10), (99, 100)) v(num, den))
+        |SELECT g.currency, g.p, CAST(g.rank AS BIGINT) AS rank, r.kobo
+        |FROM tgt g JOIN r ON g.currency = r.currency AND r.rk = g.rank""".stripMargin),
 
     "q_winsorize" -> (P +
       """, t AS (SELECT txn_id, currency, CAST(round(amount * 100) AS BIGINT) AS kobo

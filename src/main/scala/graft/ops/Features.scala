@@ -110,6 +110,37 @@ object Features {
         (col("kobo") > col("cut_kobo")).as("is_clipped"))
   }
 
+  /** Exact per-currency percentiles as ORDER STATISTICS — p is taken as
+    * the integer rational num/den and the percentile is the value at
+    * ascending rank ceil(p·n) = (num·n + den − 1) div den, duplicates
+    * counted: rank-exact, no interpolation, engine-exact (the same
+    * definition as [[winsorize]]'s cut). Computed by
+    * [[OrderStatistics.kthSmallest]] — iterative range-narrowing
+    * selection, NO sort of any kind — so unlike `percentile_approx` the
+    * answer is exact, and unlike a `row_number` window nothing
+    * single-tasks. The result is model-sized (groups × percentiles) and
+    * materializes via the driver as a literal frame — the
+    * plan-constant-model pattern. */
+  def exactPercentiles(txns: DataFrame,
+      ps: Seq[(Int, Int)] = Seq((1, 2), (9, 10), (99, 100))): DataFrame = {
+    val spark = txns.sparkSession
+    import spark.implicits._
+    val t = txns.select(col("currency"),
+      round(col("amount") * 100).cast("long").as("kobo")).persist()
+    val ns = t.groupBy("currency").agg(count(lit(1)).as("n"))
+      .collect().map(r => r.getString(0) -> r.getLong(1)).toMap
+    def rank(nu: Int, de: Int, n: Long): Long = (nu.toLong * n + de - 1) / de
+    val targets = ns.map { case (c, n) =>
+      c -> ps.map { case (nu, de) => rank(nu, de, n) }
+    }
+    val cuts = OrderStatistics.kthSmallest(t, "currency", "kobo", targets)
+    val rows = for ((c, n) <- ns.toSeq; (nu, de) <- ps) yield {
+      val r = rank(nu, de, n)
+      (c, nu.toDouble / de, r, cuts((c, r)))
+    }
+    rows.toDF("currency", "p", "rank", "kobo")
+  }
+
   /** Per-group z-score standardization from EXACT INTEGER moments: the
     * group's Σx and Σx² accumulate as integer kobo (order-independent, so
     * engines and partitionings agree bit-for-bit), and the float work —

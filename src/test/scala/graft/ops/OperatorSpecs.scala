@@ -209,6 +209,18 @@ class ReconcileSpec extends SparkSpecBase {
 class FeaturesSpec extends SparkSpecBase {
   import spark.implicits._
 
+  test("exact percentiles: rank-exact order statistics per currency, duplicates counted") {
+    // A: kobo 100..1000 (n=10): p50 rank ceil(5)=5 -> 500, p90 rank 9 ->
+    // 900, p99 rank ceil(9.9)=10 -> 1000; B: one value -> every p hits it
+    val rows = (1 to 10).map(i => ("A", i * 1.0)) :+ (("B", 7.77))
+    val got = graft.ops.Features.exactPercentiles(
+        rows.toDF("currency", "amount"))
+      .as[(String, Double, Long, Long)].collect().toSet
+    assert(got === Set(
+      ("A", 0.5, 5L, 500L), ("A", 0.9, 9L, 900L), ("A", 0.99, 10L, 1000L),
+      ("B", 0.5, 1L, 777L), ("B", 0.9, 1L, 777L), ("B", 0.99, 1L, 777L)))
+  }
+
   test("winsorize cuts at the exact order statistic, ceil boundary, per group") {
     // currency A: kobo 100..1000 in hundreds (n=10); p=0.8 -> rank ceil(8)=8
     // -> cut 800; currency B: single value never clips
