@@ -166,6 +166,12 @@ object SparkEntry {
       graft.ops.EventAnalytics.kStepPattern(Tables.events(s, dir),
         Seq("signup", "click", "view", "purchase"), withinSec = 3600L)),
 
+    // Time-weighted average balance: each running balance weighted by its
+    // holding duration over the account's own transaction span — integer
+    // kobo deltas, exact DECIMAL(38,0) numerator, ONE final IEEE division
+    "q_time_weighted_balance" -> ((s, dir) =>
+      graft.ops.EventAnalytics.timeWeightedBalance(completed(s, dir))),
+
     // Anomaly capstone over the DENSE series: days >= 2 sigma from the
     // account's own mean, moments as whole-partition window aggs over the
     // gap-filled grid (sparse-log moments would omit the zero days)
@@ -1964,6 +1970,32 @@ object SparkEntry {
         |LEFT JOIN c ON user_id = cu AND n1 = ct
         |LEFT JOIN v ON user_id = vu AND c_next = vt
         |WHERE event_type = 'signup'""".stripMargin,
+
+    "q_time_weighted_balance" -> (P +
+      """, t AS (
+        |  SELECT account_id, txn_id, event_time_us,
+        |    CASE WHEN txn_type IN ('DEBIT','TRANSFER_OUT','FEE','LOAN_REPAYMENT')
+        |         THEN -CAST(round(amount * 100) AS BIGINT)
+        |         ELSE CAST(round(amount * 100) AS BIGINT) END AS delta_kobo
+        |  FROM completed
+        |), b AS (
+        |  SELECT account_id, event_time_us,
+        |    sum(delta_kobo) OVER w AS bal_kobo,
+        |    lead(event_time_us) OVER w AS next_us
+        |  FROM t
+        |  WINDOW w AS (PARTITION BY account_id ORDER BY event_time_us, txn_id)
+        |), a AS (
+        |  SELECT account_id,
+        |    CAST(count(*) AS BIGINT) AS n_intervals,
+        |    CAST(max(next_us) - min(event_time_us) AS BIGINT) AS span_us,
+        |    sum(CAST(bal_kobo AS HUGEINT) * (next_us - event_time_us)) AS num
+        |  FROM b WHERE next_us IS NOT NULL
+        |  GROUP BY 1
+        |)
+        |SELECT account_id, n_intervals, span_us,
+        |  CAST(CASE WHEN num < 0 THEN -((-num) * 1000000 // span_us)
+        |       ELSE (num * 1000000 // span_us) END AS BIGINT) AS twab_micro_kobo
+        |FROM a WHERE span_us > 0""".stripMargin),
 
     "q_spend_anomaly" -> (P +
       """, daily AS (

@@ -444,6 +444,35 @@ class EventAnalyticsSpec extends SparkSpecBase {
     assert(a === b)
   }
 
+  test("time-weighted balance: holding-duration weighting, single-event accounts omitted") {
+    val base = 1700000000000000000L
+    val S = 1000000000L // 1 s in ns
+    val rows = Seq(
+      (3L, base, 7L, "signup", 10.0),           // credit -> bal 1000 kobo
+      (4L, base + 10 * S, 7L, "purchase", 5.0), // debit  -> bal  500 kobo
+      (5L, base + 30 * S, 7L, "signup", 1.0),   // credit -> bal  600 (no next: unweighted)
+      (6L, base, 9L, "signup", 2.0))            // single event: no interval
+    val completed = txns(rows).filter(Predicates.isCompleted(col("status")))
+    val got = EventAnalytics.timeWeightedBalance(completed)
+      .as[(Long, Long, Long, Long)].collect()
+    // num = 1000 kobo * 10s + 500 kobo * 20s = 2.0e10 kobo*us; span 30s;
+    // twab = 666.66... kobo -> 666666666 micro-kobo (floor)
+    assert(got.toSeq === Seq((7L, 2L, 30000000L, 666666666L)))
+  }
+
+  test("time-weighted balance: negative running balance truncates toward zero in both forms") {
+    val base = 1700000000000000000L
+    val S = 1000000000L
+    val rows = Seq(
+      (3L, base, 7L, "purchase", 1.0),           // debit -> bal -100 kobo
+      (4L, base + 3 * S, 7L, "signup", 0.5))     // credit -> bal -50 (unweighted)
+    val completed = txns(rows).filter(Predicates.isCompleted(col("status")))
+    val got = EventAnalytics.timeWeightedBalance(completed)
+      .as[(Long, Long, Long, Long)].collect()
+    // num = -100 kobo * 3s = -3.0e8; twab = -100 kobo exactly
+    assert(got.toSeq === Seq((7L, 1L, 3000000L, -100000000L)))
+  }
+
   test("spend anomaly: dense-series moments flag the spike a sparse log would miss") {
     val dayNs = 86400L * 1000000000L
     val D = 19675L
