@@ -192,6 +192,12 @@ object SparkEntry {
     "q_exact_percentiles" -> ((s, dir) =>
       graft.ops.Features.exactPercentiles(completed(s, dir))),
 
+    // Robust outliers: |x - median| > 3*MAD, both medians exact order
+    // statistics (two selection passes, broadcast back) — heavy-tail-safe
+    // where the z-score gate is whale-dragged; all-integer, no float
+    "q_mad_outliers" -> ((s, dir) =>
+      graft.ops.Features.madOutliers(completed(s, dir))),
+
     // Per-currency z-scores from exact integer moments (Σx, Σx² in kobo;
     // the float mean/σ/z are one fixed-order IEEE expression per row)
     "q_zscore" -> ((s, dir) =>
@@ -2064,6 +2070,27 @@ object SparkEntry {
         |        FROM n CROSS JOIN (VALUES (1, 2), (9, 10), (99, 100)) v(num, den))
         |SELECT g.currency, g.p, CAST(g.rank AS BIGINT) AS rank, r.kobo
         |FROM tgt g JOIN r ON g.currency = r.currency AND r.rk = g.rank""".stripMargin),
+
+    "q_mad_outliers" -> (P +
+      """, t AS (SELECT txn_id, currency, CAST(round(amount * 100) AS BIGINT) AS kobo
+        |        FROM completed),
+        |n AS (SELECT currency, CAST(count(*) AS BIGINT) AS cnt FROM t GROUP BY 1),
+        |r1 AS (SELECT currency, kobo,
+        |         row_number() OVER (PARTITION BY currency ORDER BY kobo) AS rk
+        |       FROM t),
+        |med AS (SELECT r1.currency, kobo AS med_kobo
+        |        FROM r1 JOIN n USING (currency) WHERE rk = (cnt + 1) // 2),
+        |d AS (SELECT t.txn_id, t.currency, t.kobo, med_kobo,
+        |        abs(t.kobo - med_kobo) AS adev
+        |      FROM t JOIN med USING (currency)),
+        |r2 AS (SELECT currency, adev,
+        |         row_number() OVER (PARTITION BY currency ORDER BY adev) AS rk
+        |       FROM d),
+        |mad AS (SELECT r2.currency, adev AS mad_kobo
+        |        FROM r2 JOIN n USING (currency) WHERE rk = (cnt + 1) // 2)
+        |SELECT txn_id, d.currency, kobo, med_kobo, mad_kobo,
+        |  adev > 3 * mad_kobo AS is_outlier
+        |FROM d JOIN mad USING (currency)""".stripMargin),
 
     "q_winsorize" -> (P +
       """, t AS (SELECT txn_id, currency, CAST(round(amount * 100) AS BIGINT) AS kobo

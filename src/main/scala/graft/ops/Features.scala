@@ -141,6 +141,45 @@ object Features {
     rows.toDF("currency", "p", "rank", "kobo")
   }
 
+  /** Robust outlier flagging via MEDIAN ABSOLUTE DEVIATION — the
+    * heavy-tail-safe alternative to [[zscore]] (one whale transaction
+    * drags a mean/σ gate; the median and MAD barely move). Two exact
+    * order-statistic passes through [[OrderStatistics.kthSmallest]]
+    * (lower median, rank (n+1) div 2): the group median of kobo, then
+    * the median of |kobo − median|; both are integers, the medians
+    * broadcast back as a literal-sized frame, and the outlier test
+    * `|x − med| > k·MAD` is an integer compare — no float exists
+    * anywhere in the operator, so engines cannot disagree.
+    *
+    * Scale shape: two selection passes (each ≤7 map-side bucket-count
+    * scans, nothing sorts) + one broadcast join; the fact never
+    * shuffles. A MAD of 0 (>half the group at one value) flags every
+    * deviation, the textbook degenerate case — callers gate on
+    * `mad_kobo > 0` if they want spread-only flagging. */
+  def madOutliers(txns: DataFrame, k: Int = 3): DataFrame = {
+    val spark = txns.sparkSession
+    import spark.implicits._
+    val t = txns.select(col("txn_id"), col("currency"),
+      round(col("amount") * 100).cast("long").as("kobo")).persist()
+    val ns = t.groupBy("currency").agg(count(lit(1)).as("n"))
+      .collect().map(r => r.getString(0) -> r.getLong(1)).toMap
+    val medRank = ns.map { case (c, n) => c -> (n + 1) / 2 }
+    val med = OrderStatistics.kthSmallest(t, "currency", "kobo",
+      medRank.map { case (c, r) => c -> Seq(r) })
+    val medDf = medRank.toSeq
+      .map { case (c, r) => (c, med((c, r))) }.toDF("currency", "med_kobo")
+    val dev = t.join(broadcast(medDf), "currency")
+      .withColumn("adev", abs(col("kobo") - col("med_kobo")))
+    val mad = OrderStatistics.kthSmallest(dev, "currency", "adev",
+      medRank.map { case (c, r) => c -> Seq(r) })
+    val madDf = medRank.toSeq
+      .map { case (c, r) => (c, mad((c, r))) }.toDF("currency", "mad_kobo")
+    dev.join(broadcast(madDf), "currency")
+      .select(col("txn_id"), col("currency"), col("kobo"),
+        col("med_kobo"), col("mad_kobo"),
+        (col("adev") > lit(k) * col("mad_kobo")).as("is_outlier"))
+  }
+
   /** Per-group z-score standardization from EXACT INTEGER moments: the
     * group's Σx and Σx² accumulate as integer kobo (order-independent, so
     * engines and partitionings agree bit-for-bit), and the float work —

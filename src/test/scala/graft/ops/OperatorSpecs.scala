@@ -221,6 +221,25 @@ class FeaturesSpec extends SparkSpecBase {
       ("B", 0.5, 1L, 777L), ("B", 0.9, 1L, 777L), ("B", 0.99, 1L, 777L)))
   }
 
+  test("MAD outliers: whale flagged without dragging the gate; zero-MAD group calm") {
+    // A: kobo 100,200,300,400,10000 -> med 300, adevs {200,100,0,100,9700}
+    // -> MAD 100; only the whale exceeds 3*MAD (a mean/sigma gate would
+    // have been dragged to ~2200 by the whale itself). B: constant value
+    // -> MAD 0 -> nothing flagged (0 > 0 is false).
+    val rows = Seq(("A", 1.0), ("A", 2.0), ("A", 3.0), ("A", 4.0),
+      ("A", 100.0), ("B", 0.05), ("B", 0.05), ("B", 0.05))
+      .zipWithIndex.map { case ((c, a), i) => (i.toLong, c, a) }
+    val got = graft.ops.Features.madOutliers(
+        rows.toDF("txn_id", "currency", "amount"))
+      .select("txn_id", "med_kobo", "mad_kobo", "is_outlier")
+      .as[(Long, Long, Long, Boolean)].collect()
+      .map { case (id, m, md, o) => id -> ((m, md, o)) }.toMap
+    assert(got(0L) === ((300L, 100L, false)))
+    assert(got(4L) === ((300L, 100L, true))) // the whale
+    assert(got(5L) === ((5L, 0L, false)))    // zero-MAD group
+    assert(got.values.count(_._3) === 1)
+  }
+
   test("winsorize cuts at the exact order statistic, ceil boundary, per group") {
     // currency A: kobo 100..1000 in hundreds (n=10); p=0.8 -> rank ceil(8)=8
     // -> cut 800; currency B: single value never clips
