@@ -455,6 +455,33 @@ object Pipelines {
         RollingSpendTracker.process(windowUs))
   }
 
+  /** Time-weighted average balance as incremental per-account state — the
+    * streaming twin of [[graft.ops.EventAnalytics.timeWeightedBalance]]:
+    * every arriving transaction extends the account's holding-interval
+    * numerator Σ balance·Δt and emits the account's LIVE TWAB (the
+    * continuous-accrual view a billing engine consumes; the final
+    * emission per account equals the batch operator). State is O(1) per
+    * account — five scalars — and lives for the account's lifetime by
+    * definition (the span is first..last transaction), so there is no
+    * timeout; the numerator is carried as an exact decimal STRING
+    * (kobo·micros exceeds a long and a default BigDecimal encoder's
+    * 20 integer digits). Same sign-separated truncating division as the
+    * batch form — integer-exact, no float anywhere. */
+  def twabUpdates(spark: SparkSession, parsed: DataFrame): Dataset[TwabRow] = {
+    import spark.implicits._
+    val signed = when(Predicates.isDebit(col("txn_type")),
+        -expr("CAST(round(amount * 100) AS BIGINT)"))
+      .otherwise(expr("CAST(round(amount * 100) AS BIGINT)"))
+    completed(parsed)
+      .withWatermark("event_ts", "0 seconds")
+      .select(col("txn_id"), col("account_id"), col("event_time_us"),
+        signed.as("kobo"), col("event_ts"))
+      .as[TwabTxn]
+      .groupByKey(_.account_id)
+      .flatMapGroupsWithState(OutputMode.Append,
+        GroupStateTimeout.NoTimeout)(TwabTracker.process)
+  }
+
   /** Funnel conversion as incremental state + event-time timers — the
     * streaming twin of [[graft.ops.EventAnalytics.clickToPurchase]].
     * Pending clicks wait in GroupState; a purchase resolves every pending
@@ -793,6 +820,56 @@ object RollingSpendTracker {
     state.setTimeoutTimestamp(math.max(
       (maxTs + windowUs + 999) / 1000,
       state.getCurrentWatermarkMs() + 1))
+    out.iterator
+  }
+}
+
+/** Input row for the TWAB tracker (`kobo` arrives pre-signed). */
+case class TwabTxn(txn_id: Long, account_id: Long, event_time_us: Long,
+    kobo: Long, event_ts: java.sql.Timestamp)
+
+/** Live TWAB emission — same shape as the batch operator's output row. */
+case class TwabRow(account_id: Long, n_intervals: Long, span_us: Long,
+    twab_micro_kobo: Long)
+
+/** Per-account TWAB state: span endpoints, the current balance, the
+  * interval count, and the exact Σ balance·Δt numerator as a decimal
+  * string (exceeds a long; a stringly-typed exact integer survives any
+  * magnitude and any encoder). */
+case class TwabState(first_us: Long, last_us: Long, bal_kobo: Long,
+    n_intervals: Long, num: String)
+
+/** Stateful TWAB tracker: each event closes the holding interval the
+  * previous balance occupied (equal-timestamp consecutive events close a
+  * zero-length interval — counted, worth 0, exactly the batch lead()
+  * semantics under the unique-txn_id ordering) and emits the account's
+  * live TWAB once a positive span exists. */
+object TwabTracker {
+  private def twabMicro(num: BigInt, spanUs: Long): Long = {
+    // truncation toward zero on the separated magnitude == floor on the
+    // non-negative operand — matches the batch `div` and DuckDB `//`
+    val q = (num.abs * 1000000) / spanUs
+    (if (num.signum < 0) -q else q).toLong
+  }
+  def process(accountId: Long, events: Iterator[TwabTxn],
+      state: GroupState[TwabState]): Iterator[TwabRow] = {
+    val out = scala.collection.mutable.ArrayBuffer.empty[TwabRow]
+    var st = state.getOption.orNull
+    events.toSeq.sortBy(e => (e.event_time_us, e.txn_id)).foreach { e =>
+      if (st == null) {
+        st = TwabState(e.event_time_us, e.event_time_us, e.kobo, 0L, "0")
+      } else {
+        val dt = e.event_time_us - st.last_us
+        val num = BigInt(st.num) + BigInt(st.bal_kobo) * dt
+        st = TwabState(st.first_us, e.event_time_us, st.bal_kobo + e.kobo,
+          st.n_intervals + 1, num.toString)
+        val span = st.last_us - st.first_us
+        if (span > 0)
+          out += TwabRow(accountId, st.n_intervals, span,
+            twabMicro(num, span))
+      }
+    }
+    if (st != null) state.update(st)
     out.iterator
   }
 }

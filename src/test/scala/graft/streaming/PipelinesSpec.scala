@@ -158,6 +158,22 @@ class PipelinesSpec extends SparkSpecBase {
     assert(got.nonEmpty)
   }
 
+  test("streaming TWAB (O(1) state) final emission per account == batch operator") {
+    import spark.implicits._
+    val stream = Pipelines.twabUpdates(spark,
+      Pipelines.parsedStream(spark, sf0001))
+    val emissions = runToTable(stream.toDF(), "twab_stream", "append")
+      .as[(Long, Long, Long, Long)].collect()
+    // the LAST emission (max interval count) per account is the full-span
+    // TWAB; earlier emissions are the live prefix view
+    val got = emissions.groupBy(_._1).map(_._2.maxBy(_._2)).toSet
+    val want = graft.ops.EventAnalytics.timeWeightedBalance(
+        batchParsed.filter(Predicates.isCompleted(col("status"))))
+      .as[(Long, Long, Long, Long)].collect().toSet
+    assert(got === want)
+    assert(got.nonEmpty)
+  }
+
   test("streaming funnel (state + timers) == batch conditional RANGE frame") {
     import spark.implicits._
     val base = 1700000000000000000L
