@@ -119,6 +119,8 @@ object ScaleProbe {
         .withColumn("segment",
           col("r_score") * 100 + col("f_score") * 10 + col("m_score"))
     }
+    time("twab")(ops.EventAnalytics.timeWeightedBalance(
+      parsed.filter(ops.Predicates.isCompleted(col("status")))))
     time("latest_by_key")(ops.LatestByKey.latestByMaxBy(parsed,
       Seq("account_id"), struct(col("event_time_us"), col("txn_id"))))
     time("daily_spend")(ops.Windows.dailySpend(

@@ -319,6 +319,42 @@ class PlanShapeSpec extends SparkSpecBase {
     assert(p.contains("r_score") && p.contains(">="), p.take(2000))
   }
 
+  test("TWAB: one account-partitioned window pass + one agg, no self-join") {
+    import org.apache.spark.sql.catalyst.plans.logical.{Window => LWindow, Join => LJoin}
+    val df = SparkEntry.queries("q_time_weighted_balance")(spark, sf0001)
+    val opt = df.queryExecution.optimizedPlan
+    val wins = opt.collect { case w: LWindow => w }
+    assert(wins.size == 1 && wins.forall(_.partitionSpec.nonEmpty),
+      opt.toString.take(2000))
+    assert(opt.collect { case j: LJoin => j }.isEmpty, opt.toString.take(2000))
+    val scans = "Scan parquet".r.findAllIn(formattedPlan(df)).size
+    assert(scans <= 2, s"fact rescanned: $scans") // formatted doubles: 1 real
+  }
+
+  test("k-step funnel: pruned window branches + narrow equi-joins, no explosion") {
+    val plan = formattedPlan(SparkEntry.queries("q_funnel_k")(spark, sf0001))
+    assert(!plan.contains("CartesianProduct"), plan.take(2000))
+    assert(!plan.contains("BroadcastNestedLoopJoin"), plan.take(2000))
+  }
+
+  test("exact percentiles: the result is a plan literal (selection ran at construction)") {
+    val plan = formattedPlan(
+      SparkEntry.queries("q_exact_percentiles")(spark, sf0001))
+    assert(plan.contains("LocalTableScan"), plan.take(2000))
+    assert(!plan.contains("Exchange"), plan.take(2000))
+  }
+
+  test("MAD outliers: medians broadcast back; no sort, no window, no SMJ") {
+    import org.apache.spark.sql.catalyst.plans.logical.{Window => LWindow}
+    val df = SparkEntry.queries("q_mad_outliers")(spark, sf0001)
+    assert(df.queryExecution.optimizedPlan
+      .collect { case w: LWindow => w }.isEmpty)
+    val plan = formattedPlan(df)
+    assert(!plan.contains("SortMergeJoin") && !plan.contains("CartesianProduct"),
+      plan.take(2000))
+    assert(plan.contains("BroadcastHashJoin"), plan.take(2000))
+  }
+
   test("training manifest: at most 4 text scans (2 train-corpus + eval-slice reads)") {
     val plan = formattedPlan(
       SparkEntry.queries("q_training_manifest")(spark, sf0001))

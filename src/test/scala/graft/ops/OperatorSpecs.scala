@@ -340,6 +340,27 @@ class OrderStatisticsSpec extends SparkSpecBase {
     assert(got(("g", 100000L)) === sorted.last)
   }
 
+  test("randomized: grouped rank cases match the sorted model (fixed seed)") {
+    val rnd = new scala.util.Random(42)
+    for (_ <- 1 to 6) {
+      val groups = (1 to 3).map { g =>
+        val n = rnd.nextInt(200) + 1
+        // mixed magnitudes (full-domain through small) force duplicates
+        // at the narrow end and multi-pass narrowing at the wide end
+        s"g$g" -> Seq.fill(n)(rnd.nextLong() >> rnd.nextInt(56))
+      }
+      val df = groups.flatMap { case (g, vs) => vs.map((g, _)) }.toDF("g", "v")
+      val ranks = groups.map { case (g, vs) =>
+        g -> Seq.fill(3)(rnd.nextInt(vs.size).toLong + 1).distinct
+      }.toMap
+      val got = OrderStatistics.kthSmallest(df, "g", "v", ranks)
+      val byG = groups.toMap
+      for ((g, rs) <- ranks; r <- rs)
+        assert(got((g, r)) === byG(g).sorted.apply((r - 1).toInt),
+          s"group $g rank $r of ${byG(g).size}")
+    }
+  }
+
   test("out-of-range rank and unknown group fail loudly") {
     val df = Seq(("a", 1L), ("a", 2L)).toDF("g", "v")
     intercept[IllegalArgumentException] {
