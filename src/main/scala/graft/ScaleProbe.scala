@@ -119,6 +119,20 @@ object ScaleProbe {
         .withColumn("segment",
           col("r_score") * 100 + col("f_score") * 10 + col("m_score"))
     }
+    // cumulative running sum over n boundary events: the distributed
+    // two-pass prefix scan vs the global ordered-window strawman (one
+    // task holds and scans everything)
+    val boundaries = spark.range(n).select(
+      pmod(xxhash64(col("id")), lit(2592000000L)).as("ts"),
+      (pmod(xxhash64(col("id"), lit(9)), lit(2)) * 2 - 1).as("delta"))
+    time("prefix_scan")(ops.PrefixScan.runningSum(boundaries, "ts", "delta"))
+    time("prefix_scan_global_window") {
+      import org.apache.spark.sql.expressions.Window
+      boundaries.withColumn("running", sum(col("delta")).over(
+        Window.orderBy(col("ts"), col("delta"))
+          .rowsBetween(Window.unboundedPreceding, Window.currentRow)))
+    }
+
     time("twab")(ops.EventAnalytics.timeWeightedBalance(
       parsed.filter(ops.Predicates.isCompleted(col("status")))))
     time("latest_by_key")(ops.LatestByKey.latestByMaxBy(parsed,

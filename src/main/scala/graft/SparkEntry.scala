@@ -403,6 +403,15 @@ object SparkEntry {
     "q_dormancy_session" -> ((s, dir) =>
       Windows.dormancySessions(upserts(s, dir), DormancyGap)),
 
+    // Platform-wide session concurrency by day: ±1 session boundaries ->
+    // running sum via the distributed two-pass PREFIX SCAN (per-partition
+    // scans + driver offsets over the partition-count table) — the
+    // cumulative-output case where a global ordered window would be a
+    // one-task wall and no broadcast cut value can stand in for the curve
+    "q_session_concurrency" -> ((s, dir) =>
+      graft.ops.EventAnalytics.sessionConcurrencyDaily(
+        Windows.dormancySessions(upserts(s, dir), DormancyGap))),
+
     // O1: balance reconciliation — per-account ordered scan w/ lag()
     "q_balance_reconcile" -> ((s, dir) => Reconcile.reconcile(completed(s, dir))),
 
@@ -776,19 +785,16 @@ object SparkEntry {
     }),
 
     // RFM customer segmentation (recency / frequency / monetary quartile
-    // scores, 4 = best): one account-level agg, then the three quartile
-    // CUT VALUES come from the cumulative distinct-value histogram — the
-    // winsorize pattern ([[graft.ops.Features.winsorize]]) — and score
-    // per-row off the broadcast 9-cut scalar. NO unpartitioned window:
-    // the metrics stack into long format so the histogram cumsum
-    // partitions by metric, and the only sorted frame is the distinct
-    // (metric, value) histogram, not the account dimension (the previous
-    // three global cume_dist sorts were the repo's one single-reducer
-    // plan). Cut semantics are exactly cume_dist's: cut_k = min value
-    // with 4·cnt(<=v) > k·N (integer-rational, so `value >= cut_k` iff
-    // `cume_dist(value) > k/4` — ties share a count, so they can never
-    // split a quartile); recency negates so "fresher = higher" rides the
-    // same ascending machinery.
+    // scores, 4 = best): one account-level agg, then the nine quartile
+    // CUT VALUES come from exact range-narrowing selection
+    // (EventAnalytics.rfmScores / OrderStatistics.kthSmallest — nothing
+    // sorts, nothing single-tasks; the previous three global cume_dist
+    // windows were the repo's one single-reducer plan, and the histogram
+    // form degrades on all-distinct monetary) and enter the plan as
+    // LITERALS. Cut semantics are exactly cume_dist's: cut_k = the
+    // (⌊kN/4⌋+1)-th smallest = min value with 4·cnt(<=v) > k·N — ties
+    // share a count, so they can never split a quartile; recency negates
+    // so "fresher = higher" rides the same ascending machinery.
     "q_rfm_segments" -> ((s, dir) => {
       val nowMs = 1706659200000L // 2024-02-01: just past the corpus window
       graft.ops.EventAnalytics.rfmScores(
@@ -2327,6 +2333,39 @@ object SparkEntry {
          |  CAST(count(*) AS BIGINT) AS n_events,
          |  count(*) = 1 AS is_dormant
          |FROM sess GROUP BY account_id, sess_id""".stripMargin),
+
+    // dormancy sessions -> ±1 boundaries -> running concurrency -> day max
+    // (the oracle's one-task ORDER BY window is exactly the formulation
+    // the Spark side's distributed prefix scan replaces)
+    "q_session_concurrency" -> (P +
+      s""", ordered AS (
+         |  SELECT account_id, txn_id, event_time_us,
+         |    CASE WHEN lag(event_time_us) OVER w IS NULL THEN 1
+         |         WHEN event_time_us - lag(event_time_us) OVER w >= $DormancyGapUs THEN 1
+         |         ELSE 0 END AS new_sess
+         |  FROM upserts
+         |  WINDOW w AS (PARTITION BY account_id ORDER BY event_time_us, txn_id)
+         |), sess AS (
+         |  SELECT *, sum(new_sess) OVER (PARTITION BY account_id ORDER BY event_time_us, txn_id
+         |                               ROWS UNBOUNDED PRECEDING) AS sess_id
+         |  FROM ordered
+         |), s2 AS (
+         |  SELECT min(event_time_us) // 1000 AS session_start_ms,
+         |         (max(event_time_us) + $DormancyGapUs) // 1000 AS session_end_ms
+         |  FROM sess GROUP BY account_id, sess_id
+         |), b AS (
+         |  SELECT session_start_ms AS ts_ms, 1 AS delta FROM s2
+         |  UNION ALL
+         |  SELECT session_end_ms, -1 FROM s2
+         |), c AS (
+         |  SELECT ts_ms, sum(delta) OVER (ORDER BY ts_ms, delta
+         |                                 ROWS UNBOUNDED PRECEDING) AS running
+         |  FROM b
+         |)
+         |SELECT ts_ms // 86400000 AS day,
+         |  CAST(max(running) AS BIGINT) AS max_concurrent,
+         |  CAST(count(*) AS BIGINT) AS n_boundaries
+         |FROM c GROUP BY 1""".stripMargin),
 
     "q_balance_reconcile" -> (P +
       s""", signedt AS (

@@ -213,6 +213,29 @@ object EventAnalytics {
         col("n_txns").isNull.as("filled"))
   }
 
+  /** Platform-wide session concurrency, rolled up to a per-day maximum:
+    * each session contributes a +1 boundary at its start and a −1 at its
+    * end; the running sum of boundaries in (ts, delta) order IS the
+    * concurrency curve, computed by [[PrefixScan.runningSum]] — the
+    * distributed two-pass scan, NOT a global one-task window. Equal-ts
+    * boundaries resolve ends before starts (delta −1 < +1), the half-open
+    * session convention, and the reported value is the curve SAMPLED AT
+    * BOUNDARY EVENTS (a day with no boundaries carries the previous
+    * day's level and is absent — the standard event-sampled form; densify
+    * with [[gapFillDailySpend]]'s grid trick if a dense calendar is
+    * needed). Deterministic: equal (ts, delta) permutations emit the
+    * same value multiset, so the day-max cannot depend on partitioning. */
+  def sessionConcurrencyDaily(sessions: DataFrame): DataFrame = {
+    val bounds = sessions
+      .select(col("session_start_ms").as("ts_ms"), lit(1L).as("delta"))
+      .unionAll(sessions
+        .select(col("session_end_ms").as("ts_ms"), lit(-1L).as("delta")))
+    PrefixScan.runningSum(bounds, "ts_ms", "delta")
+      .groupBy(expr("ts_ms div 86400000").as("day"))
+      .agg(max(col("running")).as("max_concurrent"),
+        count(lit(1)).as("n_boundaries"))
+  }
+
   /** Time-weighted average balance (TWAB) per account — the interval-
     * accounting number a bank actually bills interest on: each running
     * balance weighted by how long the account HELD it, over the account's

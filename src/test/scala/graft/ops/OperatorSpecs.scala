@@ -372,6 +372,34 @@ class OrderStatisticsSpec extends SparkSpecBase {
   }
 }
 
+class PrefixScanSpec extends SparkSpecBase {
+  import spark.implicits._
+
+  test("running sum == sorted scanLeft model across 16 range partitions") {
+    val rnd = new scala.util.Random(7)
+    val rows = Seq.fill(500)((rnd.nextInt(100).toLong, (rnd.nextInt(5) - 2).toLong))
+    val got = PrefixScan.runningSum(rows.toDF("ts", "delta"), "ts", "delta",
+        partitions = 16)
+      .as[(Long, Long, Long)].collect().sorted.toSeq
+    val model = rows.sorted
+      .scanLeft((0L, 0L, 0L)) { case ((_, _, acc), (t, d)) => (t, d, acc + d) }
+      .drop(1).sorted
+    // equal (ts, delta) rows may emit in any order, but the running
+    // values they carry form the same multiset — partitioning-independent
+    assert(got === model)
+  }
+
+  test("session concurrency: overlaps counted, an end breaks a tie before a start") {
+    // A [0,100), B [50,150), C [100,200): at ts=100 A's end lands before
+    // C's start, so peak concurrency is 2, never 3
+    val sessions = Seq((0L, 100L), (50L, 150L), (100L, 200L))
+      .toDF("session_start_ms", "session_end_ms")
+    val got = EventAnalytics.sessionConcurrencyDaily(sessions)
+      .as[(Long, Long, Long)].collect()
+    assert(got.toSeq === Seq((0L, 2L, 6L)))
+  }
+}
+
 class EventAnalyticsSpec extends SparkSpecBase {
   import spark.implicits._
 
