@@ -50,6 +50,9 @@ object GraftApp {
       // 6 (extension, not in the reference): rolling trailing-24h spend
       // features at every debit — bounded per-key state
       sink(Pipelines.rollingSpendAlerts(spark, parsed).toDF(), "rolling_spend"),
+      // 6b (extension): live time-weighted average balance per account —
+      // O(1) state, exact integer accrual (the interest-billing view)
+      sink(Pipelines.twabUpdates(spark, parsed).toDF(), "twab_updates"),
       // 7-8: the two continuously-maintained KTables (accounts, customers
       // — reference ABBankTopology.java:107-144), materialized as DimStore
       // snapshots the enrichment looks up per micro-batch

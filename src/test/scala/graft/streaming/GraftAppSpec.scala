@@ -38,6 +38,20 @@ class GraftAppSpec extends SparkSpecBase {
       assert(spark.read.parquet(s"$outBase/$n").count() > 0, n)
     }
 
+    // the TWAB sink emits live per-event accruals in-batch (no watermark
+    // dependency), and its final emission per account equals the batch
+    // operator (the PipelinesSpec equivalence, re-checked at the app seam)
+    val twab = spark.read.parquet(s"$outBase/twab_updates")
+    assert(twab.count() > 0, "twab_updates")
+    val twabFinal = twab.collect()
+      .map(r => (r.getAs[Long]("account_id"), r.getAs[Long]("n_intervals"),
+        r.getAs[Long]("span_us"), r.getAs[Long]("twab_micro_kobo")))
+      .groupBy(_._1).map(_._2.maxBy(_._2)).toSet
+    val twabWant = graft.SparkEntry.queries("q_time_weighted_balance")(spark, sf0001)
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getLong(2), r.getLong(3)))
+      .toSet
+    assert(twabFinal === twabWant)
+
     // thresholds came from GraftConfig defaults == the oracle-verified
     // batch constants, so the high-value sink matches the batch query
     val hv = spark.read.parquet(s"$outBase/high_value_alerts").collect().toSet
