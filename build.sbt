@@ -9,6 +9,13 @@ libraryDependencies ++= Seq(
   "org.scalatest" %% "scalatest" % "3.2.19" % Test,
   "org.scalacheck" %% "scalacheck" % "1.18.0" % Test,
 )
+// Deprecations (e.g. Scala-2 auto-tupling) are errors: the class of nit
+// that survived two review rounds stays empty from here on. Other
+// warnings keep default severity.
+ThisBuild / scalacOptions ++= Seq(
+  "-deprecation",
+  "-Wconf:cat=deprecation:error",
+)
 Test / fork := true
 run / fork := true
 // Spark 4.x on JDK 17 needs these when SparkSession is created outside

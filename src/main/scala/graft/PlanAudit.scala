@@ -3,14 +3,18 @@ package graft
 /** Dev tool: dump `explain("formatted")` for every query and flag
   * scale-hostile plan shapes (cartesian products, missing pushed filters,
   * sort-merge joins where a broadcast was intended). Run:
-  * `sbt "runMain graft.PlanAudit /root/testdata/sf0.01"` */
+  * `sbt "runMain graft.PlanAudit /root/testdata/sf0.01"`; an optional
+  * second arg is a comma-separated query-name subset. */
 object PlanAudit {
   def main(args: Array[String]): Unit = {
     val sfDir = args.headOption.getOrElse("/root/testdata/sf0.01")
+    val only = args.drop(1).headOption.map(_.split(",").toSet)
     val spark = GraftSession.create(master = "local[8]", appName = "graft-plan-audit")
     spark.sparkContext.setLogLevel("ERROR")
 
-    SparkEntry.queries.toSeq.sortBy(_._1).foreach { case (name, fn) =>
+    SparkEntry.queries.toSeq.sortBy(_._1)
+      .filter { case (n, _) => only.forall(_.contains(n)) }
+      .foreach { case (name, fn) =>
       val df = fn(spark, sfDir)
       val plan = df.queryExecution.explainString(
         org.apache.spark.sql.execution.FormattedMode)
@@ -26,14 +30,11 @@ object PlanAudit {
       // node COUNT, so a new unintended SMJ appearing in an allowlisted
       // query (e.g. a broadcast regressing) still raises a flag.
       val expectedSmj = Map(
-        // label-propagation rounds join the edge list to itself-sized
-        // label frames — large-large by design, one SMJ per round pair
-        "q_dedup_clusters" -> "label propagation (large-large per round)",
-        // manifest = dupClusters + a broadcast join back to the corpus;
-        // the SMJs are the wrapped label-propagation rounds
-        "q_dedup_manifest" -> "wraps dupClusters label propagation",
-        "q_dedup_keep_best" -> "wraps dupClusters label propagation",
-        "q_multimodal_manifest" -> "wraps dupClusters label propagation",
+        // NOTE: the dupClusters manifest family no longer appears here —
+        // each label-propagation round is localCheckpoint-truncated, so
+        // the emitted plans are bounded (leaves = checkpoint RDDs,
+        // r10: 441 BroadcastExchange nodes -> 2, 27 shuffles -> 4) and
+        // SMJ-free; the per-round join work runs at construction.
         // bucketized range join: both sides fact-sized, co-partitioned on
         // (key, bucket) — large-large by design
         "q_interval_join" -> "bucketized range join (large-large)",
@@ -45,10 +46,7 @@ object PlanAudit {
       // formatted explain prints each node once as a "(N) SortMergeJoin"
       // heading — count headings, not substring occurrences
       val smjCount = "\\(\\d+\\) SortMergeJoin".r.findAllIn(plan).size
-      // clusters is iterative: SMJ count grows with convergence rounds
-      // (up to ~2 per round, maxRounds = 10); interval join has exactly 1
-      val expectedCounts = Map("q_dedup_clusters" -> 20, "q_dedup_manifest" -> 20,
-        "q_dedup_keep_best" -> 20, "q_multimodal_manifest" -> 20,
+      val expectedCounts = Map(
         "q_interval_join" -> 1, "q_importance_resample" -> 2)
       val smjUnexpected = smjCount > expectedCounts.getOrElse(name, 0)
       val flags = Seq(

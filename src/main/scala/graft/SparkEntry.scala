@@ -507,11 +507,11 @@ object SparkEntry {
           subject = concat(lit("Daily spend alert - "), col("lagos_date")),
           body = concat(lit("AB Bank: your total debits on "), col("lagos_date"),
             lit(" reached "), fmt,
-            lit(s", exceeding your alert threshold of ${"₦"}${DailySpendAlert.formatted("%.2f")}. Reply STOP to unsubscribe.")),
+            lit(s", exceeding your alert threshold of ${"₦"}${"%.2f".format(DailySpendAlert)}. Reply STOP to unsubscribe.")),
           metadata = map(
             lit("date"), col("lagos_date"),
             lit("totalDebit"), col("total_spend").cast("string"),
-            lit("thresholdNgn"), lit(DailySpendAlert.formatted("%.2f")))
+            lit("thresholdNgn"), lit("%.2f".format(DailySpendAlert)))
         ).as("notification"))
     }),
 
@@ -2484,9 +2484,9 @@ object SparkEntry {
          |    || ',"subject":"Daily spend alert - ' || lagos_date
          |    || '","body":"AB Bank: your total debits on ' || lagos_date
          |    || ' reached ' || ${sqlNgnSigned("total_spend")}
-         |    || ', exceeding your alert threshold of ₦${DailySpendAlert.formatted("%.2f")}. Reply STOP to unsubscribe.","metadata":{"date":"'
+         |    || ', exceeding your alert threshold of ₦${"%.2f".format(DailySpendAlert)}. Reply STOP to unsubscribe.","metadata":{"date":"'
          |    || lagos_date || '","totalDebit":"' || CAST(total_spend AS VARCHAR)
-         |    || '","thresholdNgn":"${DailySpendAlert.formatted("%.2f")}"}}' AS notification
+         |    || '","thresholdNgn":"${"%.2f".format(DailySpendAlert)}"}}' AS notification
          |FROM daily""".stripMargin),
 
     "q_reconcile_alert_json" -> (P +

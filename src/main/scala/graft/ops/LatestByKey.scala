@@ -60,7 +60,7 @@ object LatestByKey {
     * this variant for narrow payloads / high key-repeat ratios; prefer
     * [[latest]] when many wide columns must survive. */
   def latestByMaxBy(df: DataFrame, keys: Seq[String], ord: Column): DataFrame = {
-    val valueCols = df.columns.filterNot(keys.contains)
+    val valueCols = df.columns.filterNot(keys.contains).toIndexedSeq
     df.groupBy(keys.map(col): _*)
       .agg(max_by(struct(valueCols.map(col): _*), ord).as("__latest"))
       .select(keys.map(col) ++ valueCols.map(c => col(s"__latest.$c").as(c)): _*)

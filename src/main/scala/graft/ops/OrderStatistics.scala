@@ -49,11 +49,18 @@ object OrderStatistics {
       .collect().map(r => r.getString(0) -> ((r.getLong(1), r.getLong(2),
         r.getLong(3)))).toMap
 
-    // live targets: (group, rank, lo, hi, countBelowLo)
+    // live targets: (group, rank, lo, hi, countBelowLo). Ranks MUST be
+    // deduplicated: a repeated (g, r) would put two identical rows into
+    // the broadcast target frame, the per-bucket groupBy on
+    // (__tg, __tr, __b) would merge them with DOUBLED counts, and
+    // `acc + c >= r` would then locate rank r at ~rank ceil(r/2) —
+    // e.g. colliding p90/p99 ranks in a <=9-row group would silently
+    // resolve to a lower order statistic. The resolved map is keyed by
+    // (group, rank), so dedup is invisible to callers.
     var live = ranks.toSeq.flatMap { case (g, rs) =>
       val (lo, hi, n) = bounds.getOrElse(g,
         throw new IllegalArgumentException(s"group '$g' absent from frame"))
-      rs.map { r =>
+      rs.distinct.map { r =>
         require(r >= 1 && r <= n, s"rank $r out of [1, $n] for group '$g'")
         (g, r, lo, hi, 0L)
       }

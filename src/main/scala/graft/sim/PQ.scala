@@ -68,7 +68,7 @@ object PQ {
     val row = e.select(
       (0 until dims).flatMap(d => Seq(
         min(element_at(col("v"), d + 1)).as(s"mn$d"),
-        max(element_at(col("v"), d + 1)).as(s"mx$d"))): _*).head
+        max(element_at(col("v"), d + 1)).as(s"mx$d"))): _*).head()
     val dmin = (0 until dims).map(d => row.getDouble(2 * d)).toArray
     val dscale = (0 until dims).map { d =>
       math.max((row.getDouble(2 * d + 1) - dmin(d)) / 256.0, 1e-12)
@@ -114,7 +114,7 @@ object PQ {
     val meta = embeddings.select(
       min(size(col("embedding"))).as("mn"),
       max(size(col("embedding"))).as("mx"),
-      count(lit(1)).as("n")).head
+      count(lit(1)).as("n")).head()
     val (mnD, mxD, n) = (meta.getInt(0), meta.getInt(1), meta.getLong(2))
     require(mnD == mxD,
       s"embedding column has mixed widths ($mnD..$mxD dims); PQ requires " +

@@ -139,7 +139,7 @@ object Similarity {
   def embeddingDims(embeddings: DataFrame): Int = {
     val r = embeddings
       .select(min(size(col("embedding"))).as("mn"),
-        max(size(col("embedding"))).as("mx")).head
+        max(size(col("embedding"))).as("mx")).head()
     val (mn, mx) = (r.getInt(0), r.getInt(1))
     require(mn == mx,
       s"embedding column has mixed widths ($mn..$mx dims); the LSH/ANN " +

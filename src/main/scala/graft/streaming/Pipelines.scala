@@ -679,7 +679,7 @@ object FunnelTracker {
           }
           pending = rest
         } else if (e.event_type == "click") {
-          pending :+= (e.event_id, e.ts_us)
+          pending :+= ((e.event_id, e.ts_us))
         }
       }
     }
@@ -860,6 +860,14 @@ object TwabTracker {
         st = TwabState(e.event_time_us, e.event_time_us, e.kobo, 0L, "0")
       } else {
         val dt = e.event_time_us - st.last_us
+        // fail-loud in-order contract: per-batch sort only orders WITHIN
+        // a micro-batch, so an event landing in a later batch with an
+        // earlier event time would make dt negative and silently corrupt
+        // the exact numerator. The source contract (file source replays
+        // in path order; the harness feeds time-ordered batches) makes
+        // this unreachable — seal it the way the pattern trackers do.
+        require(dt >= 0, s"TWAB account $accountId: out-of-order event " +
+          s"${e.txn_id} at ${e.event_time_us}us behind sealed ${st.last_us}us")
         val num = BigInt(st.num) + BigInt(st.bal_kobo) * dt
         st = TwabState(st.first_us, e.event_time_us, st.bal_kobo + e.kobo,
           st.n_intervals + 1, num.toString)

@@ -272,7 +272,7 @@ object PqKernelProps extends Properties("pq-kernel") {
     forAll(geom) { case (m, subDim, books, g) =>
       val (cen, cids, off) = flatten(m, subDim, books)
       val got = PqKernel.encode(cen, cids, off, m, subDim,
-        new GenericArrayData(g)).toLongArray.toSeq
+        new GenericArrayData(g)).toLongArray().toSeq
       val want = (0 until m).map { s =>
         val sub = g.slice(s * subDim, (s + 1) * subDim)
         books(s).map { case (id, cv) => (naiveDist(sub, cv), id) }
@@ -286,7 +286,7 @@ object PqKernelProps extends Properties("pq-kernel") {
       val (cen, cids, off) = flatten(m, subDim, books)
       val ksubMax = books.map(_.map(_._1).max + 1).max
       val got = PqKernel.lut(cen, cids, off, m, subDim, ksubMax,
-        new GenericArrayData(g)).toLongArray
+        new GenericArrayData(g)).toLongArray()
       (0 until m).forall { s =>
         val sub = g.slice(s * subDim, (s + 1) * subDim)
         val byId = books(s).map { case (id, cv) => id -> naiveDist(sub, cv) }.toMap
@@ -301,9 +301,9 @@ object PqKernelProps extends Properties("pq-kernel") {
       val (cen, cids, off) = flatten(m, subDim, books)
       val ksubMax = books.map(_.map(_._1).max + 1).max
       val codes = PqKernel.encode(cen, cids, off, m, subDim,
-        new GenericArrayData(g)).toLongArray
+        new GenericArrayData(g)).toLongArray()
       val lut = PqKernel.lut(cen, cids, off, m, subDim, ksubMax,
-        new GenericArrayData(g)).toLongArray
+        new GenericArrayData(g)).toLongArray()
       (0 until m).forall { s =>
         val row = (0 until ksubMax).map(c => lut(s * ksubMax + c))
         row(codes(s).toInt) == row.min

@@ -221,6 +221,21 @@ class FeaturesSpec extends SparkSpecBase {
       ("B", 0.5, 1L, 777L), ("B", 0.9, 1L, 777L), ("B", 0.99, 1L, 777L)))
   }
 
+  test("exact percentiles: small groups with colliding p90/p99 ranks stay exact") {
+    // n=5: p50 rank ceil(2.5)=3, p90 rank ceil(4.5)=5, p99 rank
+    // ceil(4.95)=5 — COLLIDING ranks 5,5 reach kthSmallest. Under the
+    // duplicate-rank bug the doubled counts resolved rank 5 at ~rank 3
+    // (p90/p99 of 100..500 came back 300, not 500). Also n=2: ranks
+    // 1/2/2. Regression for ADVICE r9.
+    val rows = (1 to 5).map(i => ("A", i * 1.0)) ++ Seq(("B", 9.0), ("B", 11.0))
+    val got = graft.ops.Features.exactPercentiles(
+        rows.toDF("currency", "amount"))
+      .as[(String, Double, Long, Long)].collect().toSet
+    assert(got === Set(
+      ("A", 0.5, 3L, 300L), ("A", 0.9, 5L, 500L), ("A", 0.99, 5L, 500L),
+      ("B", 0.5, 1L, 900L), ("B", 0.9, 2L, 1100L), ("B", 0.99, 2L, 1100L)))
+  }
+
   test("MAD outliers: whale flagged without dragging the gate; zero-MAD group calm") {
     // A: kobo 100,200,300,400,10000 -> med 300, adevs {200,100,0,100,9700}
     // -> MAD 100; only the whale exceeds 3*MAD (a mean/sigma gate would
@@ -359,6 +374,24 @@ class OrderStatisticsSpec extends SparkSpecBase {
         assert(got((g, r)) === byG(g).sorted.apply((r - 1).toInt),
           s"group $g rank $r of ${byG(g).size}")
     }
+  }
+
+  test("duplicate ranks in the request resolve exactly (no count doubling)") {
+    // A repeated (g, r) used to put two identical rows into the broadcast
+    // target frame; the (__tg,__tr,__b) groupBy merged them with DOUBLED
+    // bucket counts, so rank r resolved at ~rank ceil(r/2) — e.g. rank 5
+    // of 5 came back as the rank-3 value. Regression for ADVICE r9.
+    val vals = Seq(100L, 200L, 300L, 400L, 500L)
+    val df = vals.map(("a", _)).toDF("g", "v")
+    val got = OrderStatistics.kthSmallest(df, "g", "v",
+      Map("a" -> Seq(5L, 5L, 3L, 5L, 1L, 1L)))
+    assert(got === Map(("a", 5L) -> 500L, ("a", 3L) -> 300L, ("a", 1L) -> 100L))
+    // triplicated single target on a wide-range (multi-pass) group
+    val wide = Seq(Long.MinValue / 3, -7L, 0L, 9L, Long.MaxValue / 5)
+    val dfw = wide.map(("w", _)).toDF("g", "v")
+    val gotW = OrderStatistics.kthSmallest(dfw, "g", "v",
+      Map("w" -> Seq(4L, 4L, 4L)))
+    assert(gotW === Map(("w", 4L) -> 9L))
   }
 
   test("out-of-range rank and unknown group fail loudly") {

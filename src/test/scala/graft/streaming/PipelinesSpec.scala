@@ -116,7 +116,7 @@ class PipelinesSpec extends SparkSpecBase {
     // overlap arithmetic: with minTxns=1 the per-event fan-out is exactly
     // window/advance = 2 rows summed across windows
     val perEvent = Windows.velocityHopping(batchParsed, 3600, 1800, 1L)
-      .agg(sum(col("n_txns"))).head.getLong(0)
+      .agg(sum(col("n_txns"))).head().getLong(0)
     assert(perEvent === 2L * batchParsed.count())
   }
 
