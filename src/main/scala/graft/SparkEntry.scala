@@ -42,6 +42,11 @@ object SparkEntry {
   val DormancyGapUs      = 48L * 3600 * 1000000 // same gap in epoch-micros
 
   // ---- extension-operator knobs (tuned to the corpus distributions) --------
+  /** Committed golden binary-media fixture (scripts/gen_media.py) — the
+    * DuckDB oracles read it by absolute path since it lives in the repo,
+    * not in the sfDir corpus. Keep in sync with [[Tables.media]]. */
+  val MediaFixturePath   = sys.env.getOrElse("GRAFT_MEDIA_PATH",
+    "/root/repo/testdata/media/media.parquet")
   val JaccardThreshold   = 0.5    // exact n-gram pairs (planted near-dups ~0.95)
   val JaccardMaxDocId    = 1000L  // bounded candidate set for the oracle
                                   // path. 1000, not 200: the sf0.1-derived
@@ -1043,11 +1048,19 @@ object SparkEntry {
         SimTopK, IvfStride, IvfNprobe, IvfIters, m = PqM, ksub = PqKsub,
         rerankFactor = PqRerank)),
 
-    // Multimodal: binary payload + metadata -> batched stub-decode features
-    "q_multimodal_meta" -> ((s, dir) => Multimodal.decodeFeatures(s, Tables.documents(s, dir))),
+    // Multimodal: GENUINE binary payloads (committed golden fixture,
+    // full 0..255 byte range incl. non-ASCII) + typed metadata -> batched
+    // stub-decode features; oracle is byte-level over hex(payload)
+    "q_multimodal_meta" -> ((s, _) => Multimodal.decodeMedia(s, Tables.media(s))),
 
-    // Multimodal: frame sampling (1 -> N controlled explosion + pad-resize)
-    "q_multimodal_frames" -> ((s, dir) => Multimodal.sampleFrames(Tables.documents(s, dir))),
+    // Multimodal: BYTE-stride frame sampling over the binary fixture
+    // (1 -> N controlled explosion + 0x2E pad-resize); frames project as
+    // hex for oracle transport — the operator emits raw binary frames
+    "q_multimodal_frames" -> ((s, _) =>
+      Multimodal.sampleFrameBytes(Tables.media(s))
+        .select(col("doc_id"), col("frame_idx"),
+          hex(col("frame")).as("frame_hex"), col("frame_len"),
+          hex(col("frame_resized")).as("frame_resized_hex"))),
 
     // Multimodal: perceptual near-dup pairs — frame fingerprints ->
     // doc-level SimHash -> chunk-bucketed hamming candidates (shared
@@ -3419,18 +3432,25 @@ object SparkEntry {
         |    p -> abs(p[1] - (vmin + (p[2] + 0.5) * scale)))) AS max_abs_err
         |FROM q""".stripMargin,
 
+    // byte-level over the BINARY fixture: DuckDB cannot slice BLOBs, but
+    // hex() is byte-exact — one payload byte = two hex chars, so a
+    // 64-byte frame is a 128-char hex substring and the 0x2E pad is a
+    // '2E' string rpad. Verifies non-ASCII bytes exactly.
     "q_multimodal_frames" ->
-      """WITH f AS (
-        |  SELECT doc_id, text,
-        |         unnest(generate_series(1, CAST(ceil(length(text) / 64.0) AS INT))) AS i
-        |  FROM documents
-        |)
-        |SELECT doc_id,
-        |  CAST(i - 1 AS BIGINT) AS frame_idx,
-        |  substring(text, (i - 1) * 64 + 1, 64) AS frame,
-        |  CAST(length(substring(text, (i - 1) * 64 + 1, 64)) AS BIGINT) AS frame_len,
-        |  rpad(substring(text, (i - 1) * 64 + 1, 64), 64, '.') AS frame_resized
-        |FROM f""".stripMargin,
+      s"""WITH m AS (
+         |  SELECT doc_id, hex(payload) AS hx, octet_length(payload) AS n
+         |  FROM read_parquet('$MediaFixturePath')
+         |), f AS (
+         |  SELECT doc_id, hx,
+         |         unnest(generate_series(1, CAST(ceil(n / 64.0) AS INT))) AS i
+         |  FROM m
+         |)
+         |SELECT doc_id,
+         |  CAST(i - 1 AS BIGINT) AS frame_idx,
+         |  substring(hx, (i - 1) * 128 + 1, 128) AS frame_hex,
+         |  CAST(length(substring(hx, (i - 1) * 128 + 1, 128)) / 2 AS BIGINT) AS frame_len,
+         |  rpad(substring(hx, (i - 1) * 128 + 1, 128), 128, '2E') AS frame_resized_hex
+         |FROM f""".stripMargin,
 
     // exhaustive ground truth for the candidates-then-verify composition:
     // all-pairs frame-set Jaccard over the same bounded window — equality
@@ -3517,20 +3537,26 @@ object SparkEntry {
         |  coalesce(round(sum(CASE WHEN currency = 'EUR' THEN amount END), 2), 0.0) AS eur_total
         |FROM completed GROUP BY 1""".stripMargin),
 
+    // byte-level over the BINARY fixture (non-ASCII verified exactly):
+    // per-byte values decoded from the hex string — byte i is the hex
+    // digit pair at 2i-1, so the oracle never trusts any text decoding
     "q_multimodal_meta" ->
-      """WITH b AS (
-        |  SELECT doc_id, text,
-        |    list_sum([ascii(substring(text, i, 1)) for i in generate_series(1, length(text))]) AS byte_sum
-        |  FROM documents
-        |)
-        |SELECT doc_id,
-        |  CAST(octet_length(CAST(text AS BLOB)) AS BIGINT) AS byte_len,
-        |  CAST(64 + doc_id % 512 AS INTEGER) AS width,
-        |  CAST(64 + (doc_id * 7) % 512 AS INTEGER) AS height,
-        |  'fake-rgb' AS format,
-        |  floor(byte_sum * 1.0 / greatest(length(text), 1) * 10000.0) / 10000.0 AS avg_byte,
-        |  CAST(byte_sum % 256 AS BIGINT) AS checksum
-        |FROM b""".stripMargin,
+      s"""WITH h AS (
+         |  SELECT doc_id, width, height, format, hex(payload) AS hx,
+         |         octet_length(payload) AS n
+         |  FROM read_parquet('$MediaFixturePath')
+         |), b AS (
+         |  SELECT doc_id, width, height, format, n,
+         |    coalesce(list_sum([
+         |      (strpos('0123456789ABCDEF', substring(hx, 2 * i - 1, 1)) - 1) * 16
+         |      + strpos('0123456789ABCDEF', substring(hx, 2 * i, 1)) - 1
+         |      for i in generate_series(1, n)]), 0) AS byte_sum
+         |  FROM h
+         |)
+         |SELECT doc_id, CAST(n AS BIGINT) AS byte_len, width, height, format,
+         |  floor(byte_sum * 1.0 / greatest(n, 1) * 10000.0) / 10000.0 AS avg_byte,
+         |  CAST(byte_sum % 256 AS BIGINT) AS checksum
+         |FROM b""".stripMargin,
 
     "q_dedup_manifest" ->
       (sqlJaccardCtes.replace("WITH ", "WITH RECURSIVE ") + s""",

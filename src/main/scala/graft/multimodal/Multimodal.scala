@@ -30,9 +30,10 @@ object Multimodal {
 
   /** ==== STUB ==== deterministic fake decoder: real byte statistics in
     * place of pixel decoding. Replace body with a codec call in production.
-    * Features are computed over UTF-8 PAYLOAD BYTES; the DuckDB oracle's
-    * per-character ascii() arithmetic agrees only for ASCII corpora (which
-    * this one is — multi-byte text would need a byte-level oracle). */
+    * Features are computed over RAW PAYLOAD BYTES (full 0..255 range —
+    * the registered query runs it on the genuine binary fixture,
+    * [[graft.Tables.media]], and its DuckDB oracle is byte-level via
+    * `hex()` arithmetic, so non-ASCII payloads verify exactly). */
   object FakeDecoder {
     def decode(r: MediaRow): MediaFeatures = {
       var sum = 0L
@@ -87,6 +88,38 @@ object Multimodal {
     val media: Dataset[MediaRow] = asMedia(documents).as[MediaRow]
     media.mapPartitions(_.map(FakeDecoder.decode)).toDF()
   }
+
+  /** [[decodeFeatures]] over a GENUINE media table ([[graft.Tables.media]]:
+    * binary payload + real metadata columns, full 0..255 byte range) — the
+    * registered `q_multimodal_meta` path since r10; the text-stand-in
+    * [[asMedia]] flow remains the perceptual-dedup corpus path. Same
+    * decode stub, same mapPartitions seam: only the input is real bytes. */
+  def decodeMedia(spark: SparkSession, media: DataFrame): DataFrame = {
+    import spark.implicits._
+    media.select("doc_id", "payload", "width", "height", "format")
+      .as[MediaRow].mapPartitions(_.map(FakeDecoder.decode)).toDF()
+  }
+
+  /** BYTE-level frame sampling over a binary payload column: fixed-stride
+    * `frameWidth`-byte frames (Spark `substring` slices BinaryType by
+    * BYTE), a controlled 1→N explosion at scan time, plus a pad-to-width
+    * "resize" (0x2E fill — the hex round-trip keeps the pad arithmetic
+    * identical in Spark and the DuckDB oracle, which cannot slice BLOBs
+    * directly but is byte-exact over `hex()`). Non-ASCII-safe by
+    * construction: nothing here ever decodes the bytes as text. */
+  def sampleFrameBytes(media: DataFrame, frameWidth: Int = 64): DataFrame =
+    media
+      .select(col("doc_id"),
+        posexplode(expr(
+          s"""CASE WHEN length(payload) > 0 THEN transform(
+             |  sequence(0, cast(ceil(length(payload) / $frameWidth.0D) as int) - 1),
+             |  i -> substring(payload, i * $frameWidth + 1, $frameWidth))
+             |ELSE array() END""".stripMargin)))
+      .select(col("doc_id"), col("pos").cast("long").as("frame_idx"),
+        col("col").as("frame"))
+      .withColumn("frame_len", length(col("frame")).cast("long"))
+      .withColumn("frame_resized",
+        unhex(rpad(hex(col("frame")), frameWidth * 2, "2E")))
 
   /** Per-document frame-fingerprint postings: one row per DISTINCT frame,
     * named `shingle` so the frame set drops straight into the shared

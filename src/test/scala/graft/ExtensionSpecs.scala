@@ -555,6 +555,49 @@ class MultimodalSpec extends SparkSpecBase {
     assert(got.getAs[String]("format") === "fake-rgb")
   }
 
+  test("binary fixture: non-ASCII bytes decode + frame-tile byte-exactly") {
+    val media = Tables.media(spark)
+    val rows = media.select("doc_id", "payload", "width", "height", "format")
+      .collect().map(r => r.getLong(0) ->
+        ((r.getAs[Array[Byte]](1), r.getInt(2), r.getInt(3), r.getString(4))))
+      .toMap
+    // fixture invariants: 256 rows, an empty payload, non-ASCII bytes
+    assert(rows.size === 256)
+    assert(rows(0L)._1.length === 0)
+    assert(rows.values.exists(_._1.exists(b => (b & 0xff) > 127)),
+      "fixture must contain non-ASCII bytes")
+
+    // stub decode over real bytes == the JVM byte model, row for row
+    val feats = Multimodal.decodeMedia(spark, media)
+      .collect().map(r => r.getLong(0) ->
+        ((r.getLong(1), r.getInt(2), r.getInt(3), r.getString(4),
+          r.getDouble(5), r.getLong(6)))).toMap
+    rows.foreach { case (id, (p, w, h, f)) =>
+      val sum = p.map(_ & 0xff).map(_.toLong).sum
+      val n = math.max(p.length, 1)
+      assert(feats(id) === ((p.length.toLong, w, h, f,
+        math.floor(sum.toDouble / n * 10000.0) / 10000.0, sum % 256)), s"doc $id")
+    }
+
+    // byte-stride frames reassemble to the exact original payload and the
+    // resize pad is 0x2E bytes (never a text decode anywhere)
+    val frames = Multimodal.sampleFrameBytes(media)
+      .collect().groupBy(_.getLong(0))
+    rows.foreach { case (id, (p, _, _, _)) =>
+      val fs = frames.getOrElse(id, Array.empty).sortBy(_.getLong(1))
+      if (p.isEmpty) assert(fs.isEmpty, s"doc $id: empty payload frames")
+      else {
+        assert(fs.flatMap(_.getAs[Array[Byte]]("frame")).toSeq === p.toSeq,
+          s"doc $id: frames != payload bytes")
+        fs.foreach { r =>
+          val rz = r.getAs[Array[Byte]]("frame_resized")
+          assert(rz.length === 64)
+          assert(rz.drop(r.getLong(3).toInt).forall(_ === 0x2e.toByte))
+        }
+      }
+    }
+  }
+
   test("near-dup: shared-frame pair found with exact jaccard; stranger excluded") {
     // docs 1/2 tile into 3 frames each and share the first two (the third
     // differs), so frame-set jaccard = 2/4 = 0.5; doc 3 shares nothing
