@@ -482,6 +482,61 @@ object Pipelines {
         GroupStateTimeout.NoTimeout)(TwabTracker.process)
   }
 
+  /** Session concurrency as DAY-SHARDED incremental state + merge-on-read
+    * — the streaming twin of
+    * [[graft.ops.EventAnalytics.sessionConcurrencyDaily]], shaped like the
+    * batch two-pass prefix scan rather than a single global counter: a
+    * cumulative-GLOBAL output cannot be keyed by any data column, and one
+    * all-events key would serialize the whole stream through one state
+    * partition (the streaming mirror of the one-task window the batch
+    * operator exists to avoid). So:
+    *
+    *   1. this stage keys by DAY: each day's tracker scans its own ±1
+    *      boundaries in order, maintaining (local running, local max,
+    *      net delta) RELATIVE to the day's start — O(1) state per day,
+    *      parallel across days, emitting a refined [[ConcurrencyPartial]]
+    *      per day per batch (last emission per day = the sealed partial);
+    *   2. [[mergeConcurrency]] completes the global curve AT READ TIME:
+    *      day d's offset is the net-delta sum of all prior days — a
+    *      day-cardinality table (thousands of rows at any corpus size),
+    *      so the merge is model-sized, exactly like the batch scan's
+    *      driver offset table.
+    *
+    * Feed contract (fail-loud in the tracker): boundaries arrive in
+    * (ts_ms, delta) order per day — ends before starts at equal ts, the
+    * batch operator's tie rule — with equal-ts pairs never split across
+    * batches out of order. */
+  def concurrencyPartials(spark: SparkSession,
+      boundaries: DataFrame): Dataset[ConcurrencyPartial] = {
+    import spark.implicits._
+    boundaries
+      .select(col("ts_ms").cast("long").as("ts_ms"),
+        col("delta").cast("long").as("delta"),
+        timestamp_millis(col("ts_ms")).as("event_ts"))
+      .withWatermark("event_ts", "0 seconds")
+      .as[BoundaryEvent]
+      .groupByKey(e => Math.floorDiv(e.ts_ms, 86400000L))
+      .flatMapGroupsWithState(OutputMode.Append,
+        GroupStateTimeout.NoTimeout)(ConcurrencyTracker.process)
+  }
+
+  /** Merge-on-read completion of [[concurrencyPartials]]: lift each day's
+    * local max by the cumulative net delta of all PRIOR days. Input is
+    * one sealed partial per day — day-cardinality, model-sized — so the
+    * single ordered window here is over thousands of rows by
+    * construction, not the event stream (the same "driver-offset"
+    * footprint as the batch scan's per-partition totals). */
+  def mergeConcurrency(partials: DataFrame): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    val w = Window.orderBy(col("day"))
+      .rowsBetween(Window.unboundedPreceding, -1)
+    partials
+      .withColumn("__offset", coalesce(sum(col("net_delta")).over(w), lit(0L)))
+      .select(col("day"),
+        (col("__offset") + col("local_max")).as("max_concurrent"),
+        col("n_boundaries"))
+  }
+
   /** Funnel conversion as incremental state + event-time timers — the
     * streaming twin of [[graft.ops.EventAnalytics.clickToPurchase]].
     * Pending clicks wait in GroupState; a purchase resolves every pending
@@ -879,6 +934,47 @@ object TwabTracker {
     }
     if (st != null) state.update(st)
     out.iterator
+  }
+}
+
+/** One ±1 session boundary (start = +1, end = −1) with its event time. */
+case class BoundaryEvent(ts_ms: Long, delta: Long,
+    event_ts: java.sql.Timestamp)
+
+/** One day's sealed (or in-progress) concurrency shard: the day's local
+  * running max and net delta RELATIVE to day start, plus the boundary
+  * count (monotone — the last emission per day is the final partial). */
+case class ConcurrencyPartial(day: Long, local_max: Long, net_delta: Long,
+    n_boundaries: Long)
+
+/** Per-day tracker state: local running level, local max, boundary count,
+  * and the last (ts, delta) seen — the in-order seal. */
+case class ConcurrencyState(running: Long, local_max: Long,
+    n_boundaries: Long, last_ts: Long, last_delta: Long)
+
+/** Stateful per-day concurrency tracker: scans the day's boundaries in
+  * (ts_ms, delta) order (ends before starts at equal ts — the batch tie
+  * rule) and keeps the day-local running level and max. Fail-loud on
+  * out-of-order arrivals across batches, the TwabTracker discipline. */
+object ConcurrencyTracker {
+  def process(day: Long, events: Iterator[BoundaryEvent],
+      state: GroupState[ConcurrencyState]): Iterator[ConcurrencyPartial] = {
+    var st = state.getOption.getOrElse(
+      ConcurrencyState(0L, Long.MinValue, 0L, Long.MinValue, Long.MinValue))
+    events.toSeq.sortBy(e => (e.ts_ms, e.delta)).foreach { e =>
+      require(e.ts_ms > st.last_ts ||
+          (e.ts_ms == st.last_ts && e.delta >= st.last_delta),
+        s"concurrency day $day: boundary (${e.ts_ms}, ${e.delta}) behind " +
+          s"sealed (${st.last_ts}, ${st.last_delta}) — out-of-order feed")
+      val r = st.running + e.delta
+      st = ConcurrencyState(r, math.max(st.local_max, r),
+        st.n_boundaries + 1, e.ts_ms, e.delta)
+    }
+    state.update(st)
+    if (st.n_boundaries > 0)
+      Iterator.single(ConcurrencyPartial(day, st.local_max, st.running,
+        st.n_boundaries))
+    else Iterator.empty
   }
 }
 

@@ -174,6 +174,44 @@ class PipelinesSpec extends SparkSpecBase {
     assert(got.nonEmpty)
   }
 
+  test("streaming session concurrency (day-sharded state + merge-on-read) == batch prefix scan") {
+    import spark.implicits._
+    val sessions = Windows.dormancySessions(batchParsed, graft.SparkEntry.DormancyGap)
+    val bounds = sessions
+      .select(col("session_start_ms").as("ts_ms"), lit(1L).as("delta"))
+      .unionAll(sessions
+        .select(col("session_end_ms").as("ts_ms"), lit(-1L).as("delta")))
+    // replay in (ts, delta) order — ends before starts at equal ts, the
+    // batch tie rule — split into three mtime-ordered files at arbitrary
+    // row cuts, so mid-day state continuation across micro-batches is
+    // exercised (the contract allows any split that preserves order)
+    val rows = bounds.as[(Long, Long)].collect().sorted
+    assert(rows.length > 10)
+    val dir = Files.createTempDirectory("graft_conc").toString + "/in"
+    rows.grouped((rows.length + 2) / 3).foreach { part =>
+      part.toSeq.toDF("ts_ms", "delta")
+        .coalesce(1).write.mode("append").parquet(dir)
+      Thread.sleep(20) // distinct mtimes -> deterministic file order
+    }
+    val stream = spark.readStream.schema("ts_ms LONG, delta LONG")
+      .option("maxFilesPerTrigger", "1").parquet(dir)
+    val emissions = runToTable(
+      Pipelines.concurrencyPartials(spark, stream).toDF(),
+      "conc_stream", "append")
+      .as[(Long, Long, Long, Long)].collect()
+    // last emission per day (max boundary count) = the sealed partial
+    val sealedParts = emissions.groupBy(_._1).map(_._2.maxBy(_._4)).toSeq
+      .toDF("day", "local_max", "net_delta", "n_boundaries")
+    val got = Pipelines.mergeConcurrency(sealedParts)
+      .as[(Long, Long, Long)].collect().toSet
+    val want = graft.ops.EventAnalytics.sessionConcurrencyDaily(sessions)
+      .as[(Long, Long, Long)].collect().toSet
+    assert(got === want)
+    assert(got.nonEmpty)
+    // the shard really is day-bounded state: multiple days, each tiny
+    assert(sealedParts.count() > 1)
+  }
+
   test("streaming funnel (state + timers) == batch conditional RANGE frame") {
     import spark.implicits._
     val base = 1700000000000000000L
