@@ -402,6 +402,30 @@ object ScaleProbe {
         -60000000L, 60000000L))
     }
 
+    // round-10: label propagation (dupClusters) at chain topology —
+    // components of diameter 7 (8-node chains), so min-label propagation
+    // needs 8 rounds + the fixpoint confirmation: the worst practical
+    // regime for the per-round localCheckpoint design. Edges ≈ 7n/8 pairs
+    // (doubled internally); clusters asserted == ceil(n/8) so the probe
+    // also pins correctness at scale. min-of-2.
+    if (only.forall("label_prop".contains)) {
+      val chain = 8L
+      val pairs = spark.range(n)
+        .filter(pmod(col("id"), lit(chain)) =!= chain - 1)
+        .select(col("id").as("doc_a"), (col("id") + 1).as("doc_b"))
+      val runs = (1 to 2).map { _ =>
+        val t0 = System.nanoTime()
+        val labels = dedup.Dedup.dupClusters(pairs, maxRounds = 12)
+        val nClusters = labels.select("cluster_id").distinct().count()
+        val sec = (System.nanoTime() - t0) / 1e9
+        require(nClusters == (n + chain - 1) / chain,
+          s"label_prop wrong cluster count: $nClusters")
+        sec
+      }
+      println(f"PROBE label_prop rows=$n chain=$chain " +
+        f"clusters=${(n + chain - 1) / chain} min_sec=${runs.min}%.2f")
+    }
+
     // hot-key skew: 90% of rows on one key — plain groupBy puts them on
     // one reducer; salted two-phase spreads them over 32
     val skewed = spark.range(n).select(

@@ -955,6 +955,13 @@ object SparkEntry {
       Dedup.dupClusters(
         Dedup.ngramJaccardPairs(Tables.documents(s, dir), JaccardThreshold, JaccardMaxDocId))),
 
+    // Dedup: the same components via ALTERNATING STAR CONTRACTION —
+    // O(log d) rounds vs min-label's O(d), the long-path-component
+    // alternative; identical output contract, same recursive-CTE oracle
+    "q_dedup_clusters_star" -> ((s, dir) =>
+      Dedup.dupClustersStar(
+        Dedup.ngramJaccardPairs(Tables.documents(s, dir), JaccardThreshold, JaccardMaxDocId))),
+
     // Dedup: SimHash bit-vote fingerprints + chunk-bucketed hamming pairs
     // — oracle replays per-word xxhash64 and the bit votes in SQL
     "q_dedup_simhash" -> ((s, dir) => MinHashLSH.simhashPairs(Tables.documents(s, dir))),
@@ -2895,6 +2902,17 @@ object SparkEntry {
          |WHERE position(a.text IN b.text) > 0 OR position(b.text IN a.text) > 0""".stripMargin,
 
     "q_dedup_clusters" ->
+      (sqlJaccardCtes.replace("WITH ", "WITH RECURSIVE ") + s""",
+         |edges AS (SELECT doc_a AS s, doc_b AS d FROM jpairs
+         |          UNION ALL SELECT doc_b, doc_a FROM jpairs),
+         |reach(node, r) AS (
+         |  SELECT s, s FROM (SELECT DISTINCT s FROM edges) t
+         |  UNION
+         |  SELECT re.node, e.d FROM reach re JOIN edges e ON e.s = re.r
+         |)
+         |SELECT node AS doc_id, min(r) AS cluster_id FROM reach GROUP BY node""".stripMargin),
+
+    "q_dedup_clusters_star" ->
       (sqlJaccardCtes.replace("WITH ", "WITH RECURSIVE ") + s""",
          |edges AS (SELECT doc_a AS s, doc_b AS d FROM jpairs
          |          UNION ALL SELECT doc_b, doc_a FROM jpairs),

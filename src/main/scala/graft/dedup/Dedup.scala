@@ -135,6 +135,80 @@ object Dedup {
     labels.select(col("node").as("doc_id"), col("label").as("cluster_id"))
   }
 
+  /** Connected components by ALTERNATING STAR CONTRACTION (Kiveris et al.,
+    * "Connected Components in MapReduce and Beyond", SoCC'14) — the
+    * O(log d)-round alternative to [[dupClusters]]'s O(d) min-label
+    * propagation, for edge sets whose components may be long paths
+    * (provenance chains, time-adjacent near-dup runs) rather than the
+    * dense near-dup cliques the default is tuned for.
+    *
+    * Each round: LARGE-STAR hangs every neighbor u > v's parent onto v's
+    * component minimum (per-node groupBy min over the edge list), then
+    * SMALL-STAR re-hangs the remaining ambiguous nodes. Both halves are
+    * one groupBy-min + one join over (node, parent) pairs — the same
+    * linear-in-edges round shape as the default, but the parent-pointer
+    * doubling halves every path per round, so a diameter-d component
+    * resolves in O(log d) rounds instead of d.
+    *
+    * Same contract as [[dupClusters]]: (doc_id, cluster_id) with
+    * cluster_id = the component's min doc_id; fixpoint asserted, lineage
+    * checkpoint-truncated per round. Equivalence with the default is
+    * pinned by DedupSpec on chains, cliques, and random graphs. */
+  def dupClustersStar(pairs: DataFrame, maxRounds: Int = 25): DataFrame = {
+    // Edges live as directed (child, parent-candidate) rows; both halves
+    // view them symmetrically. No self-loops, deduplicated per round.
+    var edges = pairs
+      .select(col("doc_a").as("u"), col("doc_b").as("v"))
+      .filter(col("u") =!= col("v"))
+      .distinct()
+      .localCheckpoint()
+    var round = 0
+    var changed = 1L
+    while (changed > 0 && round < maxRounds) {
+      val sym = edges.union(edges.select(col("v").as("u"), col("u").as("v")))
+      // LARGE-STAR: per node u, hang every strictly-larger neighbor onto
+      // min(Γ(u) ∪ {u}); each undirected edge is emitted exactly once
+      // (from its smaller endpoint's view)
+      val lsMin = sym.groupBy("u").agg(least(min("v"), first("u")).as("m"))
+      val afterLarge = sym.join(lsMin, "u")
+        .filter(col("v") > col("u"))
+        .select(col("v").as("u"), col("m").as("v"))
+        .distinct()
+        .localCheckpoint()
+      // SMALL-STAR: per node u over its ≤-neighbors N, re-hang N ∪ {u}
+      // minus the minimum onto the minimum
+      val symL = afterLarge.union(
+        afterLarge.select(col("v").as("u"), col("u").as("v")))
+      val ssNbrs = symL.filter(col("v") < col("u"))
+      val ssMin = ssNbrs.groupBy("u").agg(min("v").as("m"))
+      val afterSmall = ssNbrs.join(ssMin, "u")
+        .select(
+          // (u, m) for u itself, plus (v, m) for every small neighbor
+          // that isn't the minimum — emitted as an array to stay one pass
+          explode(array(
+            struct(col("u").as("a"), col("m").as("b")),
+            struct(col("v").as("a"), col("m").as("b")))).as("e"))
+        .select(col("e.a").as("u"), col("e.b").as("v"))
+        .filter(col("u") =!= col("v"))
+        .distinct()
+        .localCheckpoint()
+      // fixpoint = the round was an identity on the edge set (both
+      // directions of difference — counts can move either way)
+      changed = afterSmall.exceptAll(edges).count() +
+        edges.exceptAll(afterSmall).count()
+      edges = afterSmall
+      round += 1
+    }
+    require(changed == 0,
+      s"dupClustersStar did not converge in $maxRounds rounds " +
+        s"($changed edge diffs remaining)")
+    // at the fixpoint the edge set is one star per component: (v, m) for
+    // every member v ≠ m — labels are the edges plus the roots themselves
+    edges.select(col("u").as("doc_id"), col("v").as("cluster_id"))
+      .union(edges.select(col("v").as("doc_id"), col("v").as("cluster_id"))
+        .distinct())
+  }
+
   /** The post-dedup corpus manifest — what the pipeline hands downstream
     * after near-dup resolution: every in-scope document labeled with its
     * duplicate-cluster id (its own id if it duplicates nothing) and a

@@ -156,6 +156,32 @@ class DedupSpec extends SparkSpecBase {
     assert(got === Map(5L -> 2L, 9L -> 2L, 2L -> 2L, 7L -> 7L, 8L -> 7L))
   }
 
+  test("star-contraction clusters == min-label clusters: chains, cliques, random graphs") {
+    // the pathological pointer-jumping case: path 2-9-1 (a naive
+    // min-parent doubling leaves 2 self-rooted)
+    val path = Seq((2L, 9L), (9L, 1L)).toDF("doc_a", "doc_b")
+    assert(Dedup.dupClustersStar(path).as[(Long, Long)].collect().toMap ===
+      Map(2L -> 1L, 9L -> 1L, 1L -> 1L))
+    // long chain (diameter 63): min-label needs 64+ rounds, star O(log d)
+    val chain = (0L until 63L).map(i => (i, i + 1)).toDF("doc_a", "doc_b")
+    val starChain = Dedup.dupClustersStar(chain).as[(Long, Long)].collect()
+    assert(starChain.length === 64 && starChain.forall(_._2 == 0L))
+    // random graphs: equality with the default operator, node for node
+    val rnd = new scala.util.Random(7)
+    for (trial <- 1 to 4) {
+      val nNodes = 40 + rnd.nextInt(40)
+      val ids = rnd.shuffle((0 until 200).map(_.toLong * 3 + 1)).take(nNodes)
+      val pairs = (1 to nNodes).map { _ =>
+        (ids(rnd.nextInt(nNodes)), ids(rnd.nextInt(nNodes)))
+      }.filter(p => p._1 != p._2)
+      val df = pairs.toDF("doc_a", "doc_b")
+      val star = Dedup.dupClustersStar(df).as[(Long, Long)].collect().toMap
+      val label = Dedup.dupClusters(df, maxRounds = 30)
+        .as[(Long, Long)].collect().toMap
+      assert(star === label, s"trial $trial: star != min-label")
+    }
+  }
+
   test("keep-best manifest: longest cluster member survives, singletons keep themselves") {
     // docs 1/2/3 near-dup (3-shingle jaccard 1.0 on the shared prefix);
     // doc 2 is the longest -> it is the keeper, NOT min-id 1
