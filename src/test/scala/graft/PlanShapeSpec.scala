@@ -42,6 +42,26 @@ class PlanShapeSpec extends SparkSpecBase {
     assert(plan.contains("TakeOrderedAndProject"), plan.take(2000))
   }
 
+  test("iterative dedup manifests emit BOUNDED plans (lineage checkpoint-truncated)") {
+    // r10 regression pin: dupClusters/dupClustersStar localCheckpoint
+    // every round, so the EMITTED plan's leaves are checkpoint RDDs and
+    // the per-round join pipeline never re-embeds upstream lineage. The
+    // r9 shape peaked at 441 BroadcastExchange nodes / 27 shuffles in
+    // one q_multimodal_manifest plan; a persist-only regression would
+    // blow these bounds immediately.
+    for (q <- Seq("q_dedup_clusters", "q_dedup_clusters_star",
+        "q_dedup_manifest", "q_dedup_keep_best", "q_multimodal_manifest")) {
+      val plan = formattedPlan(SparkEntry.queries(q)(spark, sf0001))
+      val bcasts = "BroadcastExchange".r.findAllIn(plan).size / 2
+      val shuffles =
+        "Arguments: (hash|range)partitioning".r.findAllIn(plan).size
+      assert(bcasts <= 8, s"$q: $bcasts BroadcastExchange nodes — " +
+        "iterative lineage is leaking into the emitted plan")
+      assert(shuffles <= 8, s"$q: $shuffles shuffles")
+      assert(!plan.contains("SortMergeJoin"), s"$q: unexpected SMJ")
+    }
+  }
+
   test("funnel: one user-keyed exchange, no pair-materializing join") {
     val plan = formattedPlan(
       SparkEntry.queries("q_funnel_conversion")(spark, sf0001))

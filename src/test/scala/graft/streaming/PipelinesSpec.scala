@@ -174,6 +174,26 @@ class PipelinesSpec extends SparkSpecBase {
     assert(got.nonEmpty)
   }
 
+  test("TWAB tracker fails loudly on a cross-batch out-of-order event") {
+    import org.apache.spark.api.java.Optional
+    import org.apache.spark.sql.streaming.{GroupStateTimeout, TestGroupState}
+    def txn(id: Long, tsUs: Long) = TwabTxn(id, 7L, tsUs, 100L,
+      new java.sql.Timestamp(tsUs / 1000))
+    val state = TestGroupState.create[TwabState](
+      Optional.empty(), GroupStateTimeout.NoTimeout,
+      batchProcessingTimeMs = 0L, eventTimeWatermarkMs = Optional.of(1L),
+      hasTimedOut = false)
+    // batch 1 seals up to ts 2_000_000; a later batch delivering ts
+    // 1_500_000 would make dt negative and silently corrupt the exact
+    // numerator — the tracker must throw, not absorb
+    TwabTracker.process(7L, Iterator(txn(1, 1000000L), txn(2, 2000000L)),
+      state).toList
+    val e = intercept[IllegalArgumentException] {
+      TwabTracker.process(7L, Iterator(txn(3, 1500000L)), state).toList
+    }
+    assert(e.getMessage.contains("out-of-order"))
+  }
+
   test("streaming session concurrency (day-sharded state + merge-on-read) == batch prefix scan") {
     import spark.implicits._
     val sessions = Windows.dormancySessions(batchParsed, graft.SparkEntry.DormancyGap)
