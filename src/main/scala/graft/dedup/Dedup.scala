@@ -16,6 +16,24 @@ import org.apache.spark.sql.functions._
   */
 object Dedup {
 
+  /** Lineage truncation for iterative loops: a RELIABLE `checkpoint()`
+    * when the session has a checkpoint dir configured, `localCheckpoint`
+    * otherwise. The distinction is fault tolerance, not semantics:
+    * localCheckpoint blocks live on executors and are UNRECOMPUTABLE
+    * (the lineage they replace is gone) — on a 1000-executor cluster one
+    * lost executor kills the whole iteration, so production sets
+    * `spark.sparkContext.setCheckpointDir(<dfs path>)` and pays one DFS
+    * write per round; local[*] runs skip the dir and keep the fast path.
+    * Both paths are eager (the checkpoint IS each round's action). */
+  private def truncateLineage(df: DataFrame): DataFrame =
+    if (df.sparkSession.sparkContext.getCheckpointDir.isDefined)
+      df.checkpoint()
+    else df.localCheckpoint()
+
+  private implicit class TruncOps(private val df: DataFrame) {
+    def truncated: DataFrame = truncateLineage(df)
+  }
+
   /** Exact dedup: keep the smallest doc_id per normalized-text group.
     * Digest-grouped (sha2-256) so the wide text column never shuffles. */
   def exact(documents: DataFrame): DataFrame =
@@ -88,7 +106,9 @@ object Dedup {
     * plan in every round's logical plan — runtime was cached but the
     * analyzer cost grew with rounds (the manifest family peaked at 441
     * BroadcastExchange nodes in one plan). Both the edge list and each
-    * round's label frame are therefore `localCheckpoint`ed (eager):
+    * round's label frame are therefore checkpoint-truncated (eager;
+    * [[truncateLineage]] — reliable `checkpoint()` under a configured
+    * checkpoint dir, `localCheckpoint` otherwise):
     * the materialized blocks become the plan's leaves, every round's
     * plan is exactly two joins + one agg regardless of round number,
     * and driver/analyzer cost stays O(1) per round at any corpus size.
@@ -97,11 +117,11 @@ object Dedup {
   def dupClusters(pairs: DataFrame, maxRounds: Int = 10): DataFrame = {
     val edges = pairs.select(col("doc_a").as("src"), col("doc_b").as("dst"))
       .union(pairs.select(col("doc_b").as("src"), col("doc_a").as("dst")))
-      .localCheckpoint()
+      .truncated
     var labels = edges.select(col("src").as("node"))
       .distinct()
       .withColumn("label", col("node"))
-      .localCheckpoint()
+      .truncated
     var changed = 1L
     var round = 0
     while (changed > 0 && round < maxRounds) {
@@ -120,7 +140,7 @@ object Dedup {
             .as("label"),
           coalesce(col("neighbor_label") < col("label"), lit(false))
             .as("__chg"))
-        .localCheckpoint()
+        .truncated
       changed = next.filter(col("__chg")).count()
       labels = next.drop("__chg")
       round += 1
@@ -161,7 +181,7 @@ object Dedup {
       .select(col("doc_a").as("u"), col("doc_b").as("v"))
       .filter(col("u") =!= col("v"))
       .distinct()
-      .localCheckpoint()
+      .truncated
     var round = 0
     var changed = 1L
     while (changed > 0 && round < maxRounds) {
@@ -174,7 +194,7 @@ object Dedup {
         .filter(col("v") > col("u"))
         .select(col("v").as("u"), col("m").as("v"))
         .distinct()
-        .localCheckpoint()
+        .truncated
       // SMALL-STAR: per node u over its ≤-neighbors N, re-hang N ∪ {u}
       // minus the minimum onto the minimum
       val symL = afterLarge.union(
@@ -191,7 +211,7 @@ object Dedup {
         .select(col("e.a").as("u"), col("e.b").as("v"))
         .filter(col("u") =!= col("v"))
         .distinct()
-        .localCheckpoint()
+        .truncated
       // fixpoint = the round was an identity on the edge set (both
       // directions of difference — counts can move either way)
       changed = afterSmall.exceptAll(edges).count() +

@@ -156,6 +156,22 @@ class DedupSpec extends SparkSpecBase {
     assert(got === Map(5L -> 2L, 9L -> 2L, 2L -> 2L, 7L -> 7L, 8L -> 7L))
   }
 
+  test("cluster loops use RELIABLE checkpoints when a checkpoint dir is set") {
+    // the 1000-executor posture: localCheckpoint blocks are
+    // unrecomputable, so production configures a DFS checkpoint dir and
+    // truncateLineage switches to reliable checkpoint() — same results.
+    // (The dir stays set for the rest of this JVM's tests: semantics are
+    // identical on both paths, only the write target differs.)
+    val dir = java.nio.file.Files.createTempDirectory("graft_ckpt").toString
+    spark.sparkContext.setCheckpointDir(dir)
+    val pairs = Seq((5L, 9L), (9L, 2L), (7L, 8L)).toDF("doc_a", "doc_b")
+    val want = Map(5L -> 2L, 9L -> 2L, 2L -> 2L, 7L -> 7L, 8L -> 7L)
+    assert(Dedup.dupClusters(pairs).as[(Long, Long)].collect().toMap === want)
+    assert(Dedup.dupClustersStar(pairs).as[(Long, Long)].collect().toMap === want)
+    // the reliable path really wrote checkpoint data
+    assert(new java.io.File(dir).listFiles.nonEmpty)
+  }
+
   test("star-contraction clusters == min-label clusters: chains, cliques, random graphs") {
     // the pathological pointer-jumping case: path 2-9-1 (a naive
     // min-parent doubling leaves 2 self-rooted)
