@@ -31,6 +31,17 @@ object GraftSession {
       .config("spark.sql.shuffle.partitions",
         shufflePartitions.getOrElse(cores).toString)
       .config("spark.sql.adaptive.enabled", "true")
+      // AQE picks the ACTUAL post-shuffle partition count by coalescing
+      // down from this ceiling, so large shuffles aren't forced into
+      // cores-many oversized sort/spill tasks while small ones still
+      // coalesce to a handful (50M-row label-propagation probe: 260.2 s
+      // with the ceiling at `cores` — 4.2x the 25M time, spill-bound —
+      // vs 180.3 s with 8x headroom, back to ~3x for 2x rows-with-joins).
+      // On a cluster this is the standard "thousands of initial
+      // partitions, AQE right-sizes" posture.
+      .config("spark.sql.adaptive.coalescePartitions.initialPartitionNum",
+        sys.env.getOrElse("SPARK_GRAFT_INITIAL_PARTITIONS",
+          (cores * 8).toString))
       .config("spark.sql.session.timeZone", "UTC")
       .config("spark.sql.legacy.parquet.nanosAsLong", "true")
       .config("spark.ui.enabled", "false")

@@ -426,6 +426,26 @@ object ScaleProbe {
         f"clusters=${(n + chain - 1) / chain} min_sec=${runs.min}%.2f")
     }
 
+    // same topology through the alternating star contraction — the
+    // O(log d) round count is the claim; cluster count pins correctness
+    if (only.forall("label_prop_star".contains)) {
+      val chain = 8L
+      val pairs = spark.range(n)
+        .filter(pmod(col("id"), lit(chain)) =!= chain - 1)
+        .select(col("id").as("doc_a"), (col("id") + 1).as("doc_b"))
+      val runs = (1 to 2).map { _ =>
+        val t0 = System.nanoTime()
+        val labels = dedup.Dedup.dupClustersStar(pairs)
+        val nClusters = labels.select("cluster_id").distinct().count()
+        val sec = (System.nanoTime() - t0) / 1e9
+        require(nClusters == (n + chain - 1) / chain,
+          s"label_prop_star wrong cluster count: $nClusters")
+        sec
+      }
+      println(f"PROBE label_prop_star rows=$n chain=$chain " +
+        f"clusters=${(n + chain - 1) / chain} min_sec=${runs.min}%.2f")
+    }
+
     // hot-key skew: 90% of rows on one key — plain groupBy puts them on
     // one reducer; salted two-phase spreads them over 32
     val skewed = spark.range(n).select(
