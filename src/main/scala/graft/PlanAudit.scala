@@ -42,12 +42,18 @@ object PlanAudit {
         // vocab-sized and Spark cannot broadcast a full-outer side; the
         // subtree plans twice (once feeding the probe join, once the
         // totals aggregate), hence count 2 for one logical join
-        "q_importance_resample" -> "vocab full-outer (x2 plan reuse)")
+        "q_importance_resample" -> "vocab full-outer (x2 plan reuse)",
+        // the two LeftSemi joins pruning the text scan to candidate-
+        // touched doc_ids: the id list is candidate-sized (unbounded at a
+        // 100 TB batch), so the static plan keeps the scale-safe SMJ and
+        // AQE converts to broadcast at runtime whenever the batch is small
+        "q_dedup_incremental" -> "touched-id semi-join text pruning (x2: corpus+batch union sides)")
       // formatted explain prints each node once as a "(N) SortMergeJoin"
       // heading — count headings, not substring occurrences
       val smjCount = "\\(\\d+\\) SortMergeJoin".r.findAllIn(plan).size
       val expectedCounts = Map(
-        "q_interval_join" -> 1, "q_importance_resample" -> 2)
+        "q_interval_join" -> 1, "q_importance_resample" -> 2,
+        "q_dedup_incremental" -> 2)
       val smjUnexpected = smjCount > expectedCounts.getOrElse(name, 0)
       val flags = Seq(
         "CartesianProduct" -> plan.contains("CartesianProduct"),

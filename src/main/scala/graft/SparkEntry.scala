@@ -918,6 +918,22 @@ object SparkEntry {
         Tables.documents(s, dir).filter(col("doc_id") < JaccardMaxDocId),
         MinhashVerifyThreshold)),
 
+    // Dedup: INCREMENTAL near-dup — a new batch (doc_id % 10 == 7) signed
+    // and banded per-row, equi-joined against the corpus's persisted-shape
+    // signature index (+ itself for batch-internal dups), exact verify
+    // only for candidates with shingles built only for TOUCHED docs. The
+    // continuous-ingest production shape: the corpus is never re-signed.
+    // Equals the exhaustive >= 0.8 pairs touching the batch (same banding
+    // S-curve argument as q_dedup_minhash_verified); the union over
+    // successive batches reconstructs verifiedPairs by induction.
+    "q_dedup_incremental" -> ((s, dir) => {
+      val docs = Tables.documents(s, dir).filter(col("doc_id") < JaccardMaxDocId)
+      val corpus = docs.filter(pmod(col("doc_id"), lit(10)) =!= 7)
+      val batch = docs.filter(pmod(col("doc_id"), lit(10)) === 7)
+      MinHashLSH.incrementalVerifiedPairs(
+        MinHashLSH.signatureIndex(corpus), corpus, batch, MinhashVerifyThreshold)
+    }),
+
     // Dedup: winnow-fingerprint containment candidates (substring reuse
     // that size-skewed Jaccard misses) — oracle replays the winnow hash
     "q_dedup_containment" -> ((s, dir) => {
@@ -2893,6 +2909,13 @@ object SparkEntry {
     "q_dedup_simhash_verified" ->
       (sqlJaccardCtesAt(MinhashVerifyThreshold) + s"""
          |SELECT doc_a, doc_b, n_inter, jaccard FROM jpairs""".stripMargin),
+
+    // exhaustive exact Jaccard restricted to pairs TOUCHING the batch
+    // split (doc_id % 10 == 7) — the incremental composition's contract
+    "q_dedup_incremental" ->
+      (sqlJaccardCtesAt(MinhashVerifyThreshold) + s"""
+         |SELECT doc_a, doc_b, n_inter, jaccard FROM jpairs
+         |WHERE doc_a % 10 = 7 OR doc_b % 10 = 7""".stripMargin),
 
     "q_dedup_containment_verified" ->
       s"""WITH d AS (SELECT doc_id, text FROM documents

@@ -228,6 +228,61 @@ object MinHashLSH {
       .select("doc_a", "doc_b", "n_inter", "jaccard")
   }
 
+  /** The persistable MinHash LSH index of a corpus: one `(doc_id, band,
+    * bucket)` row per band — [[bandedSignatures]] over the zero-shuffle
+    * per-row signatures. At production scale this frame is WRITTEN ONCE
+    * (parquet, partitioned by `band`) when the corpus is ingested; the
+    * 100 TB of document text is never re-signed afterwards. 16 rows of
+    * (long, int, long) per document ≈ 300 B/doc — ~0.3% of a 100 KB
+    * document, so the index is the thing that fits where the corpus
+    * doesn't. */
+  def signatureIndex(documents: DataFrame): DataFrame =
+    bandedSignatures(signaturesPerRow(documents))
+
+  /** Incremental near-dup detection of a NEW BATCH against an already-
+    * indexed corpus — the production shape of continuous ingest: sign and
+    * band ONLY the batch (per-row scan, zero shuffle), equi-join its
+    * bands against the persisted [[signatureIndex]] plus itself for
+    * batch-internal dups, then exact-verify candidates with shingles
+    * built ONLY for touched documents (a semi-join prunes the text scan
+    * to candidate doc_ids, so corpus text is re-read for the few docs a
+    * candidate names — at 100 TB that is a pushed-down id filter, not a
+    * corpus pass).
+    *
+    * `corpusText` must cover every doc_id in `index` (it is scanned only
+    * semi-join-pruned); `batch` docs must carry ids disjoint from the
+    * corpus. Output = exactly the >= `threshold` pairs TOUCHING the
+    * batch, `doc_a < doc_b` (corpus–corpus pairs were already found when
+    * the corpus itself was ingested — by induction the union of all
+    * incremental outputs equals the full-corpus [[verifiedPairs]]; the
+    * banding recall bound is the same S-curve as documented there).
+    * Candidate-stage equality with the one-shot composition is pinned in
+    * MinHashLSHSpec. */
+  def incrementalVerifiedPairs(index: DataFrame, corpusText: DataFrame,
+      batch: DataFrame, threshold: Double): DataFrame = {
+    // the batch is read three times (banding + semi-join + shingles) and
+    // is small by definition — persist its banded signatures
+    val batchBanded = signatureIndex(batch).persist()
+    val vsCorpus = index.as("a")
+      .join(batchBanded.as("b"),
+        col("a.band") === col("b.band") && col("a.bucket") === col("b.bucket"))
+      .select(least(col("a.doc_id"), col("b.doc_id")).as("doc_a"),
+        greatest(col("a.doc_id"), col("b.doc_id")).as("doc_b"))
+    val vsBatch = batchBanded.as("a")
+      .join(batchBanded.as("b"),
+        col("a.band") === col("b.band") && col("a.bucket") === col("b.bucket") &&
+          col("a.doc_id") < col("b.doc_id"))
+      .select(col("a.doc_id").as("doc_a"), col("b.doc_id").as("doc_b"))
+    val cands = vsCorpus.union(vsBatch).distinct().persist()
+
+    val touched = cands.select(col("doc_a").as("doc_id"))
+      .union(cands.select(col("doc_b").as("doc_id"))).distinct()
+    val sh = Dedup.shingles(
+      corpusText.select("doc_id", "text").union(batch.select("doc_id", "text"))
+        .join(touched, Seq("doc_id"), "left_semi")).persist()
+    verifyJaccard(cands, sh, threshold)
+  }
+
   /** Containment candidates from winnowing fingerprints: documents sharing
     * >= `minShared` winnowed rolling-hash fingerprints
     * ([[graft.functions.Winnow]]) — catches substring CONTAINMENT that

@@ -285,6 +285,22 @@ class DedupSpec extends SparkSpecBase {
     assert(v.map(p => (p._1, p._2)).contains((1L, 2L)))
   }
 
+  test("incremental batch-vs-index dedup == one-shot verifiedPairs restricted to batch") {
+    val d = Tables.documents(spark, sf0001).filter(col("doc_id") < 400)
+    val corpus = d.filter(pmod(col("doc_id"), lit(10)) =!= 7)
+    val batch = d.filter(pmod(col("doc_id"), lit(10)) === 7)
+    val inc = MinHashLSH.incrementalVerifiedPairs(
+        MinHashLSH.signatureIndex(corpus), corpus, batch, 0.8)
+      .select("doc_a", "doc_b", "n_inter", "jaccard")
+      .as[(Long, Long, Long, Double)].collect().toSet
+    val full = MinHashLSH.verifiedPairs(d, 0.8)
+      .filter(col("doc_a") % 10 === 7 || col("doc_b") % 10 === 7)
+      .select("doc_a", "doc_b", "n_inter", "jaccard")
+      .as[(Long, Long, Long, Double)].collect().toSet
+    assert(inc === full)
+    assert(inc.nonEmpty) // the sf0.001 corpus plants dups across the split
+  }
+
   test("custom Aggregator signatures == 64-min-agg signatures") {
     val docs = Tables.documents(spark, sf0001).limit(100)
     val a = MinHashLSH.signatures(docs)
