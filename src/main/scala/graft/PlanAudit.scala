@@ -47,13 +47,19 @@ object PlanAudit {
         // touched doc_ids: the id list is candidate-sized (unbounded at a
         // 100 TB batch), so the static plan keeps the scale-safe SMJ and
         // AQE converts to broadcast at runtime whenever the batch is small
-        "q_dedup_incremental" -> "touched-id semi-join text pruning (x2: corpus+batch union sides)")
+        "q_dedup_incremental" -> "touched-id semi-join text pruning (x2: corpus+batch union sides)",
+        // the two endpoint->label lookup joins: the label table is
+        // corpus-sized (one (long,long) row per pair-touched doc), the
+        // batch side small — but labels cannot broadcast at 100 TB, so
+        // the static plan keeps the scalar-id SMJ; AQE broadcasts at
+        // runtime for small corpora
+        "q_dedup_clusters_incremental" -> "endpoint label-lookup id joins (x2: doc_a+doc_b sides)")
       // formatted explain prints each node once as a "(N) SortMergeJoin"
       // heading — count headings, not substring occurrences
       val smjCount = "\\(\\d+\\) SortMergeJoin".r.findAllIn(plan).size
       val expectedCounts = Map(
         "q_interval_join" -> 1, "q_importance_resample" -> 2,
-        "q_dedup_incremental" -> 2)
+        "q_dedup_incremental" -> 2, "q_dedup_clusters_incremental" -> 2)
       val smjUnexpected = smjCount > expectedCounts.getOrElse(name, 0)
       val flags = Seq(
         "CartesianProduct" -> plan.contains("CartesianProduct"),

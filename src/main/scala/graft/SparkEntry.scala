@@ -978,6 +978,21 @@ object SparkEntry {
       Dedup.dupClustersStar(
         Dedup.ngramJaccardPairs(Tables.documents(s, dir), JaccardThreshold, JaccardMaxDocId))),
 
+    // Dedup: INCREMENTAL cluster maintenance — the standing corpus
+    // labeling (batch split % 10 == 7 held out) folded together with the
+    // batch-touching pairs on a REDUCED graph sized by the new pairs, the
+    // corpus graph never re-propagated; equals full-closure clustering
+    // over all pairs (same recursive-CTE oracle as q_dedup_clusters)
+    "q_dedup_clusters_incremental" -> ((s, dir) => {
+      val allPairs = Dedup.ngramJaccardPairs(
+        Tables.documents(s, dir), JaccardThreshold, JaccardMaxDocId).persist()
+      val corpusPairs = allPairs.filter(
+        pmod(col("doc_a"), lit(10)) =!= 7 && pmod(col("doc_b"), lit(10)) =!= 7)
+      val newPairs = allPairs.filter(
+        pmod(col("doc_a"), lit(10)) === 7 || pmod(col("doc_b"), lit(10)) === 7)
+      Dedup.dupClustersIncremental(Dedup.dupClusters(corpusPairs), newPairs)
+    }),
+
     // Dedup: SimHash bit-vote fingerprints + chunk-bucketed hamming pairs
     // — oracle replays per-word xxhash64 and the bit votes in SQL
     "q_dedup_simhash" -> ((s, dir) => MinHashLSH.simhashPairs(Tables.documents(s, dir))),
@@ -2936,6 +2951,19 @@ object SparkEntry {
          |SELECT node AS doc_id, min(r) AS cluster_id FROM reach GROUP BY node""".stripMargin),
 
     "q_dedup_clusters_star" ->
+      (sqlJaccardCtes.replace("WITH ", "WITH RECURSIVE ") + s""",
+         |edges AS (SELECT doc_a AS s, doc_b AS d FROM jpairs
+         |          UNION ALL SELECT doc_b, doc_a FROM jpairs),
+         |reach(node, r) AS (
+         |  SELECT s, s FROM (SELECT DISTINCT s FROM edges) t
+         |  UNION
+         |  SELECT re.node, e.d FROM reach re JOIN edges e ON e.s = re.r
+         |)
+         |SELECT node AS doc_id, min(r) AS cluster_id FROM reach GROUP BY node""".stripMargin),
+
+    // the incremental fold's union contract: identical ground truth to
+    // q_dedup_clusters — full transitive closure over ALL pairs
+    "q_dedup_clusters_incremental" ->
       (sqlJaccardCtes.replace("WITH ", "WITH RECURSIVE ") + s""",
          |edges AS (SELECT doc_a AS s, doc_b AS d FROM jpairs
          |          UNION ALL SELECT doc_b, doc_a FROM jpairs),

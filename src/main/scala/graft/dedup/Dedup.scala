@@ -238,6 +238,64 @@ object Dedup {
         .distinct())
   }
 
+  /** INCREMENTAL cluster maintenance — fold a new batch's near-dup pairs
+    * into an existing corpus labeling WITHOUT re-propagating the corpus
+    * graph (the companion of [[MinHashLSH.incrementalVerifiedPairs]]:
+    * that finds the new edges, this folds them into the standing
+    * manifest). The union contract: the result equals
+    * [[dupClusters]] over the full edge set (pinned in DedupSpec), but
+    * the propagation loop runs on a REDUCED graph whose size is
+    * O(new pairs), independent of corpus size.
+    *
+    * Construction: map each new edge's endpoints through the existing
+    * labels (an endpoint collapses to its cluster's representative — the
+    * cluster min — or stays itself when previously unlabeled), drop the
+    * self-loops that mapping creates, and run min-label propagation over
+    * the mapped edges only. Because every representative IS its
+    * component's minimum id, the reduced graph's min-labels equal the
+    * full graph's (the min over merged clusters' reps and fresh ids is
+    * the global member min). Finally: corpus rows re-label through a
+    * broadcast rep→merged-label map (clusters untouched by any new edge
+    * keep their label), and previously-unlabeled nodes take their reduced
+    * labels directly.
+    *
+    * Scale posture: the two lookup joins mapping edge endpoints through
+    * `corpusLabels` are scalar id joins (co-partitioned SMJ at corpus
+    * scale — labels are one (long, long) row per pair-touched doc); the
+    * iterative loop itself never sees the corpus. */
+  def dupClustersIncremental(corpusLabels: DataFrame, newPairs: DataFrame,
+      maxRounds: Int = 10): DataFrame = {
+    val l = corpusLabels.select(col("doc_id"), col("cluster_id"))
+    val mapped = newPairs.select("doc_a", "doc_b")
+      .join(l.select(col("doc_id").as("doc_a"), col("cluster_id").as("__ca")),
+        Seq("doc_a"), "left")
+      .join(l.select(col("doc_id").as("doc_b"), col("cluster_id").as("__cb")),
+        Seq("doc_b"), "left")
+      .persist()
+    val reducedEdges = mapped
+      .select(coalesce(col("__ca"), col("doc_a")).as("doc_a"),
+        coalesce(col("__cb"), col("doc_b")).as("doc_b"))
+      .filter(col("doc_a") =!= col("doc_b"))
+    // nodes with no prior label (batch docs + corpus singletons an edge
+    // now touches) — read off the mapping itself, no corpus-sized anti join
+    val freshNodes = mapped
+      .select(explode(array(
+        when(col("__ca").isNull, col("doc_a")),
+        when(col("__cb").isNull, col("doc_b")))).as("doc_id"))
+      .filter(col("doc_id").isNotNull)
+      .distinct()
+    val reduced = dupClusters(reducedEdges, maxRounds).persist()
+
+    val freshRows = reduced.join(broadcast(freshNodes), Seq("doc_id"))
+    // rep -> merged label, for reps only (reduced minus fresh nodes)
+    val repMap = reduced.join(broadcast(freshNodes), Seq("doc_id"), "left_anti")
+      .select(col("doc_id").as("cluster_id"), col("cluster_id").as("__new_cid"))
+    val relabeled = l.join(broadcast(repMap), Seq("cluster_id"), "left")
+      .select(col("doc_id"),
+        coalesce(col("__new_cid"), col("cluster_id")).as("cluster_id"))
+    relabeled.union(freshRows.select("doc_id", "cluster_id"))
+  }
+
   /** The post-dedup corpus manifest — what the pipeline hands downstream
     * after near-dup resolution: every in-scope document labeled with its
     * duplicate-cluster id (its own id if it duplicates nothing) and a

@@ -198,6 +198,50 @@ class DedupSpec extends SparkSpecBase {
     }
   }
 
+  test("incremental cluster fold == full dupClusters: merges, fresh nodes, untouched clusters") {
+    // corpus clusters {2,5,9} (rep 2) and {7,8} (rep 7); batch doc 3
+    // bridges into {2,5,9} (merged rep becomes 2... and a fresh edge also
+    // joins previously-singleton corpus doc 30), batch docs 40,41 form a
+    // brand-new cluster, and {7,8} is untouched
+    val corpusPairs = Seq((5L, 9L), (9L, 2L), (7L, 8L)).toDF("doc_a", "doc_b")
+    val newPairs = Seq((3L, 5L), (3L, 30L), (40L, 41L)).toDF("doc_a", "doc_b")
+    val got = Dedup.dupClustersIncremental(
+        Dedup.dupClusters(corpusPairs), newPairs)
+      .as[(Long, Long)].collect().toMap
+    val full = Dedup.dupClusters(corpusPairs.union(newPairs))
+      .as[(Long, Long)].collect().toMap
+    assert(got === full)
+    assert(got(30L) === 2L && got(40L) === 40L && got(7L) === 7L)
+    // a batch id SMALLER than the standing rep relabels the whole cluster
+    val demote = Seq((1L, 9L)).toDF("doc_a", "doc_b")
+    val got2 = Dedup.dupClustersIncremental(
+        Dedup.dupClusters(corpusPairs), demote)
+      .as[(Long, Long)].collect().toMap
+    assert(got2 === Dedup.dupClusters(corpusPairs.union(demote))
+      .as[(Long, Long)].collect().toMap)
+    assert(got2(5L) === 1L && got2(2L) === 1L)
+    // random graphs: arbitrary corpus/batch split, node-for-node equality
+    val rnd = new scala.util.Random(11)
+    for (trial <- 1 to 3) {
+      val nNodes = 30 + rnd.nextInt(30)
+      val ids = rnd.shuffle((0 until 150).map(_.toLong * 2 + 1)).take(nNodes)
+      val pairs = (1 to nNodes * 2).map { _ =>
+        (ids(rnd.nextInt(nNodes)), ids(rnd.nextInt(nNodes)))
+      }.filter(p => p._1 != p._2)
+      val (cp, np) = pairs.partition(p => p._1 % 3 != 0 && p._2 % 3 != 0)
+      if (cp.nonEmpty && np.nonEmpty) {
+        val inc = Dedup.dupClustersIncremental(
+            Dedup.dupClusters(cp.toDF("doc_a", "doc_b"), maxRounds = 30),
+            np.toDF("doc_a", "doc_b"), maxRounds = 30)
+          .as[(Long, Long)].collect().toMap
+        val full2 = Dedup.dupClusters(
+            pairs.toDF("doc_a", "doc_b"), maxRounds = 30)
+          .as[(Long, Long)].collect().toMap
+        assert(inc === full2, s"trial $trial: incremental != full")
+      }
+    }
+  }
+
   test("keep-best manifest: longest cluster member survives, singletons keep themselves") {
     // docs 1/2/3 near-dup (3-shingle jaccard 1.0 on the shared prefix);
     // doc 2 is the longest -> it is the keeper, NOT min-id 1
