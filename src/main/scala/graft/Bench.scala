@@ -72,20 +72,30 @@ object Bench {
     // (Within-run warm-sample spread was tried first and over-flags: JIT
     // keeps improving across the whole run, so early-alphabet queries
     // show 2-3x pair-vs-C drift even on an idle machine.)
-    val idleRef: Map[String, Double] = {
+    // The reference is only meaningful at the SF it was measured at: an sf1
+    // run compared against the sf0.1 idle reference would flag nearly every
+    // query (r10's first BENCH_sf1 listed 99 "contended" queries that were
+    // just the sf0.1→sf1 scale-up). The TSV's optional `#sf <basename>`
+    // header records its SF; on mismatch the check is skipped entirely.
+    val sfBase = java.nio.file.Paths.get(sfDir).getFileName.toString
+    val (refSf, idleRef): (String, Map[String, Double]) = {
       val p = java.nio.file.Paths.get(
         sys.env.getOrElse("SPARK_GRAFT_IDLE_REF", "BENCH_IDLE_REF.tsv"))
-      if (java.nio.file.Files.isReadable(p))
-        scala.jdk.CollectionConverters.ListHasAsScala(
-          java.nio.file.Files.readAllLines(p)).asScala
-          .flatMap { l => l.split("\t") match {
-            case Array(n, v) => scala.util.Try(n -> v.toDouble).toOption
-            case _ => None
-          }}.toMap
-      else Map.empty
+      if (java.nio.file.Files.isReadable(p)) {
+        val lines = scala.jdk.CollectionConverters.ListHasAsScala(
+          java.nio.file.Files.readAllLines(p)).asScala.toSeq
+        val sf = lines.headOption.filter(_.startsWith("#sf\t"))
+          .map(_.stripPrefix("#sf\t").trim).getOrElse("sf0.1")
+        sf -> lines.flatMap { l => l.split("\t") match {
+          case Array(n, v) if !n.startsWith("#") =>
+            scala.util.Try(n -> v.toDouble).toOption
+          case _ => None
+        }}.toMap
+      } else "none" -> Map.empty[String, Double]
     }
+    val refApplies = refSf == sfBase
     val resultMap = results.toMap
-    val contended = names.filter { n =>
+    val contended = if (!refApplies) Seq.empty[String] else names.filter { n =>
       idleRef.get(n).exists(idle =>
         resultMap(n) > idle * 1.5 && resultMap(n) - idle > 0.2)
     }
@@ -98,7 +108,7 @@ object Bench {
     val contendedJson = contended.map(n => s""""$n"""").mkString("[", ",", "]")
     def record(qs: Seq[(String, Double)], extra: String = ""): String = {
       val m = qs.map { case (k, v) => s""""$k":${d3(v)}""" }.mkString("{", ",", "}")
-      s"""{"metric":"total","value":${d3(total)},"unit":"sec","n_queries":${results.size},"queries":$m,"contended":$contendedJson$extra,"sf":"$sfDir"}"""
+      s"""{"metric":"total","value":${d3(total)},"unit":"sec","n_queries":${results.size},"queries":$m,"contended":$contendedJson,"contended_ref":"$refSf"$extra,"sf":"$sfDir"}"""
     }
 
     // Artifact hygiene: subset runs (SPARK_GRAFT_ONLY) must not clobber
@@ -116,11 +126,16 @@ object Bench {
         (full + "\n").getBytes("UTF-8"))
       // the idle gate run (explicit BENCH_OUT, full surface) refreshes the
       // committed per-query reference the contended check reads
-      if (sys.env.contains("SPARK_GRAFT_BENCH_OUT") && only.isEmpty) {
+      // Only an sf0.1 idle run refreshes it — the per-round driver run is
+      // pinned to sf0.1, so a reference at any other SF would make every
+      // subsequent driver run skip the contention check.
+      if (sys.env.contains("SPARK_GRAFT_BENCH_OUT") && only.isEmpty
+          && sfBase == "sf0.1") {
         java.nio.file.Files.write(
           java.nio.file.Paths.get("BENCH_IDLE_REF.tsv"),
-          results.map { case (n, v) => s"$n\t${d3(v)}" }
-            .mkString("", "\n", "\n").getBytes("UTF-8"))
+          (s"#sf\t$sfBase\n" +
+            results.map { case (n, v) => s"$n\t${d3(v)}" }
+              .mkString("", "\n", "\n")).getBytes("UTF-8"))
       }
     } catch { case e: Throwable =>
       System.err.println(s"[bench] could not write $outName: ${e.getMessage}")

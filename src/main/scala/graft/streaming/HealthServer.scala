@@ -44,6 +44,9 @@ class HealthServer(spark: SparkSession, port: Int = 8080) {
   private sealed trait QState
   private case object Starting extends QState
   private case object Progressing extends QState
+  // @nowarn: the synthetic members (copy/productArity/…) of a private case
+  // class trip -Wunused even though apply and unapply are both used
+  @scala.annotation.nowarn("cat=unused")
   private final case class Failed(message: String) extends QState
   private case object Stopped extends QState
 
