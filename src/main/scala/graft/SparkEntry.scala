@@ -1315,6 +1315,53 @@ object SparkEntry {
       graft.ops.Sketches.heavyHitters(upserts(s, dir), "txn_type",
         "account_id", k = 5)),
 
+    // KMV bottom-k distinct sketch per source (graft_kmv, a native
+    // TypedImperativeAggregate: map-side partial buffers, the shuffle
+    // moves kilobytes) — content identity = xxhash64 over the FNV-1a64
+    // text fingerprint, both replayed exactly by the oracle
+    "q_kmv_doc_sketch" -> ((s, dir) => {
+      val docs = Tables.documents(s, dir)
+      graft.ops.Sketches.kmvPerGroup(docs, "source",
+          expr("xxhash64(graft_fnv64(text))"), k = 64)
+        .select(col("source"), col("n_rows"),
+          posexplode(col("kmv")).as(Seq("pos", "h")))
+        .select(col("source"), col("n_rows"),
+          (col("pos") + 1).cast("long").as("rank"), col("h"))
+    }),
+
+    // Cross-source distinct-document overlap from the KMV sketches —
+    // exact while unsaturated (k=64 > docs/source at sf<=0.01), the
+    // integral KMV estimator once saturated; all arithmetic `div`-exact
+    "q_kmv_doc_overlap" -> ((s, dir) =>
+      graft.ops.Sketches.kmvOverlap(Tables.documents(s, dir), "source",
+        expr("xxhash64(graft_fnv64(text))"), k = 64)),
+
+    // The same overlap question at 3-gram granularity: cross-source
+    // vocabulary/contamination overlap — saturated estimator path (every
+    // source has >> 256 distinct grams), one corpus scan total
+    "q_kmv_gram_overlap" -> ((s, dir) => {
+      val grams = Tables.documents(s, dir)
+        .select(col("source"), split(col("text"), " ").as("__w"))
+        .select(col("source"),
+          explode(array_distinct(graft.dedup.Dedup.shingleArray(3)))
+            .as("gram"))
+      graft.ops.Sketches.kmvOverlap(grams, "source",
+        expr("xxhash64(graft_fnv64(gram))"), k = 256)
+    }),
+
+    // Exact-size per-stratum sample: rank by xxhash64(doc_id) inside each
+    // language, keep 5 — uniform-without-replacement, deterministic, and
+    // planned as the bounded-heap top-k (never a per-stratum sort)
+    "q_stratified_sample" -> ((s, dir) =>
+      graft.text.TrainingPrep.stratifiedSample(
+        Tables.documents(s, dir), "lang", n = 5)),
+
+    // Deterministic training shuffle: (shard, pos) assignment from the
+    // same hash — per-shard parallel sorts, no global order anywhere
+    "q_corpus_shuffle" -> ((s, dir) =>
+      graft.text.TrainingPrep.shuffleShards(
+        Tables.documents(s, dir), nShards = 32)),
+
     // PII scrubbing: regex redaction + counts at scan speed (no shuffle)
     "q_text_scrub" -> ((s, dir) => TextAnalysis.piiScrub(Tables.documents(s, dir))),
 
@@ -1715,6 +1762,47 @@ object SparkEntry {
        |jpairs AS (SELECT * FROM jall WHERE jaccard >= $threshold)""".stripMargin
 
   private lazy val sqlJaccardCtes: String = sqlJaccardCtesAt(JaccardThreshold)
+
+  /** DuckDB replay of [[graft.ops.Sketches.kmvOverlap]]: distinct
+    * (source, h) -> per-source bottom-k -> pairwise union bottom-k ->
+    * the integral KMV estimator, bit-for-bit. `inner0` must yield
+    * (source, __f) with `__f` the UNSIGNED HUGEINT content fingerprint
+    * (the FNV-1a64 replay); the xxh64 chain and every division are the
+    * same integer ops the Spark side runs. `p` prefixes the step
+    * columns (unique per inlining site). */
+  private def sqlKmvOverlap(inner0: String, k: Int, p: String): String = {
+    val (steps, hCol) = SqlHash.xxh64LongSteps("__f", "42", p)
+    val inner = SqlHash.applySteps(inner0, steps)
+    s"""hh AS MATERIALIZED (SELECT source, ${SqlHash.toSigned(hCol)} AS h FROM ($inner)),
+       |dd AS (SELECT DISTINCT source, h FROM hh),
+       |rr AS (SELECT source, h, row_number() OVER (PARTITION BY source ORDER BY h) AS rk FROM dd),
+       |sk AS (SELECT source, h FROM rr WHERE rk <= $k),
+       |gs AS (SELECT DISTINCT source FROM sk),
+       |pr AS (SELECT a.source AS sa, b.source AS sb FROM gs a JOIN gs b ON a.source < b.source),
+       |pu AS (SELECT pr.sa, pr.sb, s.h,
+       |         max(CASE WHEN s.source = pr.sa THEN 1 ELSE 0 END) AS in_a,
+       |         max(CASE WHEN s.source = pr.sb THEN 1 ELSE 0 END) AS in_b
+       |       FROM pr JOIN sk s ON s.source = pr.sa OR s.source = pr.sb
+       |       GROUP BY 1, 2, 3),
+       |ru AS (SELECT *, row_number() OVER (PARTITION BY sa, sb ORDER BY h) AS rk,
+       |         count(*) OVER (PARTITION BY sa, sb) AS usz FROM pu),
+       |uk AS (SELECT * FROM ru WHERE rk <= $k),
+       |ag AS (SELECT sa AS source_a, sb AS source_b,
+       |         CAST(count(*) AS BIGINT) AS union_k,
+       |         max(CASE WHEN usz >= $k AND rk = $k THEN h END) AS theta,
+       |         CAST(sum(in_a * in_b) AS BIGINT) AS rho
+       |       FROM uk GROUP BY 1, 2),
+       |es AS (SELECT *,
+       |         CAST(CASE WHEN theta IS NULL THEN union_k
+       |              ELSE (($k - 1)::HUGEINT * ${SqlHash.U64}) //
+       |                   greatest(theta::HUGEINT + ${SqlHash.I64Min}, 1::HUGEINT) END AS BIGINT) AS est_union,
+       |         CAST(rho * 1000000 // union_k AS BIGINT) AS jaccard_micro
+       |       FROM ag)
+       |SELECT source_a, source_b, union_k, theta, rho, est_union, jaccard_micro,
+       |  CAST(CASE WHEN theta IS NULL THEN rho
+       |       ELSE est_union * jaccard_micro // 1000000 END AS BIGINT) AS est_inter
+       |FROM es""".stripMargin
+  }
 
   /** Shared CTE chain replaying [[graft.sim.Similarity.lshBucket]] at
     * `nBits` in DuckDB SQL — xxhash64-derived hyperplane components
@@ -3429,6 +3517,61 @@ object SparkEntry {
         |SELECT txn_type, account_id, n,
         |  CAST(row_number() OVER (PARTITION BY txn_type ORDER BY n DESC, account_id) AS BIGINT) AS rank
         |FROM hh QUALIFY rank <= 5""".stripMargin),
+
+    // the KMV sketch itself: k smallest distinct content hashes per
+    // source — fnv64(text) then xxhash64, both replayed step-for-step
+    "q_kmv_doc_sketch" -> {
+      val (steps, hCol) = SqlHash.xxh64LongSteps("__f", "42", "__kd")
+      val inner = SqlHash.applySteps(
+        s"SELECT source, (${SqlHash.fnv1a64("text", "__ka", "__kb")}) AS __f FROM documents",
+        steps)
+      s"""WITH hh AS (SELECT source, ${SqlHash.toSigned(hCol)} AS h FROM ($inner)),
+         |nn AS (SELECT source, CAST(count(*) AS BIGINT) AS n_rows FROM documents GROUP BY 1),
+         |dd AS (SELECT DISTINCT source, h FROM hh),
+         |rr AS (SELECT source, h, CAST(row_number() OVER (PARTITION BY source ORDER BY h) AS BIGINT) AS rank FROM dd)
+         |SELECT rr.source, nn.n_rows, rr.rank, rr.h
+         |FROM rr JOIN nn USING (source) WHERE rank <= 64""".stripMargin
+    },
+
+    "q_kmv_doc_overlap" -> ("WITH " + sqlKmvOverlap(
+      s"SELECT source, (${SqlHash.fnv1a64("text", "__oa", "__ob")}) AS __f FROM documents",
+      k = 64, p = "__ko")),
+
+    // 3-gram vocabulary overlap: the same estimator over word-shingle
+    // fingerprints (saturated path — every source holds >> 256 grams)
+    "q_kmv_gram_overlap" -> {
+      val gramCtes =
+        """d0 AS (SELECT source, string_split(text, ' ') AS w FROM documents),
+          |gg AS (SELECT DISTINCT source, w[i] || ' ' || w[i+1] || ' ' || w[i+2] AS gram
+          |       FROM (SELECT source, w, unnest(generate_series(1, greatest(len(w) - 2, 0))) AS i FROM d0)),
+          |""".stripMargin
+      "WITH " + gramCtes + sqlKmvOverlap(
+        s"SELECT source, (${SqlHash.fnv1a64("gram", "__ga", "__gb")}) AS __f FROM gg",
+        k = 256, p = "__kg")
+    },
+
+    // exact-n stratified sample: xxhash64(doc_id) priority replayed, rank
+    // within language
+    "q_stratified_sample" -> {
+      val (steps, hCol) = SqlHash.xxh64LongSteps("doc_id::HUGEINT", "42", "__sp")
+      val inner = SqlHash.applySteps("SELECT lang, doc_id FROM documents", steps)
+      s"""WITH hh AS (SELECT lang, doc_id, ${SqlHash.toSigned(hCol)} AS priority FROM ($inner)),
+         |rr AS (SELECT lang, doc_id, priority,
+         |         CAST(row_number() OVER (PARTITION BY lang ORDER BY priority, doc_id) AS BIGINT) AS sample_rank
+         |       FROM hh)
+         |SELECT lang, doc_id, priority, sample_rank FROM rr WHERE sample_rank <= 5""".stripMargin
+    },
+
+    // deterministic training shuffle: pmod shard + in-shard hash rank
+    "q_corpus_shuffle" -> {
+      val (steps, hCol) = SqlHash.xxh64LongSteps("doc_id::HUGEINT", "42", "__cs")
+      val inner = SqlHash.applySteps("SELECT doc_id FROM documents", steps)
+      s"""WITH hh AS (SELECT doc_id, ${SqlHash.toSigned(hCol)} AS priority FROM ($inner)),
+         |ss AS (SELECT doc_id, priority, ((priority % 32) + 32) % 32 AS shard FROM hh)
+         |SELECT doc_id, priority, shard,
+         |  CAST(row_number() OVER (PARTITION BY shard ORDER BY priority, doc_id) - 1 AS BIGINT) AS pos
+         |FROM ss""".stripMargin
+    },
 
     "q_stats_summary" -> (P +
       """SELECT txn_type,

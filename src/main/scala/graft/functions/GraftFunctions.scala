@@ -224,11 +224,19 @@ object GraftFunctions {
       s"graft_zorder takes 2 or 3 arguments, got ${exprs.size}")
   }
 
+  private[functions] def buildKmv(exprs: Seq[Expression]): KmvSketchAgg = {
+    requireArity("graft_kmv", exprs, 2)
+    KmvSketchAgg(exprs.head,
+      exprs(1).eval().asInstanceOf[Number].intValue())
+  }
+
   def register(spark: SparkSession): Unit = {
     spark.sessionState.functionRegistry.createOrReplaceTempFunction(
       "graft_fnv64",
       exprs => { requireArity("graft_fnv64", exprs, 1); Fnv1a64(exprs.head) },
       "built-in")
+    spark.sessionState.functionRegistry.createOrReplaceTempFunction(
+      "graft_kmv", buildKmv, "built-in")
     spark.sessionState.functionRegistry.createOrReplaceTempFunction(
       "graft_zorder", buildZOrder, "built-in")
     spark.sessionState.functionRegistry.createOrReplaceTempFunction(
@@ -283,6 +291,11 @@ class GraftExtensions extends (org.apache.spark.sql.SparkSessionExtensions => Un
       new org.apache.spark.sql.catalyst.expressions.ExpressionInfo(
         classOf[ZOrder2].getCanonicalName, "graft_zorder"),
       (exprs: Seq[Expression]) => GraftFunctions.buildZOrder(exprs)))
+    e.injectFunction((
+      new org.apache.spark.sql.catalyst.FunctionIdentifier("graft_kmv"),
+      new org.apache.spark.sql.catalyst.expressions.ExpressionInfo(
+        classOf[KmvSketchAgg].getCanonicalName, "graft_kmv"),
+      (exprs: Seq[Expression]) => GraftFunctions.buildKmv(exprs)))
     // planner strategy: rank-filter windows -> bounded-heap per-group
     // top-k (graft.plans.BoundedTopKStrategy scaladoc has the contract)
     e.injectPlannerStrategy(_ => graft.plans.BoundedTopKStrategy)

@@ -48,4 +48,81 @@ object Sketches {
     org.apache.spark.util.sketch.CountMinSketch
       .readFrom(new java.io.ByteArrayInputStream(sketchBytes))
       .estimateCount(item)
+
+  // ---- KMV distinct sketches & cross-group overlap --------------------------
+
+  /** One KMV bottom-k sketch per group over `hashCol` (a 64-bit hash of
+    * the identity being counted — content fingerprint, n-gram hash, …):
+    * (group, kmv: array<bigint> ascending, n_rows).
+    *
+    * [[graft.functions.KmvSketchAgg]] partial-aggregates map-side, so the
+    * exchange moves one <= 8k-byte buffer per (group, map partition) —
+    * never the hashes themselves. That is the whole point at 100 TB: a
+    * full-corpus distinct/overlap question answered by a shuffle of
+    * kilobytes.
+    */
+  def kmvPerGroup(df: DataFrame, groupCol: String, hashCol: Column,
+      k: Int): DataFrame = {
+    graft.functions.GraftFunctions.register(df.sparkSession)
+    df.select(col(groupCol), hashCol.as("__h"))
+      .groupBy(col(groupCol))
+      .agg(expr(s"graft_kmv(__h, $k)").as("kmv"),
+        count(lit(1)).as("n_rows"))
+  }
+
+  /** Pairwise cross-group distinct overlap from KMV sketches — the
+    * training-pipeline "how much do these sources share?" question
+    * (cross-source contamination, vocabulary overlap) answered WITHOUT an
+    * exact distinct-join over the corpus.
+    *
+    * For each unordered group pair (a < b), over the k-smallest union
+    * sketch U = bottom-k(kmv_a ∪ kmv_b) (bottom-k of a union of bottom-k's
+    * is the union's true bottom-k — the KMV union rule):
+    *   - `union_k`  = |U| (= min(k, total distinct) — saturation telltale)
+    *   - `theta`    = k-th smallest union hash (null while unsaturated)
+    *   - `rho`      = |U ∩ kmv_a ∩ kmv_b| — co-occurring minima
+    *   - `est_union`   = (k-1) * 2^64 div (theta + 2^63)   [saturated]
+    *                   = union_k exactly                   [unsaturated]
+    *   - `jaccard_micro` = rho * 1e6 div union_k (exact Jaccard * 1e6 when
+    *     unsaturated — the sketches then hold EVERY distinct hash)
+    *   - `est_inter`  = est_union * jaccard_micro div 1e6
+    * All arithmetic is integral (`div`, not `/`): bit-identical across
+    * engines, so the DuckDB oracle replays the whole estimator.
+    *
+    * Scale: after [[kmvPerGroup]] the data is G rows of <= k longs; the
+    * pair expansion is G²/2 sketch-sized rows on the driver-side-tiny
+    * grid — broadcast join, zero further passes over the corpus. Beyer et
+    * al. SIGMOD'07 give the estimator and its ~1/sqrt(k-2) error.
+    */
+  def kmvOverlap(df: DataFrame, groupCol: String, hashCol: Column,
+      k: Int): DataFrame = {
+    val sk = kmvPerGroup(df, groupCol, hashCol, k)
+    val a = sk.select(col(groupCol).as("source_a"), col("kmv").as("kmv_a"))
+    val b = sk.select(col(groupCol).as("source_b"), col("kmv").as("kmv_b"))
+    val twoP63 = "9223372036854775808"   // 2^63; 2^64 = 2 * that
+    val pairs = a.join(broadcast(b), col("source_a") < col("source_b"))
+      .withColumn("u_k",
+        slice(array_sort(array_union(col("kmv_a"), col("kmv_b"))), 1, k))
+      .withColumn("union_k", size(col("u_k")).cast("long"))
+      .withColumn("theta",
+        when(col("union_k") >= k, element_at(col("u_k"), k)))
+      .withColumn("rho",
+        size(array_intersect(array_intersect(col("u_k"), col("kmv_a")),
+          col("kmv_b"))).cast("long"))
+    pairs.select(
+      col("source_a"), col("source_b"), col("union_k"), col("theta"),
+      col("rho"),
+      when(col("theta").isNull, col("union_k"))
+        .otherwise(expr(
+          // greatest(.., 1): theta == Long.MinValue would make theta_u = 0
+          s"CAST(($k - 1) * 2 * CAST($twoP63 AS DECIMAL(38,0)) AS DECIMAL(38,0))" +
+          s" div greatest(CAST(theta AS DECIMAL(38,0)) + CAST($twoP63 AS DECIMAL(38,0))," +
+          " CAST(1 AS DECIMAL(38,0)))"))
+        .as("est_union"))
+      .withColumn("jaccard_micro",
+        expr("rho * CAST(1000000 AS BIGINT) div union_k"))
+      .withColumn("est_inter",
+        when(col("theta").isNull, col("rho"))
+          .otherwise(expr("est_union * jaccard_micro div 1000000")))
+  }
 }

@@ -79,6 +79,49 @@ object TrainingPrep {
         .otherwise("test").as("split"),
       estTokens(col("text")).as("n_tokens"))
 
+  /** Exact-size stratified sample: exactly `n` documents per stratum
+    * (unless the stratum is smaller), uniform without replacement,
+    * deterministic — rank by `xxhash64(doc_id)` inside each stratum and
+    * keep rank <= n. A unique id under a 64-bit avalanche hash is a
+    * uniform random permutation, so hash-rank top-n IS simple random
+    * sampling — with no RNG state, reproducible across re-runs and
+    * cluster layouts (the fixed-size counterpart of the keep-fraction
+    * [[mixtureResample]]; the shape eval-set construction wants).
+    *
+    * Scale: the rank window is a `row_number() <= n` filter, which the
+    * [[graft.plans.BoundedTopKStrategy]] planner rule executes as map-side
+    * bounded heaps — the exchange moves <= strata x n x map_partitions
+    * rows, never the corpus. */
+  def stratifiedSample(documents: DataFrame, strataCol: String,
+      n: Int): DataFrame = {
+    val w = Window.partitionBy(col(strataCol))
+      .orderBy(col("priority"), col("doc_id"))
+    documents
+      .select(col(strataCol), col("doc_id"),
+        xxhash64(col("doc_id")).as("priority"))
+      .withColumn("sample_rank", row_number().over(w).cast("long"))
+      .filter(col("sample_rank") <= n)
+  }
+
+  /** Deterministic global shuffle for training output: every document gets
+    * a (shard, pos) — shard = pmod(xxhash64(doc_id), nShards), pos = rank
+    * of the hash within the shard. Writing shard files in pos order yields
+    * a reproducible uniform permutation of the corpus (what a trainer
+    * reads sequentially), with no RNG and no global sort: the plan is one
+    * hash-partitioned exchange + per-shard sort, each shard sorting
+    * corpus/nShards rows in parallel. At 100 TB, nShards is thousands
+    * (shard ~= a few GB), so per-task sorts stay memory-sized; parallelism
+    * equals the shard count by construction. */
+  def shuffleShards(documents: DataFrame, nShards: Int): DataFrame = {
+    require(nShards > 0, s"nShards must be positive, got $nShards")
+    val w = Window.partitionBy(col("shard"))
+      .orderBy(col("priority"), col("doc_id"))
+    documents
+      .select(col("doc_id"), xxhash64(col("doc_id")).as("priority"))
+      .withColumn("shard", pmod(col("priority"), lit(nShards.toLong)))
+      .withColumn("pos", row_number().over(w).cast("long") - 1)
+  }
+
   /** Adaptive curation gate: keep documents at or above the corpus MEDIAN
     * whitespace-token count — thresholds derived from the data itself
     * rather than fixed constants (the standard way quality cutoffs are

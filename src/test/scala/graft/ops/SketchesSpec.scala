@@ -33,4 +33,106 @@ class SketchesSpec extends SparkSpecBase {
         s"CMS overshoot beyond eps bound: $est vs $trueN (total $total)")
     }
   }
+
+  // ---- KMV ------------------------------------------------------------------
+
+  private def kmvModel(values: Seq[Long], k: Int): Seq[Long] =
+    values.distinct.sorted.take(k)
+
+  test("KMV buffer == sorted-distinct-take-k model, any merge split") {
+    val rnd = new scala.util.Random(20260814L)
+    for (trial <- 1 to 6) {
+      val n = 1 + rnd.nextInt(400)
+      val k = 1 + rnd.nextInt(64)
+      // mixed magnitudes incl. duplicates and negatives
+      val vals = Seq.fill(n)(rnd.nextInt(80).toLong - 40L) ++
+        Seq.fill(n)(rnd.nextLong())
+      val whole = new graft.functions.KmvBuffer(k)
+      vals.foreach(whole.add)
+      assert(whole.toArray.toSeq === kmvModel(vals, k), s"trial $trial whole")
+      // arbitrary 3-way split, merged — associativity of bottom-k union
+      val parts = vals.grouped(math.max(1, vals.size / 3)).toSeq
+      val bufs = parts.map { p =>
+        val b = new graft.functions.KmvBuffer(k); p.foreach(b.add); b
+      }
+      val merged = new graft.functions.KmvBuffer(k)
+      bufs.foreach(merged.mergeFrom)
+      assert(merged.toArray.toSeq === kmvModel(vals, k), s"trial $trial merged")
+    }
+  }
+
+  test("graft_kmv aggregate matches the model through shuffled partitions") {
+    val rnd = new scala.util.Random(7L)
+    val rows = (1 to 500).map(i => ("g" + (i % 3), rnd.nextLong() % 1000))
+    val df = rows.toDF("g", "h").repartition(7)
+    val got = Sketches.kmvPerGroup(df, "g", col("h"), k = 16)
+      .collect().map(r => r.getString(0) ->
+        (r.getSeq[Long](1), r.getLong(2))).toMap
+    rows.groupBy(_._1).foreach { case (g, grp) =>
+      val (sketch, nRows) = got(g)
+      assert(nRows === grp.size)
+      assert(sketch.toSeq === kmvModel(grp.map(_._2), 16), s"group $g")
+    }
+  }
+
+  test("KMV distinct estimate within ~4/sqrt(k) of truth when saturated") {
+    val rnd = new scala.util.Random(99L)
+    val nDistinct = 20000
+    val rows = (1 to nDistinct).map(i => ("all", rnd.nextLong()))
+    val k = 256
+    val df = rows.toDF("g", "h")
+    val overlapIn = df.union(df.withColumn("g", lit("other")))
+    val est = Sketches.kmvOverlap(overlapIn, "g", col("h"), k)
+      .select("est_union", "est_inter", "jaccard_micro", "union_k")
+      .head()
+    // both groups identical: union == inter == nDistinct, jaccard == 1
+    val rel = math.abs(est.getLong(0).toDouble / nDistinct - 1.0)
+    assert(rel < 4.0 / math.sqrt(k.toDouble), s"union est off by $rel")
+    assert(est.getLong(2) === 1000000L, "identical sets must give jaccard 1")
+    assert(est.getLong(1) === est.getLong(0),
+      "jaccard 1 must make est_inter == est_union")
+  }
+
+  test("KMV overlap exact (unsaturated) path equals true set arithmetic") {
+    val a = (1L to 30L).map(("a", _))
+    val b = (21L to 45L).map(("b", _))   // |A∪B|=45, |A∩B|=10
+    val df = (a ++ b).toDF("g", "h")
+      .withColumn("h", xxhash64(col("h")))  // arbitrary injective-ish map
+    val r = Sketches.kmvOverlap(df, "g", col("h"), k = 64).head()
+    assert(r.getAs[Long]("union_k") === 45L)
+    assert(r.getAs[Any]("theta") === null)
+    assert(r.getAs[Long]("rho") === 10L)
+    assert(r.getAs[Long]("est_union") === 45L)
+    assert(r.getAs[Long]("est_inter") === 10L)
+    assert(r.getAs[Long]("jaccard_micro") === 1000000L * 10 / 45)
+  }
+
+  test("stratified sample: exactly n per stratum, layout-invariant") {
+    val docs = graft.Tables.documents(spark, sf0001)
+    val got = graft.text.TrainingPrep.stratifiedSample(docs, "lang", n = 5)
+    val perLang = got.groupBy("lang").count().collect()
+      .map(r => r.getString(0) -> r.getLong(1)).toMap
+    val langSizes = docs.groupBy("lang").count().collect()
+      .map(r => r.getString(0) -> r.getLong(1)).toMap
+    langSizes.foreach { case (lang, sz) =>
+      assert(perLang(lang) === math.min(5L, sz), s"lang $lang")
+    }
+    val again = graft.text.TrainingPrep
+      .stratifiedSample(docs.repartition(13), "lang", n = 5)
+      .select("lang", "doc_id").collect().toSet.map((r: org.apache.spark.sql.Row) =>
+        (r.getString(0), r.getLong(1)))
+    val first = got.select("lang", "doc_id").collect().toSet.map(
+      (r: org.apache.spark.sql.Row) => (r.getString(0), r.getLong(1)))
+    assert(again === first, "sample must not depend on partition layout")
+  }
+
+  test("shuffle shards: dense 0-based positions per shard, all docs kept") {
+    val docs = graft.Tables.documents(spark, sf0001)
+    val got = graft.text.TrainingPrep.shuffleShards(docs, nShards = 8)
+    assert(got.count() === docs.count())
+    val bad = got.groupBy("shard")
+      .agg(count(lit(1)).as("n"), min("pos").as("lo"), max("pos").as("hi"))
+      .filter(col("lo") =!= 0L || col("hi") =!= col("n") - 1)
+    assert(bad.isEmpty, "positions must be dense 0..n-1 within each shard")
+  }
 }
