@@ -320,7 +320,10 @@ object AvroWire {
         AvroWireDecode(exprs.head, schema)
       },
       "built-in")
-    wire.select(expr(s"$fname($valueCol)").as("envelope"))
+    // same parse-once fence as the JSON seam: keeps key-null filters from
+    // being substituted into a second wire decode per row
+    EnvelopeOps.parseFence(
+      wire.select(expr(s"$fname($valueCol)").as("envelope")), "envelope")
   }
 
   /** S2 serialization seam over the real wire format: an `envelope` struct

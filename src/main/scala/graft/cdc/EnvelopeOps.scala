@@ -126,8 +126,28 @@ object EnvelopeOps {
     * `config/ABBankStreamsConfig.java:93-94` LogAndContinueExceptionHandler). */
   def decodeJsonEnvelope(payloads: DataFrame, payloadCol: String = "payload",
       schema: org.apache.spark.sql.types.StructType = Schemas.transactionEnvelope): DataFrame =
-    payloads.select(
-      from_json(col(payloadCol), schema).as("envelope"))
+    parseFence(payloads.select(
+      from_json(col(payloadCol), schema).as("envelope")), "envelope")
+
+  /** Parse-once fence: re-projects `colName` through
+    * `graft_fence` ([[graft.functions.ParseFence]] — a nondeterministic
+    * identity). Catalyst substitutes deterministic projections into
+    * predicates when pushing them down, so without the fence a downstream
+    * key-null/tombstone filter is rewritten into a SECOND
+    * (schema-pruned but still full-payload) `from_json`/wire decode per
+    * row — the accounts-KTable plan carried the parse in both the Filter
+    * and the Project. A nondeterministic projection is one
+    * PushPredicateThroughNonJoin refuses to cross and CollapseProject
+    * refuses to inline, and unlike a dummy fence COLUMN it cannot be
+    * column-pruned away. Run-time cost: nothing — the expression
+    * passes the child's generated code through untouched. */
+  private[graft] def parseFence(df: DataFrame, colName: String): DataFrame = {
+    graft.functions.GraftFunctions.register(df.sparkSession)
+    df.select(df.columns.map {
+      case c if c == colName => expr(s"graft_fence($c)").as(c)
+      case c => col(c)
+    }.toSeq: _*)
+  }
 
   /** S2 serialization seam: envelope struct -> JSON string payload (the
     * shape of a Kafka value sink). */
@@ -163,10 +183,10 @@ object EnvelopeOps {
     // way: a corrupt-record column inside the parse schema
     val withCorrupt = schema.add("_corrupt_record",
       org.apache.spark.sql.types.StringType)
-    val decoded = payloads.withColumn("__dec",
+    val decoded = parseFence(payloads.withColumn("__dec",
       from_json(col(payloadCol), withCorrupt,
         Map("mode" -> "PERMISSIVE",
-          "columnNameOfCorruptRecord" -> "_corrupt_record")))
+          "columnNameOfCorruptRecord" -> "_corrupt_record"))), "__dec")
     (decoded.filter(col("__dec._corrupt_record").isNull)
       .select(col("__dec").dropFields("_corrupt_record").as("envelope")),
       decoded.filter(col("__dec._corrupt_record").isNotNull)

@@ -57,6 +57,29 @@ case class Fnv1a64(child: Expression) extends UnaryExpression {
     copy(child = newChild)
 }
 
+/** Nondeterministic identity — the parse-once fence
+  * ([[graft.cdc.EnvelopeOps.parseFence]] documents the optimizer contract
+  * it enforces). Evaluation and generated code are the child's,
+  * untouched; only the `deterministic` flag differs, which is exactly the
+  * property PushPredicateThroughNonJoin / CollapseProject key off. */
+case class ParseFence(child: Expression) extends UnaryExpression {
+  override lazy val deterministic: Boolean = false
+  override def dataType: DataType = child.dataType
+  override def nullable: Boolean = child.nullable
+  override def prettyName: String = "graft_fence"
+
+  override def eval(input: org.apache.spark.sql.catalyst.InternalRow): Any =
+    child.eval(input)
+
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode = {
+    val c = child.genCode(ctx)
+    ev.copy(code = c.code, isNull = c.isNull, value = c.value)
+  }
+
+  override protected def withNewChildInternal(newChild: Expression): ParseFence =
+    copy(child = newChild)
+}
+
 /** Dot-product kernel over two double arrays, callable from generated
   * code. The fold is strictly sequential (index 0 upward) — the SAME IEEE
   * addition order as `aggregate(zip_with(a, b, (x, y) -> x * y), 0D,
@@ -237,6 +260,10 @@ object GraftFunctions {
       "built-in")
     spark.sessionState.functionRegistry.createOrReplaceTempFunction(
       "graft_kmv", buildKmv, "built-in")
+    spark.sessionState.functionRegistry.createOrReplaceTempFunction(
+      "graft_fence",
+      exprs => { requireArity("graft_fence", exprs, 1); ParseFence(exprs.head) },
+      "built-in")
     spark.sessionState.functionRegistry.createOrReplaceTempFunction(
       "graft_zorder", buildZOrder, "built-in")
     spark.sessionState.functionRegistry.createOrReplaceTempFunction(
