@@ -74,6 +74,23 @@ object ScaleProbe {
       pmod(xxhash64(col("id")), lit(365)).as("recency_days"),
       (pmod(xxhash64(col("id"), lit(1)), lit(1000)) + 1).as("frequency"),
       pmod(xxhash64(col("id"), lit(2)), lit(100000000L)).as("monetary_kobo"))
+    // KMV sketch vs exact distinct at n rows / 20 groups / ~n/2 distinct:
+    // the sketch path's shuffle is groups x k x partitions LONGS (the
+    // whole point), exact distinct shuffles every distinct (group, value)
+    // pair. kmv_overlap adds the full 190-pair estimator on top — its
+    // cost must be indistinguishable from kmv_agg (pair math runs on
+    // sketch-sized rows).
+    val kmvIn = spark.range(n).select(
+      concat(lit("s"), pmod(xxhash64(col("id"), lit(3)), lit(20)))
+        .as("source"),
+      xxhash64(pmod(col("id"), lit(n / 2))).as("h"))
+    time("kmv_agg")(ops.Sketches.kmvPerGroup(kmvIn, "source", col("h"),
+      k = 256))
+    time("kmv_overlap")(ops.Sketches.kmvOverlap(kmvIn, "source", col("h"),
+      k = 256))
+    time("distinct_exact")(kmvIn.groupBy("source")
+      .agg(countDistinct(col("h")).as("n_distinct")))
+
     time("rfm_select_cuts")(ops.EventAnalytics.rfmScores(accounts))
     time("rfm_hist_cuts") {
       import org.apache.spark.sql.expressions.Window

@@ -43,6 +43,46 @@ object DocStream {
       .drop("__digest")
 
   /** One exploded LSH band of one streamed document. */
+  case class KmvSourceRow(source: String, h: Long)
+  case class KmvSketchRow(source: String, n_seen: Long, sketch: Array[Long])
+
+  /** Continuously-maintained per-source KMV distinct sketch — the
+    * streaming twin of [[graft.ops.Sketches.kmvPerGroup]]. The GroupState
+    * IS the sketch: <= k longs per source, FIXED size for the lifetime of
+    * the stream (a sketch never grows past k — no watermark/TTL needed,
+    * unlike the dedup states above whose key cardinality tracks arrivals).
+    * Each batch emits the refreshed sketch per touched source; the LAST
+    * emission per source equals the batch operator over everything
+    * ingested so far — bottom-k merge is associative, so batch-boundary
+    * placement cannot change the result (spec-pinned). Feed `h` with the
+    * same content-hash chain the batch queries use
+    * (`xxhash64(graft_fnv64(text))`); downstream,
+    * [[graft.ops.Sketches.kmvOverlap]]'s pair arithmetic applies to the
+    * live sketches unchanged — a continuously-current cross-source
+    * overlap dashboard for the cost of kilobytes of state. */
+  def kmvSketches(spark: SparkSession, docs: DataFrame,
+      k: Int): Dataset[KmvSketchRow] = {
+    import spark.implicits._
+    docs.select(col("source"), col("h").cast("long").as("h"))
+      .as[KmvSourceRow]
+      .groupByKey(_.source)
+      .flatMapGroupsWithState(OutputMode.Append,
+        GroupStateTimeout.NoTimeout)(kmvProcess(k))
+  }
+
+  private[graft] def kmvProcess(k: Int)(source: String,
+      rows: Iterator[KmvSourceRow],
+      state: GroupState[(Array[Long], Long)]): Iterator[KmvSketchRow] = {
+    val buf = new graft.functions.KmvBuffer(k)
+    val (prev, n0) = state.getOption.getOrElse((Array.empty[Long], 0L))
+    prev.foreach(buf.add)
+    var n = n0
+    rows.foreach { r => buf.add(r.h); n += 1 }
+    val arr = buf.toArray
+    state.update((arr, n))
+    Iterator.single(KmvSketchRow(source, n, arr))
+  }
+
   case class BandRow(doc_id: Long, ingest_ts: java.sql.Timestamp,
       band: Int, bucket: Long)
 

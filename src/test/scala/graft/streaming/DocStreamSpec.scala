@@ -137,4 +137,40 @@ class DocStreamSpec extends SparkSpecBase {
       .as[(Long, Long)].collect().toSet
     assert(got === Set((1L, 2L)))
   }
+
+  test("streaming KMV sketch: last emission per source == batch kmvPerGroup") {
+    implicit val ctx = spark.sqlContext
+    val rnd = new scala.util.Random(42L)
+    val rows = (1 to 300).map(i =>
+      ("src" + (i % 3), rnd.nextLong() % 500))  // dupes + negatives
+    val batches = rows.grouped(100).toSeq
+
+    val input = MemoryStream[(String, Long)]
+    val stream = DocStream.kmvSketches(spark,
+      input.toDF().toDF("source", "h"), k = 16)
+    val q = stream.writeStream.format("memory").queryName("kmv_live")
+      .outputMode("append").start()
+    try batches.foreach { b => input.addData(b); q.processAllAvailable() }
+    finally q.stop()
+
+    // one emission per source per batch; the LAST (max n_seen) is the
+    // live sketch
+    val live = spark.table("kmv_live").collect()
+      .map(r => (r.getString(0), r.getLong(1), r.getSeq[Long](2)))
+      .groupBy(_._1).map { case (s, es) =>
+        val m = es.maxBy(_._2); s -> (m._2, m._3)
+      }
+
+    val batch = graft.ops.Sketches.kmvPerGroup(
+        rows.toDF("source", "h"), "source", col("h"), k = 16)
+      .collect()
+      .map(r => r.getString(0) -> (r.getSeq[Long](1), r.getLong(2))).toMap
+
+    assert(live.keySet === batch.keySet)
+    batch.foreach { case (src, (sketch, nRows)) =>
+      val (nSeen, liveSketch) = live(src)
+      assert(nSeen === nRows, s"$src n_seen")
+      assert(liveSketch === sketch, s"$src sketch")
+    }
+  }
 }
