@@ -4,7 +4,7 @@ import org.apache.spark.sql.{DataFrame, SparkSession}
 import org.apache.spark.sql.functions._
 
 import graft.cdc.{DimensionCdc, EnvelopeOps}
-import graft.dedup.{Dedup, MinHashLSH}
+import graft.dedup.{Dedup, DupSpans, MinHashLSH}
 import graft.functions.GraftFunctions
 import graft.multimodal.Multimodal
 import graft.ops.{AsOfJoin, Enrich, LatestByKey, Notify, Predicates, Reconcile, Windows}
@@ -76,6 +76,8 @@ object SparkEntry {
   val SimNumQueries      = 10L    // ANN query set = vec_id < 10
   val SimTopK            = 5
   val SemDedupBits       = 8      // sign-LSH bucket width for semantic dedup
+  val DupSpanGram        = 8      // word-gram width for substring-level dedup
+  val DupSpanMaxFraction = 0.5    // flag docs whose dup-token share exceeds this
   val IvfStride          = 23     // IVF coarse-quantizer knobs — shared by the
   val IvfNprobe          = 14     // query registration AND its SQL oracle so
   val IvfIters           = 2      // the two can never desynchronize
@@ -1023,6 +1025,45 @@ object SparkEntry {
     "q_semantic_dedup" -> ((s, dir) =>
       Dedup.semanticDedup(Tables.embeddings(s, dir), SemDedupBits)),
 
+    // Substring-level dedup (Lee et al. 2022 shape): maximal duplicated
+    // token spans per document via positional 8-gram df>=2 + interval
+    // islands — linear in corpus grams, no pairwise doc join; the oracle
+    // replays the fnv64 gram fingerprints and the island arithmetic
+    "q_dup_spans" -> ((s, dir) => {
+      GraftFunctions.register(s)
+      DupSpans.dupSpans(Tables.documents(s, dir), DupSpanGram)
+    }),
+
+    // Per-document duplicated-token report + keep/flag verdict at 50%
+    "q_dup_doc_report" -> ((s, dir) => {
+      GraftFunctions.register(s)
+      DupSpans.dupFractions(Tables.documents(s, dir), DupSpanGram,
+        DupSpanMaxFraction)
+    }),
+
+    // The strip pass: documents rebuilt with duplicated spans removed
+    // (span-free docs pass through byte-identical, no rejoin round-trip)
+    "q_dup_span_strip" -> ((s, dir) => {
+      GraftFunctions.register(s)
+      DupSpans.stripDupSpans(Tables.documents(s, dir), DupSpanGram)
+    }),
+
+    // INCREMENTAL span dedup (continuous-ingest shape): a new batch
+    // (doc_id % 10 == 7) folds against the standing gram-df index —
+    // only the batch tokenizes; corpus positions retro-flag through the
+    // df==1 exemplars the index kept. Union over batches reconstructs
+    // the full-corpus duplicated-position set (DupSpansSpec pins the
+    // induction); the oracle recomputes both sides from scratch with
+    // corpus/batch doc-frequencies split
+    "q_dup_spans_incremental" -> ((s, dir) => {
+      GraftFunctions.register(s)
+      val docs = Tables.documents(s, dir)
+      val corpus = docs.filter(pmod(col("doc_id"), lit(10)) =!= 7)
+      val batch = docs.filter(pmod(col("doc_id"), lit(10)) === 7)
+      DupSpans.dupPositionsIncremental(
+        DupSpans.gramIndex(corpus, DupSpanGram), batch, DupSpanGram)
+    }),
+
     // Similarity: brute-force cosine top-k (broadcast queries, no shuffle)
     "q_sim_bruteforce_topk" -> ((s, dir) =>
       Similarity.bruteForceTopK(Tables.embeddings(s, dir), SimNumQueries, SimTopK)),
@@ -1762,6 +1803,38 @@ object SparkEntry {
        |jpairs AS (SELECT * FROM jall WHERE jaccard >= $threshold)""".stripMargin
 
   private lazy val sqlJaccardCtes: String = sqlJaccardCtesAt(JaccardThreshold)
+
+  /** DuckDB replay of [[graft.dedup.DupSpans.dupSpans]] as a WITH-body
+    * CTE chain ending in `spans(doc_id, span_start, span_end,
+    * span_tokens)`: positional word `n`-grams (1-based), fnv64 gram
+    * fingerprints, df>=2 keys, and the interval-island merge (gap > n
+    * breaks), step-for-step the Spark arithmetic. */
+  private def sqlDupSpanCtes(n: Int): String = {
+    val w = n - 1
+    s"""__ds0 AS (SELECT doc_id, string_split(text, ' ') AS w FROM documents),
+       |__dsg AS (SELECT doc_id, CAST(i AS BIGINT) AS pos,
+       |            array_to_string(w[i:i+$w], ' ') AS gram
+       |          FROM (SELECT doc_id, w,
+       |                  unnest(generate_series(1, greatest(len(w) - $w, 0))) AS i
+       |                FROM __ds0)),
+       |__dsh AS (SELECT doc_id, pos,
+       |            ${SqlHash.toSigned(SqlHash.fnv1a64("gram", "__dsa", "__dsb"))} AS h
+       |          FROM __dsg),
+       |__dsk AS (SELECT h FROM (SELECT h, count(DISTINCT doc_id) AS df
+       |                         FROM __dsh GROUP BY 1) WHERE df >= 2),
+       |__dshit AS (SELECT DISTINCT doc_id, pos FROM __dsh JOIN __dsk USING (h)),
+       |__dsgap AS (SELECT doc_id, pos,
+       |              CASE WHEN pos - lag(pos) OVER (PARTITION BY doc_id ORDER BY pos) > $n
+       |                   THEN 1 ELSE 0 END AS gap
+       |            FROM __dshit),
+       |__dsisl AS (SELECT doc_id, pos,
+       |              sum(gap) OVER (PARTITION BY doc_id ORDER BY pos) AS island
+       |            FROM __dsgap),
+       |spans AS (SELECT doc_id, min(pos) AS span_start,
+       |            max(pos) + $w AS span_end,
+       |            max(pos) + $w - min(pos) + 1 AS span_tokens
+       |          FROM __dsisl GROUP BY doc_id, island)""".stripMargin
+  }
 
   /** DuckDB replay of [[graft.ops.Sketches.kmvOverlap]]: distinct
     * (source, h) -> per-source bottom-k -> pairwise union bottom-k ->
@@ -3078,6 +3151,75 @@ object SparkEntry {
          |  CAST(count(*) OVER (PARTITION BY bucket) AS BIGINT) AS n_members,
          |  vec_id = min(vec_id) OVER (PARTITION BY bucket) AS is_kept
          |FROM buck""".stripMargin,
+
+    "q_dup_spans" ->
+      s"""WITH ${sqlDupSpanCtes(DupSpanGram)}
+         |SELECT doc_id, span_start, span_end, span_tokens FROM spans""".stripMargin,
+
+    "q_dup_doc_report" ->
+      s"""WITH ${sqlDupSpanCtes(DupSpanGram)},
+         |__dpd AS (SELECT doc_id, CAST(sum(span_tokens) AS BIGINT) AS dup_tokens
+         |          FROM spans GROUP BY 1)
+         |SELECT d.doc_id,
+         |  CAST(len(string_split(d.text, ' ')) AS BIGINT) AS n_tokens,
+         |  COALESCE(p.dup_tokens, 0) AS dup_tokens,
+         |  COALESCE(p.dup_tokens, 0)::DOUBLE
+         |    / CAST(len(string_split(d.text, ' ')) AS BIGINT)::DOUBLE AS dup_fraction,
+         |  CASE WHEN COALESCE(p.dup_tokens, 0)::DOUBLE
+         |         / CAST(len(string_split(d.text, ' ')) AS BIGINT)::DOUBLE > $DupSpanMaxFraction
+         |       THEN 'flag' ELSE 'keep' END AS verdict
+         |FROM documents d LEFT JOIN __dpd p USING (doc_id)""".stripMargin,
+
+    "q_dup_span_strip" ->
+      s"""WITH ${sqlDupSpanCtes(DupSpanGram)},
+         |__sph AS (SELECT DISTINCT doc_id FROM spans),
+         |__spcov AS (SELECT doc_id, unnest(generate_series(span_start, span_end)) AS pos
+         |            FROM spans),
+         |__sptok AS (SELECT t.doc_id, CAST(t.i AS BIGINT) AS pos, t.w[t.i] AS tok
+         |            FROM (SELECT doc_id, w, unnest(generate_series(1, len(w))) AS i
+         |                  FROM __ds0 JOIN __sph USING (doc_id)) t),
+         |__spkept AS (SELECT t.doc_id, t.pos, t.tok
+         |             FROM __sptok t LEFT JOIN __spcov c
+         |               ON t.doc_id = c.doc_id AND t.pos = c.pos
+         |             WHERE c.pos IS NULL),
+         |__spagg AS (SELECT doc_id,
+         |              string_agg(tok, ' ' ORDER BY pos) AS rebuilt,
+         |              CAST(count(*) AS BIGINT) AS kept_tokens
+         |            FROM __spkept GROUP BY 1)
+         |SELECT d.doc_id,
+         |  CAST(len(string_split(d.text, ' ')) AS BIGINT) AS n_tokens,
+         |  CASE WHEN h.doc_id IS NULL
+         |       THEN CAST(len(string_split(d.text, ' ')) AS BIGINT)
+         |       ELSE COALESCE(a.kept_tokens, 0) END AS kept_tokens,
+         |  CASE WHEN h.doc_id IS NULL THEN d.text
+         |       ELSE COALESCE(a.rebuilt, '') END AS clean_text
+         |FROM documents d
+         |LEFT JOIN __sph h USING (doc_id)
+         |LEFT JOIN __spagg a ON d.doc_id = a.doc_id""".stripMargin,
+
+    "q_dup_spans_incremental" ->
+      s"""WITH __di0 AS (SELECT doc_id, (doc_id % 10 = 7) AS is_batch,
+         |                 string_split(text, ' ') AS w FROM documents),
+         |__dig AS (SELECT doc_id, is_batch, CAST(i AS BIGINT) AS pos,
+         |            array_to_string(w[i:i+${DupSpanGram - 1}], ' ') AS gram
+         |          FROM (SELECT doc_id, is_batch, w,
+         |                  unnest(generate_series(1,
+         |                    greatest(len(w) - ${DupSpanGram - 1}, 0))) AS i
+         |                FROM __di0)),
+         |__dih AS (SELECT doc_id, is_batch, pos,
+         |            ${SqlHash.toSigned(SqlHash.fnv1a64("gram", "__dia", "__dib"))} AS h
+         |          FROM __dig),
+         |__didf AS (SELECT h,
+         |             count(DISTINCT CASE WHEN NOT is_batch THEN doc_id END) AS cdf,
+         |             count(DISTINCT CASE WHEN is_batch THEN doc_id END) AS bdf
+         |           FROM __dih GROUP BY 1)
+         |SELECT g.doc_id, g.pos, 'batch' AS src
+         |FROM __dih g JOIN __didf f USING (h)
+         |WHERE g.is_batch AND f.cdf + f.bdf >= 2
+         |UNION ALL
+         |SELECT g.doc_id, g.pos, 'retro' AS src
+         |FROM __dih g JOIN __didf f USING (h)
+         |WHERE NOT g.is_batch AND f.cdf = 1 AND f.bdf >= 1""".stripMargin,
 
     "q_sim_bruteforce_topk" ->
       s"""WITH e AS (SELECT vec_id, CAST(embedding AS DOUBLE[]) AS v FROM embeddings),
