@@ -556,6 +556,87 @@ object ScaleProbe {
       println(s"PROBE zorder_skip_ybox curve=$zh/$zn linear=$lh/$ln")
     }
 
+    // ---- round-10: substring-level span dedup (DupSpans) at corpus
+    //      scale. Synthetic corpus: n/100 docs × 120 tokens (113 grams
+    //      per doc at n=8), 5M-token vocabulary so baseline grams are
+    //      unique; PLANTED duplication at the two frequencies that
+    //      matter — a global 20-token boilerplate block in every 4th
+    //      doc (the high-df regime the strip pass exists for) and a
+    //      pair-shared 20-token tail in EVERY doc (df=2, the long-tail
+    //      regime that dominates the df>=2 key set). Expected span
+    //      count is exact (one tail span per doc + one block span per
+    //      4th doc), so the probe pins correctness at scale, not just
+    //      cost. min-of-2. Run: GRAFT_PROBE_ONLY=span.
+    if (only.forall("span_dedup".contains)) {
+      graft.functions.GraftFunctions.register(spark)
+      val docsN = math.max(n / 100, 1000L) / 2 * 2 // pair tails need even
+      // The corpus is MATERIALIZED to parquet and read back — not left as
+      // an expression frame. With an in-memory constructed `text`,
+      // CollapseProject inlines the whole document constructor into the
+      // per-gram shingle lambda and the probe times 113 re-constructions
+      // per document (measured 162 s at 11.3M grams — a probe artifact,
+      // not an operator cost; parquet-backed `text` is a scan attribute,
+      // the operator's real posture, and what a 100 TB corpus is).
+      val docsDir = java.nio.file.Files
+        .createTempDirectory("graft_sprobe_span").toString
+      spark.range(docsN).select(
+        col("id").as("doc_id"),
+        array_join(expr(
+          """transform(sequence(1, 120), i ->
+            |  CASE WHEN id % 4 = 0 AND i BETWEEN 41 AND 60 THEN concat('b', i)
+            |       WHEN i > 100 THEN concat('p', id div 2, '_', i)
+            |       ELSE concat('w', pmod(xxhash64(id, i), 5000000)) END)"""
+            .stripMargin),
+          " ").as("text"))
+        .write.mode("overwrite").parquet(docsDir)
+      val spanDocs = spark.read.parquet(docsDir)
+      val grams = docsN * 113
+      val expectSpans = docsN + (docsN + 3) / 4
+      // warm-up on a small slice: the gram pipeline leans on interpreted
+      // higher-order functions (transform/slice), which JIT slowly — under
+      // GRAFT_PROBE_ONLY=span this block starts on a cold JVM and the
+      // first timed run would bill ~5x of warm-up to the operator
+      // (measured 54.7 s cold vs 10.7 s warm at 11.3M grams)
+      dedup.DupSpans.dupSpans(spanDocs.limit(4000), 8).count()
+      val findRuns = (1 to 2).map { _ =>
+        val t0 = System.nanoTime()
+        val nSpans = dedup.DupSpans.dupSpans(spanDocs, 8).count()
+        val sec = (System.nanoTime() - t0) / 1e9
+        require(nSpans == expectSpans,
+          s"span_find wrong span count: $nSpans != $expectSpans")
+        sec
+      }
+      println(f"PROBE span_find docs=$docsN grams=$grams " +
+        f"spans=$expectSpans min_sec=${findRuns.min}%.2f")
+      // the collision-recheck path: same answer (hash df>=2 has no false
+      // negatives), measures what the sliver's text shuffle costs
+      time("span_find_verified")(dedup.DupSpans.dupSpans(spanDocs, 8,
+        verifyExact = true))
+      time("span_strip")(dedup.DupSpans.stripDupSpans(spanDocs, 8))
+      // incremental ingest: standing gram index over 90% of the corpus,
+      // PERSISTED the way a real pipeline stores it (parquet), then the
+      // 10% batch folds against the stored index — the steady-state
+      // cost a continuous pipeline pays per batch (only the batch
+      // tokenizes; the index join is 8-byte keys)
+      val idxDir = java.nio.file.Files
+        .createTempDirectory("graft_sprobe_gidx").toString
+      val corpus90 = spanDocs.filter(pmod(col("doc_id"), lit(10)) =!= 7)
+      val batch10 = spanDocs.filter(pmod(col("doc_id"), lit(10)) === 7)
+      val tIdx0 = System.nanoTime()
+      dedup.DupSpans.gramIndex(corpus90, 8)
+        .write.mode("overwrite").parquet(idxDir)
+      val tIdx = (System.nanoTime() - tIdx0) / 1e9
+      val storedIdx = spark.read.parquet(idxDir)
+      val incRuns = (1 to 2).map { _ =>
+        val t0 = System.nanoTime()
+        dedup.DupSpans.dupPositionsIncremental(storedIdx, batch10, 8)
+          .write.format("noop").mode("overwrite").save()
+        (System.nanoTime() - t0) / 1e9
+      }
+      println(f"PROBE span_incremental docs=$docsN " +
+        f"index_build_sec=$tIdx%.2f batch_fold_sec=${incRuns.min}%.2f")
+    }
+
     spark.stop()
   }
 }

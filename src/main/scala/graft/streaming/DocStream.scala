@@ -83,6 +83,70 @@ object DocStream {
     Iterator.single(KmvSketchRow(source, n, arr))
   }
 
+  case class GramOcc(gh: Long, doc_id: Long, pos: Long)
+  case class DupPos(doc_id: Long, pos: Long, src: String)
+
+  /** Streaming substring-level span dedup — the continuous-ingest twin
+    * of [[graft.dedup.DupSpans.dupPositionsIncremental]], with the
+    * GroupState playing the role of the standing
+    * [[graft.dedup.DupSpans.gramIndex]]: per gram fingerprint, a
+    * doc-frequency counter plus the single holder's exemplar positions
+    * (kept ONLY while df == 1 — a gram that reaches df >= 2 drops its
+    * list after emitting it, so boilerplate grams cost one counter, not
+    * df positions). State is corpus-VOCABULARY-sized by construction,
+    * exactly like the batch index table it mirrors; there is no TTL
+    * because the standing index has none — duplication against a
+    * document ingested months ago is still duplication.
+    *
+    * Emission contract (matches the batch fold, DupSpansSpec-pinned):
+    * each `(doc_id, pos)` is emitted AT MOST ONCE, in the micro-batch
+    * where its gram's cumulative doc-frequency first reaches 2 (`src =
+    * 'batch'` for positions in the arriving documents, `'retro'` for
+    * the stored exemplars of the previously-sole holder) or, for grams
+    * already duplicated, in the batch the position arrives. The union
+    * of all emissions equals the batch
+    * [[graft.dedup.DupSpans.duplicatedPositions]] over everything
+    * ingested. Span assembly (interval-island merge) runs at read time
+    * over the accumulated position log, per touched document.
+    *
+    * Each document must arrive exactly once (one micro-batch) — the
+    * same disjointness contract as the batch incremental fold.
+    * Requires [[graft.functions.GraftFunctions.register]] (the gram
+    * fingerprint is `graft_fnv64`). */
+  def dupPositions(spark: SparkSession, docs: DataFrame,
+      n: Int = 8): Dataset[DupPos] = {
+    import spark.implicits._
+    graft.functions.GraftFunctions.register(spark)
+    graft.dedup.DupSpans.positionalGrams(docs, n)
+      .select(col("gh"), col("doc_id"), col("pos")).as[GramOcc]
+      .groupByKey(_.gh)
+      .flatMapGroupsWithState(OutputMode.Append,
+        GroupStateTimeout.NoTimeout)(gramProcess)
+  }
+
+  private[graft] def gramProcess(gh: Long, rows: Iterator[GramOcc],
+      state: GroupState[(Long, Vector[(Long, Long)])]): Iterator[DupPos] = {
+    val batch = rows.toVector
+    // distinct DOCS, not positions: within-doc repetition of a gram is
+    // not duplication (batch semantics), but every position of a gram
+    // that IS duplicated must be emitted (spans must cover it)
+    val bdf = batch.iterator.map(_.doc_id).toSet.size.toLong
+    val (df0, exemplars) =
+      state.getOption.getOrElse((0L, Vector.empty[(Long, Long)]))
+    if (df0 + bdf >= 2) {
+      val out = Vector.newBuilder[DupPos]
+      batch.foreach(o => out += DupPos(o.doc_id, o.pos, "batch"))
+      if (df0 == 1)
+        exemplars.foreach { case (d, p) => out += DupPos(d, p, "retro") }
+      state.update((df0 + bdf, Vector.empty))
+      out.result().iterator
+    } else { // df0 + bdf == 1: this batch's sole holder becomes the exemplar
+      if (bdf == 1)
+        state.update((1L, batch.map(o => (o.doc_id, o.pos))))
+      Iterator.empty
+    }
+  }
+
   case class BandRow(doc_id: Long, ingest_ts: java.sql.Timestamp,
       band: Int, bucket: Long)
 

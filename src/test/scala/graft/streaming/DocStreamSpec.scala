@@ -173,4 +173,37 @@ class DocStreamSpec extends SparkSpecBase {
       assert(liveSketch === sketch, s"$src sketch")
     }
   }
+
+  test("streaming span-dedup positions == batch duplicatedPositions, " +
+      "each emitted exactly once") {
+    implicit val ctx = spark.sqlContext
+    val n = 4 // small gram so the sf0.001 corpus has plenty of dup spans
+    val docs = Tables.documents(spark, sf0001)
+      .select("doc_id", "text").collect()
+      .map(r => (r.getLong(0), r.getString(1))).sortBy(_._1)
+    assert(docs.length > 100)
+
+    val want = graft.dedup.DupSpans.duplicatedPositions(
+        Tables.documents(spark, sf0001), n)
+      .as[(Long, Long)].collect().toSet
+    assert(want.nonEmpty)
+
+    val input = MemoryStream[(Long, Long, String)]
+    val out = run(
+      DocStream.dupPositions(spark, docsFrom(input), n).toDF(), "doc_spans")(
+      docs.grouped((docs.length + 2) / 3).toSeq.map(c => { () =>
+        input.addData(c.map { case (id, t) => (id, 1000L + id, t) }.toSeq)
+        ()
+      }): _*)
+
+    val got = out.select("doc_id", "pos").as[(Long, Long)].collect()
+    assert(got.toSet === want, "union of emissions == batch positions")
+    // at-most-once: no position is emitted in two micro-batches (or
+    // twice in one) — the retro/batch split is a partition, not overlap
+    assert(got.length === got.toSet.size, "no double emission")
+    // both sources fire on this corpus (retro = an early-batch exemplar
+    // flagged by a later batch): the incremental shape is exercised
+    val srcs = out.select("src").distinct().as[String].collect().toSet
+    assert(srcs === Set("batch", "retro"))
+  }
 }
