@@ -199,6 +199,18 @@ object SparkEntry {
     "q_exact_percentiles" -> ((s, dir) =>
       graft.ops.Features.exactPercentiles(completed(s, dir))),
 
+    // Approximate percentiles from ONE bottom-k priority-sample pass
+    // (graft_qsample, a native TypedImperativeAggregate: map-side
+    // partials, the shuffle moves <= 16k bytes per group-partition) —
+    // the single-pass bounded-state counterpart of q_exact_percentiles;
+    // sample membership = k smallest xxhash64(txn_id), replayed exactly
+    // by the oracle
+    "q_approx_percentiles" -> ((s, dir) =>
+      graft.ops.Sketches.approxPercentiles(
+        completed(s, dir)
+          .withColumn("kobo", round(col("amount") * 100).cast("long")),
+        "currency", expr("xxhash64(txn_id)"), col("kobo"), k = 64)),
+
     // Robust outliers: |x - median| > 3*MAD, both medians exact order
     // statistics (two selection passes, broadcast back) — heavy-tail-safe
     // where the z-score gate is whale-dragged; all-integer, no float
@@ -2288,6 +2300,37 @@ object SparkEntry {
         |        FROM n CROSS JOIN (VALUES (1, 2), (9, 10), (99, 100)) v(num, den))
         |SELECT g.currency, g.p, CAST(g.rank AS BIGINT) AS rank, r.kobo
         |FROM tgt g JOIN r ON g.currency = r.currency AND r.rk = g.rank""".stripMargin),
+
+    // bottom-64-by-xxhash64(txn_id) sample per currency, then the
+    // sample's own ceil-rank order statistics — the hash ranking, the
+    // min-on-collision dedup, and the rank arithmetic all replayed
+    "q_approx_percentiles" -> {
+      val (steps, hCol) = SqlHash.xxh64LongSteps("txn_id::HUGEINT", "42", "__qp")
+      val inner = SqlHash.applySteps(
+        "SELECT currency, txn_id, kobo FROM t", steps)
+      P +
+        s""", t AS (SELECT currency, txn_id, CAST(round(amount * 100) AS BIGINT) AS kobo
+           |        FROM completed),
+           |hh AS (SELECT currency, kobo, ${SqlHash.toSigned(hCol)} AS h FROM ($inner)),
+           |mm AS (SELECT currency, h, min(kobo) AS v FROM hh GROUP BY 1, 2),
+           |rr AS (SELECT currency, h, v,
+           |         row_number() OVER (PARTITION BY currency ORDER BY h) AS rk
+           |       FROM mm),
+           |ss AS (SELECT currency, v FROM rr WHERE rk <= 64),
+           |nn AS (SELECT currency, CAST(count(*) AS BIGINT) AS n_rows FROM t GROUP BY 1),
+           |ms AS (SELECT currency, CAST(count(*) AS BIGINT) AS m FROM ss GROUP BY 1),
+           |vr AS (SELECT currency, v,
+           |         row_number() OVER (PARTITION BY currency ORDER BY v) AS vrk
+           |       FROM ss)
+           |SELECT nn.currency, nn.n_rows, ms.m AS n_sample,
+           |  (SELECT v FROM vr WHERE vr.currency = nn.currency
+           |     AND vr.vrk = greatest(1, (1 * ms.m + 1) // 2)) AS p1_2,
+           |  (SELECT v FROM vr WHERE vr.currency = nn.currency
+           |     AND vr.vrk = greatest(1, (9 * ms.m + 9) // 10)) AS p9_10,
+           |  (SELECT v FROM vr WHERE vr.currency = nn.currency
+           |     AND vr.vrk = greatest(1, (99 * ms.m + 99) // 100)) AS p99_100
+           |FROM nn JOIN ms USING (currency)""".stripMargin
+    },
 
     "q_mad_outliers" -> (P +
       """, t AS (SELECT txn_id, currency, CAST(round(amount * 100) AS BIGINT) AS kobo

@@ -253,6 +253,12 @@ object GraftFunctions {
       exprs(1).eval().asInstanceOf[Number].intValue())
   }
 
+  private[functions] def buildQSample(exprs: Seq[Expression]): QSampleAgg = {
+    requireArity("graft_qsample", exprs, 3)
+    QSampleAgg(exprs.head, exprs(1),
+      exprs(2).eval().asInstanceOf[Number].intValue())
+  }
+
   def register(spark: SparkSession): Unit = {
     spark.sessionState.functionRegistry.createOrReplaceTempFunction(
       "graft_fnv64",
@@ -260,6 +266,8 @@ object GraftFunctions {
       "built-in")
     spark.sessionState.functionRegistry.createOrReplaceTempFunction(
       "graft_kmv", buildKmv, "built-in")
+    spark.sessionState.functionRegistry.createOrReplaceTempFunction(
+      "graft_qsample", buildQSample, "built-in")
     spark.sessionState.functionRegistry.createOrReplaceTempFunction(
       "graft_fence",
       exprs => { requireArity("graft_fence", exprs, 1); ParseFence(exprs.head) },
@@ -323,6 +331,11 @@ class GraftExtensions extends (org.apache.spark.sql.SparkSessionExtensions => Un
       new org.apache.spark.sql.catalyst.expressions.ExpressionInfo(
         classOf[KmvSketchAgg].getCanonicalName, "graft_kmv"),
       (exprs: Seq[Expression]) => GraftFunctions.buildKmv(exprs)))
+    e.injectFunction((
+      new org.apache.spark.sql.catalyst.FunctionIdentifier("graft_qsample"),
+      new org.apache.spark.sql.catalyst.expressions.ExpressionInfo(
+        classOf[QSampleAgg].getCanonicalName, "graft_qsample"),
+      (exprs: Seq[Expression]) => GraftFunctions.buildQSample(exprs)))
     // planner strategy: rank-filter windows -> bounded-heap per-group
     // top-k (graft.plans.BoundedTopKStrategy scaladoc has the contract)
     e.injectPlannerStrategy(_ => graft.plans.BoundedTopKStrategy)

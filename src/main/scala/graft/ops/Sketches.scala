@@ -125,4 +125,50 @@ object Sketches {
         when(col("theta").isNull, col("rho"))
           .otherwise(expr("est_union * jaccard_micro div 1000000")))
   }
+
+  // ---- Bottom-k priority sample & approximate percentiles -------------------
+
+  /** One uniform bottom-k priority sample per group
+    * ([[graft.functions.QSampleAgg]]): `(group, sample:
+    * array<struct<h,v>> ascending by h, n_rows)`. `hashCol` must be a
+    * 64-bit hash of the ROW IDENTITY (unique key), `valueCol` the bigint
+    * measure being sampled. Same shuffle shape as [[kmvPerGroup]]: one
+    * <= 16k-byte buffer per (group, map partition) crosses the exchange. */
+  def qsamplePerGroup(df: DataFrame, groupCol: String, hashCol: Column,
+      valueCol: Column, k: Int): DataFrame = {
+    graft.functions.GraftFunctions.register(df.sparkSession)
+    df.select(col(groupCol), hashCol.as("__h"), valueCol.as("__v"))
+      .groupBy(col(groupCol))
+      .agg(expr(s"graft_qsample(__h, __v, $k)").as("sample"),
+        count(lit(1)).as("n_rows"))
+  }
+
+  /** Approximate per-group percentiles from ONE bottom-k-sample pass —
+    * the single-pass bounded-state counterpart of
+    * [[graft.ops.Features.exactPercentiles]] (which is exact but needs
+    * iterative selection passes). For each `(num, den)` the estimate is
+    * the sample's own ceil-rank order statistic — the same rank
+    * definition as the exact operator, applied to the k-row sample, so
+    * rank error is the sample's ~O(1/sqrt(k)) and groups with
+    * `n_rows <= k` are EXACT (the sample is the whole group).
+    *
+    * Everything after the aggregate is integer arithmetic over a
+    * <= k-element array (`array_sort` + `element_at`): deterministic,
+    * engine-exact, and replayed verbatim by the DuckDB oracle.
+    */
+  def approxPercentiles(df: DataFrame, groupCol: String, hashCol: Column,
+      valueCol: Column, k: Int,
+      ps: Seq[(Int, Int)] = Seq((1, 2), (9, 10), (99, 100))): DataFrame = {
+    val sk = qsamplePerGroup(df, groupCol, hashCol, valueCol, k)
+      .withColumn("__sorted", array_sort(expr("transform(sample, x -> x.v)")))
+      .withColumn("n_sample", size(col("sample")).cast("long"))
+    val pCols = ps.map { case (nu, de) =>
+      // ceil-rank (nu*m + de - 1) div de, clamped to >= 1 for safety
+      element_at(col("__sorted"),
+        greatest(lit(1L), expr(s"($nu * n_sample + ${de - 1}) div $de"))
+          .cast("int"))
+        .as(s"p${nu}_${de}")
+    }
+    sk.select(col(groupCol) +: col("n_rows") +: col("n_sample") +: pCols: _*)
+  }
 }

@@ -83,6 +83,46 @@ object DocStream {
     Iterator.single(KmvSketchRow(source, n, arr))
   }
 
+  case class QSampleSourceRow(source: String, h: Long, v: Long)
+  case class QSampleRow(source: String, n_seen: Long,
+      hs: Array[Long], vs: Array[Long])
+
+  /** Continuously-maintained per-group bottom-k priority sample — the
+    * streaming twin of [[graft.ops.Sketches.qsamplePerGroup]], and with
+    * it live approximate percentiles over the full ingest history for
+    * <= k (hash, value) pairs of state per group (same fixed-size
+    * no-TTL posture as [[kmvSketches]]: a bottom-k sample never grows
+    * past k, so no watermark is needed). Bottom-k-with-payload merge is
+    * associative and commutative, so the last emission per group equals
+    * the batch aggregate over everything ingested — spec-pinned. */
+  def qsampleSketches(spark: SparkSession, rows: DataFrame,
+      k: Int): Dataset[QSampleRow] = {
+    import spark.implicits._
+    rows.select(col("source"), col("h").cast("long").as("h"),
+        col("v").cast("long").as("v"))
+      .as[QSampleSourceRow]
+      .groupByKey(_.source)
+      .flatMapGroupsWithState(OutputMode.Append,
+        GroupStateTimeout.NoTimeout)(qsampleProcess(k))
+  }
+
+  private[graft] def qsampleProcess(k: Int)(source: String,
+      rows: Iterator[QSampleSourceRow],
+      state: GroupState[(Array[Long], Array[Long], Long)]): Iterator[QSampleRow] = {
+    val buf = new graft.functions.QSampleBuffer(k)
+    val (hs0, vs0, n0) = state.getOption
+      .getOrElse((Array.empty[Long], Array.empty[Long], 0L))
+    var i = 0
+    while (i < hs0.length) { buf.add(hs0(i), vs0(i)); i += 1 }
+    var n = n0
+    rows.foreach { r => buf.add(r.h, r.v); n += 1 }
+    val pairs = buf.toPairs
+    val hs = pairs.map(_._1)
+    val vs = pairs.map(_._2)
+    state.update((hs, vs, n))
+    Iterator.single(QSampleRow(source, n, hs, vs))
+  }
+
   case class GramOcc(gh: Long, doc_id: Long, pos: Long)
   case class DupPos(doc_id: Long, pos: Long, src: String)
 

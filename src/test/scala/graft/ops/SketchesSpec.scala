@@ -107,6 +107,85 @@ class SketchesSpec extends SparkSpecBase {
     assert(r.getAs[Long]("jaccard_micro") === 1000000L * 10 / 45)
   }
 
+  // ---- bottom-k priority sample / approx percentiles ------------------------
+
+  /** Model: keep k smallest distinct hashes with min-value on collision,
+    * return (h, v) ascending by h. */
+  private def qsModel(pairs: Seq[(Long, Long)], k: Int): Seq[(Long, Long)] =
+    pairs.groupBy(_._1).map { case (h, ps) => (h, ps.map(_._2).min) }
+      .toSeq.sortBy(_._1).take(k)
+
+  test("QSample buffer == bottom-k-with-payload model, any merge split") {
+    val rnd = new scala.util.Random(20260815L)
+    for (trial <- 1 to 6) {
+      val n = 1 + rnd.nextInt(400)
+      val k = 1 + rnd.nextInt(64)
+      // narrow hash range to force collisions through the min-value rule
+      val pairs = Seq.fill(n)((rnd.nextInt(60).toLong - 30L, rnd.nextLong())) ++
+        Seq.fill(n)((rnd.nextLong(), rnd.nextLong()))
+      val whole = new graft.functions.QSampleBuffer(k)
+      pairs.foreach { case (h, v) => whole.add(h, v) }
+      assert(whole.toPairs.toSeq === qsModel(pairs, k), s"trial $trial whole")
+      val parts = pairs.grouped(math.max(1, pairs.size / 3)).toSeq
+      val merged = new graft.functions.QSampleBuffer(k)
+      parts.foreach { p =>
+        val b = new graft.functions.QSampleBuffer(k)
+        p.foreach { case (h, v) => b.add(h, v) }
+        merged.mergeFrom(b)
+      }
+      assert(merged.toPairs.toSeq === qsModel(pairs, k), s"trial $trial merged")
+    }
+  }
+
+  test("graft_qsample aggregate matches the model through shuffled partitions") {
+    val rnd = new scala.util.Random(11L)
+    val rows = (1 to 500).map(i =>
+      ("g" + (i % 3), rnd.nextLong() % 100, rnd.nextInt(1000).toLong))
+    val df = rows.toDF("g", "h", "v").repartition(7)
+    val got = Sketches.qsamplePerGroup(df, "g", col("h"), col("v"), k = 16)
+      .collect().map { r =>
+        r.getString(0) -> (
+          r.getSeq[org.apache.spark.sql.Row](1).map(p => (p.getLong(0), p.getLong(1))),
+          r.getLong(2))
+      }.toMap
+    rows.groupBy(_._1).foreach { case (g, grp) =>
+      val (sample, nRows) = got(g)
+      assert(nRows === grp.size)
+      assert(sample.toSeq === qsModel(grp.map(t => (t._2, t._3)), 16), s"group $g")
+    }
+  }
+
+  test("approx percentiles: exact when the sample holds the whole group") {
+    val rows = (1L to 40L).map(i => ("a", i, i * 100))
+    val df = rows.toDF("g", "id", "kobo")
+    val got = Sketches.approxPercentiles(df, "g",
+      xxhash64(col("id")), col("kobo"), k = 64).head()
+    // n=40 <= k: ceil-ranks 20 / 36 / 40 over the full sorted values
+    assert(got.getLong(1) === 40L && got.getLong(2) === 40L)
+    assert(got.getLong(3) === 2000L, "p50 must be the rank-20 value")
+    assert(got.getLong(4) === 3600L, "p90 must be the rank-36 value")
+    assert(got.getLong(5) === 4000L, "p99 must be the rank-40 value")
+  }
+
+  test("approx percentiles: sampled estimate near exact, layout-invariant") {
+    val n = 20000
+    val rows = (1L to n).map(i => ("all", i, i))  // value == rank: quantile error readable
+    val df = rows.toDF("g", "id", "v")
+    val k = 256
+    val got = Sketches.approxPercentiles(df, "g",
+      xxhash64(col("id")), col("v"), k = k).head()
+    assert(got.getLong(1) === n.toLong && got.getLong(2) === k.toLong)
+    // rank error ~ O(1/sqrt(k)); 4/sqrt(k) = 0.25 quantile — deterministic
+    // data (fixed ids -> fixed hash sample), so this cannot flake
+    val tol = (4.0 / math.sqrt(k.toDouble) * n).toLong
+    assert(math.abs(got.getLong(3) - n / 2) <= tol, s"p50 ${got.getLong(3)}")
+    assert(math.abs(got.getLong(4) - n * 9 / 10) <= tol, s"p90 ${got.getLong(4)}")
+    assert(math.abs(got.getLong(5) - n * 99 / 100) <= tol, s"p99 ${got.getLong(5)}")
+    val again = Sketches.approxPercentiles(df.repartition(13), "g",
+      xxhash64(col("id")), col("v"), k = k).head()
+    assert(again.toSeq === got.toSeq, "sample must not depend on layout")
+  }
+
   test("stratified sample: exactly n per stratum, layout-invariant") {
     val docs = graft.Tables.documents(spark, sf0001)
     val got = graft.text.TrainingPrep.stratifiedSample(docs, "lang", n = 5)

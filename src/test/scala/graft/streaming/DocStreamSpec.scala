@@ -174,6 +174,45 @@ class DocStreamSpec extends SparkSpecBase {
     }
   }
 
+  test("streaming bottom-k sample: last emission per group == batch qsamplePerGroup") {
+    implicit val ctx = spark.sqlContext
+    val rnd = new scala.util.Random(815L)
+    val rows = (1 to 300).map(i =>
+      ("src" + (i % 3), rnd.nextLong() % 100, rnd.nextInt(1000).toLong))
+    val batches = rows.grouped(100).toSeq
+
+    val input = MemoryStream[(String, Long, Long)]
+    val stream = DocStream.qsampleSketches(spark,
+      input.toDF().toDF("source", "h", "v"), k = 16)
+    val q = stream.writeStream.format("memory").queryName("qs_live")
+      .outputMode("append").start()
+    try batches.foreach { b => input.addData(b); q.processAllAvailable() }
+    finally q.stop()
+
+    val live = spark.table("qs_live").collect()
+      .map(r => (r.getString(0), r.getLong(1),
+        r.getSeq[Long](2).zip(r.getSeq[Long](3))))
+      .groupBy(_._1).map { case (s, es) =>
+        val m = es.maxBy(_._2); s -> (m._2, m._3)
+      }
+
+    val batch = graft.ops.Sketches.qsamplePerGroup(
+        rows.toDF("source", "h", "v"), "source", col("h"), col("v"), k = 16)
+      .collect()
+      .map { r =>
+        r.getString(0) -> (
+          r.getSeq[org.apache.spark.sql.Row](1).map(p => (p.getLong(0), p.getLong(1))),
+          r.getLong(2))
+      }.toMap
+
+    assert(live.keySet === batch.keySet)
+    batch.foreach { case (src, (sample, nRows)) =>
+      val (nSeen, liveSample) = live(src)
+      assert(nSeen === nRows, s"$src n_seen")
+      assert(liveSample.toSeq === sample.toSeq, s"$src sample")
+    }
+  }
+
   test("streaming span-dedup positions == batch duplicatedPositions, " +
       "each emitted exactly once") {
     implicit val ctx = spark.sqlContext
