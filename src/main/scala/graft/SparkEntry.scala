@@ -1195,6 +1195,24 @@ object SparkEntry {
     "q_bpe_pairs" -> ((s, dir) =>
       graft.text.TrainingPrep.bpePairCounts(Tables.documents(s, dir))),
 
+    // Distributed BPE tokenizer TRAINING — the full merge loop over the
+    // Zipf-collapsed distinct-word table (corpus scanned once; each
+    // round = one map-side-combined pair count + bounded argmax; only
+    // the winning pair reaches the driver). Oracle replays all 6
+    // training rounds as chained CTEs: pair count, deterministic
+    // argmax, left-fold greedy merge — round for round
+    "q_bpe_train" -> ((s, dir) =>
+      graft.text.BpeTrain.train(Tables.documents(s, dir), rounds = 6)),
+
+    // The artifact applied: per-distinct-word merge replay + count join
+    // back to the exploded corpus (the fold never runs per occurrence)
+    "q_bpe_tokenize" -> ((s, dir) => {
+      val docs = Tables.documents(s, dir)
+      val merges = graft.text.BpeTrain.train(docs, rounds = 6)
+        .collect().map(r => (r.getString(1), r.getString(2))).toSeq
+      graft.text.BpeTrain.tokenize(docs, merges)
+    }),
+
     // Quality scoring: add-one-smoothed bigram LM score per doc (integer
     // micro-nats; the sequence-aware sharpening of q_unigram_logprob)
     "q_bigram_logprob" -> ((s, dir) =>
@@ -1855,6 +1873,45 @@ object SparkEntry {
     * (the FNV-1a64 replay); the xxh64 chain and every division are the
     * same integer ops the Spark side runs. `p` prefixes the step
     * columns (unique per inlining site). */
+  /** DuckDB replay of [[graft.text.BpeTrain.train]]: `rounds` chained
+    * CTE blocks — per round a pair count (`p{r}`), the deterministic
+    * argmax (`b{r}`, count DESC / pair ASC), and the greedy left-fold
+    * merge application (`w{r+1}`, `list_reduce` — the exact fold
+    * `BpeTrain.applyMerge` runs as a Spark `aggregate` HOF). CTEs are
+    * MATERIALIZED so each round evaluates once. Returns the full WITH
+    * clause (starting at `w0`); the caller appends its final SELECT. */
+  private def sqlBpeCtes(rounds: Int): String = {
+    val w0 =
+      """w0 AS MATERIALIZED (
+        |  SELECT word, CAST(count(*) AS BIGINT) AS freq,
+        |         array_to_string(string_split(word, ''), ' ') || ' _' AS cur
+        |  FROM (SELECT unnest(string_split(text, ' ')) AS word FROM documents)
+        |  WHERE regexp_full_match(word, '[a-z]+')
+        |  GROUP BY 1)""".stripMargin
+    val perRound = (0 until rounds).map { r =>
+      s"""p$r AS MATERIALIZED (
+         |  SELECT pair, CAST(sum(freq) AS BIGINT) AS n
+         |  FROM (SELECT freq,
+         |          unnest(list_transform(range(1, len(string_split(cur, ' '))),
+         |            __i -> string_split(cur, ' ')[__i] || ' ' || string_split(cur, ' ')[__i + 1])) AS pair
+         |        FROM w$r)
+         |  GROUP BY 1),
+         |b$r AS MATERIALIZED (
+         |  SELECT pair, n, split_part(pair, ' ', 1) AS lhs, split_part(pair, ' ', 2) AS rhs,
+         |         replace(pair, ' ', '') AS mrg
+         |  FROM p$r ORDER BY n DESC, pair ASC LIMIT 1),
+         |w${r + 1} AS MATERIALIZED (
+         |  SELECT w.word, w.freq,
+         |    list_reduce(string_split(w.cur, ' '), (__acc, __x) ->
+         |      CASE WHEN __x = b.rhs AND (__acc = b.lhs OR ends_with(__acc, ' ' || b.lhs))
+         |           THEN CASE WHEN __acc = b.lhs THEN b.mrg
+         |                ELSE left(__acc, length(__acc) - length(b.lhs)) || b.mrg END
+         |           ELSE __acc || ' ' || __x END) AS cur
+         |  FROM w$r w CROSS JOIN b$r b)""".stripMargin
+    }
+    (w0 +: perRound).mkString("WITH ", ",\n", "")
+  }
+
   private def sqlKmvOverlap(inner0: String, k: Int, p: String): String = {
     val (steps, hCol) = SqlHash.xxh64LongSteps("__f", "42", p)
     val inner = SqlHash.applySteps(inner0, steps)
@@ -3423,6 +3480,22 @@ object SparkEntry {
         |SELECT pair, CAST(sum(freq) AS BIGINT) AS pair_count
         |FROM p GROUP BY 1
         |ORDER BY pair_count DESC, pair LIMIT 100""".stripMargin,
+
+    "q_bpe_train" -> (sqlBpeCtes(6) + "\n" +
+      (0 until 6).map(r =>
+        s"SELECT CAST(${r + 1} AS BIGINT) AS merge_rank, lhs, rhs, mrg AS merged, n AS pair_n FROM b$r")
+        .mkString("SELECT * FROM (", " UNION ALL ", ") ORDER BY merge_rank")),
+
+    "q_bpe_tokenize" -> (sqlBpeCtes(6) +
+      """,
+        |tw AS (SELECT word, CAST(len(string_split(cur, ' ')) AS BIGINT) AS n_toks FROM w6),
+        |dw AS (SELECT doc_id, word
+        |       FROM (SELECT doc_id, unnest(string_split(text, ' ')) AS word FROM documents)
+        |       WHERE regexp_full_match(word, '[a-z]+'))
+        |SELECT dw.doc_id, CAST(count(*) AS BIGINT) AS n_words,
+        |       CAST(sum(tw.n_toks) AS BIGINT) AS n_tokens
+        |FROM dw JOIN tw USING (word)
+        |GROUP BY 1""".stripMargin),
 
     "q_repetition_filter" ->
       s"""WITH d AS (SELECT doc_id, string_split(text, ' ') AS w FROM documents),
