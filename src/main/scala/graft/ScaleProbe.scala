@@ -637,6 +637,55 @@ object ScaleProbe {
         f"index_build_sec=$tIdx%.2f batch_fold_sec=${incRuns.min}%.2f")
     }
 
+    // r10: bottom-k sample percentiles vs exact selection at n rows /
+    // 20 groups. The sketch is ONE aggregation pass (bounded buffers,
+    // shuffle moves groups x k x partitions 16-byte entries); the exact
+    // path is iterative range-narrowing selection — multiple full scans.
+    // Run: GRAFT_PROBE_ONLY=qsample.
+    if (only.forall("qsample".contains)) {
+      graft.functions.GraftFunctions.register(spark)
+      val qIn = spark.range(n).select(
+        concat(lit("g"), pmod(xxhash64(col("id"), lit(5)), lit(20))).as("g"),
+        xxhash64(col("id")).as("h"),
+        pmod(xxhash64(col("id"), lit(6)), lit(100000000L)).as("v"))
+      time("qsample_pctl")(ops.Sketches.approxPercentiles(
+        qIn, "g", col("h"), col("v"), k = 256))
+      val exactRuns = (1 to 2).map { _ =>
+        val t0 = System.nanoTime()
+        val ns = qIn.groupBy("g").agg(count(lit(1)).as("c")).collect()
+          .map(r => r.getString(0) -> r.getLong(1))
+        val targets = ns.map { case (g, c) =>
+          g -> Seq((c + 1) / 2, (9 * c + 9) / 10, (99 * c + 99) / 100).distinct
+        }.toMap
+        val cuts = ops.OrderStatistics.kthSmallest(qIn, "g", "v", targets)
+        require(cuts.nonEmpty)
+        (System.nanoTime() - t0) / 1e9
+      }
+      println(f"PROBE qsample_exact_selection rows=$n min_sec=${exactRuns.min}%.2f")
+    }
+
+    // r10: BPE merge-loop cost on the post-collapse axis that scales —
+    // the distinct-word table (n/10 words x 6 rounds; the corpus->words
+    // collapse itself is the envelope_parse-class one-shuffle cost
+    // probed elsewhere). Each round = one pair-count aggregation over
+    // ~9 pairs/word + the bounded argmax + the fold projection +
+    // lineage truncation. Run: GRAFT_PROBE_ONLY=bpe.
+    if (only.forall("bpe_train".contains)) {
+      val wordsN = math.max(n / 10, 100000L)
+      val words = spark.range(wordsN).select(
+        expr("concat_ws('', transform(sequence(1, 8)," +
+          " i -> char(97 + pmod(xxhash64(id, i), 26))))").as("word"),
+        (pmod(xxhash64(col("id"), lit(9)), lit(1000)) + 1).as("freq"))
+      val bpeRuns = (1 to 2).map { _ =>
+        val t0 = System.nanoTime()
+        val merges = text.BpeTrain.trainFromWords(
+          text.BpeTrain.withSymbols(words), rounds = 6).collect()
+        require(merges.length == 6, s"bpe_train got ${merges.length} merges")
+        (System.nanoTime() - t0) / 1e9
+      }
+      println(f"PROBE bpe_train words=$wordsN rounds=6 min_sec=${bpeRuns.min}%.2f")
+    }
+
     spark.stop()
   }
 }

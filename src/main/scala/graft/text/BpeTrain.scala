@@ -39,11 +39,15 @@ object BpeTrain {
     * `_` end-of-word marker — "hello" -> "h e l l o _"). One corpus
     * shuffle; everything after runs on this frame. */
   def wordSymbols(documents: DataFrame): DataFrame =
-    documents
+    withSymbols(documents
       .select(explode(split(col("text"), " ")).as("word"))
       .filter(col("word").rlike("^[a-z]+$"))
-      .groupBy("word").agg(count(lit(1)).as("freq"))
-      .withColumn("cur", concat(array_join(split(col("word"), ""), " "), lit(" _")))
+      .groupBy("word").agg(count(lit(1)).as("freq")))
+
+  /** Attach the initial symbol string to a (word, freq) frame. */
+  def withSymbols(words: DataFrame): DataFrame =
+    words.withColumn("cur",
+      concat(array_join(split(col("word"), ""), " "), lit(" _")))
 
   /** Adjacent-pair frequencies of the current symbol strings, weighted
     * by word frequency: (pair "a b", n). Map-side combined; the pair
@@ -85,10 +89,17 @@ object BpeTrain {
     * (merge_rank, lhs, rhs, merged, pair_n), rank ascending — the
     * tokenizer artifact, model-sized (one row per round). Stops early
     * if no adjacent pair remains (fully merged vocabulary). */
-  def train(documents: DataFrame, rounds: Int = 6): DataFrame = {
-    val spark = documents.sparkSession
+  def train(documents: DataFrame, rounds: Int = 6): DataFrame =
+    trainFromWords(wordSymbols(documents), rounds)
+
+  /** The merge loop from an already-built symbol table
+    * ([[wordSymbols]] / [[withSymbols]] output) — the entry point when
+    * the (word, freq) collapse is maintained elsewhere (incremental
+    * corpora, scale probes). */
+  def trainFromWords(symbols: DataFrame, rounds: Int): DataFrame = {
+    val spark = symbols.sparkSession
     import spark.implicits._
-    var words = truncateLineage(wordSymbols(documents))
+    var words = truncateLineage(symbols)
     val merges = scala.collection.mutable.ArrayBuffer.empty[(Long, String, String, String, Long)]
     var r = 1
     var exhausted = false
