@@ -686,6 +686,20 @@ object ScaleProbe {
       println(f"PROBE bpe_train words=$wordsN rounds=6 min_sec=${bpeRuns.min}%.2f")
     }
 
+    // r10: Gram accumulation at n/5 vectors x 64 dims — the whole point
+    // is the partial-state shape: each partition collapses to ONE
+    // 2080-long buffer before the exchange (a posexplode->groupBy(i,j)
+    // formulation would shuffle n x 2080 rows). Run: GRAFT_PROBE_ONLY=gram.
+    if (only.forall("gram".contains)) {
+      val vecsN = math.max(n / 5, 100000L)
+      val gramUdaf = udaf(sim.Gram.GramAgg)
+      val vecs = spark.range(vecsN).select(expr(
+        "transform(sequence(0, 63, 1), i -> pmod(xxhash64(id, i), 1024))")
+        .as("g"))
+      time("gram_agg")(vecs.agg(gramUdaf(col("g")).as("gram"),
+        count(lit(1)).as("n_rows")))
+    }
+
     spark.stop()
   }
 }

@@ -1108,6 +1108,15 @@ object SparkEntry {
     "q_embed_quantize" -> ((s, dir) =>
       Similarity.quantizeInt8(Tables.embeddings(s, dir))),
 
+    // Second-moment (Gram) matrix of the embedding table — the
+    // whitening/PCA/OPQ training statistic, accumulated as ONE
+    // map-side-combined aggregate whose partial state is the d(d+1)/2
+    // upper triangle itself (shuffle moves partitions x d^2/2 longs,
+    // never a row); integer-grid quantized so sums are exact longs and
+    // the oracle replays them bit-for-bit
+    "q_embed_gram" -> ((s, dir) =>
+      graft.sim.Gram.gramUpperTriangle(Tables.embeddings(s, dir), dims = 64)),
+
     // Two-stage search on int8 codes: integer code-dot + scalar fixups
     // prune, exact cosine reranks (recall 1.0 vs brute force at 2x rerank)
     "q_sim_quantized_topk" -> ((s, dir) =>
@@ -3901,6 +3910,25 @@ object SparkEntry {
         |  list_max(list_transform(list_zip(v, q),
         |    p -> abs(p[1] - (vmin + (p[2] + 0.5) * scale)))) AS max_abs_err
         |FROM q""".stripMargin,
+
+    // global-grid quantize + exact integer outer-product sums: the
+    // min/max scalar, the floor-grid, and every gram_sum replayed
+    "q_embed_gram" ->
+      """WITH e AS (SELECT CAST(embedding AS DOUBLE[]) AS v FROM embeddings),
+        |s AS (SELECT CAST(min(list_min(v)) AS DOUBLE) AS mn,
+        |             CAST(max(list_max(v)) AS DOUBLE) AS mx FROM e),
+        |q AS MATERIALIZED (
+        |  SELECT list_transform(e.v, x ->
+        |           least(CAST(floor((x - s.mn) / ((s.mx - s.mn) / 1024.0)) AS BIGINT), 1023)) AS g
+        |  FROM e CROSS JOIN s),
+        |n AS (SELECT CAST(count(*) AS BIGINT) AS n_rows FROM e),
+        |ij AS (SELECT i.i, j.j FROM range(0, 64) i(i), range(0, 64) j(j)
+        |       WHERE j.j >= i.i)
+        |SELECT ij.i, ij.j,
+        |       CAST(sum(g[ij.i + 1] * g[ij.j + 1]) AS BIGINT) AS gram_sum,
+        |       n.n_rows
+        |FROM q CROSS JOIN ij CROSS JOIN n
+        |GROUP BY 1, 2, 4""".stripMargin,
 
     // byte-level over the BINARY fixture: DuckDB cannot slice BLOBs, but
     // hex() is byte-exact — one payload byte = two hex chars, so a
