@@ -179,6 +179,14 @@ object SparkEntry {
     "q_time_weighted_balance" -> ((s, dir) =>
       graft.ops.EventAnalytics.timeWeightedBalance(completed(s, dir))),
 
+    // Per-account OLS spend trend over the gap-filled dense series —
+    // sufficient-statistics slope in one map-side-combined pass, exact
+    // integer moments in DECIMAL(38,0), slope emitted as exact
+    // micro-kobo/day (sign-separated truncating division)
+    "q_spend_trend" -> ((s, dir) =>
+      graft.ops.EventAnalytics.spendTrend(
+        completed(s, dir).filter(Predicates.isDebit(col("txn_type"))))),
+
     // Anomaly capstone over the DENSE series: days >= 2 sigma from the
     // account's own mean, moments as whole-partition window aggs over the
     // gap-filled grid (sparse-log moments would omit the zero days)
@@ -2353,6 +2361,36 @@ object SparkEntry {
         |  CAST(coalesce(d.n_txns, 0) AS BIGINT) AS n_txns,
         |  d.n_txns IS NULL AS filled
         |FROM grid g LEFT JOIN daily d USING (account_id, day)""".stripMargin),
+
+    // OLS slope from exact integer moments over the same dense grid;
+    // HUGEINT internally, sign-separated truncating division at the end
+    "q_spend_trend" -> (P +
+      """, daily AS (
+        |  SELECT account_id, event_time_ms // 86400000 AS day,
+        |    sum(CAST(round(amount * 100) AS BIGINT)) AS spend_kobo
+        |  FROM completed
+        |  WHERE txn_type IN ('DEBIT','TRANSFER_OUT','FEE','LOAN_REPAYMENT')
+        |  GROUP BY 1, 2
+        |), spans AS (
+        |  SELECT account_id, min(day) AS d0, max(day) AS d1 FROM daily GROUP BY 1
+        |), grid AS (
+        |  SELECT account_id, unnest(generate_series(d0, d1)) AS day FROM spans
+        |), dense AS (
+        |  SELECT g.account_id, g.day, coalesce(d.spend_kobo, 0) AS y
+        |  FROM grid g LEFT JOIN daily d USING (account_id, day)
+        |), m AS (
+        |  SELECT account_id, CAST(count(*) AS BIGINT) AS n_days,
+        |    sum(CAST(day AS HUGEINT)) AS sx, sum(CAST(y AS HUGEINT)) AS sy,
+        |    sum(CAST(day AS HUGEINT) * y) AS sxy,
+        |    sum(CAST(day AS HUGEINT) * day) AS sxx
+        |  FROM dense GROUP BY 1
+        |)
+        |SELECT account_id, n_days,
+        |  CAST(CASE WHEN (n_days * sxy - sx * sy) < 0
+        |       THEN -((-(n_days * sxy - sx * sy)) * 1000000 // (n_days * sxx - sx * sx))
+        |       ELSE (n_days * sxy - sx * sy) * 1000000 // (n_days * sxx - sx * sx) END
+        |    AS BIGINT) AS slope_micro_kobo_per_day
+        |FROM m WHERE n_days >= 2""".stripMargin),
 
     "q_exact_percentiles" -> (P +
       """, t AS (SELECT currency, CAST(round(amount * 100) AS BIGINT) AS kobo

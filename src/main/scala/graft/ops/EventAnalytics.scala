@@ -213,6 +213,43 @@ object EventAnalytics {
         col("n_txns").isNull.as("filled"))
   }
 
+  /** Per-account spend TREND: the OLS slope of daily spend against the
+    * calendar day, fit over the GAP-FILLED dense series
+    * ([[gapFillDailySpend]] — zero days must pull the trend down, or a
+    * winding-down account whose rare remaining days are large would
+    * read as growth). The classic sufficient-statistics formulation:
+    * slope = (n·Σxy − Σx·Σy) / (n·Σx² − (Σx)²) — ONE
+    * map-side-combined aggregation over the grid; no per-account
+    * regression loop, no collect.
+    *
+    * Exactness: x = epoch day, y = kobo — all moments are exact
+    * integer sums in DECIMAL(38,0) (n·Σxy reaches ~10²⁰ at a
+    * 10-year span, past a long), and the slope is emitted as exact
+    * integer MICRO-kobo/day via the sign-separated truncating division
+    * discipline of [[timeWeightedBalance]] — no float anywhere, so
+    * engines cannot disagree. Accounts need ≥ 2 days (a one-day span
+    * has no slope). */
+  def spendTrend(completedDebits: DataFrame): DataFrame = {
+    val dec = "decimal(38,0)"
+    gapFillDailySpend(completedDebits)
+      .groupBy("account_id")
+      .agg(
+        count(lit(1)).as("n_days"),
+        sum(col("day").cast(dec)).as("__sx"),
+        sum(col("spend_kobo").cast(dec)).as("__sy"),
+        sum(col("day").cast(dec) * col("spend_kobo").cast(dec)).as("__sxy"),
+        sum(col("day").cast(dec) * col("day").cast(dec)).as("__sxx"))
+      .filter(col("n_days") >= 2)
+      .withColumn("__num",
+        col("n_days").cast(dec) * col("__sxy") - col("__sx") * col("__sy"))
+      .withColumn("__den",
+        col("n_days").cast(dec) * col("__sxx") - col("__sx") * col("__sx"))
+      .select(col("account_id"), col("n_days"),
+        (when(col("__num") < 0, lit(-1L)).otherwise(lit(1L)) *
+          expr("CAST((abs(__num) * 1000000) div __den AS BIGINT)"))
+          .as("slope_micro_kobo_per_day"))
+  }
+
   /** Platform-wide session concurrency, rolled up to a per-day maximum:
     * each session contributes a +1 boundary at its start and a −1 at its
     * end; the running sum of boundaries in (ts, delta) order IS the

@@ -610,4 +610,37 @@ class EventAnalyticsSpec extends SparkSpecBase {
       (7L, D + 3, 300L, 2L, false),
       (9L, D + 9, 500L, 1L, false))) // user 9 never densifies to user 7's span
   }
+
+  test("spend trend: exact OLS slope over the dense grid, zero days counted") {
+    val dayNs = 86400L * 1000000000L
+    val D = 19675L
+    val rows = Seq(
+      // user 7: days D..D+2 spend 0? no — (D,1.00) (D+1,2.00) (D+2,3.00):
+      // perfect line, slope exactly +100 kobo/day = 1e8 micro-kobo/day
+      (1L, D * dayNs, 7L, "purchase", 1.00),
+      (2L, (D + 1) * dayNs, 7L, "purchase", 2.00),
+      (3L, (D + 2) * dayNs, 7L, "purchase", 3.00),
+      // user 9: (D,3.00), gap at D+1 (counts as 0!), (D+2,0.30):
+      // dense slope = (n*sxy - sx*sy)/(n*sxx - sx^2) with y = [300,0,30]
+      // relative x [0,1,2]: num = 3*(0+0+60)-3*330 = -810, den = 3*5-9 = 6
+      // -> -135 kobo/day; the SPARSE fit (two points) would give -135 too?
+      // no: sparse y=[300,30] over x=[0,2] -> -135 ... pick y making them
+      // differ: (D,3.00), (D+2, 2.97): dense y=[300,0,297]: slope -3/2
+      // kobo/day = -1500000 micro truncated toward zero
+      (4L, D * dayNs, 9L, "purchase", 3.00),
+      (5L, (D + 2) * dayNs, 9L, "purchase", 2.97))
+    val debits = txns(rows).filter(
+      Predicates.isCompleted(col("status")) && Predicates.isDebit(col("txn_type")))
+    val byAcct = EventAnalytics.spendTrend(debits)
+      .as[(Long, Long, Long)].collect().map(r => r._1 -> (r._2, r._3)).toMap
+    assert(byAcct(7L) === (3L, 100000000L))
+    // dense y = [300, 0, 297] on x = [d, d+1, d+2]: slope = -3/2 kobo/day
+    // = -1,500,000 micro-kobo/day exactly (shift-invariant; engines agree
+    // by exact integer arithmetic, truncation toward zero)
+    assert(byAcct(9L) === (3L, -1500000L))
+    // a sparse two-point fit would have said (297-300)/2 = -1.5 too; the
+    // zero-day's pull shows in the n_days=3 moments (den 6 not 4) — and a
+    // single-day account must be absent entirely
+    assert(!byAcct.contains(8L))
+  }
 }
