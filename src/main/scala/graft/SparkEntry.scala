@@ -1125,6 +1125,14 @@ object SparkEntry {
     "q_embed_gram" -> ((s, dir) =>
       graft.sim.Gram.gramUpperTriangle(Tables.embeddings(s, dir), dims = 64)),
 
+    // Johnson-Lindenstrauss projection 64->16 with a DERIVED +-1 matrix
+    // (R(j,i) = parity of xxhash64(j*64+i) — no stored state, any
+    // engine re-derives it): per-row integer fold, zero shuffles; the
+    // oracle replays the hash matrix and every projected coordinate
+    "q_embed_project" -> ((s, dir) =>
+      graft.sim.Projection.jlProject(Tables.embeddings(s, dir),
+        dIn = 64, dOut = 16)),
+
     // Two-stage search on int8 codes: integer code-dot + scalar fixups
     // prune, exact cosine reranks (recall 1.0 vs brute force at 2x rerank)
     "q_sim_quantized_topk" -> ((s, dir) =>
@@ -3967,6 +3975,29 @@ object SparkEntry {
         |       n.n_rows
         |FROM q CROSS JOIN ij CROSS JOIN n
         |GROUP BY 1, 2, 4""".stripMargin,
+
+    // the hash-derived sign matrix replayed entry-for-entry, then the
+    // exact integer projection sums
+    "q_embed_project" -> {
+      val (steps, hCol) = SqlHash.xxh64LongSteps("idx", "42", "__jp")
+      val inner = SqlHash.applySteps(
+        "SELECT rj.j, ri.i, CAST(rj.j * 64 + ri.i AS HUGEINT) AS idx" +
+          " FROM range(0, 16) rj(j), range(0, 64) ri(i)", steps)
+      s"""WITH e AS (SELECT vec_id, CAST(embedding AS DOUBLE[]) AS v FROM embeddings),
+         |s AS (SELECT CAST(min(list_min(v)) AS DOUBLE) AS mn,
+         |             CAST(max(list_max(v)) AS DOUBLE) AS mx FROM e),
+         |q AS MATERIALIZED (
+         |  SELECT vec_id, list_transform(e.v, x ->
+         |           least(CAST(floor((x - s.mn) / ((s.mx - s.mn) / 1024.0)) AS BIGINT), 1023)) AS g
+         |  FROM e CROSS JOIN s),
+         |r AS MATERIALIZED (
+         |  SELECT j, i, 1 - 2 * (((${SqlHash.toSigned(hCol)} % 2) + 2) % 2) AS sgn
+         |  FROM ($inner)),
+         |u AS (SELECT vec_id, unnest(g) AS gv, generate_subscripts(g, 1) - 1 AS i FROM q)
+         |SELECT u.vec_id, r.j, CAST(sum(r.sgn * u.gv) AS BIGINT) AS v
+         |FROM u JOIN r USING (i)
+         |GROUP BY 1, 2""".stripMargin
+    },
 
     // byte-level over the BINARY fixture: DuckDB cannot slice BLOBs, but
     // hex() is byte-exact — one payload byte = two hex chars, so a

@@ -123,6 +123,38 @@ object DocStream {
     Iterator.single(QSampleRow(source, n, hs, vs))
   }
 
+  case class GramVecRow(source: String, g: Array[Long])
+  case class GramStateRow(source: String, n_seen: Long, gram: Array[Long])
+
+  /** Continuously-maintained per-group integer Gram accumulator — the
+    * streaming twin of [[graft.sim.Gram.gramUpperTriangle]]'s
+    * aggregation (whitening/PCA statistics that stay current as
+    * embeddings stream in). GroupState is the d(d+1)/2 triangle itself:
+    * FIXED size for the stream's lifetime (integer adds are associative
+    * and commutative, so no TTL and no reordering hazard); the last
+    * emission per group equals the batch aggregate over everything
+    * ingested — the [[kmvSketches]] contract, spec-pinned. */
+  def gramSketches(spark: SparkSession, vecs: DataFrame): Dataset[GramStateRow] = {
+    import spark.implicits._
+    vecs.select(col("source"), col("g"))
+      .as[GramVecRow]
+      .groupByKey(_.source)
+      .flatMapGroupsWithState(OutputMode.Append,
+        GroupStateTimeout.NoTimeout)(gramProcess)
+  }
+
+  private[graft] def gramProcess(source: String,
+      rows: Iterator[GramVecRow],
+      state: GroupState[(Array[Long], Long)]): Iterator[GramStateRow] = {
+    var (acc, n) = state.getOption.getOrElse((Array.emptyLongArray, 0L))
+    rows.foreach { r =>
+      acc = graft.sim.Gram.GramAgg.reduce(acc, r.g)
+      n += 1
+    }
+    state.update((acc, n))
+    Iterator.single(GramStateRow(source, n, acc))
+  }
+
   case class GramOcc(gh: Long, doc_id: Long, pos: Long)
   case class DupPos(doc_id: Long, pos: Long, src: String)
 

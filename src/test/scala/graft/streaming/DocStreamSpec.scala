@@ -213,6 +213,37 @@ class DocStreamSpec extends SparkSpecBase {
     }
   }
 
+  test("streaming Gram accumulator: last emission per group == batch GramAgg") {
+    implicit val ctx = spark.sqlContext
+    val rnd = new scala.util.Random(2080L)
+    val d = 6
+    val rows = (1 to 90).map(i =>
+      ("s" + (i % 2), Seq.fill(d)(rnd.nextInt(100).toLong)))
+    val batches = rows.grouped(30).toSeq
+
+    val input = MemoryStream[(String, Seq[Long])]
+    val stream = DocStream.gramSketches(spark,
+      input.toDF().toDF("source", "g"))
+    val q = stream.writeStream.format("memory").queryName("gram_live")
+      .outputMode("append").start()
+    try batches.foreach { b => input.addData(b); q.processAllAvailable() }
+    finally q.stop()
+
+    val live = spark.table("gram_live").collect()
+      .map(r => (r.getString(0), r.getLong(1), r.getSeq[Long](2)))
+      .groupBy(_._1).map { case (s, es) =>
+        val m = es.maxBy(_._2); s -> (m._2, m._3)
+      }
+
+    rows.groupBy(_._1).foreach { case (src, grp) =>
+      val want = grp.map(_._2.toArray)
+        .foldLeft(Array.emptyLongArray)(graft.sim.Gram.GramAgg.reduce)
+      val (nSeen, gram) = live(src)
+      assert(nSeen === grp.size.toLong, s"$src n_seen")
+      assert(gram.toSeq === want.toSeq, s"$src gram")
+    }
+  }
+
   test("streaming span-dedup positions == batch duplicatedPositions, " +
       "each emitted exactly once") {
     implicit val ctx = spark.sqlContext
