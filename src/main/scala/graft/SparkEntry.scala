@@ -1251,6 +1251,21 @@ object SparkEntry {
       graft.text.TrainingPrep.bigramLogProbCapped(Tables.documents(s, dir),
         BigramMinCount)),
 
+    // Multinomial Naive Bayes (the fastText-shaped trained filter):
+    // fitted model = one train-slice count pass, model-sized grid
+    "q_nb_model" -> ((s, dir) =>
+      graft.text.NaiveBayes.model(Tables.documents(s, dir))),
+
+    // NB applied to the UNtrained doc_id%5==0 slice — exercises the
+    // out-of-vocabulary smoothing path under the oracle; argmax is a
+    // rank-1 window planned as bounded top-k
+    "q_nb_predict" -> ((s, dir) =>
+      graft.text.NaiveBayes.predict(Tables.documents(s, dir))),
+
+    // Held-out confusion matrix — the accuracy evidence for gating
+    "q_nb_eval" -> ((s, dir) =>
+      graft.text.NaiveBayes.confusion(Tables.documents(s, dir))),
+
     // Token-budget curation: each language's budget filled with its
     // highest-quality docs (greedy prefix, strict budget, total order)
     "q_token_budget" -> ((s, dir) =>
@@ -1618,6 +1633,43 @@ object SparkEntry {
     val set = TextAnalysis.stopwords(l).map(w => s"'$w'").mkString("[", ", ", "]")
     s"len(list_filter(w, x -> list_contains($set, x))) * 1.0 / len(w) AS raw_$l"
   }.mkString(",\n  ")
+
+  /** Shared CTE prefix for the Naive Bayes oracles: train slice → per-class
+    * term counts → full smoothed log-likelihood grid, mirroring
+    * [[graft.text.NaiveBayes.model]] micro-nat for micro-nat. */
+  private lazy val nbCtes: String =
+    """WITH train AS (SELECT * FROM documents WHERE doc_id % 5 <> 0),
+      |t AS (SELECT lang AS label, unnest(string_split(text, ' ')) AS term FROM train),
+      |tc AS (SELECT label, term, CAST(count(*) AS BIGINT) AS term_n FROM t GROUP BY 1, 2),
+      |ct AS (SELECT label, CAST(sum(term_n) AS BIGINT) AS class_tokens FROM tc GROUP BY 1),
+      |vocab AS (SELECT DISTINCT term FROM tc),
+      |v AS (SELECT CAST(count(*) AS BIGINT) AS vn FROM vocab),
+      |grid AS (SELECT ct.label, vocab.term,
+      |    CAST(coalesce(tc.term_n, 0) AS BIGINT) AS term_n,
+      |    CAST(floor(ln((coalesce(tc.term_n, 0) + 1) / CAST(ct.class_tokens + v.vn AS DOUBLE)) * 1e6) AS BIGINT) AS lp_micro
+      |  FROM ct CROSS JOIN vocab CROSS JOIN v
+      |  LEFT JOIN tc ON tc.label = ct.label AND tc.term = vocab.term)""".stripMargin
+
+  /** Extends [[nbCtes]] with per-class priors/OOV mass and held-out
+    * per-(doc, class) scores — shared by the predict and eval oracles. */
+  private lazy val nbScoreCtes: String = nbCtes +
+    """,
+      |priors AS (SELECT lang AS label, CAST(count(*) AS BIGINT) AS n_docs FROM train GROUP BY 1),
+      |tot AS (SELECT CAST(count(*) AS BIGINT) AS n_total FROM train),
+      |cls AS (SELECT priors.label,
+      |    CAST(floor(ln(priors.n_docs / CAST(tot.n_total AS DOUBLE)) * 1e6) AS BIGINT) AS prior_micro,
+      |    CAST(floor(ln(1 / CAST(ct.class_tokens + v.vn AS DOUBLE)) * 1e6) AS BIGINT) AS unseen_micro
+      |  FROM priors JOIN ct USING (label) CROSS JOIN tot CROSS JOIN v),
+      |ap AS (SELECT doc_id, unnest(string_split(text, ' ')) AS term FROM documents WHERE doc_id % 5 = 0),
+      |sc AS (SELECT ap.doc_id, cls.label,
+      |    cls.prior_micro + CAST(sum(coalesce(g.lp_micro, cls.unseen_micro)) AS BIGINT) AS score_micro,
+      |    CAST(count(*) AS BIGINT) AS n_tokens
+      |  FROM ap CROSS JOIN cls
+      |  LEFT JOIN grid g ON g.label = cls.label AND g.term = ap.term
+      |  GROUP BY ap.doc_id, cls.label, cls.prior_micro),
+      |pred AS (SELECT doc_id, label AS pred_label, score_micro, n_tokens
+      |  FROM (SELECT sc.*, row_number() OVER (PARTITION BY doc_id ORDER BY score_micro DESC, label ASC) AS rn FROM sc)
+      |  WHERE rn = 1)""".stripMargin
 
   private lazy val sqlLangPred: String = {
     val arms = TextAnalysis.langOrder.map { l =>
@@ -3666,6 +3718,19 @@ object SparkEntry {
          |  CAST(coalesce(pd.n_bigrams, 0) AS BIGINT) AS n_bigrams,
          |  CAST(coalesce(pd.logprob_micro, 0) AS BIGINT) AS logprob_micro
          |FROM (SELECT DISTINCT doc_id FROM d) d LEFT JOIN pd USING (doc_id)""".stripMargin,
+
+    "q_nb_model" ->
+      s"""$nbCtes
+         |SELECT label, term, term_n, lp_micro FROM grid""".stripMargin,
+
+    "q_nb_predict" ->
+      s"""$nbScoreCtes
+         |SELECT doc_id, pred_label, score_micro, n_tokens FROM pred""".stripMargin,
+
+    "q_nb_eval" ->
+      s"""$nbScoreCtes
+         |SELECT d.lang AS true_label, p.pred_label, CAST(count(*) AS BIGINT) AS n
+         |FROM pred p JOIN documents d USING (doc_id) GROUP BY 1, 2""".stripMargin,
 
     "q_doc_chunks" ->
       """WITH c AS (
