@@ -3,7 +3,7 @@ package graft
 import org.apache.spark.sql.{DataFrame, SparkSession}
 import org.apache.spark.sql.functions._
 
-import graft.cdc.{DimensionCdc, EnvelopeOps}
+import graft.cdc.{DimensionCdc, EnvelopeOps, SnapshotDiff}
 import graft.dedup.{Dedup, DupSpans, MinHashLSH}
 import graft.functions.GraftFunctions
 import graft.multimodal.Multimodal
@@ -368,6 +368,30 @@ object SparkEntry {
         .select(col("account_id"), col("balance"), col("account_status"),
           col("valid_from_ms").as("valid_from_us"),
           col("valid_to_ms").as("valid_to_us"), col("is_current"))
+    }),
+
+    // One-pass snapshot diff of the per-account KTable (the
+    // q_latest_with_tombstones state) between the stream's temporal
+    // midpoint and its head: which accounts were added / tombstoned /
+    // changed in the second half. Both horizons' latest states are
+    // recovered from ONE keyed conditional-struct-max aggregation —
+    // neither snapshot materializes, only (key, ts, op, digest) shuffles.
+    // (The synthesized ACCOUNTS changelog is key-banded in time — every
+    // horizon splits it by key — so the txn stream, whose per-account
+    // events genuinely interleave, is the changelog worth diffing.)
+    "q_snapshot_diff" -> ((s, dir) => {
+      val cl = parsed(s, dir).filter(col("account_id") =!= 0)
+      val hz = cl.agg(
+        expr("(min(event_time_us) + max(event_time_us)) div 2").as("__t1"),
+        max("event_time_us").as("__t2"))
+      val digest = SnapshotDiff.valueDigest(Seq(col("txn_id"),
+        expr("CAST(round(amount * 100) AS BIGINT)"),
+        col("txn_type"), col("status")))
+      SnapshotDiff.changelogDiff(cl.crossJoin(broadcast(hz)),
+          Seq("account_id"), "event_time_us", "op", digest,
+          col("__t1"), col("__t2"))
+        .select(col("account_id"), col("change"),
+          col("old_seq").as("old_ts_us"), col("new_seq").as("new_ts_us"))
     }),
 
     // J1 against the CDC-built dimension: high-value transactions left-join
@@ -2681,6 +2705,34 @@ object SparkEntry {
           |SELECT account_id, balance, account_status, valid_from_us, valid_to_us,
           |  valid_to_us IS NULL AS is_current
           |FROM scd""".stripMargin),
+
+    // the diff compares VALUES where Spark compares value digests —
+    // equivalent (collision-free sha2 over the same normalized fields);
+    // horizons are integer-exact ((min + max) // 2)
+    "q_snapshot_diff" -> (P +
+      """, cl AS (SELECT * FROM txns WHERE account_id <> 0),
+        |hz AS (SELECT (min(event_time_us) + max(event_time_us)) // 2 AS t1,
+        |              max(event_time_us) AS t2 FROM cl),
+        |o AS (SELECT * FROM (
+        |    SELECT v.*, row_number() OVER (PARTITION BY account_id ORDER BY event_time_us DESC) AS rn
+        |    FROM cl v CROSS JOIN hz WHERE event_time_us <= t1)
+        |  WHERE rn = 1 AND op <> 'd'),
+        |n AS (SELECT * FROM (
+        |    SELECT v.*, row_number() OVER (PARTITION BY account_id ORDER BY event_time_us DESC) AS rn
+        |    FROM cl v CROSS JOIN hz WHERE event_time_us <= t2)
+        |  WHERE rn = 1 AND op <> 'd'),
+        |d AS (SELECT coalesce(o.account_id, n.account_id) AS account_id,
+        |    CASE WHEN o.account_id IS NULL THEN 'added'
+        |         WHEN n.account_id IS NULL THEN 'deleted'
+        |         WHEN o.txn_id <> n.txn_id
+        |           OR CAST(round(o.amount * 100) AS BIGINT) <> CAST(round(n.amount * 100) AS BIGINT)
+        |           OR o.txn_type <> n.txn_type
+        |           OR o.status <> n.status THEN 'changed'
+        |    END AS change,
+        |    o.event_time_us AS old_ts_us, n.event_time_us AS new_ts_us
+        |  FROM o FULL JOIN n ON o.account_id = n.account_id)
+        |SELECT account_id, change, old_ts_us, new_ts_us
+        |FROM d WHERE change IS NOT NULL""".stripMargin),
 
     "q_enrich_cdc_dim" -> (P + s", $sqlAcctDim\n" +
       s"""SELECT txn_id, t.account_id, amount,
