@@ -720,6 +720,23 @@ object SparkEntry {
         .agg(countDistinct(col("l_suppkey")).as("supplier_cnt"))
     }),
 
+    // PageRank centrality over the symmetrized customer↔supplier
+    // co-purchase graph, 4 passes of fully integer rank arithmetic
+    // (scaled longs + truncating division — engine-exact, the oracle
+    // replays every iteration as chained CTEs). Per pass: one
+    // co-partitioned ranks⋈edges shuffle + one map-side-combined per-dst
+    // sum; rank frame localCheckpoint-truncated each round
+    "q_pagerank" -> ((s, dir) => {
+      val e0 = Tables.table(s, dir, "lineitem").select("l_orderkey", "l_suppkey")
+        .join(Tables.table(s, dir, "orders").select("o_orderkey", "o_custkey"),
+          col("l_orderkey") === col("o_orderkey"))
+        .select(concat(lit("c"), col("o_custkey")).as("src"),
+          concat(lit("s"), col("l_suppkey")).as("dst"))
+        .distinct()
+      graft.graph.PageRank.ranks(
+        e0.union(e0.select(col("dst").as("src"), col("src").as("dst"))))
+    }),
+
     // ---- subquery-decorrelation family (r8): the TPC-H shapes whose SQL
     //      form is a correlated EXISTS / NOT EXISTS / scalar subquery,
     //      expressed directly as the decorrelated plan Catalyst would have
@@ -3043,6 +3060,14 @@ object SparkEntry {
         |      FROM customer LEFT JOIN orders ON c_custkey = o_custkey
         |      GROUP BY 1)
         |GROUP BY 1""".stripMargin,
+
+    "q_pagerank" ->
+      (s"""WITH eo AS (SELECT DISTINCT 'c' || o_custkey AS src, 's' || l_suppkey AS dst
+          |  FROM lineitem JOIN orders ON l_orderkey = o_orderkey),
+          |e AS (SELECT src, dst FROM eo UNION ALL SELECT dst, src FROM eo),
+          |""".stripMargin +
+        graft.graph.PageRank.oracleSql() +
+        "\nSELECT node, r AS rank_scaled FROM r4"),
 
     "q_part_supplier_cnt" ->
       """SELECT p_brand, p_type, p_size,

@@ -1,0 +1,74 @@
+package graft.graph
+
+import graft.SparkSpecBase
+import org.apache.spark.sql.DataFrame
+
+class PageRankSpec extends SparkSpecBase {
+  import spark.implicits._
+
+  private def edges(es: Seq[(String, String)]): DataFrame =
+    es.toDF("src", "dst")
+
+  /** Plain-Scala replay of the integer iteration — the same truncating
+    * arithmetic, kept in lockstep with [[PageRank.ranks]]. */
+  private def modelRanks(es: Seq[(String, String)], iters: Int,
+      dMicro: Long = 850000L): Map[String, Long] = {
+    val nodes = (es.map(_._1) ++ es.map(_._2)).distinct.sorted
+    val outdeg = es.groupBy(_._1).map { case (s, g) => s -> g.size.toLong }
+    val n = nodes.size.toLong
+    val base = ((PageRank.Scale / n) * (PageRank.MicroOne - dMicro)) /
+      PageRank.MicroOne
+    var r = nodes.map(_ -> PageRank.Scale / n).toMap
+    for (_ <- 1 to iters) {
+      val inc = es.groupBy(_._2).map { case (d, g) =>
+        d -> g.map { case (s, _) => r(s) / outdeg(s) }.sum
+      }
+      r = nodes.map(v =>
+        v -> (base + dMicro * inc.getOrElse(v, 0L) / PageRank.MicroOne)).toMap
+    }
+    r
+  }
+
+  private def got(es: Seq[(String, String)], iters: Int = 4): Map[String, Long] =
+    PageRank.ranks(edges(es), iters).collect()
+      .map(r => r.getString(0) -> r.getLong(1)).toMap
+
+  // undirected star: hub h connected to 4 spokes (both directions)
+  private val star = Seq("a", "b", "c", "d").flatMap(s =>
+    Seq("h" -> s, s -> "h"))
+
+  test("star graph matches the integer replay bit for bit; hub dominates") {
+    val g = got(star)
+    assert(g == modelRanks(star, 4))
+    val hub = g("h")
+    Seq("a", "b", "c", "d").foreach(s => assert(g(s) < hub))
+    // spokes are symmetric — identical ranks, exactly
+    assert(Seq("a", "b", "c", "d").map(g).distinct.size == 1)
+  }
+
+  test("directed chain with a sink: dangling mass leaks by contract, " +
+      "every rank still >= base and total <= Scale") {
+    val chain = Seq("a" -> "b", "b" -> "c", "c" -> "d") // d is a sink
+    val g = got(chain, iters = 6)
+    assert(g == modelRanks(chain, 6))
+    val n = 4L
+    val base = ((PageRank.Scale / n) *
+      (PageRank.MicroOne - 850000L)) / PageRank.MicroOne
+    g.values.foreach(v => assert(v >= base))
+    assert(g.values.sum <= PageRank.Scale)
+    // a receives nothing: exactly base
+    assert(g("a") == base)
+  }
+
+  test("damping 0 collapses every rank to Scale div N after one pass") {
+    val g = PageRank.ranks(edges(star), iters = 1, dampingMicro = 0L)
+      .collect().map(r => r.getString(0) -> r.getLong(1)).toMap
+    assert(g.values.toSet == Set(PageRank.Scale / 5))
+  }
+
+  test("iteration count is respected (ranks differ between pass 1 and 4)") {
+    val es = Seq("a" -> "b", "b" -> "a", "b" -> "c", "c" -> "b")
+    assert(got(es, 1) != got(es, 4))
+    assert(got(es, 4) == modelRanks(es, 4))
+  }
+}
