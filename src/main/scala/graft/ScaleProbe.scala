@@ -91,6 +91,17 @@ object ScaleProbe {
     time("distinct_exact")(kmvIn.groupBy("source")
       .agg(countDistinct(col("h")).as("n_distinct")))
 
+    // PageRank at an n-edge bipartite graph (hash-derived endpoints,
+    // n/100 × n/1000 nodes): 4 integer passes, each one co-partitioned
+    // ranks⋈edges join + map-side-combined per-dst sum. Cost must stay
+    // linear in edges; the per-round localCheckpoint keeps plans bounded.
+    val prEdges = spark.range(n).select(
+      concat(lit("u"), pmod(xxhash64(col("id")),
+        lit(math.max(n / 100, 10)))).as("src"),
+      concat(lit("v"), pmod(xxhash64(col("id"), lit(1)),
+        lit(math.max(n / 1000, 10)))).as("dst"))
+    time("pagerank_4pass")(graph.PageRank.ranks(prEdges, iters = 4))
+
     time("rfm_select_cuts")(ops.EventAnalytics.rfmScores(accounts))
     time("rfm_hist_cuts") {
       import org.apache.spark.sql.expressions.Window
