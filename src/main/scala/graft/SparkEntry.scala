@@ -1517,6 +1517,13 @@ object SparkEntry {
     // PII scrubbing: regex redaction + counts at scan speed (no shuffle)
     "q_text_scrub" -> ((s, dir) => TextAnalysis.piiScrub(Tables.documents(s, dir))),
 
+    // One-pass table profiler (ANALYZE shape): per column, rows / nulls /
+    // exact distinct / engine-stable min-max representations from a
+    // single aggregation over lineitem; the oracle is GENERATED from the
+    // same schema walk (Profile.oracleSql) so they cannot drift
+    "q_profile" -> ((s, dir) => graft.ops.Profile.profile(
+      Tables.table(s, dir, "lineitem").select(ProfileCols.map(col): _*))),
+
     // Analytic statistics per group: exact median (sort-based), mean,
     // sample stddev — rounded coarsely enough (4 dp) that the engines'
     // different accumulation orders cannot flip a digit
@@ -1674,6 +1681,35 @@ object SparkEntry {
     val set = TextAnalysis.stopwords(l).map(w => s"'$w'").mkString("[", ", ", "]")
     s"len(list_filter(w, x -> list_contains($set, x))) * 1.0 / len(w) AS raw_$l"
   }.mkString(",\n  ")
+
+  /** The lineitem columns `q_profile` profiles, with their testdata
+    * dtypes — pinned here so the Spark query (select order) and the
+    * generated DuckDB oracle walk the SAME schema. `Tables.schemaProbe`
+    * fails loud on corpus drift before this could silently diverge. */
+  private val ProfileSchema = org.apache.spark.sql.types.StructType(Seq(
+    org.apache.spark.sql.types.StructField("l_orderkey",
+      org.apache.spark.sql.types.LongType),
+    org.apache.spark.sql.types.StructField("l_partkey",
+      org.apache.spark.sql.types.LongType),
+    org.apache.spark.sql.types.StructField("l_suppkey",
+      org.apache.spark.sql.types.LongType),
+    org.apache.spark.sql.types.StructField("l_linenumber",
+      org.apache.spark.sql.types.IntegerType),
+    org.apache.spark.sql.types.StructField("l_quantity",
+      org.apache.spark.sql.types.DoubleType),
+    org.apache.spark.sql.types.StructField("l_extendedprice",
+      org.apache.spark.sql.types.DoubleType),
+    org.apache.spark.sql.types.StructField("l_discount",
+      org.apache.spark.sql.types.DoubleType),
+    org.apache.spark.sql.types.StructField("l_tax",
+      org.apache.spark.sql.types.DoubleType),
+    org.apache.spark.sql.types.StructField("l_returnflag",
+      org.apache.spark.sql.types.StringType),
+    org.apache.spark.sql.types.StructField("l_linestatus",
+      org.apache.spark.sql.types.StringType),
+    org.apache.spark.sql.types.StructField("l_shipdate",
+      org.apache.spark.sql.types.TimestampNTZType)))
+  private val ProfileCols: Seq[String] = ProfileSchema.fields.map(_.name).toSeq
 
   /** Shared CTE prefix for the Naive Bayes oracles: train slice → per-class
     * term counts → full smoothed log-likelihood grid, mirroring
@@ -4027,6 +4063,8 @@ object SparkEntry {
          |  CAST(row_number() OVER (PARTITION BY shard ORDER BY priority, doc_id) - 1 AS BIGINT) AS pos
          |FROM ss""".stripMargin
     },
+
+    "q_profile" -> graft.ops.Profile.oracleSql(ProfileSchema, "lineitem"),
 
     "q_stats_summary" -> (P +
       """SELECT txn_type,

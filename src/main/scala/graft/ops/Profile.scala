@@ -1,0 +1,113 @@
+package graft.ops
+
+import org.apache.spark.sql.DataFrame
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.types._
+
+/** One-pass table profiler — the `ANALYZE TABLE` / data-quality shape:
+  * per column, row count, null count, exact distinct count, and
+  * engine-stable min/max representations, all from a SINGLE aggregation
+  * over the table (one scan; the multi-distinct expands map-side and
+  * combines before the exchange, so the shuffle carries per-column
+  * partial states, not rows).
+  *
+  * Representation contract (what makes the output engine-exact):
+  *   - integer / string columns: min/max rendered directly (binary
+  *     collation, decimal integer rendering — identical across engines);
+  *   - timestamps: UTC-formatted `yyyy-MM-dd HH:mm:ss`;
+  *   - doubles: `floor(x × 1e6)` micro-units as a long — floor is
+  *     monotonic so min/max commute with the scaling, and no
+  *     shortest-roundtrip float printing (which differs between
+  *     engines) ever happens;
+  *   - other types: null representations (profiled for counts only).
+  *
+  * Scale note: `count(DISTINCT col)` per column is the one genuinely
+  * expensive aggregate here (Expand multiplies the scan output by the
+  * profiled-column count before the map-side combine). At the 100 TB
+  * posture swap the distinct aggregates for per-column KMV sketches
+  * ([[Sketches.kmvPerGroup]] — bounded state, one pass, ~1/√k error);
+  * the exact form is the oracle-checkable contract.
+  *
+  * [[oracleSql]] generates the DuckDB replay from the SAME column walk,
+  * so operator and oracle cannot drift (the [[graft.graph.PageRank]]
+  * pattern).
+  */
+object Profile {
+
+  private val TsFmtSpark = "yyyy-MM-dd HH:mm:ss"
+  private val TsFmtDuck = "%Y-%m-%d %H:%M:%S"
+
+  /** Renderer pair applied to the AGGREGATED min/max value (render after
+    * aggregating — min over a rendered string would be lexicographic;
+    * every renderer here is monotonic in the value, so render-of-min ==
+    * min-of-rendered anyway, but the aggregate runs on the native type).
+    * None = counts-only profiling. */
+  private def renderers(dt: DataType): Option[(org.apache.spark.sql.Column => org.apache.spark.sql.Column, String => String)] =
+    dt match {
+      case ByteType | ShortType | IntegerType | LongType => Some((
+        c => c.cast("string"),
+        a => s"CAST($a AS VARCHAR)"))
+      case StringType => Some((c => c, a => a))
+      case TimestampType | TimestampNTZType => Some((
+        c => date_format(c, TsFmtSpark),
+        a => s"strftime($a, '$TsFmtDuck')"))
+      case FloatType | DoubleType => Some((
+        c => floor(c * 1e6).cast("long").cast("string"),
+        a => s"CAST(CAST(floor($a * 1e6) AS BIGINT) AS VARCHAR)"))
+      case _ => None
+    }
+
+  /** Profile every column of `df`: (column, dtype, n_rows, n_nulls,
+    * n_distinct, min_repr, max_repr) — one row per column, in schema
+    * order, from one aggregation pass. */
+  def profile(df: DataFrame): DataFrame = {
+    val fields = df.schema.fields.toSeq
+    val aggs = fields.zipWithIndex.flatMap { case (f, i) =>
+      val base = Seq(
+        count(col(f.name)).as(s"__nn$i"),
+        countDistinct(col(f.name)).as(s"__nd$i"))
+      renderers(f.dataType) match {
+        case Some((render, _)) => base ++ Seq(
+          render(min(col(f.name))).as(s"__mn$i"),
+          render(max(col(f.name))).as(s"__mx$i"))
+        case None => base
+      }
+    }
+    val one = df.agg(count(lit(1)).as("__n"), aggs: _*)
+    val rows = fields.zipWithIndex.map { case (f, i) =>
+      val (mn, mx) =
+        if (renderers(f.dataType).isDefined)
+          (col(s"__mn$i"), col(s"__mx$i"))
+        else (lit(null).cast("string"), lit(null).cast("string"))
+      struct(
+        lit(f.name).as("column"),
+        lit(f.dataType.simpleString).as("dtype"),
+        col("__n").as("n_rows"),
+        (col("__n") - col(s"__nn$i")).as("n_nulls"),
+        col(s"__nd$i").as("n_distinct"),
+        mn.as("min_repr"), mx.as("max_repr"))
+    }
+    one.select(explode(array(rows: _*)).as("p")).select("p.*")
+  }
+
+  /** DuckDB replay of [[profile]] for the table named `table`, generated
+    * from the same schema walk. DuckDB's count(*)/count(col) are BIGINT
+    * already; distinct counts cast explicitly. */
+  def oracleSql(schema: StructType, table: String): String = {
+    val arms = schema.fields.toSeq.map { f =>
+      val (mn, mx) = renderers(f.dataType) match {
+        case Some((_, duck)) =>
+          (s"CAST(${duck(s"min(${f.name})")} AS VARCHAR)",
+            s"CAST(${duck(s"max(${f.name})")} AS VARCHAR)")
+        case None => ("CAST(NULL AS VARCHAR)", "CAST(NULL AS VARCHAR)")
+      }
+      s"""SELECT '${f.name}' AS column, '${f.dataType.simpleString}' AS dtype,
+         |  CAST(count(*) AS BIGINT) AS n_rows,
+         |  CAST(count(*) - count(${f.name}) AS BIGINT) AS n_nulls,
+         |  CAST(count(DISTINCT ${f.name}) AS BIGINT) AS n_distinct,
+         |  $mn AS min_repr, $mx AS max_repr
+         |FROM $table""".stripMargin
+    }
+    arms.mkString("\nUNION ALL\n")
+  }
+}
