@@ -737,6 +737,24 @@ object SparkEntry {
         e0.union(e0.select(col("dst").as("src"), col("src").as("dst"))))
     }),
 
+    // TrustRank over the same graph: ALL teleport mass seeded at the
+    // BUILDING-segment customers — suppliers earn rank only as the
+    // trusted segment's purchases vouch for them (Gyöngyi et al. 2004,
+    // the quality-propagation gate). Same integer iteration + oracle
+    "q_trustrank" -> ((s, dir) => {
+      val e0 = Tables.table(s, dir, "lineitem").select("l_orderkey", "l_suppkey")
+        .join(Tables.table(s, dir, "orders").select("o_orderkey", "o_custkey"),
+          col("l_orderkey") === col("o_orderkey"))
+        .select(concat(lit("c"), col("o_custkey")).as("src"),
+          concat(lit("s"), col("l_suppkey")).as("dst"))
+        .distinct()
+      val seeds = Tables.table(s, dir, "customer")
+        .filter(col("c_mktsegment") === "BUILDING")
+        .select(concat(lit("c"), col("c_custkey")).as("node"))
+      graft.graph.PageRank.trustRanks(
+        e0.union(e0.select(col("dst").as("src"), col("src").as("dst"))), seeds)
+    }),
+
     // ---- subquery-decorrelation family (r8): the TPC-H shapes whose SQL
     //      form is a correlated EXISTS / NOT EXISTS / scalar subquery,
     //      expressed directly as the decorrelated plan Catalyst would have
@@ -3103,6 +3121,16 @@ object SparkEntry {
           |e AS (SELECT src, dst FROM eo UNION ALL SELECT dst, src FROM eo),
           |""".stripMargin +
         graft.graph.PageRank.oracleSql() +
+        "\nSELECT node, r AS rank_scaled FROM r4"),
+
+    "q_trustrank" ->
+      (s"""WITH eo AS (SELECT DISTINCT 'c' || o_custkey AS src, 's' || l_suppkey AS dst
+          |  FROM lineitem JOIN orders ON l_orderkey = o_orderkey),
+          |e AS (SELECT src, dst FROM eo UNION ALL SELECT dst, src FROM eo),
+          |seeds AS (SELECT DISTINCT 'c' || c_custkey AS node FROM customer
+          |          WHERE c_mktsegment = 'BUILDING'),
+          |""".stripMargin +
+        graft.graph.PageRank.oracleSqlTrust() +
         "\nSELECT node, r AS rank_scaled FROM r4"),
 
     "q_part_supplier_cnt" ->

@@ -66,6 +66,48 @@ class PageRankSpec extends SparkSpecBase {
     assert(g.values.toSet == Set(PageRank.Scale / 5))
   }
 
+  /** Scala replay of the seeded iteration. */
+  private def modelTrust(es: Seq[(String, String)], seeds: Set[String],
+      iters: Int, dMicro: Long = 850000L): Map[String, Long] = {
+    val nodes = (es.map(_._1) ++ es.map(_._2)).distinct.sorted
+    val outdeg = es.groupBy(_._1).map { case (s, g) => s -> g.size.toLong }
+    val sd = nodes.filter(seeds).toSet
+    val ns = sd.size.toLong
+    val base = ((PageRank.Scale / ns) * (PageRank.MicroOne - dMicro)) /
+      PageRank.MicroOne
+    var r = nodes.map(v => v -> (if (sd(v)) PageRank.Scale / ns else 0L)).toMap
+    for (_ <- 1 to iters) {
+      val inc = es.groupBy(_._2).map { case (d, g) =>
+        d -> g.map { case (s, _) => r(s) / outdeg(s) }.sum
+      }
+      r = nodes.map(v => v -> ((if (sd(v)) base else 0L) +
+        dMicro * inc.getOrElse(v, 0L) / PageRank.MicroOne)).toMap
+    }
+    r
+  }
+
+  test("trustRanks matches the seeded replay; unreachable nodes score 0, " +
+      "absent seeds are ignored, no seeds in graph fails loud") {
+    // two components: seeds reach only their own
+    val es = Seq("a" -> "b", "b" -> "a", "x" -> "y", "y" -> "x")
+    val g = PageRank.trustRanks(edges(es),
+        Seq("a", "ghost").toDF("node"), iters = 3) // "ghost" not a node
+      .collect().map(r => r.getString(0) -> r.getLong(1)).toMap
+    assert(g == modelTrust(es, Set("a"), 3))
+    assert(g("x") == 0L && g("y") == 0L) // untrusted component: zero
+    assert(g("a") > 0L && g("b") > 0L)   // trust flowed a -> b
+    intercept[IllegalArgumentException] {
+      PageRank.trustRanks(edges(es), Seq("ghost").toDF("node"))
+    }
+  }
+
+  test("uniform seeds == plain PageRank (same formula, same bits)") {
+    val all = Seq("h", "a", "b", "c", "d").toDF("node")
+    val viaTrust = PageRank.trustRanks(edges(star), all)
+      .collect().map(r => r.getString(0) -> r.getLong(1)).toMap
+    assert(viaTrust == got(star))
+  }
+
   test("iteration count is respected (ranks differ between pass 1 and 4)") {
     val es = Seq("a" -> "b", "b" -> "a", "b" -> "c", "c" -> "b")
     assert(got(es, 1) != got(es, 4))
