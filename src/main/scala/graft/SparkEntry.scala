@@ -146,6 +146,11 @@ object SparkEntry {
       graft.ops.EventAnalytics.clickToPurchase(Tables.events(s, dir),
         withinSec = 3600L)),
 
+    // First-order Markov transition matrix over the event stream
+    // (row-normalized; one user-partitioned window + one tiny agg)
+    "q_event_transitions" -> ((s, dir) =>
+      graft.ops.EventAnalytics.eventTransitions(Tables.events(s, dir))),
+
     // Weekly cohort retention triangle over the raw event stream
     "q_weekly_retention" -> ((s, dir) =>
       graft.ops.EventAnalytics.weeklyRetention(Tables.events(s, dir))),
@@ -2390,6 +2395,19 @@ object SparkEntry {
         |SELECT cohort_week, week - cohort_week AS weeks_since,
         |  CAST(count(DISTINCT w.user_id) AS BIGINT) AS n_users
         |FROM w JOIN f USING (user_id) GROUP BY 1, 2""".stripMargin,
+
+    "q_event_transitions" ->
+      """WITH ev AS (SELECT event_id, user_id, event_type,
+        |             epoch_us(CAST(ts AS TIMESTAMP)) AS ts_us FROM events),
+        |pr AS (SELECT event_type AS next_event,
+        |         lag(event_type) OVER (PARTITION BY user_id
+        |           ORDER BY ts_us, event_id) AS prev_event
+        |       FROM ev),
+        |c AS (SELECT prev_event, next_event, CAST(count(*) AS BIGINT) AS n
+        |      FROM pr WHERE prev_event IS NOT NULL GROUP BY 1, 2)
+        |SELECT prev_event, next_event, n,
+        |  n / CAST(sum(n) OVER (PARTITION BY prev_event) AS DOUBLE) AS p
+        |FROM c""".stripMargin,
 
     "q_funnel_3step" ->
       """WITH e AS (SELECT event_id, user_id,

@@ -28,6 +28,27 @@ object EventAnalytics {
     * frame — where a join formulation would materialize every
     * (click, purchase-within-horizon) pair, this emits exactly one row
     * per click. */
+  /** First-order Markov transition matrix of the event stream: per user
+    * (total order (ts_us, event_id) — deterministic under timestamp
+    * ties), each adjacent pair contributes one (prev_event, next_event)
+    * count; `p` is the row-normalized transition probability — ONE IEEE
+    * division of exact integers per output row (event-types² rows), so
+    * the result is engine-exact. Shuffle shape: one user-partitioned
+    * window pass + one tiny aggregation; the normalizing window runs on
+    * the types² frame, not the stream. */
+  def eventTransitions(events: DataFrame): DataFrame = {
+    val w = Window.partitionBy(col("user_id"))
+      .orderBy(col("ts_us"), col("event_id"))
+    val counts = events
+      .select(col("user_id"), col("event_type"), col("ts_us"), col("event_id"))
+      .withColumn("prev_event", lag(col("event_type"), 1).over(w))
+      .filter(col("prev_event").isNotNull)
+      .groupBy(col("prev_event"), col("event_type").as("next_event"))
+      .agg(count(lit(1)).as("n"))
+    val tot = Window.partitionBy(col("prev_event"))
+    counts.withColumn("p", col("n") / sum(col("n")).over(tot).cast("double"))
+  }
+
   def clickToPurchase(events: DataFrame, withinSec: Long): DataFrame = {
     val w = Window.partitionBy(col("user_id")).orderBy(col("ts_us"))
       .rangeBetween(1L, withinSec * 1000000L)

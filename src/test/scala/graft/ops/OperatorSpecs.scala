@@ -436,6 +436,26 @@ class PrefixScanSpec extends SparkSpecBase {
 class EventAnalyticsSpec extends SparkSpecBase {
   import spark.implicits._
 
+  test("event transitions: per-user adjacent pairs, row-normalized, " +
+      "ties broken by event_id") {
+    val base = 1700000000000000000L
+    val rows = Seq(
+      (1L, base, 7L, "click", 1.0),
+      (2L, base + 1_000_000_000L, 7L, "view", 1.0),
+      (3L, base + 2_000_000_000L, 7L, "click", 1.0),
+      // user 9: timestamp TIE — event_id order decides (4 before 5)
+      (4L, base, 9L, "click", 1.0),
+      (5L, base, 9L, "purchase", 1.0),
+      (6L, base + 9_000_000_000L, 11L, "view", 1.0)) // single event: no pair
+    val got = EventAnalytics.eventTransitions(eventsDf(rows))
+      .collect().map(r => (r.getString(0), r.getString(1)) ->
+        ((r.getLong(2), r.getDouble(3)))).toMap
+    assert(got == Map(
+      ("click", "view") -> ((1L, 0.5)),
+      ("click", "purchase") -> ((1L, 0.5)),
+      ("view", "click") -> ((1L, 1.0))))
+  }
+
   test("funnel: first strictly-later purchase within horizon; same-ts never converts") {
     val base = 1700000000000000000L
     val rows = Seq(
