@@ -760,6 +760,23 @@ object SparkEntry {
         e0.union(e0.select(col("dst").as("src"), col("src").as("dst"))), seeds)
     }),
 
+    // Exact per-node triangle counts over the part↔part co-purchase
+    // graph (parts sharing an order; ≤C(7,2) pairs per order, so the
+    // edge build is bounded per group). Degree-ordered orientation caps
+    // the wedge join at O(√(2m)) per apex — the skew-proof formulation;
+    // the oracle is the direct triple self-join
+    "q_triangles" -> ((s, dir) => {
+      val lp = Tables.table(s, dir, "lineitem")
+        .select(col("l_orderkey").as("ok"),
+          concat(lit("p"), col("l_partkey")).as("pn"))
+        .distinct()
+      val e = lp.as("x").join(lp.as("y"),
+          col("x.ok") === col("y.ok") && col("x.pn") < col("y.pn"))
+        .select(col("x.pn").as("a"), col("y.pn").as("b"))
+        .distinct()
+      graft.graph.Triangles.perNode(e)
+    }),
+
     // ---- subquery-decorrelation family (r8): the TPC-H shapes whose SQL
     //      form is a correlated EXISTS / NOT EXISTS / scalar subquery,
     //      expressed directly as the decorrelated plan Catalyst would have
@@ -3150,6 +3167,13 @@ object SparkEntry {
           |""".stripMargin +
         graft.graph.PageRank.oracleSqlTrust() +
         "\nSELECT node, r AS rank_scaled FROM r4"),
+
+    "q_triangles" ->
+      ("""WITH lp AS (SELECT DISTINCT l_orderkey AS ok, 'p' || l_partkey AS pn
+         |  FROM lineitem),
+         |e AS (SELECT DISTINCT x.pn AS a, y.pn AS b
+         |      FROM lp x JOIN lp y ON x.ok = y.ok AND x.pn < y.pn),
+         |""".stripMargin + graft.graph.Triangles.oracleSql),
 
     "q_part_supplier_cnt" ->
       """SELECT p_brand, p_type, p_size,
