@@ -777,6 +777,18 @@ object SparkEntry {
       graft.graph.Triangles.perNode(e)
     }),
 
+    // Market-basket frequent pairs over order baskets: joint + marginal
+    // counts and integer-scaled lift/confidence for every part pair
+    // co-purchased in >= 2 orders. The pair expansion is co-partitioned
+    // on the order key and bounded by C(basket,2); the support filter
+    // prunes the singleton tail right after the map-side-combined count
+    "q_frequent_pairs" -> ((s, dir) =>
+      graft.ops.Association.frequentPairs(
+        Tables.table(s, dir, "lineitem")
+          .select(col("l_orderkey").as("basket"),
+            col("l_partkey").as("item")),
+        minSupport = 2)),
+
     // ---- subquery-decorrelation family (r8): the TPC-H shapes whose SQL
     //      form is a correlated EXISTS / NOT EXISTS / scalar subquery,
     //      expressed directly as the decorrelated plan Catalyst would have
@@ -3174,6 +3186,11 @@ object SparkEntry {
          |e AS (SELECT DISTINCT x.pn AS a, y.pn AS b
          |      FROM lp x JOIN lp y ON x.ok = y.ok AND x.pn < y.pn),
          |""".stripMargin + graft.graph.Triangles.oracleSql),
+
+    "q_frequent_pairs" ->
+      ("""WITH bk AS (SELECT DISTINCT l_orderkey AS basket, l_partkey AS item
+         |  FROM lineitem),
+         |""".stripMargin + graft.ops.Association.oracleSql(minSupport = 2)),
 
     "q_part_supplier_cnt" ->
       """SELECT p_brand, p_type, p_size,
