@@ -789,6 +789,14 @@ object SparkEntry {
             col("l_partkey").as("item")),
         minSupport = 2)),
 
+    // PMI collocations over the document corpus: count-pruned adjacent
+    // word pairs scored by integer micro-nat pointwise mutual
+    // information — multiword-expression detection for vocab curation.
+    // Both aggregations combine map-side; the joins are vocab-sized
+    "q_pmi_collocations" -> ((s, dir) =>
+      graft.text.TextAnalysis.collocations(
+        Tables.documents(s, dir), minCount = 5)),
+
     // ---- subquery-decorrelation family (r8): the TPC-H shapes whose SQL
     //      form is a correlated EXISTS / NOT EXISTS / scalar subquery,
     //      expressed directly as the decorrelated plan Catalyst would have
@@ -3191,6 +3199,10 @@ object SparkEntry {
       ("""WITH bk AS (SELECT DISTINCT l_orderkey AS basket, l_partkey AS item
          |  FROM lineitem),
          |""".stripMargin + graft.ops.Association.oracleSql(minSupport = 2)),
+
+    "q_pmi_collocations" ->
+      ("WITH docs AS (SELECT text FROM documents),\n" +
+        graft.text.TextAnalysis.collocationsOracleSql(minCount = 5)),
 
     "q_part_supplier_cnt" ->
       """SELECT p_brand, p_type, p_size,

@@ -176,4 +176,73 @@ object TextAnalysis {
         array_min(col("__fps")).as("fp_min"),
         // xor-fold, not sum: full-range 64-bit values overflow ANSI addition
         expr("aggregate(__fps, 0L, (a, x) -> a ^ x)").as("fp_xor"))
+
+  /** PMI collocations: adjacent word pairs whose co-occurrence is
+    * disproportionate to their marginals — pointwise mutual information
+    * (Church & Hanks, ACL 1989), THE standard multiword-expression
+    * detector for vocabulary curation and tokenizer seeding:
+    *
+    *   pmi = ln( P(w1 w2) / (P(w1) · P(w2)) )
+    *       = ln( (c12 / T_bi) / ((c1 / T_uni) · (c2 / T_uni)) )
+    *
+    * truncated to INTEGER micro-nats (the corpus-LM discipline from
+    * [[TrainingPrep.unigramLogProb]]): the ratio is ONE double-typed
+    * scalar expression — identical shape in the oracle, IEEE-exact
+    * per row — floored to a long before anything aggregates, so the
+    * output has no cross-engine float drift. `minCount` prunes the
+    * unstable low-frequency tail FIRST (PMI's known bias toward
+    * hapax pairs — also what keeps the output corpus-scale-bounded).
+    *
+    * Shuffle shape: one bigram-type aggregation with map-side combine
+    * (the count-pruned type table is what survives), one unigram
+    * aggregation; the pruned pair table joins its two marginals —
+    * vocabulary-sized joins, never the corpus. Returns
+    * (w1, w2, pair_n, w1_n, w2_n, pmi_micro), pairs with pair_n >=
+    * minCount only. */
+  def collocations(documents: DataFrame, minCount: Long = 5): DataFrame = {
+    require(minCount >= 1, s"minCount $minCount must be >= 1")
+    val words = documents.select(split(col("text"), " ").as("w"))
+    val uni = words.select(explode(col("w")).as("t"))
+      .groupBy("t").agg(count(lit(1)).as("n"))
+    val totals = uni.agg(sum(col("n")).as("t_uni"))
+    val bg = words.select(explode(expr(
+        """if(size(w) < 2, array(),
+          |  transform(sequence(1, size(w) - 1),
+          |    i -> struct(w[i-1] AS w1, w[i] AS w2)))""".stripMargin)).as("b"))
+      .select(col("b.w1").as("w1"), col("b.w2").as("w2"))
+    val pairs = bg.groupBy("w1", "w2").agg(count(lit(1)).as("pair_n"))
+      .filter(col("pair_n") >= minCount)
+    val tBi = bg.agg(count(lit(1)).as("t_bi"))
+    pairs
+      .join(uni.select(col("t").as("w1"), col("n").as("w1_n")), "w1")
+      .join(uni.select(col("t").as("w2"), col("n").as("w2_n")), "w2")
+      .crossJoin(broadcast(tBi))
+      .crossJoin(broadcast(totals))
+      .select(col("w1"), col("w2"), col("pair_n"), col("w1_n"), col("w2_n"),
+        floor(log(
+          (col("pair_n") / col("t_bi").cast("double")) /
+            ((col("w1_n") / col("t_uni").cast("double")) *
+              (col("w2_n") / col("t_uni").cast("double")))) * 1e6)
+          .cast("long").as("pmi_micro"))
+  }
+
+  /** [[collocations]] oracle — the same scalar formula verbatim over the
+    * same aggregations. Needs `docs(text)` in scope. */
+  def collocationsOracleSql(minCount: Long = 5): String =
+    s"""w AS (SELECT string_split(text, ' ') AS w FROM docs),
+       |uni AS (SELECT t, CAST(count(*) AS BIGINT) AS n
+       |        FROM (SELECT unnest(w) AS t FROM w) GROUP BY 1),
+       |tu AS (SELECT CAST(sum(n) AS BIGINT) AS t_uni FROM uni),
+       |bg AS (SELECT w[i] AS w1, w[i+1] AS w2
+       |       FROM w, LATERAL (SELECT unnest(range(1, len(w))) AS i)),
+       |p AS (SELECT w1, w2, CAST(count(*) AS BIGINT) AS pair_n FROM bg
+       |      GROUP BY 1, 2 HAVING count(*) >= $minCount),
+       |tb AS (SELECT CAST(count(*) AS BIGINT) AS t_bi FROM bg)
+       |SELECT p.w1, p.w2, p.pair_n, u1.n AS w1_n, u2.n AS w2_n,
+       |  CAST(floor(ln((p.pair_n / CAST(t_bi AS DOUBLE)) /
+       |    ((u1.n / CAST(t_uni AS DOUBLE)) * (u2.n / CAST(t_uni AS DOUBLE))))
+       |    * 1e6) AS BIGINT) AS pmi_micro
+       |FROM p JOIN uni u1 ON p.w1 = u1.t
+       |       JOIN uni u2 ON p.w2 = u2.t
+       |       CROSS JOIN tb CROSS JOIN tu""".stripMargin
 }
