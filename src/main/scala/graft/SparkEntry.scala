@@ -797,6 +797,24 @@ object SparkEntry {
       graft.text.TextAnalysis.collocations(
         Tables.documents(s, dir), minCount = 5)),
 
+    // Reciprocal-rank fusion of three supplier scoreboards (revenue,
+    // distinct customers, distinct orders) — the retrieval-tier fusion
+    // operator exercised on exact lists. Lists are dimension-sized by
+    // contract; fusion is one union + one map-side-combined aggregation
+    "q_rank_fusion" -> ((s, dir) => {
+      val li = Tables.table(s, dir, "lineitem")
+      val rev = li.groupBy(col("l_suppkey").as("key"))
+        .agg(sum(col("l_extendedprice")).as("score"))
+      val cust = li.select("l_orderkey", "l_suppkey")
+        .join(Tables.table(s, dir, "orders").select("o_orderkey", "o_custkey"),
+          col("l_orderkey") === col("o_orderkey"))
+        .groupBy(col("l_suppkey").as("key"))
+        .agg(countDistinct(col("o_custkey")).as("score"))
+      val ord = li.groupBy(col("l_suppkey").as("key"))
+        .agg(countDistinct(col("l_orderkey")).as("score"))
+      graft.ops.RankFusion.fuse(Seq(rev, cust, ord))
+    }),
+
     // ---- subquery-decorrelation family (r8): the TPC-H shapes whose SQL
     //      form is a correlated EXISTS / NOT EXISTS / scalar subquery,
     //      expressed directly as the decorrelated plan Catalyst would have
@@ -3203,6 +3221,16 @@ object SparkEntry {
     "q_pmi_collocations" ->
       ("WITH docs AS (SELECT text FROM documents),\n" +
         graft.text.TextAnalysis.collocationsOracleSql(minCount = 5)),
+
+    "q_rank_fusion" ->
+      ("""WITH l1 AS (SELECT l_suppkey AS key, sum(l_extendedprice) AS score
+         |  FROM lineitem GROUP BY 1),
+         |l2 AS (SELECT l_suppkey AS key, count(DISTINCT o_custkey) AS score
+         |  FROM lineitem JOIN orders ON l_orderkey = o_orderkey GROUP BY 1),
+         |l3 AS (SELECT l_suppkey AS key, count(DISTINCT l_orderkey) AS score
+         |  FROM lineitem GROUP BY 1),
+         |""".stripMargin +
+        graft.ops.RankFusion.oracleSql(Seq("l1", "l2", "l3"))),
 
     "q_part_supplier_cnt" ->
       """SELECT p_brand, p_type, p_size,
