@@ -815,6 +815,30 @@ object SparkEntry {
       graft.ops.RankFusion.fuse(Seq(rev, cust, ord))
     }),
 
+    // Referential-integrity audit across the star schema's FK relations
+    // (incl. the events stream's user linkage): per relation, child
+    // rows, null/distinct FKs, orphan keys and rows. Each relation is
+    // one map-side-combined key aggregation + one key-sized left join —
+    // the fact tables never join row-for-row
+    "q_fk_audit" -> ((s, dir) => {
+      val li = Tables.table(s, dir, "lineitem")
+      val ord = Tables.table(s, dir, "orders")
+      val cust = Tables.customer(s, dir)
+      graft.ops.Profile.fkAudit(Seq(
+        ("lineitem.l_orderkey->orders", li, "l_orderkey",
+          ord, "o_orderkey"),
+        ("lineitem.l_partkey->part", li, "l_partkey",
+          Tables.table(s, dir, "part"), "p_partkey"),
+        ("lineitem.l_suppkey->supplier", li, "l_suppkey",
+          Tables.table(s, dir, "supplier"), "s_suppkey"),
+        ("orders.o_custkey->customer", ord, "o_custkey",
+          cust, "c_custkey"),
+        ("customer.c_nationkey->nation", cust, "c_nationkey",
+          Tables.nation(s, dir), "n_nationkey"),
+        ("events.user_id->customer", Tables.events(s, dir), "user_id",
+          cust, "c_custkey")))
+    }),
+
     // ---- subquery-decorrelation family (r8): the TPC-H shapes whose SQL
     //      form is a correlated EXISTS / NOT EXISTS / scalar subquery,
     //      expressed directly as the decorrelated plan Catalyst would have
@@ -3231,6 +3255,21 @@ object SparkEntry {
          |  FROM lineitem GROUP BY 1),
          |""".stripMargin +
         graft.ops.RankFusion.oracleSql(Seq("l1", "l2", "l3"))),
+
+    "q_fk_audit" ->
+      graft.ops.Profile.fkAuditOracleSql(Seq(
+        ("lineitem.l_orderkey->orders", "lineitem", "l_orderkey",
+          "orders", "o_orderkey"),
+        ("lineitem.l_partkey->part", "lineitem", "l_partkey",
+          "part", "p_partkey"),
+        ("lineitem.l_suppkey->supplier", "lineitem", "l_suppkey",
+          "supplier", "s_suppkey"),
+        ("orders.o_custkey->customer", "orders", "o_custkey",
+          "customer", "c_custkey"),
+        ("customer.c_nationkey->nation", "customer", "c_nationkey",
+          "nation", "n_nationkey"),
+        ("events.user_id->customer", "events", "user_id",
+          "customer", "c_custkey"))),
 
     "q_part_supplier_cnt" ->
       """SELECT p_brand, p_type, p_size,

@@ -110,4 +110,57 @@ object Profile {
     }
     arms.mkString("\nUNION ALL\n")
   }
+
+  /** Referential-integrity audit — one row per declared FK relation:
+    * child rows, null FKs, distinct FKs, and orphan keys/rows (FK values
+    * with no parent). The join-health check a pipeline runs BEFORE
+    * trusting its enrichment joins (an inner join silently drops orphan
+    * rows; this makes the loss measurable first).
+    *
+    * Scale posture: the child table is aggregated to (fk, cnt) — a
+    * distinct-key-sized frame — in one map-side-combined pass; the
+    * parent side reduces to its distinct keys; one key-sized left join
+    * and one single-row aggregate per relation, so the fact table is
+    * scanned once and nothing row-sized ever joins. Relations audit
+    * independently (separate cheap jobs, unioned). */
+  def fkAudit(relations: Seq[(String, DataFrame, String, DataFrame, String)])
+      : DataFrame = {
+    require(relations.nonEmpty, "need at least one FK relation")
+    relations.map { case (rel, child, fkCol, parent, pkCol) =>
+      val keyCnt = child.groupBy(col(fkCol).as("fk"))
+        .agg(count(lit(1)).as("cnt"))
+      val pk = parent.select(col(pkCol).as("pk")).distinct()
+      val orphanRow = col("fk").isNotNull && col("pk").isNull
+      keyCnt.join(pk, col("fk") === col("pk"), "left")
+        .agg(
+          sum(col("cnt")).as("child_rows"),
+          coalesce(sum(when(col("fk").isNull, col("cnt"))), lit(0L))
+            .as("null_fks"),
+          count(col("fk")).as("distinct_fks"),
+          count(when(orphanRow, lit(1))).as("orphan_keys"),
+          coalesce(sum(when(orphanRow, col("cnt"))), lit(0L))
+            .as("orphan_rows"))
+        .select(lit(rel).as("rel"), col("child_rows"), col("null_fks"),
+          col("distinct_fks"), col("orphan_keys"), col("orphan_rows"))
+    }.reduce(_ unionAll _)
+  }
+
+  /** [[fkAudit]] oracle from the same relation tuples
+    * (rel, childTable, fkCol, parentTable, pkCol). */
+  def fkAuditOracleSql(
+      relations: Seq[(String, String, String, String, String)]): String =
+    relations.map { case (rel, child, fkCol, parent, pkCol) =>
+      s"""SELECT '$rel' AS rel,
+         |  CAST(sum(cnt) AS BIGINT) AS child_rows,
+         |  CAST(coalesce(sum(cnt) FILTER (fk IS NULL), 0) AS BIGINT)
+         |    AS null_fks,
+         |  CAST(count(fk) AS BIGINT) AS distinct_fks,
+         |  CAST(count(*) FILTER (fk IS NOT NULL AND pk IS NULL) AS BIGINT)
+         |    AS orphan_keys,
+         |  CAST(coalesce(sum(cnt) FILTER (fk IS NOT NULL AND pk IS NULL), 0)
+         |    AS BIGINT) AS orphan_rows
+         |FROM (SELECT $fkCol AS fk, count(*) AS cnt FROM $child GROUP BY 1) k
+         |LEFT JOIN (SELECT DISTINCT $pkCol AS pk FROM $parent) p
+         |  ON k.fk = p.pk""".stripMargin
+    }.mkString("\nUNION ALL\n")
 }
