@@ -839,6 +839,17 @@ object SparkEntry {
           cust, "c_custkey")))
     }),
 
+    // Exact-integer EWMA (alpha=1/2, power-of-two weights) over each
+    // customer's last 8 order totals — recency-biased spend score with
+    // zero float decay; per-key window, k-pruned before aggregation
+    "q_ewma_spend" -> ((s, dir) =>
+      graft.ops.EventAnalytics.ewmaRecency(
+        Tables.table(s, dir, "orders").select(
+          col("o_custkey").as("key"), col("o_orderdate").as("ts"),
+          col("o_orderkey").as("seq"),
+          expr("CAST(CAST(o_totalprice AS DECIMAL(18,2)) * 100 AS BIGINT)")
+            .as("amount_cents")))),
+
     // ---- subquery-decorrelation family (r8): the TPC-H shapes whose SQL
     //      form is a correlated EXISTS / NOT EXISTS / scalar subquery,
     //      expressed directly as the decorrelated plan Catalyst would have
@@ -3270,6 +3281,15 @@ object SparkEntry {
           "nation", "n_nationkey"),
         ("events.user_id->customer", "events", "user_id",
           "customer", "c_custkey"))),
+
+    "q_ewma_spend" ->
+      ("""WITH src AS (SELECT o_custkey AS key, o_orderdate AS ts,
+         |    o_orderkey AS seq,
+         |    CAST(CAST(o_totalprice AS DECIMAL(18,2)) * 100 AS BIGINT)
+         |      AS amount_cents
+         |  FROM orders),
+         |""".stripMargin +
+        graft.ops.EventAnalytics.ewmaRecencyOracleSql()),
 
     "q_part_supplier_cnt" ->
       """SELECT p_brand, p_type, p_size,

@@ -382,4 +382,57 @@ object EventAnalytics {
       .select("account_id", "day", "spend_kobo", "filled", "n_days",
         "mean_kobo", "var_kobo", "z")
   }
+
+  /** Exponentially-weighted recency score — the exact-integer EWMA
+    * (α = 1/2) over each key's last `k` amounts: the j-th most recent
+    * amount weighs 2^(k−1−j), so the newest weighs 2^(k−1) and the
+    * weight halves per step back — the standard recency-biased spend /
+    * activity score, but with NO float decay: weights are powers of two
+    * applied with shifts, the normalizing division is one truncating
+    * integer div, and the result is bit-identical across engines and
+    * aggregation orders.
+    *
+    *   ewma_cents = ( Σ_{j<min(k,n)} amount_j × 2^(k−1−j) )
+    *                div ( Σ_{j<min(k,n)} 2^(k−1−j) )
+    *
+    * Input: (key, ts, seq, amount_cents) — `seq` breaks ts ties so the
+    * recency order is strictly total. Output per key: n_recent,
+    * weight_sum, ewma_num, ewma_cents.
+    *
+    * Scale posture: the window partitions BY KEY (per-key history,
+    * bounded by the entity's own activity — never a global sort) and
+    * row_number prunes to k rows per key before anything aggregates;
+    * the final groupBy combines map-side. Overflow: amounts up to
+    * 7×10^13 cents are safe at k=8 (shift ≤ 2^7). */
+  def ewmaRecency(df: DataFrame, k: Int = 8): DataFrame = {
+    require(k >= 1 && k <= 32, s"k $k out of [1, 32]")
+    val w = Window.partitionBy(col("key"))
+      .orderBy(col("ts").desc, col("seq").desc)
+    df.select(col("key"), col("ts"), col("seq"), col("amount_cents"))
+      .withColumn("__j", row_number().over(w).cast("long") - 1)
+      .filter(col("__j") < k)
+      .withColumn("__w",
+        expr(s"shiftleft(1L, CAST(${k - 1} - __j AS INT))"))
+      .groupBy("key")
+      .agg(count(lit(1)).as("n_recent"),
+        sum(col("__w")).as("weight_sum"),
+        sum(col("amount_cents") * col("__w")).as("ewma_num"))
+      .select(col("key"), col("n_recent"), col("weight_sum"),
+        col("ewma_num"),
+        expr("ewma_num div weight_sum").as("ewma_cents"))
+  }
+
+  /** [[ewmaRecency]] oracle. Needs `src(key, ts, seq, amount_cents)`. */
+  def ewmaRecencyOracleSql(k: Int = 8): String =
+    s"""rk AS (SELECT key, amount_cents,
+       |    CAST(row_number() OVER (PARTITION BY key ORDER BY ts DESC, seq DESC)
+       |      AS BIGINT) - 1 AS j
+       |  FROM src)
+       |SELECT key, CAST(count(*) AS BIGINT) AS n_recent,
+       |  CAST(sum(1::BIGINT << ($k - 1 - j)) AS BIGINT) AS weight_sum,
+       |  CAST(sum(amount_cents * (1::BIGINT << ($k - 1 - j))) AS BIGINT)
+       |    AS ewma_num,
+       |  CAST(sum(amount_cents * (1::BIGINT << ($k - 1 - j)))
+       |    // sum(1::BIGINT << ($k - 1 - j)) AS BIGINT) AS ewma_cents
+       |FROM rk WHERE j < $k GROUP BY 1""".stripMargin
 }
