@@ -839,6 +839,25 @@ object SparkEntry {
           cust, "c_custkey")))
     }),
 
+    // Bucketed order-independent content checksum of the fact table —
+    // the anti-entropy primitive for validating a CDC replica seam:
+    // 48-bit md5-derived row digests folded per orderkey bucket by
+    // count + xor + sum. One scan, one map-side-combined aggregation;
+    // every column rendered engine-exactly (ints, cents, UTC strings)
+    "q_table_checksum" -> ((s, dir) => {
+      val repr = concat_ws("|",
+        col("l_orderkey"), col("l_partkey"), col("l_suppkey"),
+        col("l_linenumber"),
+        col("l_quantity").cast("long"),
+        expr("CAST(CAST(l_extendedprice AS DECIMAL(18,2)) * 100 AS BIGINT)"),
+        expr("CAST(CAST(l_discount AS DECIMAL(4,2)) * 100 AS BIGINT)"),
+        expr("CAST(CAST(l_tax AS DECIMAL(4,2)) * 100 AS BIGINT)"),
+        col("l_returnflag"), col("l_linestatus"),
+        date_format(col("l_shipdate"), "yyyy-MM-dd HH:mm:ss"))
+      graft.cdc.Checksum.contentChecksum(
+        Tables.table(s, dir, "lineitem"), repr, expr("l_orderkey % 64"))
+    }),
+
     // Exact-integer EWMA (alpha=1/2, power-of-two weights) over each
     // customer's last 8 order totals — recency-biased spend score with
     // zero float decay; per-key window, k-pruned before aggregation
@@ -3281,6 +3300,18 @@ object SparkEntry {
           "nation", "n_nationkey"),
         ("events.user_id->customer", "events", "user_id",
           "customer", "c_custkey"))),
+
+    "q_table_checksum" ->
+      ("""WITH src AS (SELECT l_orderkey % 64 AS bucket,
+         |    concat_ws('|', l_orderkey, l_partkey, l_suppkey, l_linenumber,
+         |      CAST(l_quantity AS BIGINT),
+         |      CAST(CAST(l_extendedprice AS DECIMAL(18,2)) * 100 AS BIGINT),
+         |      CAST(CAST(l_discount AS DECIMAL(4,2)) * 100 AS BIGINT),
+         |      CAST(CAST(l_tax AS DECIMAL(4,2)) * 100 AS BIGINT),
+         |      l_returnflag, l_linestatus,
+         |      strftime(l_shipdate, '%Y-%m-%d %H:%M:%S')) AS repr
+         |  FROM lineitem)
+         |""".stripMargin + graft.cdc.Checksum.oracleSql),
 
     "q_ewma_spend" ->
       ("""WITH src AS (SELECT o_custkey AS key, o_orderdate AS ts,
