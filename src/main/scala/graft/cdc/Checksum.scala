@@ -46,6 +46,22 @@ object Checksum {
         expr("bit_xor(__h)").as("xor_h"),
         sum(col("__h").cast("decimal(38,0)")).cast("long").as("sum_h"))
 
+  /** Streaming twin of [[contentChecksum]] — the live replica checksum.
+    * Count, XOR and SUM are commutative monoids, so the per-bucket folds
+    * are incrementally maintainable by ONE streaming aggregation with
+    * state bounded at nBuckets rows (no watermark, no timers, no
+    * per-event state): after any prefix of the stream, the emitted rows
+    * equal [[contentChecksum]] over exactly that prefix — the property
+    * the equivalence spec pins. Run in complete/update output mode. */
+  def liveChecksum(rows: DataFrame, repr: Column, bucket: Column)
+      : DataFrame =
+    rows.select(bucket.as("bucket"),
+        conv(substring(md5(repr), 1, 12), 16, 10).cast("long").as("__h"))
+      .groupBy("bucket")
+      .agg(count(lit(1)).as("n_rows"),
+        expr("bit_xor(__h)").as("xor_h"),
+        sum(col("__h").cast("decimal(38,0)")).cast("long").as("sum_h"))
+
   /** Oracle fragment: same digest, same folds, over `src(bucket, repr)`. */
   val oracleSql: String =
     """SELECT bucket, CAST(count(*) AS BIGINT) AS n_rows,
