@@ -102,6 +102,24 @@ object ScaleProbe {
         lit(math.max(n / 1000, 10)))).as("dst"))
     time("pagerank_4pass")(graph.PageRank.ranks(prEdges, iters = 4))
 
+    // Triangle counting at n edges over n/10 nodes (avg degree ~20),
+    // PLUS a planted hub touching n/1000 nodes — the "curse of the last
+    // reducer" input: without degree orientation the hub alone yields
+    // ~(n/1000)^2/2 wedges; with it the hub ranks highest, all its edges
+    // point inward, and its wedge count is ZERO. Cost must track the
+    // orientation-bounded wedge total, not the raw degree square.
+    val triNodes = math.max(n / 10, 100)
+    val triEdges = spark.range(n).select(
+        pmod(xxhash64(col("id")), lit(triNodes)).as("x"),
+        pmod(xxhash64(col("id"), lit(1)), lit(triNodes)).as("y"))
+      .unionAll(spark.range(math.max(n / 1000, 10)).select(
+        lit(-1L).as("x"), col("id").as("y"))) // the hub: node "h-1"
+      .filter(col("x") =!= col("y"))
+      .select(concat(lit("h"), least(col("x"), col("y"))).as("a"),
+        concat(lit("h"), greatest(col("x"), col("y"))).as("b"))
+      .distinct()
+    time("triangles_oriented")(graph.Triangles.perNode(triEdges))
+
     time("rfm_select_cuts")(ops.EventAnalytics.rfmScores(accounts))
     time("rfm_hist_cuts") {
       import org.apache.spark.sql.expressions.Window
