@@ -608,6 +608,22 @@ object Pipelines {
     * `flatMapGroupsWithState` (the streaming twin of
     * [[graft.ops.Reconcile]]; reference
     * `topology/BalanceReconciliationProcessor.java:42-152`). */
+  /** Live per-key EWMA recency scores — the streaming twin of
+    * [[graft.ops.EventAnalytics.ewmaRecency]] via [[EwmaTracker]].
+    * Input: (key, ts_us, seq, amount_cents). State: k entries per key. */
+  def ewmaUpdates(spark: SparkSession, rows: DataFrame, k: Int = 8)
+      : Dataset[EwmaRow] = {
+    import spark.implicits._
+    rows.select(col("key").cast("long"), col("ts_us").cast("long"),
+        col("seq").cast("long"), col("amount_cents").cast("long"),
+        timestamp_micros(col("ts_us")).as("event_ts"))
+      .withWatermark("event_ts", "0 seconds")
+      .as[EwmaTxn]
+      .groupByKey(_.key)
+      .flatMapGroupsWithState(OutputMode.Append,
+        GroupStateTimeout.NoTimeout)(EwmaTracker.process(k))
+  }
+
   def reconcileAlerts(spark: SparkSession, parsed: DataFrame): Dataset[ReconRow] = {
     import spark.implicits._
     completed(parsed)
@@ -1006,6 +1022,52 @@ object Reconciler {
       row
     }
     stored.foreach(state.update)
+    out.iterator
+  }
+}
+
+/** Input row for the EWMA tracker. */
+case class EwmaTxn(key: Long, ts_us: Long, seq: Long, amount_cents: Long,
+    event_ts: java.sql.Timestamp)
+
+/** Live EWMA emission — the batch operator's output row plus the
+  * triggering event's `seq` (identifies WHICH prefix the score is for;
+  * the max-seq emission per key is the full-history score). */
+case class EwmaRow(key: Long, seq: Long, n_recent: Long, weight_sum: Long,
+    ewma_num: Long, ewma_cents: Long)
+
+/** Stateful last-k EWMA tracker — the streaming twin of
+  * [[graft.ops.EventAnalytics.ewmaRecency]]: per-key state is a ring of
+  * the k most recent (ts, seq, amount) entries (O(k) scalars, lifetime
+  * state like [[TwabTracker]] — the score is defined over the key's
+  * whole history, so there is nothing to time out), and every arriving
+  * event emits the key's LIVE recency score; the final emission per key
+  * equals the batch operator. Power-of-two weights and one truncating
+  * division per emission — exact integers end to end.
+  *
+  * Feed contract (fail-loud, the [[TwabTracker]] discipline): events
+  * arrive in strictly increasing (ts_us, seq) order per key — the
+  * per-batch sort orders within a batch; cross-batch regressions
+  * require() out. */
+object EwmaTracker {
+  def process(k: Int)(key: Long, events: Iterator[EwmaTxn],
+      state: GroupState[Seq[(Long, Long, Long)]]): Iterator[EwmaRow] = {
+    var ring = state.getOption.getOrElse(Seq.empty) // oldest..newest
+    val out = scala.collection.mutable.ArrayBuffer.empty[EwmaRow]
+    events.toSeq.sortBy(e => (e.ts_us, e.seq)).foreach { e =>
+      ring.lastOption.foreach { case (ts, seq, _) =>
+        require(e.ts_us > ts || (e.ts_us == ts && e.seq > seq),
+          s"out-of-order event for key $key: (${e.ts_us},${e.seq}) " +
+            s"after ($ts,$seq) — the in-order feed contract is broken")
+      }
+      ring = (ring :+ ((e.ts_us, e.seq, e.amount_cents))).takeRight(k)
+      val recent = ring.reverse
+      val ws = recent.indices.map(j => 1L << (k - 1 - j))
+      val num = recent.zip(ws).map { case ((_, _, a), w) => a * w }.sum
+      out += EwmaRow(key, e.seq, recent.size.toLong, ws.sum, num,
+        num / ws.sum)
+    }
+    state.update(ring)
     out.iterator
   }
 }

@@ -174,6 +174,60 @@ class PipelinesSpec extends SparkSpecBase {
     assert(got.nonEmpty)
   }
 
+  test("streaming EWMA (k-ring state) final emission per key == batch " +
+      "operator, fed across micro-batches") {
+    import spark.implicits._
+    val rnd = new scala.util.Random(13)
+    val rows = for {
+      key <- 1L to 20L; i <- 1L to (3 + rnd.nextInt(12)).toLong
+    } yield (key, i * 1000000L, i, rnd.nextLong(10000))
+    val dir = java.nio.file.Files
+      .createTempDirectory("graft_ewma").toString + "/in"
+    // per-key in-order feed: chunk by ascending seq so no key regresses
+    rows.groupBy(_._2).toSeq.sortBy(_._1).map(_._2)
+      .grouped(5).zipWithIndex.foreach { case (chunk, _) =>
+        chunk.flatten.toDF("key", "ts_us", "seq", "amount_cents")
+          .coalesce(1).write.mode("append").parquet(dir)
+        Thread.sleep(20)
+      }
+    val stream = Pipelines.ewmaUpdates(spark,
+      spark.readStream
+        .schema("key LONG, ts_us LONG, seq LONG, amount_cents LONG")
+        .option("maxFilesPerTrigger", "1").parquet(dir))
+    val emissions = runToTable(stream.toDF(), "ewma_stream", "append")
+      .as[(Long, Long, Long, Long, Long, Long)].collect()
+    // one emission per event; the max-seq emission per key is the
+    // full-history score
+    val perKey = emissions.groupBy(_._1)
+    val got = rows.groupBy(_._1).map { case (key, g) =>
+      assert(perKey(key).size == g.size) // every event emitted once
+      val last = perKey(key).maxBy(_._2)
+      (last._1, last._3, last._4, last._5, last._6)
+    }.toSet
+    val want = graft.ops.EventAnalytics.ewmaRecency(
+        rows.toDF("key", "ts", "seq", "amount_cents"))
+      .as[(Long, Long, Long, Long, Long)].collect().toSet
+    assert(got === want)
+    assert(got.nonEmpty)
+  }
+
+  test("EWMA tracker fails loudly on a cross-batch out-of-order event") {
+    import org.apache.spark.api.java.Optional
+    import org.apache.spark.sql.streaming.{GroupStateTimeout, TestGroupState}
+    def txn(tsUs: Long, seq: Long) = EwmaTxn(7L, tsUs, seq, 100L,
+      new java.sql.Timestamp(tsUs / 1000))
+    val state = TestGroupState.create[Seq[(Long, Long, Long)]](
+      Optional.empty(), GroupStateTimeout.NoTimeout,
+      batchProcessingTimeMs = 0L, eventTimeWatermarkMs = Optional.of(1L),
+      hasTimedOut = false)
+    EwmaTracker.process(8)(7L,
+      Iterator(txn(1000000L, 1), txn(2000000L, 2)), state).toList
+    val e = intercept[IllegalArgumentException] {
+      EwmaTracker.process(8)(7L, Iterator(txn(1500000L, 3)), state).toList
+    }
+    assert(e.getMessage.contains("out-of-order"))
+  }
+
   test("TWAB tracker fails loudly on a cross-batch out-of-order event") {
     import org.apache.spark.api.java.Optional
     import org.apache.spark.sql.streaming.{GroupStateTimeout, TestGroupState}
