@@ -789,6 +789,19 @@ object SparkEntry {
             col("l_partkey").as("item")),
         minSupport = 2)),
 
+    // Exact set-similarity self-join with prefix filtering (PPJoin
+    // shape) over 3-gram shingle sets: every doc pair with shingle
+    // Jaccard >= 0.6, recall 1.0 by theorem — only each doc's rarest
+    // |x|-ceil(t|x|)+1 shingles are indexed, so frequent-shingle
+    // postings never explode the join. The UNCAPPED exact path next to
+    // the capped inverted index (q_dedup_ngram_jaccard) and the
+    // probabilistic MinHash tier; oracle = direct all-pairs join
+    "q_prefix_jaccard_join" -> ((s, dir) =>
+      graft.dedup.PrefixJoin.jaccardJoinOnSets(
+        graft.dedup.Dedup.shingles(Tables.documents(s, dir), n = 3)
+          .withColumnRenamed("shingle", "term"),
+        tPct = 60)),
+
     // PMI collocations over the document corpus: count-pruned adjacent
     // word pairs scored by integer micro-nat pointwise mutual
     // information — multiword-expression detection for vocab curation.
@@ -3271,6 +3284,14 @@ object SparkEntry {
       ("""WITH bk AS (SELECT DISTINCT l_orderkey AS basket, l_partkey AS item
          |  FROM lineitem),
          |""".stripMargin + graft.ops.Association.oracleSql(minSupport = 2)),
+
+    "q_prefix_jaccard_join" ->
+      ("""WITH w AS (SELECT doc_id, string_split(text, ' ') AS w
+         |  FROM documents),
+         |tk AS (SELECT DISTINCT doc_id,
+         |    w[i] || ' ' || w[i+1] || ' ' || w[i+2] AS term
+         |  FROM w, LATERAL (SELECT unnest(range(1, len(w) - 1)) AS i)),
+         |""".stripMargin + graft.dedup.PrefixJoin.oracleSql(tPct = 60)),
 
     "q_pmi_collocations" ->
       ("WITH docs AS (SELECT text FROM documents),\n" +
