@@ -871,6 +871,18 @@ object SparkEntry {
         Tables.table(s, dir, "lineitem"), repr, expr("l_orderkey % 64"))
     }),
 
+    // Chi-square cross-tab of market segment x order priority: per
+    // cell, observed vs independence-expected counts and the exact
+    // integer chi-square contribution (cross-multiplied, DECIMAL(38,0)
+    // widened). One fact aggregation; marginals from the cells
+    "q_chi_square" -> ((s, dir) =>
+      graft.ops.Contingency.chiSquare(
+        Tables.table(s, dir, "orders")
+          .join(Tables.customer(s, dir),
+            col("o_custkey") === col("c_custkey"))
+          .select(col("c_mktsegment").as("row_key"),
+            col("o_orderpriority").as("col_key")))),
+
     // Exact-integer EWMA (alpha=1/2, power-of-two weights) over each
     // customer's last 8 order totals — recency-biased spend score with
     // zero float decay; per-key window, k-pruned before aggregation
@@ -3333,6 +3345,12 @@ object SparkEntry {
          |      strftime(l_shipdate, '%Y-%m-%d %H:%M:%S')) AS repr
          |  FROM lineitem)
          |""".stripMargin + graft.cdc.Checksum.oracleSql),
+
+    "q_chi_square" ->
+      ("""WITH src AS (SELECT c_mktsegment AS row_key,
+         |    o_orderpriority AS col_key
+         |  FROM orders JOIN customer ON o_custkey = c_custkey),
+         |""".stripMargin + graft.ops.Contingency.oracleSql),
 
     "q_ewma_spend" ->
       ("""WITH src AS (SELECT o_custkey AS key, o_orderdate AS ts,
