@@ -120,6 +120,25 @@ object ScaleProbe {
       .distinct()
     time("triangles_oriented")(graph.Triangles.perNode(triEdges))
 
+    // k-core over the same hub-planted graph: 4 fixed peels. Per round
+    // one degree agg + two semi-joins over the SURVIVING edges — cost
+    // must shrink round over round, never grow with rounds.
+    time("kcore_4round")(graph.KCore.survivors(triEdges, k = 25, rounds = 4))
+
+    // Exact prefix-filtered Jaccard join at n shingle postings: synthetic
+    // docs of 40 hash-derived "shingles" each, every 50th doc a planted
+    // 90%-overlap near-dup of its neighbor. The frequent-shingle postings
+    // (drawn from a small hot vocabulary) must never enter the candidate
+    // join — only the rare tail does; cost tracks postings, not pairs.
+    val pjDocs = spark.range(n / 40).select(col("id").as("doc_id"),
+      expr("""concat_ws(' ', transform(sequence(0, 39), i ->
+        |  CASE WHEN i < 8 THEN concat('hot', pmod(xxhash64(i), 64))
+        |       WHEN id % 50 = 1 AND i < 36
+        |         THEN concat('t', xxhash64(id - 1, i))
+        |       ELSE concat('t', xxhash64(id, i)) END))""".stripMargin)
+        .as("text"))
+    time("prefix_jaccard_join")(dedup.PrefixJoin.jaccardJoin(pjDocs, tPct = 60))
+
     time("rfm_select_cuts")(ops.EventAnalytics.rfmScores(accounts))
     time("rfm_hist_cuts") {
       import org.apache.spark.sql.expressions.Window

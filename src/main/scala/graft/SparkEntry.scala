@@ -777,6 +777,22 @@ object SparkEntry {
       graft.graph.Triangles.perNode(e)
     }),
 
+    // k-core of the part co-purchase graph: exactly 6 peels at k=80 —
+    // the dense-region cohesion filter; per round one map-side-combined
+    // degree agg + two node-sized semi-joins, edges localCheckpoint-
+    // truncated (fixed-pass contract, chained-CTE oracle)
+    "q_kcore" -> ((s, dir) => {
+      val lp = Tables.table(s, dir, "lineitem")
+        .select(col("l_orderkey").as("ok"),
+          concat(lit("p"), col("l_partkey")).as("pn"))
+        .distinct()
+      val e = lp.as("x").join(lp.as("y"),
+          col("x.ok") === col("y.ok") && col("x.pn") < col("y.pn"))
+        .select(col("x.pn").as("a"), col("y.pn").as("b"))
+        .distinct()
+      graft.graph.KCore.survivors(e, k = 80, rounds = 6)
+    }),
+
     // Market-basket frequent pairs over order baskets: joint + marginal
     // counts and integer-scaled lift/confidence for every part pair
     // co-purchased in >= 2 orders. The pair expansion is co-partitioned
@@ -3291,6 +3307,14 @@ object SparkEntry {
          |e AS (SELECT DISTINCT x.pn AS a, y.pn AS b
          |      FROM lp x JOIN lp y ON x.ok = y.ok AND x.pn < y.pn),
          |""".stripMargin + graft.graph.Triangles.oracleSql),
+
+    "q_kcore" ->
+      ("""WITH lp AS MATERIALIZED (
+         |  SELECT DISTINCT l_orderkey AS ok, 'p' || l_partkey AS pn
+         |  FROM lineitem),
+         |e AS MATERIALIZED (SELECT DISTINCT x.pn AS a, y.pn AS b
+         |      FROM lp x JOIN lp y ON x.ok = y.ok AND x.pn < y.pn),
+         |""".stripMargin + graft.graph.KCore.oracleSql(k = 80, rounds = 6)),
 
     "q_frequent_pairs" ->
       ("""WITH bk AS (SELECT DISTINCT l_orderkey AS basket, l_partkey AS item
