@@ -39,8 +39,12 @@ object Contingency {
     val rt = obsNz.groupBy("row_key").agg(sum("observed").as("rt"))
     val ct = obsNz.groupBy("col_key").agg(sum("observed").as("ct"))
     val n = obsNz.agg(sum("observed").as("n"))
-    val obs = rt.crossJoin(ct) // the cells-sized marginal grid
-      .join(obsNz, Seq("row_key", "col_key"), "left")
+    // the cells-sized marginal grid: both sides are category-cardinality
+    // frames, so the cross product broadcasts (BroadcastNestedLoop, not a
+    // partitioned cartesian) and the grid meets the observed cells in a
+    // broadcast hash join
+    val obs = rt.crossJoin(broadcast(ct))
+      .join(broadcast(obsNz), Seq("row_key", "col_key"), "left")
       .withColumn("observed", coalesce(col("observed"), lit(0L)))
     obs.crossJoin(broadcast(n))
       .withColumn("__d", expr(
