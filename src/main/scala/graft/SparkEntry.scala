@@ -887,6 +887,14 @@ object SparkEntry {
         Tables.table(s, dir, "lineitem"), repr, expr("l_orderkey % 64"))
     }),
 
+    // Benford first-digit conformance of order totals (cents): the
+    // forensic data-quality screen; one scan, one 9-group count, the
+    // irrational expectations frozen as shared micro-integer literals
+    "q_benford" -> ((s, dir) =>
+      graft.ops.Benford.firstDigit(
+        Tables.table(s, dir, "orders"),
+        expr("CAST(CAST(o_totalprice AS DECIMAL(18,2)) * 100 AS BIGINT)"))),
+
     // Chi-square cross-tab of market segment x order priority: per
     // cell, observed vs independence-expected counts and the exact
     // integer chi-square contribution (cross-multiplied, DECIMAL(38,0)
@@ -3369,6 +3377,12 @@ object SparkEntry {
          |      strftime(l_shipdate, '%Y-%m-%d %H:%M:%S')) AS repr
          |  FROM lineitem)
          |""".stripMargin + graft.cdc.Checksum.oracleSql),
+
+    "q_benford" ->
+      ("""WITH src AS (SELECT
+         |    CAST(CAST(o_totalprice AS DECIMAL(18,2)) * 100 AS BIGINT) AS v
+         |  FROM orders),
+         |""".stripMargin + graft.ops.Benford.oracleSql),
 
     "q_chi_square" ->
       ("""WITH src AS (SELECT c_mktsegment AS row_key,
