@@ -887,6 +887,18 @@ object SparkEntry {
         Tables.table(s, dir, "lineitem"), repr, expr("l_orderkey % 64"))
     }),
 
+    // Equi-depth histogram of order totals (cents) per priority: 8
+    // equal-count buckets with EXACT edges from range-narrowing
+    // selection (no sort); one scan assigns buckets against the
+    // broadcast edge arrays
+    "q_equidepth_hist" -> ((s, dir) =>
+      graft.ops.Features.equiDepthHistogram(
+        Tables.table(s, dir, "orders").select(
+          col("o_orderpriority").as("grp"),
+          expr("CAST(CAST(o_totalprice AS DECIMAL(18,2)) * 100 AS BIGINT)")
+            .as("v")),
+        nBuckets = 8)),
+
     // Benford first-digit conformance of order totals (cents): the
     // forensic data-quality screen; one scan, one 9-group count, the
     // irrational expectations frozen as shared micro-integer literals
@@ -3377,6 +3389,13 @@ object SparkEntry {
          |      strftime(l_shipdate, '%Y-%m-%d %H:%M:%S')) AS repr
          |  FROM lineitem)
          |""".stripMargin + graft.cdc.Checksum.oracleSql),
+
+    "q_equidepth_hist" ->
+      ("""WITH src AS (SELECT o_orderpriority AS grp,
+         |    CAST(CAST(o_totalprice AS DECIMAL(18,2)) * 100 AS BIGINT) AS v
+         |  FROM orders),
+         |""".stripMargin +
+        graft.ops.Features.equiDepthOracleSql(nBuckets = 8)),
 
     "q_benford" ->
       ("""WITH src AS (SELECT

@@ -215,4 +215,67 @@ object Features {
         .otherwise(lit(0.0)))
       .select("txn_id", "currency", "kobo", "mean_kobo", "var_kobo", "z")
   }
+
+  /** Equi-depth histogram — B buckets of (approximately) equal ROW
+    * count per group, the selectivity-estimation / data-distribution
+    * summary an optimizer or drift monitor wants (equi-WIDTH histograms
+    * lie about skewed data; equi-depth edges ARE the distribution).
+    *
+    * Exact construction: bucket edges are the values at ranks
+    * ceil(i·n/B), i = 1..B−1, found by [[OrderStatistics.kthSmallest]]
+    * (range-narrowing selection — NO sort anywhere); a row's bucket is
+    * |{i : v > edge_i}| — count of edges strictly below it — so ties
+    * collapse deterministically into the lowest admissible bucket and
+    * the whole histogram is engine-exact integer arithmetic. Duplicate
+    * rank targets (n < B) keep their multiplicity in the edge list:
+    * the oracle replays the same i = 1..B−1 walk.
+    *
+    * Scale shape: one count aggregation, one selection pass (≤7
+    * map-side scans), then ONE scan assigning buckets against the
+    * broadcast edge array (a ≤B-element scan-stage array fold) + one
+    * map-side-combined count. The fact never sorts, never self-joins.
+    * Driver state: groups × B longs (plan-constant pattern). */
+  def equiDepthHistogram(df: DataFrame, nBuckets: Int = 8): DataFrame = {
+    require(nBuckets >= 2 && nBuckets <= 1024,
+      s"nBuckets $nBuckets out of [2, 1024]")
+    val spark = df.sparkSession
+    import spark.implicits._
+    val t = df.select(col("grp"), col("v")).persist()
+    val ns = t.groupBy("grp").agg(count(lit(1)).as("n"))
+      .collect().map(r => r.getString(0) -> r.getLong(1)).toMap
+    def rank(i: Int, n: Long): Long = (i.toLong * n + nBuckets - 1) / nBuckets
+    val targets = ns.map { case (g, n) =>
+      g -> (1 until nBuckets).map(i => rank(i, n)).distinct
+    }
+    val cuts = OrderStatistics.kthSmallest(t, "grp", "v", targets)
+    val edges = ns.toSeq.map { case (g, n) =>
+      (g, (1 until nBuckets).map(i => cuts((g, rank(i, n)))))
+    }.toDF("grp", "__edges")
+    val out = t
+      .join(broadcast(edges), "grp")
+      .withColumn("bucket",
+        expr("size(filter(__edges, e -> v > e))").cast("long"))
+      .groupBy("grp", "bucket").agg(count(lit(1)).as("cnt"))
+    t.unpersist()
+    out
+  }
+
+  /** [[equiDepthHistogram]] oracle. Needs `src(grp, v)` in scope. */
+  def equiDepthOracleSql(nBuckets: Int = 8): String =
+    s"""nn AS (SELECT grp, CAST(count(*) AS BIGINT) AS n FROM src GROUP BY 1),
+       |rk AS (SELECT grp, v,
+       |    row_number() OVER (PARTITION BY grp ORDER BY v) AS rn FROM src),
+       |ed AS (SELECT nn.grp, ii.i, rk.v AS edge
+       |       FROM nn CROSS JOIN (SELECT unnest(range(1, $nBuckets)) AS i) ii
+       |       JOIN rk ON rk.grp = nn.grp
+       |              AND rk.rn = (ii.i * nn.n + $nBuckets - 1) // $nBuckets),
+       |vals AS (SELECT grp, v, CAST(count(*) AS BIGINT) AS cnt
+       |         FROM src GROUP BY 1, 2),
+       |bkt AS (SELECT vals.grp, vals.v, vals.cnt,
+       |    CAST(coalesce(sum(CASE WHEN vals.v > ed.edge THEN 1 END), 0)
+       |      AS BIGINT) AS bucket
+       |  FROM vals LEFT JOIN ed ON ed.grp = vals.grp
+       |  GROUP BY 1, 2, 3)
+       |SELECT grp, bucket, CAST(sum(cnt) AS BIGINT) AS cnt
+       |FROM bkt GROUP BY 1, 2""".stripMargin
 }
