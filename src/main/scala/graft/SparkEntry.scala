@@ -887,6 +887,22 @@ object SparkEntry {
         Tables.table(s, dir, "lineitem"), repr, expr("l_orderkey % 64"))
     }),
 
+    // PSI drift of order totals between the 1996 reference and the 1997+
+    // current snapshot, per priority: buckets from the REFERENCE's exact
+    // equi-depth edges, per-bucket micro-nat terms (floor before sum) —
+    // the ML-observability feature-drift monitor
+    "q_psi_drift" -> ((s, dir) => {
+      val cents =
+        expr("CAST(CAST(o_totalprice AS DECIMAL(18,2)) * 100 AS BIGINT)")
+      val o = Tables.table(s, dir, "orders")
+        .select(col("o_orderpriority").as("grp"), cents.as("v"),
+          col("o_orderdate"))
+      graft.ops.Features.psiDrift(
+        o.filter(col("o_orderdate") < lit("1997-01-01")).select("grp", "v"),
+        o.filter(col("o_orderdate") >= lit("1997-01-01")).select("grp", "v"),
+        nBuckets = 8)
+    }),
+
     // Equi-depth histogram of order totals (cents) per priority: 8
     // equal-count buckets with EXACT edges from range-narrowing
     // selection (no sort); one scan assigns buckets against the
@@ -3389,6 +3405,15 @@ object SparkEntry {
          |      strftime(l_shipdate, '%Y-%m-%d %H:%M:%S')) AS repr
          |  FROM lineitem)
          |""".stripMargin + graft.cdc.Checksum.oracleSql),
+
+    "q_psi_drift" ->
+      ("""WITH oo AS (SELECT o_orderpriority AS grp,
+         |    CAST(CAST(o_totalprice AS DECIMAL(18,2)) * 100 AS BIGINT) AS v,
+         |    o_orderdate AS d
+         |  FROM orders),
+         |refsrc AS (SELECT grp, v FROM oo WHERE d < TIMESTAMP '1997-01-01'),
+         |cursrc AS (SELECT grp, v FROM oo WHERE d >= TIMESTAMP '1997-01-01'),
+         |""".stripMargin + graft.ops.Features.psiOracleSql(nBuckets = 8)),
 
     "q_equidepth_hist" ->
       ("""WITH src AS (SELECT o_orderpriority AS grp,

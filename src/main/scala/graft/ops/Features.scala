@@ -236,11 +236,27 @@ object Features {
     * map-side-combined count. The fact never sorts, never self-joins.
     * Driver state: groups × B longs (plan-constant pattern). */
   def equiDepthHistogram(df: DataFrame, nBuckets: Int = 8): DataFrame = {
+    val t = df.select(col("grp"), col("v")).persist()
+    val out = t
+      .join(broadcast(equiDepthEdges(t, nBuckets)), "grp")
+      .withColumn("bucket",
+        expr("size(filter(__edges, e -> v > e))").cast("long"))
+      .groupBy("grp", "bucket").agg(count(lit(1)).as("cnt"))
+    t.unpersist()
+    out
+  }
+
+  /** The exact equi-depth bucket EDGES of `df(grp, v)` as a
+    * (grp, __edges ARRAY<LONG>) frame — ranks ceil(i·n/B), i = 1..B−1,
+    * duplicates kept; shared by [[equiDepthHistogram]] and the drift
+    * monitors that bucket a LATER snapshot by a reference snapshot's
+    * edges ([[psiDrift]]). */
+  def equiDepthEdges(df: DataFrame, nBuckets: Int): DataFrame = {
     require(nBuckets >= 2 && nBuckets <= 1024,
       s"nBuckets $nBuckets out of [2, 1024]")
     val spark = df.sparkSession
     import spark.implicits._
-    val t = df.select(col("grp"), col("v")).persist()
+    val t = df.select(col("grp"), col("v"))
     val ns = t.groupBy("grp").agg(count(lit(1)).as("n"))
       .collect().map(r => r.getString(0) -> r.getLong(1)).toMap
     def rank(i: Int, n: Long): Long = (i.toLong * n + nBuckets - 1) / nBuckets
@@ -248,16 +264,9 @@ object Features {
       g -> (1 until nBuckets).map(i => rank(i, n)).distinct
     }
     val cuts = OrderStatistics.kthSmallest(t, "grp", "v", targets)
-    val edges = ns.toSeq.map { case (g, n) =>
+    ns.toSeq.map { case (g, n) =>
       (g, (1 until nBuckets).map(i => cuts((g, rank(i, n)))))
     }.toDF("grp", "__edges")
-    val out = t
-      .join(broadcast(edges), "grp")
-      .withColumn("bucket",
-        expr("size(filter(__edges, e -> v > e))").cast("long"))
-      .groupBy("grp", "bucket").agg(count(lit(1)).as("cnt"))
-    t.unpersist()
-    out
   }
 
   /** [[equiDepthHistogram]] oracle. Needs `src(grp, v)` in scope. */
@@ -278,4 +287,101 @@ object Features {
        |  GROUP BY 1, 2, 3)
        |SELECT grp, bucket, CAST(sum(cnt) AS BIGINT) AS cnt
        |FROM bkt GROUP BY 1, 2""".stripMargin
+
+  /** Population-stability-index drift between two snapshots — THE
+    * feature-drift monitor (the credit-scoring PSI, standard in ML
+    * observability): bucket BOTH snapshots by the REFERENCE snapshot's
+    * exact equi-depth edges, add-one smooth, and score each bucket
+    *
+    *   term = (p_ref − p_cur) · ln(p_ref / p_cur)
+    *
+    * truncated to INTEGER micro-nats per bucket before any sum (the
+    * corpus-LM discipline: one double-typed scalar expression per row,
+    * identical in the oracle — floor kills cross-engine drift). PSI =
+    * Σ term_micro; the usual gates read ~0.1 → 100_000 micro-nats.
+    * Smoothing keeps empty buckets finite; all B buckets emit for every
+    * REFERENCE group (the reference defines the population — current
+    * rows in groups unseen at reference time don't score; monitor group
+    * churn with [[graft.cdc.SnapshotDiff]] instead).
+    *
+    * Scale shape: one selection pass on the reference for edges, one
+    * bucket-assigning scan per snapshot (broadcast edge arrays), two
+    * map-side-combined counts, then grid-sized joins — the snapshots
+    * never join each other row-wise. */
+  def psiDrift(ref: DataFrame, cur: DataFrame, nBuckets: Int = 8)
+      : DataFrame = {
+    val edges = broadcast(equiDepthEdges(ref, nBuckets))
+    def bucketCounts(df: DataFrame, cname: String): DataFrame =
+      df.select(col("grp"), col("v"))
+        .join(edges, "grp")
+        .withColumn("bucket",
+          expr("size(filter(__edges, e -> v > e))").cast("long"))
+        .groupBy("grp", "bucket").agg(count(lit(1)).as(cname))
+    def totals(df: DataFrame, cname: String): DataFrame =
+      df.groupBy("grp").agg(count(lit(1)).as(cname))
+    val grid = edges.select(col("grp"),
+      explode(expr(s"sequence(0L, ${nBuckets - 1}L)")).as("bucket"))
+    val b = nBuckets.toLong
+    grid
+      .join(bucketCounts(ref, "__ca"), Seq("grp", "bucket"), "left")
+      .join(bucketCounts(cur, "__cb"), Seq("grp", "bucket"), "left")
+      .join(broadcast(totals(ref, "__na")), Seq("grp"), "left")
+      .join(broadcast(totals(cur, "__nb")), Seq("grp"), "left")
+      .withColumn("cnt_ref", coalesce(col("__ca"), lit(0L)))
+      .withColumn("cnt_cur", coalesce(col("__cb"), lit(0L)))
+      .withColumn("__tna", coalesce(col("__na"), lit(0L)) + b)
+      .withColumn("__tnb", coalesce(col("__nb"), lit(0L)) + b)
+      .select(col("grp"), col("bucket"), col("cnt_ref"), col("cnt_cur"),
+        floor((
+          (col("cnt_ref") + 1) / col("__tna").cast("double") -
+            (col("cnt_cur") + 1) / col("__tnb").cast("double")) *
+          log(((col("cnt_ref") + 1) * col("__tnb")) /
+            ((col("cnt_cur") + 1) * col("__tna")).cast("double")) *
+          1e6).cast("long").as("term_micro"))
+  }
+
+  /** [[psiDrift]] oracle. Needs `refsrc(grp, v)` and `cursrc(grp, v)`
+    * in scope. */
+  def psiOracleSql(nBuckets: Int = 8): String = {
+    val b = nBuckets
+    def bucketCte(src: String, tag: String): String =
+      s"""v$tag AS (SELECT grp, v, CAST(count(*) AS BIGINT) AS cnt
+         |  FROM $src GROUP BY 1, 2),
+         |b$tag AS (SELECT v$tag.grp, v$tag.v, v$tag.cnt,
+         |    CAST(coalesce(sum(CASE WHEN v$tag.v > ed.edge THEN 1 END), 0)
+         |      AS BIGINT) AS bucket
+         |  FROM v$tag LEFT JOIN ed ON ed.grp = v$tag.grp GROUP BY 1, 2, 3),
+         |c$tag AS (SELECT grp, bucket, CAST(sum(cnt) AS BIGINT) AS c
+         |  FROM b$tag GROUP BY 1, 2),
+         |n$tag AS (SELECT grp, CAST(count(*) AS BIGINT) AS n
+         |  FROM $src GROUP BY 1)""".stripMargin
+    s"""nn AS (SELECT grp, CAST(count(*) AS BIGINT) AS n FROM refsrc GROUP BY 1),
+       |rk AS (SELECT grp, v,
+       |    row_number() OVER (PARTITION BY grp ORDER BY v) AS rn FROM refsrc),
+       |ed AS MATERIALIZED (SELECT nn.grp, ii.i, rk.v AS edge
+       |       FROM nn CROSS JOIN (SELECT unnest(range(1, $b)) AS i) ii
+       |       JOIN rk ON rk.grp = nn.grp
+       |              AND rk.rn = (ii.i * nn.n + $b - 1) // $b),
+       |${bucketCte("refsrc", "ref")},
+       |${bucketCte("cursrc", "cur")},
+       |grid AS (SELECT nn.grp, CAST(ii.b AS BIGINT) AS bucket
+       |  FROM nn CROSS JOIN (SELECT unnest(range(0, $b)) AS b) ii)
+       |SELECT grid.grp, grid.bucket,
+       |  CAST(coalesce(cref.c, 0) AS BIGINT) AS cnt_ref,
+       |  CAST(coalesce(ccur.c, 0) AS BIGINT) AS cnt_cur,
+       |  CAST(floor((
+       |      (coalesce(cref.c, 0) + 1)
+       |        / CAST(coalesce(nref.n, 0) + $b AS DOUBLE)
+       |      - (coalesce(ccur.c, 0) + 1)
+       |        / CAST(coalesce(ncur.n, 0) + $b AS DOUBLE))
+       |    * ln(((coalesce(cref.c, 0) + 1) * (coalesce(ncur.n, 0) + $b))
+       |      / CAST((coalesce(ccur.c, 0) + 1)
+       |             * (coalesce(nref.n, 0) + $b) AS DOUBLE))
+       |    * 1e6) AS BIGINT) AS term_micro
+       |FROM grid
+       |LEFT JOIN cref ON cref.grp = grid.grp AND cref.bucket = grid.bucket
+       |LEFT JOIN ccur ON ccur.grp = grid.grp AND ccur.bucket = grid.bucket
+       |LEFT JOIN nref ON nref.grp = grid.grp
+       |LEFT JOIN ncur ON ncur.grp = grid.grp""".stripMargin
+  }
 }
