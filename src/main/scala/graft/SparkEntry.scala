@@ -2210,9 +2210,12 @@ object SparkEntry {
        |          FROM (SELECT doc_id, w,
        |                  unnest(generate_series(1, greatest(len(w) - $w, 0))) AS i
        |                FROM __ds0)),
-       |__dsh AS (SELECT doc_id, pos,
-       |            ${SqlHash.toSigned(SqlHash.fnv1a64("gram", "__dsa", "__dsb"))} AS h
+       |__dshr AS (SELECT doc_id, pos,
+       |            ${SqlHash.fnv1a64("gram", "__dsa", "__dsb")} AS hraw
        |          FROM __dsg),
+       |__dsh AS MATERIALIZED (SELECT doc_id, pos,
+       |            ${SqlHash.toSigned("hraw")} AS h
+       |          FROM __dshr),
        |__dsk AS (SELECT h FROM (SELECT h, count(DISTINCT doc_id) AS df
        |                         FROM __dsh GROUP BY 1) WHERE df >= 2),
        |__dshit AS (SELECT DISTINCT doc_id, pos FROM __dsh JOIN __dsk USING (h)),
