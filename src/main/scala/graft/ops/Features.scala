@@ -323,8 +323,8 @@ object Features {
       explode(expr(s"sequence(0L, ${nBuckets - 1}L)")).as("bucket"))
     val b = nBuckets.toLong
     grid
-      .join(bucketCounts(ref, "__ca"), Seq("grp", "bucket"), "left")
-      .join(bucketCounts(cur, "__cb"), Seq("grp", "bucket"), "left")
+      .join(broadcast(bucketCounts(ref, "__ca")), Seq("grp", "bucket"), "left")
+      .join(broadcast(bucketCounts(cur, "__cb")), Seq("grp", "bucket"), "left")
       .join(broadcast(totals(ref, "__na")), Seq("grp"), "left")
       .join(broadcast(totals(cur, "__nb")), Seq("grp"), "left")
       .withColumn("cnt_ref", coalesce(col("__ca"), lit(0L)))
