@@ -832,8 +832,11 @@ object SparkEntry {
     // contract; fusion is one union + one map-side-combined aggregation
     "q_rank_fusion" -> ((s, dir) => {
       val li = Tables.table(s, dir, "lineitem")
+      // DECIMAL(18,2) sum: the ranking key must be EXACT — a double sum
+      // here rank-swaps float-near-tied suppliers between engines (caught
+      // by the sf1 gate: 1681 rrf rows off after one adjacent swap)
       val rev = li.groupBy(col("l_suppkey").as("key"))
-        .agg(sum(col("l_extendedprice")).as("score"))
+        .agg(sum(expr("CAST(l_extendedprice AS DECIMAL(18,2))")).as("score"))
       val cust = li.select("l_orderkey", "l_suppkey")
         .join(Tables.table(s, dir, "orders").select("o_orderkey", "o_custkey"),
           col("l_orderkey") === col("o_orderkey"))
@@ -3373,7 +3376,8 @@ object SparkEntry {
         graft.text.TextAnalysis.collocationsOracleSql(minCount = 5)),
 
     "q_rank_fusion" ->
-      ("""WITH l1 AS (SELECT l_suppkey AS key, sum(l_extendedprice) AS score
+      ("""WITH l1 AS (SELECT l_suppkey AS key,
+         |    sum(CAST(l_extendedprice AS DECIMAL(18,2))) AS score
          |  FROM lineitem GROUP BY 1),
          |l2 AS (SELECT l_suppkey AS key, count(DISTINCT o_custkey) AS score
          |  FROM lineitem JOIN orders ON l_orderkey = o_orderkey GROUP BY 1),
