@@ -44,7 +44,12 @@ object Checksum {
       .groupBy("bucket")
       .agg(count(lit(1)).as("n_rows"),
         expr("bit_xor(__h)").as("xor_h"),
-        sum(col("__h").cast("decimal(38,0)")).cast("long").as("sum_h"))
+        expr("sum(CAST(__h AS DECIMAL(38,0))) % 18446744073709551616BD")
+          .as("__m"))
+      .select(col("bucket"), col("n_rows"), col("xor_h"),
+        expr("CAST(CASE WHEN __m >= 9223372036854775808BD" +
+          " THEN __m - 18446744073709551616BD ELSE __m END AS BIGINT)")
+          .as("sum_h"))
 
   /** Streaming twin of [[contentChecksum]] — the live replica checksum.
     * Count, XOR and SUM are commutative monoids, so the per-bucket folds
@@ -60,14 +65,24 @@ object Checksum {
       .groupBy("bucket")
       .agg(count(lit(1)).as("n_rows"),
         expr("bit_xor(__h)").as("xor_h"),
-        sum(col("__h").cast("decimal(38,0)")).cast("long").as("sum_h"))
+        expr("sum(CAST(__h AS DECIMAL(38,0))) % 18446744073709551616BD")
+          .as("__m"))
+      .select(col("bucket"), col("n_rows"), col("xor_h"),
+        expr("CAST(CASE WHEN __m >= 9223372036854775808BD" +
+          " THEN __m - 18446744073709551616BD ELSE __m END AS BIGINT)")
+          .as("sum_h"))
 
   /** Oracle fragment: same digest, same folds, over `src(bucket, repr)`. */
   val oracleSql: String =
-    """SELECT bucket, CAST(count(*) AS BIGINT) AS n_rows,
-      |  CAST(bit_xor(CAST('0x' || substr(md5(repr), 1, 12) AS BIGINT))
-      |    AS BIGINT) AS xor_h,
-      |  CAST(sum(CAST('0x' || substr(md5(repr), 1, 12) AS BIGINT))
-      |    AS BIGINT) AS sum_h
-      |FROM src GROUP BY 1""".stripMargin
+    """SELECT bucket, CAST(cnt AS BIGINT) AS n_rows,
+      |  CAST(x AS BIGINT) AS xor_h,
+      |  CAST(CASE WHEN m >= 9223372036854775808::HUGEINT
+      |       THEN m - 18446744073709551616::HUGEINT ELSE m END AS BIGINT)
+      |    AS sum_h
+      |FROM (
+      |  SELECT bucket, count(*) AS cnt,
+      |    bit_xor(CAST('0x' || substr(md5(repr), 1, 12) AS BIGINT)) AS x,
+      |    sum(CAST('0x' || substr(md5(repr), 1, 12) AS BIGINT))::HUGEINT
+      |      % 18446744073709551616::HUGEINT AS m
+      |  FROM src GROUP BY 1)""".stripMargin
 }
