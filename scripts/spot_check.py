@@ -143,7 +143,7 @@ check('fk audit: child row counts match the tables; orphans <= distinct fks',
       int(fkm.loc['lineitem.l_orderkey->orders'].child_rows) == li_n
       and int(fkm.loc['orders.o_custkey->customer'].child_rows) == ord_n
       and bool((fk.orphan_keys <= fk.distinct_fks).all())
-      and bool((fk.orphan_rows >= fk.orphan_keys).all() or True))
+      and bool((fk.orphan_rows >= fk.orphan_keys).all()))
 
 ck = sp('q_table_checksum')
 check('checksum: bucket row counts partition the fact table',

@@ -394,7 +394,7 @@ object SparkEntry {
         col("txn_type"), col("status")))
       SnapshotDiff.changelogDiff(cl.crossJoin(broadcast(hz)),
           Seq("account_id"), "event_time_us", "op", digest,
-          col("__t1"), col("__t2"))
+          col("__t1"), col("__t2"), tieCols = Seq(col("txn_id")))
         .select(col("account_id"), col("change"),
           col("old_seq").as("old_ts_us"), col("new_seq").as("new_ts_us"))
     }),
@@ -2271,12 +2271,14 @@ object SparkEntry {
          |  FROM p$r ORDER BY n DESC, pair ASC LIMIT 1),
          |w${r + 1} AS MATERIALIZED (
          |  SELECT w.word, w.freq,
-         |    list_reduce(string_split(w.cur, ' '), (__acc, __x) ->
+         |    CASE WHEN b.pair IS NULL THEN w.cur
+         |    ELSE list_reduce(string_split(w.cur, ' '), (__acc, __x) ->
          |      CASE WHEN __x = b.rhs AND (__acc = b.lhs OR ends_with(__acc, ' ' || b.lhs))
          |           THEN CASE WHEN __acc = b.lhs THEN b.mrg
          |                ELSE left(__acc, length(__acc) - length(b.lhs)) || b.mrg END
-         |           ELSE __acc || ' ' || __x END) AS cur
-         |  FROM w$r w CROSS JOIN b$r b)""".stripMargin
+         |           ELSE __acc || ' ' || __x END)
+         |    END AS cur
+         |  FROM w$r w LEFT JOIN b$r b ON TRUE)""".stripMargin
     }
     (w0 +: perRound).mkString("WITH ", ",\n", "")
   }
@@ -2995,11 +2997,11 @@ object SparkEntry {
         |hz AS (SELECT (min(event_time_us) + max(event_time_us)) // 2 AS t1,
         |              max(event_time_us) AS t2 FROM cl),
         |o AS (SELECT * FROM (
-        |    SELECT v.*, row_number() OVER (PARTITION BY account_id ORDER BY event_time_us DESC) AS rn
+        |    SELECT v.*, row_number() OVER (PARTITION BY account_id ORDER BY event_time_us DESC, txn_id DESC) AS rn
         |    FROM cl v CROSS JOIN hz WHERE event_time_us <= t1)
         |  WHERE rn = 1 AND op <> 'd'),
         |n AS (SELECT * FROM (
-        |    SELECT v.*, row_number() OVER (PARTITION BY account_id ORDER BY event_time_us DESC) AS rn
+        |    SELECT v.*, row_number() OVER (PARTITION BY account_id ORDER BY event_time_us DESC, txn_id DESC) AS rn
         |    FROM cl v CROSS JOIN hz WHERE event_time_us <= t2)
         |  WHERE rn = 1 AND op <> 'd'),
         |d AS (SELECT coalesce(o.account_id, n.account_id) AS account_id,

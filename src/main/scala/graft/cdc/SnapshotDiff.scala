@@ -50,12 +50,21 @@ object SnapshotDiff {
     * `t2` (inclusive, on `seqCol`; `t1`/`t2` may reference scalar columns
     * cross-joined onto `changelog` by the caller). `opCol` must read "d"
     * on tombstone versions. Output: keyCols..., change ('added' |
-    * 'deleted' | 'changed'), old_seq, new_seq (null where absent). */
+    * 'deleted' | 'changed'), old_seq, new_seq (null where absent).
+    *
+    * Version order is (seqCol, tieCols...) — if a key can ever carry two
+    * versions at the same `seqCol` value, pass a deterministic `tieCols`
+    * (e.g. the record id); otherwise ties would break by (op, digest)
+    * byte order, which no value-level oracle reproduces. With a unique
+    * (seqCol, tieCols) per key the result is deterministic and matches a
+    * `row_number() OVER (ORDER BY seq DESC, tie... DESC)` formulation
+    * exactly. */
   def changelogDiff(changelog: DataFrame, keyCols: Seq[String],
       seqCol: String, opCol: String, digest: Column,
-      t1: Column, t2: Column): DataFrame = {
-    val v = struct(col(seqCol).as("seq"), col(opCol).as("op"),
-      digest.as("digest"))
+      t1: Column, t2: Column, tieCols: Seq[Column] = Nil): DataFrame = {
+    val v = struct(Seq(col(seqCol).as("seq")) ++
+      tieCols.zipWithIndex.map { case (c, i) => c.as(s"__tie$i") } ++
+      Seq(col(opCol).as("op"), digest.as("digest")): _*)
     val agg = changelog
       .groupBy(keyCols.map(col): _*)
       .agg(max(when(col(seqCol) <= t1, v)).as("__o"),

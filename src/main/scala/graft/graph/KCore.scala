@@ -36,24 +36,29 @@ object KCore {
     require(k >= 1, s"k $k must be >= 1")
     require(rounds >= 1 && rounds <= 16, s"rounds $rounds out of [1, 16]")
     var e = edges.select(col("a"), col("b")).localCheckpoint()
-    var lastRemoved = 0L
-    for (_ <- 1 to rounds) {
+    for (r <- 1 to rounds) {
       val alive = e.select(col("a").as("node"))
         .union(e.select(col("b").as("node")))
         .groupBy("node").agg(count(lit(1)).as("deg"))
         .filter(col("deg") >= k)
         .select("node")
-      val before = e.count()
+      // convergence needs edge counts only around the FINAL peel (round
+      // R removed 0 edges <=> fixpoint) — earlier rounds run count-free,
+      // and the default fixed-pass mode launches no count jobs at all
+      val checkHere = requireConverged && r == rounds
+      val before = if (checkHere) e.count() else -1L
       e = e
         .join(alive.withColumnRenamed("node", "a"), Seq("a"), "left_semi")
         .join(alive.withColumnRenamed("node", "b"), Seq("b"), "left_semi")
         .select(col("a"), col("b"))
         .localCheckpoint()
-      lastRemoved = before - e.count()
+      if (checkHere) {
+        val lastRemoved = before - e.count()
+        require(lastRemoved == 0L,
+          s"k-core peel did not converge in $rounds rounds " +
+            s"(last round still removed $lastRemoved edges) — raise rounds")
+      }
     }
-    if (requireConverged) require(lastRemoved == 0L,
-      s"k-core peel did not converge in $rounds rounds " +
-        s"(last round still removed $lastRemoved edges) — raise rounds")
     e.select(col("a").as("node"))
       .union(e.select(col("b").as("node")))
       .groupBy("node").agg(count(lit(1)).as("deg"))

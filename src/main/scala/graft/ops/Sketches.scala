@@ -163,10 +163,13 @@ object Sketches {
       .withColumn("__sorted", array_sort(expr("transform(sample, x -> x.v)")))
       .withColumn("n_sample", size(col("sample")).cast("long"))
     val pCols = ps.map { case (nu, de) =>
-      // ceil-rank (nu*m + de - 1) div de, clamped to >= 1 for safety
-      element_at(col("__sorted"),
-        greatest(lit(1L), expr(s"($nu * n_sample + ${de - 1}) div $de"))
-          .cast("int"))
+      // ceil-rank (nu*m + de - 1) div de, clamped to >= 1 for safety;
+      // an all-null group yields an empty sample, where element_at(_, 1)
+      // would throw under ANSI — such groups report null percentiles
+      when(col("n_sample") > 0,
+        element_at(col("__sorted"),
+          greatest(lit(1L), expr(s"($nu * n_sample + ${de - 1}) div $de"))
+            .cast("int")))
         .as(s"p${nu}_${de}")
     }
     sk.select(col(groupCol) +: col("n_rows") +: col("n_sample") +: pCols: _*)
