@@ -109,6 +109,13 @@ object RecallProbe {
     evalTier("pq_adc", rerankFrac, 1.0)(
       sim.PQ.topKQuery(emb, Q, K, m = SparkEntry.PqM,
         ksub = SparkEntry.PqKsub, rerankFactor = SparkEntry.PqRerank))
+    // same candidate fraction as pq_adc by construction (identical k ×
+    // rerankFactor survivors) — the OPQ-vs-PQ comparison the operator's
+    // "Done" criterion is defined on
+    evalTier("opq_adc", rerankFrac, 1.0)(
+      sim.Opq.topKQuery(emb, Q, K, m = SparkEntry.PqM,
+        ksub = SparkEntry.PqKsub, rerankFactor = SparkEntry.PqRerank,
+        grid = SparkEntry.PqOpqGrid))
     evalTier("ivfpq", rerankFrac, ivfFrac)(
       sim.PQ.ivfPqTopK(emb, Q, K, SparkEntry.IvfStride,
         SparkEntry.IvfNprobe, SparkEntry.IvfIters, m = SparkEntry.PqM,

@@ -84,6 +84,7 @@ object SparkEntry {
   val PqM                = 16     // PQ subspaces (graft.sim.PQ defaults —
   val PqKsub             = 16     // shared with the SQL oracle like the IVF
   val PqRerank           = 8      // knobs above)
+  val PqOpqGrid          = 1024   // OPQ rotation grid (graft.sim.Opq)
   val LargeOrderQty      = 300L   // Q18-shaped HAVING cut (~top 0.1% of
                                   // orders; corpus avg order qty ~103)
   val BoilerplateMinDocs = 5L     // segment-frequency boilerplate cut
@@ -1417,6 +1418,21 @@ object SparkEntry {
         SimTopK, IvfStride, IvfNprobe, IvfIters, m = PqM, ksub = PqKsub,
         rerankFactor = PqRerank)),
 
+    // OPQ — rotation-then-PQ (Ge et al. 2014): deterministic sign-flip +
+    // Walsh-Hadamard rotation over global-grid INTEGER codes, then the
+    // LEARNED variance snake-allocation permutation (exact integer
+    // variances, n*sum(t^2) - sum(t)^2, ranked and dealt boustrophedon),
+    // then plain PQ trains/encodes/ADC-searches the rotated space; floats
+    // rerank on the ORIGINALS. All-integer transform -> the whole learned
+    // pipeline replays bit-for-bit in the oracle (the PCA-rotation form
+    // stays spec-pinned in Whitening — float eigenbases have no
+    // cross-engine identity). Recall >= plain PQ at the same candidate
+    // fraction (RecallProbe; floor pinned in RecallSpec)
+    "q_sim_opq_topk" -> ((s, dir) =>
+      graft.sim.Opq.topKQuery(Tables.embeddings(s, dir), SimNumQueries,
+        SimTopK, m = PqM, ksub = PqKsub, rerankFactor = PqRerank,
+        grid = PqOpqGrid)),
+
     // Multimodal: GENUINE binary payloads (committed golden fixture,
     // full 0..255 byte range incl. non-ASCII) + typed metadata -> batched
     // stub-decode features; oracle is byte-level over hex(payload)
@@ -2342,9 +2358,17 @@ object SparkEntry {
     * would collide with the IVF fragment's (`hv`/`modEff`/`tr`/`seeds`),
     * so [[sqlIvfCellCtes]] + this can share one WITH for the IVF-PQ
     * composition. Ends with `codes(vec_id, s, code)`. */
-  private def sqlPqCodesInner: String = {
+  private def sqlPqCodesInner: String = sqlPqCodesInnerOn("e", "n")
+
+  /** [[sqlPqCodesInner]] parameterized on the source CTE pair —
+    * `eName(vec_id, v)` / `nName(vec_id, v, norm)` — so the SAME replay
+    * runs over the raw embedding table (q_pq_encode / q_sim_pq_topk /
+    * q_sim_ivfpq_topk, via `e`/`n`) and over the OPQ-transformed view
+    * (q_sim_opq_topk, via `te`/`tn`). Dims come from the source CTE
+    * (`max(len(v))` ≡ the old `max(len(embedding))` on the raw pair). */
+  private def sqlPqCodesInnerOn(eName: String, nName: String): String = {
     val (kSteps, kCol) = SqlHash.xxh64LongSteps("vec_id::HUGEINT", "42", "__k")
-    val seedInner = SqlHash.applySteps("SELECT vec_id FROM e", kSteps)
+    val seedInner = SqlHash.applySteps(s"SELECT vec_id FROM $eName", kSteps)
     // one Lloyd pass: assign each sampled subvector to its nearest
     // centroid (integer L2, tie -> lowest c_id), rebuild centroids as
     // elementwise integer-division means; empty cells drop out
@@ -2360,12 +2384,12 @@ object SparkEntry {
          |  FROM a$i a JOIN trg t ON a.vec_id = t.vec_id AND a.s = t.s
          |  GROUP BY a.s, a.c_id, t.dl)""".stripMargin
     s"""un AS (SELECT vec_id,
-       |         list_transform(v, x -> x / greatest(norm, 1e-12)) AS u FROM n),
-       |sdim AS (SELECT CAST((SELECT max(len(embedding)) FROM embeddings) // $PqM AS BIGINT) AS sd),
+       |         list_transform(v, x -> x / greatest(norm, 1e-12)) AS u FROM $nName),
+       |sdim AS (SELECT CAST((SELECT max(len(v)) FROM $eName) // $PqM AS BIGINT) AS sd),
        |gstat AS (SELECT d, min(u[d]) AS dmin,
        |    greatest((max(u[d]) - min(u[d])) / 256.0, 1e-12) AS dscale
        |  FROM un CROSS JOIN (SELECT unnest(range(1,
-       |    (SELECT max(len(embedding)) FROM embeddings) + 1)) AS d)
+       |    (SELECT max(len(v)) FROM $eName) + 1)) AS d)
        |  GROUP BY d),
        |sub AS (SELECT un.vec_id, gs.d,
        |    least(CAST(floor((un.u[gs.d] - gs.dmin) / gs.dscale) AS BIGINT), 255) AS g,
@@ -2375,7 +2399,7 @@ object SparkEntry {
        |-- MATERIALIZED: same planner trap as the IVF/mixture oracles
        |pq_hv AS MATERIALIZED (SELECT vec_id, ${SqlHash.toSigned(kCol)} AS hv FROM ($seedInner)),
        |pq_mod AS (SELECT greatest(1, CAST(ceil(CAST(count(*) AS DOUBLE) /
-       |  65536.0) AS BIGINT)) AS m FROM e),
+       |  65536.0) AS BIGINT)) AS m FROM $eName),
        |pq_tr AS (SELECT vec_id FROM pq_hv WHERE hv % (SELECT m FROM pq_mod) = 0),
        |pq_seeds AS (SELECT vec_id, CAST(rn - 1 AS BIGINT) AS c_id FROM (
        |  SELECT vec_id, row_number() OVER (ORDER BY vec_id) AS rn FROM pq_tr)
@@ -4036,6 +4060,68 @@ object SparkEntry {
          |r AS (SELECT *, CAST(row_number() OVER (PARTITION BY q_id
          |    ORDER BY cos_sim DESC, neighbor_id) AS BIGINT) AS rank FROM rr)
          |SELECT q_id, neighbor_id, cos_sim, rank FROM r WHERE rank <= $SimTopK""".stripMargin,
+
+    // OPQ: the transform replays exactly — hash-derived sign flips, the
+    // Walsh-Hadamard rotation as bit_count arithmetic over INTEGER grid
+    // codes (order-free sums), HUGEINT variance ranking, snake-allocation
+    // arithmetic — then the SAME PQ fragment instantiated on the
+    // transformed pair (te/tn) and the q_sim_pq_topk search CTEs, with
+    // the rerank joining the ORIGINAL n
+    "q_sim_opq_topk" -> {
+      val (sSteps, sCol) = SqlHash.xxh64LongSteps("idx", "42", "__os")
+      val sgnInner = SqlHash.applySteps(
+        "SELECT ri.i, CAST(ri.i AS HUGEINT) AS idx FROM range(0, 64) ri(i)",
+        sSteps)
+      s"""WITH $sqlAnnBaseCtes,
+         |opq_u AS (SELECT vec_id, list_transform(v, x -> x / greatest(norm, 1e-12)) AS u FROM n),
+         |opq_b AS (SELECT CAST(min(list_min(u)) AS DOUBLE) AS mn,
+         |                 CAST(max(list_max(u)) AS DOUBLE) AS mx FROM opq_u),
+         |opq_g AS MATERIALIZED (SELECT vec_id, list_transform(u, x ->
+         |    least(CAST(floor((x - mn) / ((mx - mn) / ${PqOpqGrid}.0)) AS BIGINT), ${PqOpqGrid - 1})) AS g
+         |  FROM opq_u CROSS JOIN opq_b),
+         |opq_s AS MATERIALIZED (SELECT i, 1 - 2 * (((${SqlHash.toSigned(sCol)} % 2) + 2) % 2) AS sgn
+         |  FROM ($sgnInner)),
+         |opq_r AS MATERIALIZED (SELECT rj.j, s.i,
+         |    s.sgn * (1 - 2 * (bit_count(CAST(rj.j AS BIGINT) & CAST(s.i AS BIGINT)) % 2)) AS c
+         |  FROM range(0, 64) rj(j) CROSS JOIN opq_s s),
+         |opq_f AS (SELECT vec_id, unnest(g) AS gv, generate_subscripts(g, 1) - 1 AS i FROM opq_g),
+         |opq_rot AS MATERIALIZED (SELECT f.vec_id, r.j, CAST(sum(r.c * f.gv) AS BIGINT) AS t
+         |  FROM opq_f f JOIN opq_r r USING (i) GROUP BY 1, 2),
+         |opq_var AS (SELECT j,
+         |    CAST(count(*) AS HUGEINT) * sum(CAST(t AS HUGEINT) * t) -
+         |    sum(CAST(t AS HUGEINT)) * sum(CAST(t AS HUGEINT)) AS vr
+         |  FROM opq_rot GROUP BY j),
+         |opq_alloc AS (SELECT j, rk - 1 AS rr0,
+         |    CASE WHEN ((rk - 1) // $PqM) % 2 = 0 THEN (rk - 1) % $PqM
+         |         ELSE $PqM - 1 - (rk - 1) % $PqM END AS sub0
+         |  FROM (SELECT j, row_number() OVER (ORDER BY vr DESC, j) AS rk FROM opq_var)),
+         |opq_perm AS (SELECT j, sub0 * (64 // $PqM) +
+         |    row_number() OVER (PARTITION BY sub0 ORDER BY rr0) - 1 AS p
+         |  FROM opq_alloc),
+         |te AS MATERIALIZED (SELECT o.vec_id, list(CAST(o.t AS DOUBLE) ORDER BY pm.p) AS v
+         |  FROM opq_rot o JOIN opq_perm pm USING (j) GROUP BY o.vec_id),
+         |tn AS (SELECT vec_id, v, sqrt(list_dot_product(v, v)) AS norm FROM te),
+         |${sqlPqCodesInnerOn("te", "tn")},
+         |qd AS (SELECT t.vec_id AS q_id, c.s, c.c_id,
+         |    sum((t.g - c.cg) * (t.g - c.cg)) AS dist
+         |  FROM sub t JOIN cen2 c ON t.s = c.s AND t.dl = c.dl
+         |  WHERE t.vec_id < $SimNumQueries
+         |  GROUP BY t.vec_id, c.s, c.c_id),
+         |adc AS (SELECT qd.q_id, co.vec_id, sum(qd.dist) AS adc
+         |  FROM qd JOIN codes co ON qd.s = co.s AND qd.c_id = co.code
+         |  WHERE co.vec_id <> qd.q_id GROUP BY qd.q_id, co.vec_id),
+         |cand AS (SELECT q_id, vec_id FROM (
+         |  SELECT q_id, vec_id, row_number() OVER (PARTITION BY q_id
+         |    ORDER BY adc, vec_id) AS rn FROM adc)
+         |  WHERE rn <= ${SimTopK * PqRerank}),
+         |rr AS (SELECT c.q_id, c.vec_id AS neighbor_id,
+         |    round(list_dot_product(q.v, a.v) / (q.norm * a.norm), 6) AS cos_sim
+         |  FROM cand c JOIN n a ON a.vec_id = c.vec_id
+         |  JOIN n q ON q.vec_id = c.q_id),
+         |r2 AS (SELECT *, CAST(row_number() OVER (PARTITION BY q_id
+         |    ORDER BY cos_sim DESC, neighbor_id) AS BIGINT) AS rank FROM rr)
+         |SELECT q_id, neighbor_id, cos_sim, rank FROM r2 WHERE rank <= $SimTopK""".stripMargin
+    },
 
     "q_bpe_pairs" ->
       """WITH wl AS (SELECT unnest(string_split(text, ' ')) AS word FROM documents),

@@ -54,7 +54,7 @@ object PQ {
     * its integer L2 is monotone with the cosine the rerank/oracle rank by
     * (for unit x,y: ‖x−y‖² = 2−2·x·y). Division by the graft_dot-folded
     * norm is fixed-order IEEE, replayed exactly by the oracle. */
-  private def unitVectors(embeddings: DataFrame): DataFrame =
+  private[sim] def unitVectors(embeddings: DataFrame): DataFrame =
     embeddings
       .select(col("vec_id"), col("embedding").cast("array<double>").as("v0"))
       .withColumn("__n", greatest(sqrt(expr("graft_dot(v0, v0)")), lit(1e-12)))
@@ -229,8 +229,12 @@ object PQ {
     * originals (rounded cosine, the shared output contract of every
     * search query in [[Similarity]]). */
   def topK(embeddings: DataFrame, model: PqModel, numQueries: Long, k: Int,
-      rerankFactor: Int = 4): DataFrame = {
-    val all = Similarity.withNorm(embeddings)
+      rerankFactor: Int = 4, rerankOn: DataFrame = null): DataFrame = {
+    // `rerankOn` (default: the coded corpus itself) supplies the float
+    // vectors for the exact-rerank stage — [[Opq]] codes a ROTATED view
+    // of the corpus but reranks on the originals so cos_sim keeps the
+    // shared output contract of every search query
+    val all = Similarity.withNorm(Option(rerankOn).getOrElse(embeddings))
     val coded = encodeCodes(embeddings, model)
 
     // flattened LUT: entry (s, c) at position s*ksubMax + c + 1 (dropped
