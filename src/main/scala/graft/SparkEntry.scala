@@ -363,6 +363,15 @@ object SparkEntry {
         .select("customer_id", "first_name", "last_name", "email", "segment",
           "cdc_ts_us")),
 
+    // TRANSACTION_AUDIT wire parse — the reference DECLARES key+value
+    // Avro schemas for this table but consumes them in no topology
+    // (SURVEY §1.3 dead surface); capability parity keeps the StructType
+    // + the full synthesize -> JSON wire -> from_json -> typed-rows path,
+    // nullable fields (reason/reviewer/reviewed_at/notes) exercised so
+    // null transport is proven
+    "q_audit_parse" -> ((s, dir) =>
+      DimensionCdc.auditChangelog(Tables.table(s, dir, "orders"))),
+
     // SCD2 over the ACCOUNTS CDC changelog: every version becomes a
     // dimension row with a validity interval — the warehouse
     // materialization of the same changelog the KTable reduces
@@ -3001,6 +3010,26 @@ object SparkEntry {
     "q_cdc_customer_dim_avro" ->
       (s"WITH $sqlCustDim\n" +
         "SELECT customer_id, first_name, last_name, email, segment, cdc_ts_us FROM cust_dim"),
+
+    // the serde round trip is the Spark-side operator under test; the
+    // oracle replays the synthesis arithmetic + flat projection (the
+    // established cdc-dim discipline)
+    "q_audit_parse" ->
+      """SELECT o_orderkey AS audit_id,
+        |  o_orderkey * 2 + 1 AS transaction_id,
+        |  CASE WHEN o_orderkey % 3 = 0 THEN 'FLAGGED'
+        |       WHEN o_orderkey % 3 = 1 THEN 'REVIEWED'
+        |       ELSE 'CLEARED' END AS audit_action,
+        |  CASE WHEN o_orderkey % 3 = 0 THEN
+        |    CASE WHEN o_orderkey % 2 = 0 THEN 'AMOUNT_THRESHOLD' ELSE 'VELOCITY' END
+        |  END AS flagged_reason,
+        |  CASE WHEN o_orderkey % 3 = 1 THEN 'analyst-' || (o_orderkey % 7) END AS reviewed_by,
+        |  CASE WHEN o_orderkey % 3 = 1 THEN o_orderkey * 1000000 + 3600000000 END AS reviewed_at_us,
+        |  CASE WHEN o_orderkey % 5 = 0 THEN 'case ' || o_orderkey END AS notes,
+        |  o_orderkey * 1000000 AS created_at_us,
+        |  o_orderkey * 1000000 AS cdc_ts_us,
+        |  CASE WHEN o_orderkey % 10 = 0 THEN 'r' ELSE 'c' END AS op
+        |FROM orders""".stripMargin,
 
     "q_cdc_account_scd2" ->
       (s"WITH $sqlAcctDim,\n" +

@@ -230,4 +230,63 @@ object DimensionCdc {
         changelog.filter(col("customer_id").isNotNull),
         Seq("customer_id"), Seq(col("cdc_ts_us")))
       .drop("op")
+
+  // ---- TRANSACTION_AUDIT changelog (declared-but-dead reference surface) ----
+
+  /** orders table -> one `envelope` per audit row, shaped like
+    * [[Schemas.auditEnvelope]] (reference
+    * `src/main/avro/transaction_audit_value.avsc` — schemas the reference
+    * DECLARES but no topology consumes; carried here for capability
+    * parity, like the half-wired customers join). Audit tables are
+    * append-only, so there is one version per key and no tombstones:
+    * op = 'r' (snapshot read) for every 10th key, else 'c'. Nullable
+    * wire fields (FLAGGED_REASON/REVIEWED_BY/REVIEWED_AT/NOTES) are
+    * exercised on deterministic key residues so the JSON round trip
+    * proves null transport. */
+  def synthesizeAuditEnvelope(orders: DataFrame): DataFrame = {
+    val k = col("o_orderkey")
+    val createdUs = k * 1000000L
+    val action = when(k % 3 === 0, "FLAGGED")
+      .when(k % 3 === 1, "REVIEWED")
+      .otherwise("CLEARED")
+    val image = struct(
+      k.cast("double").as("AUDIT_ID"),
+      (k * 2 + 1).cast("double").as("TRANSACTION_ID"),
+      action.as("AUDIT_ACTION"),
+      when(k % 3 === 0,
+        when(k % 2 === 0, "AMOUNT_THRESHOLD").otherwise("VELOCITY"))
+        .as("FLAGGED_REASON"),
+      when(k % 3 === 1, concat(lit("analyst-"), k % 7)).as("REVIEWED_BY"),
+      when(k % 3 === 1, createdUs + 3600000000L).as("REVIEWED_AT"),
+      when(k % 5 === 0, concat(lit("case "), k)).as("NOTES"),
+      createdUs.as("CREATED_AT"))
+    orders
+      .withColumn("op", when(k % 10 === 0, "r").otherwise("c"))
+      .select(envelope("TRANSACTION_AUDIT", image, col("op"), createdUs, k)
+        .as("envelope"))
+  }
+
+  /** Envelope -> flat typed audit row (wire-type conversions as in the
+    * sibling parsers: double ids -> long, micros kept). */
+  def parseAuditEnvelope(env: DataFrame): DataFrame =
+    env.select(
+      coalesce(col("envelope.after.AUDIT_ID"), col("envelope.before.AUDIT_ID"))
+        .cast("long").as("audit_id"),
+      col("envelope.after.TRANSACTION_ID").cast("long").as("transaction_id"),
+      col("envelope.after.AUDIT_ACTION").as("audit_action"),
+      col("envelope.after.FLAGGED_REASON").as("flagged_reason"),
+      col("envelope.after.REVIEWED_BY").as("reviewed_by"),
+      col("envelope.after.REVIEWED_AT").as("reviewed_at_us"),
+      col("envelope.after.NOTES").as("notes"),
+      col("envelope.after.CREATED_AT").as("created_at_us"),
+      col("envelope.ts_us").as("cdc_ts_us"),
+      col("envelope.op").as("op"))
+
+  /** Full audit wire path: synthesize -> JSON payload -> decode against
+    * [[Schemas.auditEnvelope]] -> typed rows. */
+  def auditChangelog(orders: DataFrame): DataFrame =
+    parseAuditEnvelope(
+      EnvelopeOps.decodeJsonEnvelope(
+        EnvelopeOps.encodeJsonEnvelope(synthesizeAuditEnvelope(orders)),
+        schema = Schemas.auditEnvelope))
 }

@@ -90,9 +90,27 @@ object Schemas {
     StructField("ts_ns", LongType)
   ))
 
+  /** after/before image of a TRANSACTION_AUDIT row (reference
+    * `src/main/avro/transaction_audit_value.avsc`). The reference ships
+    * key+value schemas for this table but no topology consumes them
+    * (declared-but-dead surface); the rebuild carries the StructType and
+    * one wire-parse query so a user switching over keeps capability
+    * parity with the declared schema set. */
+  val auditRow: StructType = StructType(Seq(
+    StructField("AUDIT_ID", DoubleType),                  // Oracle NUMBER id as double
+    StructField("TRANSACTION_ID", DoubleType),
+    StructField("AUDIT_ACTION", StringType),              // FLAGGED/REVIEWED/CLEARED
+    StructField("FLAGGED_REASON", StringType),            // nullable
+    StructField("REVIEWED_BY", StringType),               // nullable
+    StructField("REVIEWED_AT", LongType),                 // epoch micros, nullable
+    StructField("NOTES", StringType),                     // nullable
+    StructField("CREATED_AT", LongType)                   // epoch micros
+  ))
+
   val transactionEnvelope: StructType = envelope(transactionRow)
   val accountEnvelope: StructType = envelope(accountRow)
   val customerEnvelope: StructType = envelope(customerRow)
+  val auditEnvelope: StructType = envelope(auditRow)
 
   /** Output notification document (reference `model/NotificationEvent.java:23-45`):
     * enum-ish string fields + ordered string->string metadata map. */

@@ -83,6 +83,32 @@ class DimensionCdcSpec extends SparkSpecBase {
     assert(dim.head().getAs[String]("email") === "c3.v1@abbank.example")
   }
 
+  test("auditChangelog: wire round trip preserves typed fields AND nulls") {
+    import spark.implicits._
+    val orders = Seq(3L, 6L, 7L, 10L).toDF("o_orderkey")
+    val got = DimensionCdc.auditChangelog(orders).collect()
+      .map(r => r.getLong(0) -> r).toMap
+    assert(got.keySet === Set(3L, 6L, 7L, 10L))
+    // 6 % 3 = 0 -> FLAGGED with AMOUNT_THRESHOLD (even), no reviewer
+    val f = got(6L)
+    assert(f.getAs[String]("audit_action") === "FLAGGED")
+    assert(f.getAs[String]("flagged_reason") === "AMOUNT_THRESHOLD")
+    assert(f.isNullAt(f.fieldIndex("reviewed_by")))
+    assert(f.isNullAt(f.fieldIndex("reviewed_at_us")))
+    assert(f.getAs[Long]("transaction_id") === 13L)
+    // 7 % 3 = 1 -> REVIEWED: reviewer + reviewed_at transported, reason null
+    val r = got(7L)
+    assert(r.getAs[String]("audit_action") === "REVIEWED")
+    assert(r.getAs[String]("reviewed_by") === "analyst-0")
+    assert(r.getAs[Long]("reviewed_at_us") === 7L * 1000000L + 3600000000L)
+    assert(r.isNullAt(r.fieldIndex("flagged_reason")))
+    // 10 % 5 = 0 -> notes; 10 % 10 = 0 -> snapshot-read op
+    assert(got(10L).getAs[String]("notes") === "case 10")
+    assert(got(10L).getAs[String]("op") === "r")
+    assert(got(3L).getAs[String]("op") === "c")
+    assert(got(3L).getAs[Long]("created_at_us") === 3000000L)
+  }
+
   test("enrichment join falls back to N/A for deleted accounts (reference :252-253)") {
     import spark.implicits._
     val facts = Seq((100L, 5L, 250.0), (101L, 13L, 300.0))
