@@ -92,15 +92,31 @@ object ScaleProbe {
       .agg(countDistinct(col("h")).as("n_distinct")))
 
     // PageRank at an n-edge bipartite graph (hash-derived endpoints,
-    // n/100 × n/1000 nodes): 4 integer passes, each one co-partitioned
-    // ranks⋈edges join + map-side-combined per-dst sum. Cost must stay
-    // linear in edges; the per-round localCheckpoint keeps plans bounded.
+    // n/100 × n/1000 nodes), PLUS a planted hub receiving n/1000 extra
+    // in-edges from distinct sources — the hot-dst regime: the per-dst
+    // rank sum over the hub's in-neighborhood must stay a map-side-
+    // combined partial per partition (one long per (partition, dst)
+    // crosses the exchange), so the hub costs the same as any other
+    // shuffle key. 4 integer passes, each one co-partitioned ranks⋈edges
+    // join + per-dst sum; cost must stay linear in edges; the per-round
+    // localCheckpoint keeps plans bounded.
     val prEdges = spark.range(n).select(
-      concat(lit("u"), pmod(xxhash64(col("id")),
-        lit(math.max(n / 100, 10)))).as("src"),
-      concat(lit("v"), pmod(xxhash64(col("id"), lit(1)),
-        lit(math.max(n / 1000, 10)))).as("dst"))
+        concat(lit("u"), pmod(xxhash64(col("id")),
+          lit(math.max(n / 100, 10)))).as("src"),
+        concat(lit("v"), pmod(xxhash64(col("id"), lit(1)),
+          lit(math.max(n / 1000, 10)))).as("dst"))
+      .unionAll(spark.range(math.max(n / 1000, 10)).select(
+        concat(lit("u"), col("id")).as("src"), lit("vhub").as("dst")))
     time("pagerank_4pass")(graph.PageRank.ranks(prEdges, iters = 4))
+
+    // TrustRank on the same hub-planted graph: identical kernel, teleport
+    // mass restricted to a 1k-node seed set — the extra cost over
+    // pagerank_4pass must be the seed semi-join only (node-sized), so the
+    // two probes bracket the per-pass price of the seeded variant.
+    val prSeeds = spark.range(1000).select(
+      concat(lit("u"), col("id")).as("node"))
+    time("trustrank_4pass")(graph.PageRank.trustRanks(prEdges, prSeeds,
+      iters = 4))
 
     // Triangle counting at n edges over n/10 nodes (avg degree ~20),
     // PLUS a planted hub touching n/1000 nodes — the "curse of the last

@@ -101,7 +101,15 @@ object Opq {
     val st = (mx - mn) / grid.toDouble
     require(st > 0, s"degenerate unit-coordinate range [$mn, $mx]")
     val rLit = typedlit(rotationMatrix(d))
-    def rotated: DataFrame = u
+    // materialize-once: the d^2-multiply-add rotation fold is the
+    // expensive scan here, and the PQ pipeline downstream runs several
+    // actions (meta, grid stats, training sample, encode, search) that
+    // would each recompute it. Production materializes the transformed
+    // corpus to storage after this one map pass; in-session, persist()
+    // makes the variance job below populate the cache and every later
+    // action reuse it (the rotated frame is d longs per vector — far
+    // smaller than the text corpus PQ exists to compress)
+    val rotated: DataFrame = u
       .withColumn("g", transform_(col("v"), x =>
         least(floor((x - lit(mn)) / lit(st)).cast("long"),
           lit((grid - 1).toLong))))
@@ -109,6 +117,7 @@ object Opq {
         aggregate(zip_with(row, col("g"), (a, b) => a * b),
           lit(0L), (acc, x) => acc + x)))
       .select(col("vec_id"), col("rot"))
+      .persist()
 
     val vsum = udaf(Similarity.VecSumAgg)
     val mom = rotated.agg(
