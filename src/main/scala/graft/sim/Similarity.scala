@@ -589,7 +589,9 @@ object Similarity {
         buf
       }
     override def merge(x: Array[Double], y: Array[Double]): Array[Double] =
-      if (x.isEmpty) y else reduce(x, y)
+      // empty zero buffers can appear on EITHER side (zero-row partition
+      // partials) — see VecSumAgg.merge
+      if (x.isEmpty) y else if (y.isEmpty) x else reduce(x, y)
     override def finish(buf: Array[Double]): Array[Double] = buf
     override def bufferEncoder: Encoder[Array[Double]] = ExprEnc
     override def outputEncoder: Encoder[Array[Double]] = ExprEnc
@@ -618,7 +620,10 @@ object Similarity {
         buf
       }
     override def merge(x: Array[Long], y: Array[Long]): Array[Long] =
-      if (x.isEmpty) y else reduce(x, y)
+      // BOTH sides can be the empty zero buffer (a zero-row partition
+      // still emits a partial) — only non-empty pairs go through the
+      // strict ragged check, which remains fail-loud for real inputs
+      if (x.isEmpty) y else if (y.isEmpty) x else reduce(x, y)
     override def finish(buf: Array[Long]): Array[Long] = buf
     override def bufferEncoder: Encoder[Array[Long]] = ExprEnc
     override def outputEncoder: Encoder[Array[Long]] = ExprEnc

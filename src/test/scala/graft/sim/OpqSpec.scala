@@ -74,6 +74,20 @@ class OpqSpec extends SparkSpecBase {
     }
   }
 
+  test("VecSumAgg merge tolerates empty zero buffers on either side (sf1 regression)") {
+    // zero-row partitions emit empty partial buffers; merge order is
+    // arbitrary, so BOTH (full, empty) and (empty, full) must pass while
+    // genuinely ragged inputs still fail loudly
+    val full = Array(1L, 2L, 3L)
+    assert(Similarity.VecSumAgg.merge(full.clone(), Array.emptyLongArray).toSeq === full.toSeq)
+    assert(Similarity.VecSumAgg.merge(Array.emptyLongArray, full.clone()).toSeq === full.toSeq)
+    intercept[IllegalArgumentException](
+      Similarity.VecSumAgg.reduce(full.clone(), Array(1L)))
+    val fd = Array(1.0, 2.0)
+    assert(Similarity.VecSumDoubleAgg.merge(fd.clone(), Array.emptyDoubleArray).toSeq === fd.toSeq)
+    assert(Similarity.VecSumDoubleAgg.merge(Array.emptyDoubleArray, fd.clone()).toSeq === fd.toSeq)
+  }
+
   test("transform pairwise squared L2 tracks unit-space L2 within grid noise") {
     val u = PQ.unitVectors(emb.filter(col("vec_id") < 30)).orderBy("vec_id")
       .collect().map(r => r.getLong(0) -> r.getSeq[Double](1).toArray).toMap
