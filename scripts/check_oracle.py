@@ -46,6 +46,14 @@ def norm_dtype(dt):
 
 
 oracle = json.load(open(f"{outdir}/oracle_sql.json"))
+# optional query filter: ONLY=q_a,q_b python3 scripts/check_oracle.py ...
+# (dev iteration / re-checking a single environmentally-failed query —
+# e.g. a DuckDB temp-spill disk collision — without a full multi-hour
+# sf1 replay). The summary denominators shrink to the filtered set.
+only = os.environ.get("ONLY")
+if only:
+    keep = {q.strip() for q in only.split(",")}
+    oracle = {k: v for k, v in oracle.items() if k in keep}
 fail = 0
 results = {}
 for name, sql in sorted(oracle.items()):
