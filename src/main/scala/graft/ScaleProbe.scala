@@ -155,6 +155,22 @@ object ScaleProbe {
         .as("text"))
     time("prefix_jaccard_join")(dedup.PrefixJoin.jaccardJoin(pjDocs, tPct = 60))
 
+    // BM25 at n/20-doc scale (20 tokens/doc -> n postings) over a
+    // Zipf-ish vocabulary (token id = hash mod (hash2 mod V + 1): low
+    // ids hot, high ids rare). The cost contract: tf/dl/df are one
+    // tokenize + map-side-combined aggs (linear in postings), and the
+    // candidate join touches only the CHOSEN rare terms' postings —
+    // rarest-first selection keeps the hot head out, so cost tracks
+    // postings + Σ df(chosen), never queries × corpus.
+    val bmVocab = math.max(n / 100, 1000)
+    val bmDocs = spark.range(math.max(n / 20, 1000)).select(
+      col("id").as("doc_id"),
+      expr(s"""concat_ws(' ', transform(sequence(0, 19), i ->
+        |  concat('t', pmod(xxhash64(id, i),
+        |    pmod(xxhash64(i, id + 1), $bmVocab) + 1))))""".stripMargin)
+        .as("text"))
+    time("bm25_topk")(text.Bm25.topK(bmDocs, queryMod = 997))
+
     time("rfm_select_cuts")(ops.EventAnalytics.rfmScores(accounts))
     time("rfm_hist_cuts") {
       import org.apache.spark.sql.expressions.Window

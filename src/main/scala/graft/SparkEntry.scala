@@ -1492,6 +1492,25 @@ object SparkEntry {
     "q_tfidf_terms" -> ((s, dir) =>
       graft.text.TrainingPrep.tfidfTopTerms(Tables.documents(s, dir))),
 
+    // Retrieval: Okapi BM25 top-10 per query — rarest-16 keyword queries
+    // from the eval slice; Lucene-floored idf in integer micro-nats +
+    // EXACT RATIONAL tf normalization (k1=6/5, b=3/4 multiplied
+    // through); query terms broadcast into the postings scan (candidate
+    // volume = sum of the chosen rare terms' df), per-query top-k bounded
+    "q_bm25_topk" -> ((s, dir) =>
+      graft.text.Bm25.topK(Tables.documents(s, dir))),
+
+    // Data mixing: EXACT-SIZE token-weighted sample without replacement
+    // (Efraimidis-Spirakis hash-exponential keys: one scan + one bounded
+    // global top-k — the distributed reservoir)
+    "q_weighted_sample" -> ((s, dir) =>
+      graft.text.TrainingPrep.weightedSample(Tables.documents(s, dir))),
+
+    // Privacy audit: k-anonymity group sizes over the (nation, segment,
+    // balance-band) quasi-identifier — one hash agg, QI-domain output
+    "q_k_anonymity" -> ((s, dir) =>
+      graft.ops.Privacy.kAnonymity(Tables.customer(s, dir))),
+
     // Tokenizer training: BPE merge statistics — corpus collapsed to
     // (distinct word, freq) first, then frequency-weighted adjacent
     // character pairs, deterministic top-100 (bounded heap, no global sort)
@@ -4382,6 +4401,63 @@ object SparkEntry {
         |       WHEN doc_id % 100 < 95 THEN 'val' ELSE 'test' END AS split,
         |  greatest(CAST(ceil(length(text) / 4.0) AS BIGINT), 1) AS n_tokens
         |FROM documents""".stripMargin,
+
+    // BM25: idf micro-nats (one ln per distinct term) + exact rational tf
+    // normalization — 22·T·tf / (10·T·tf + 3·T + 9·dl·N) with HUGEINT
+    // floor division ≡ Spark's DECIMAL(38,0) `div` on positive operands
+    "q_bm25_topk" ->
+      """WITH t AS (SELECT doc_id, unnest(string_split(text, ' ')) AS term FROM documents),
+        |tf AS (SELECT doc_id, term, CAST(count(*) AS BIGINT) AS tf FROM t GROUP BY 1, 2),
+        |dl AS (SELECT doc_id, CAST(count(*) AS BIGINT) AS dl FROM t GROUP BY 1),
+        |tot AS (SELECT CAST(sum(dl) AS BIGINT) AS tt, CAST(count(*) AS BIGINT) AS nd FROM dl),
+        |dfr AS (SELECT term, CAST(count(*) AS BIGINT) AS df FROM tf GROUP BY 1),
+        |idf AS (SELECT term, df,
+        |          CAST(floor(ln(1 + (nd - df + 0.5) / (df + 0.5)) * 1e6) AS BIGINT) AS idf_micro
+        |        FROM dfr CROSS JOIN tot),
+        |q AS (SELECT tf.doc_id AS query_id, tf.term, idf_micro,
+        |        row_number() OVER (PARTITION BY tf.doc_id
+        |          ORDER BY df ASC, tf.term ASC) AS r
+        |      FROM tf JOIN idf USING (term) WHERE tf.doc_id % 97 = 0),
+        |qt AS (SELECT query_id, term, idf_micro FROM q WHERE r <= 16),
+        |s AS (SELECT qt.query_id, tf.doc_id,
+        |        CAST((CAST(idf_micro AS HUGEINT) * 22 * tt * tf) //
+        |             (CAST(10 AS HUGEINT) * tt * tf + 3 * tt + 9 * dl * nd) AS BIGINT) AS sc_micro
+        |      FROM tf JOIN qt USING (term) JOIN dl USING (doc_id) CROSS JOIN tot),
+        |pd AS (SELECT query_id, doc_id, CAST(count(*) AS BIGINT) AS n_terms,
+        |         CAST(sum(sc_micro) AS BIGINT) AS score_micro
+        |       FROM s GROUP BY 1, 2),
+        |r AS (SELECT *, CAST(row_number() OVER (PARTITION BY query_id
+        |         ORDER BY score_micro DESC, doc_id ASC) AS BIGINT) AS doc_rank
+        |      FROM pd)
+        |SELECT query_id, doc_id, n_terms, score_micro, doc_rank
+        |FROM r WHERE doc_rank <= 10""".stripMargin,
+
+    // A-ES weighted sample: xxh64(doc_id) replayed step-for-step, then
+    // the key is elementwise IEEE (cast, power-of-two scale, one ln, one
+    // divide) truncated to micro before the global bounded top-k
+    "q_weighted_sample" -> {
+      val (steps, hCol) = SqlHash.xxh64LongSteps("doc_id::HUGEINT", "42", "__ws")
+      val inner = SqlHash.applySteps(
+        "SELECT doc_id, CAST(len(string_split(text, ' ')) AS BIGINT) AS n_tokens FROM documents",
+        steps)
+      s"""WITH h AS (SELECT doc_id, n_tokens, ${SqlHash.toSigned(hCol)} AS hv FROM ($inner)),
+         |k AS (SELECT doc_id, n_tokens,
+         |        CAST(floor(ln(CAST(hv AS DOUBLE) / CAST(18446744073709551616 AS DOUBLE) + 0.5 + 1e-12)
+         |             / n_tokens * 1e6) AS BIGINT) AS key_micro
+         |      FROM h),
+         |r AS (SELECT *, CAST(row_number() OVER (ORDER BY key_micro DESC, doc_id ASC) AS BIGINT) AS sample_rank
+         |      FROM k)
+         |SELECT doc_id, n_tokens, key_micro, sample_rank
+         |FROM r WHERE sample_rank <= 500""".stripMargin
+    },
+
+    "q_k_anonymity" ->
+      """SELECT CAST(c_nationkey AS BIGINT) AS nationkey,
+        |  c_mktsegment AS mktsegment,
+        |  CAST(floor(c_acctbal / 1000.0) AS BIGINT) AS acctbal_band,
+        |  CAST(count(*) AS BIGINT) AS group_n,
+        |  count(*) < 5 AS at_risk
+        |FROM customer GROUP BY 1, 2, 3""".stripMargin,
 
     "q_tfidf_terms" ->
       s"""WITH t AS (SELECT doc_id, unnest(string_split(text, ' ')) AS term FROM documents),

@@ -274,6 +274,42 @@ object TrainingPrep {
       .filter(expr(s"CASE $arms ELSE pmod(xxhash64(doc_id), $dd) < $dn END"))
   }
 
+  /** Weighted sampling WITHOUT replacement (Efraimidis–Spirakis A-ES,
+    * "Weighted random sampling with a reservoir", IPL 2006): score every
+    * document with key_i = ln(u_i) / w_i — u_i a deterministic uniform
+    * derived from `xxhash64(doc_id)`, w_i the document's token count —
+    * and keep the n LARGEST keys. By A-ES this is exactly an n-item
+    * token-weighted sample without replacement: one scan plus one
+    * bounded global top-k — Catalyst's LimitPushDownThroughWindow turns
+    * the empty-partition rank filter into `TakeOrderedAndProject(500)`
+    * (per-partition heaps, one driver merge of 500-row slices; no global
+    * sort, no sequential reservoir), and the residual rank window runs
+    * over the 500 survivors only. The distributed form of reservoir
+    * sampling a corpus subsample actually uses. Complements
+    * [[mixtureSample]] (Bernoulli, unbounded output size) with an EXACT
+    * output-size contract under weights.
+    *
+    * Exactness across engines: u = hash/2^64 + 0.5 ∈ [0, 1) is an exact
+    * double (cast of a 64-bit integer, then scaling by a power of two —
+    * both single correctly-rounded IEEE ops), ln(u + 1e-12) is the one
+    * transcendental (the epsilon guards ln(0) at the single hash value
+    * mapping to u = 0), the divide by the integer weight is one more
+    * IEEE op, and the key truncates to INTEGER micro units before
+    * ranking; ties (astronomically rare) break by doc_id. */
+  def weightedSample(documents: DataFrame, n: Int = 500): DataFrame =
+    documents.select(col("doc_id"),
+        size(split(col("text"), " ")).cast("long").as("n_tokens"),
+        xxhash64(col("doc_id")).as("__h"))
+      .withColumn("__u",
+        col("__h").cast("double") /
+          expr("CAST(18446744073709551616 AS DOUBLE)") + 0.5)
+      .withColumn("key_micro",
+        floor(log(col("__u") + 1e-12) / col("n_tokens") * 1e6).cast("long"))
+      .withColumn("sample_rank", row_number().over(
+        Window.orderBy(col("key_micro").desc, col("doc_id").asc)).cast("long"))
+      .filter(col("sample_rank") <= n)
+      .select("doc_id", "n_tokens", "key_micro", "sample_rank")
+
   /** The end-to-end training manifest — the composition a data pipeline
     * actually ships to the trainer, built entirely from operators that
     * are individually oracle-verified: curation gates (language ∧

@@ -278,4 +278,37 @@ class TrainingPrepSpec extends SparkSpecBase {
       .as[(String, Long)].collect()
     assert(got.toSeq === Seq(("xy", 1L))) // tie broken by pair ASC
   }
+
+  test("weighted sample: exact size, total rank order, layout-independent") {
+    val d = (1L to 40L).map(i => i -> ("w " * i.toInt).trim)
+    val a = TrainingPrep.weightedSample(docs(d: _*), n = 10)
+      .as[(Long, Long, Long, Long)].collect().sortBy(_._4)
+    assert(a.length === 10)
+    assert(a.map(_._4).toSeq === (1L to 10L)) // ranks are 1..n
+    // ranks follow (key DESC, doc_id ASC) totally
+    assert(a.sliding(2).forall { case Array(x, y) =>
+      x._3 > y._3 || (x._3 == y._3 && x._1 < y._1) })
+    // same sample set regardless of physical layout
+    val b = TrainingPrep.weightedSample(docs(d: _*).repartition(7), n = 10)
+      .as[(Long, Long, Long, Long)].collect().sortBy(_._4)
+    assert(a.toSeq === b.toSeq)
+  }
+
+  test("weighted sample key replays the A-ES formula from the hash") {
+    import org.apache.spark.sql.functions.{col, xxhash64}
+    val d = docs((7L, "a b c"))
+    val h = d.select(xxhash64(col("doc_id"))).as[Long].head()
+    val u = h.toDouble / 1.8446744073709552e19 + 0.5
+    val expected = math.floor(math.log(u + 1e-12) / 3L * 1e6).toLong
+    val got = TrainingPrep.weightedSample(d, n = 1)
+      .select("key_micro").as[Long].head()
+    assert(got === expected)
+  }
+
+  test("weighted sample with n >= corpus returns every document") {
+    val d = docs((1L, "a"), (2L, "a b"), (3L, "a b c"))
+    val got = TrainingPrep.weightedSample(d, n = 100)
+      .select("doc_id").as[Long].collect().toSet
+    assert(got === Set(1L, 2L, 3L))
+  }
 }
