@@ -180,5 +180,32 @@ kc = sp('q_kcore')
 check('k-core: surviving degrees respect the pre-peel bound',
       bool((kc.deg >= 1).all()) and kc.node.is_unique)
 
+bm = sp('q_bm25_topk')
+nq = con.sql("SELECT count(*) FROM documents WHERE doc_id % 97 = 0").fetchone()[0]
+check('bm25: every eval doc is a query, <=10 ranked hits each, scores '
+      'positive and rank-ordered',
+      bm.query_id.nunique() == nq
+      and bool((bm.groupby('query_id').doc_rank.max() <= 10).all())
+      and bool((bm.score_micro > 0).all())
+      # within each query, rank order == (score DESC, doc_id ASC) order
+      and bool(bm.sort_values(['query_id', 'doc_rank'])
+               .groupby('query_id').score_micro
+               .apply(lambda s: s.is_monotonic_decreasing
+                      or (s.diff().dropna() <= 0).all()).all()))
+
+ws = sp('q_weighted_sample')
+check('weighted sample: exactly 500 rows, unique docs, ranks 1..500, '
+      'weights positive',
+      len(ws) == 500 and ws.doc_id.is_unique
+      and sorted(ws.sample_rank) == list(range(1, 501))
+      and bool((ws.n_tokens > 0).all()))
+
+ka = sp('q_k_anonymity')
+ncust = con.sql('SELECT count(*) FROM customer').fetchone()[0]
+check('k-anonymity: group sizes partition the customer table, at_risk '
+      'iff group_n < 5',
+      int(ka.group_n.sum()) == ncust
+      and bool((ka.at_risk == (ka.group_n < 5)).all()))
+
 print('RESULT:', 'ALL OK' if ok else 'FAIL')
 sys.exit(0 if ok else 1)
