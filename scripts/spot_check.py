@@ -181,7 +181,7 @@ check('k-core: surviving degrees respect the pre-peel bound',
       bool((kc.deg >= 1).all()) and kc.node.is_unique)
 
 bm = sp('q_bm25_topk')
-nq = con.sql("SELECT count(*) FROM documents WHERE doc_id % 97 = 0").fetchone()[0]
+nq = con.sql("SELECT count(*) FROM documents WHERE doc_id % 997 = 0").fetchone()[0]
 check('bm25: every eval doc is a query, <=10 ranked hits each, scores '
       'positive and rank-ordered',
       bm.query_id.nunique() == nq
@@ -199,6 +199,26 @@ check('weighted sample: exactly 500 rows, unique docs, ranks 1..500, '
       len(ws) == 500 and ws.doc_id.is_unique
       and sorted(ws.sample_rank) == list(range(1, 501))
       and bool((ws.n_tokens > 0).all()))
+
+ls_ = sp('q_leakage_safe_split')
+ndocs2 = con.sql('SELECT count(*) FROM documents').fetchone()[0]
+check('leakage split: one row per doc, every group wholly in one split, '
+      'cuts honored',
+      len(ls_) == ndocs2 and ls_.doc_id.is_unique
+      and bool((ls_.groupby('group_key').split.nunique() == 1).all())
+      and bool(((ls_.split_key < 90) == (ls_.split == 'train')).all())
+      and bool((ls_.split_key.between(90, 94) == (ls_.split == 'val')).all()))
+
+ql = sp('q_ql_topk')
+rr = sp('q_hybrid_rrf')
+bm2 = sp('q_bm25_topk')
+check('hybrid rrf: fused docs come from the two input lists and scores '
+      'match the rank formula bounds',
+      set(map(tuple, rr[['query_id', 'doc_id']].values))
+      <= (set(map(tuple, bm2[['query_id', 'doc_id']].values))
+          | set(map(tuple, ql[['query_id', 'doc_id']].values)))
+      and bool((rr.rrf_micro >= 1000000 // 70).all())
+      and bool((rr.rrf_micro <= 2 * (1000000 // 61)).all()))
 
 ka = sp('q_k_anonymity')
 ncust = con.sql('SELECT count(*) FROM customer').fetchone()[0]

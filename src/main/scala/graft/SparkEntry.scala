@@ -1496,9 +1496,34 @@ object SparkEntry {
     // from the eval slice; Lucene-floored idf in integer micro-nats +
     // EXACT RATIONAL tf normalization (k1=6/5, b=3/4 multiplied
     // through); query terms broadcast into the postings scan (candidate
-    // volume = sum of the chosen rare terms' df), per-query top-k bounded
+    // volume = sum of the chosen rare terms' df), per-query top-k
+    // bounded. The synthetic corpus has a head-only ~31-term vocabulary
+    // (no informative tail), so the stop-term guard that bounds real
+    // corpora would empty every query here: the guard is DISABLED
+    // (maxDfDen=1) and candidate volume is bounded by the 1-per-997
+    // query log instead
     "q_bm25_topk" -> ((s, dir) =>
-      graft.text.Bm25.topK(Tables.documents(s, dir))),
+      graft.text.Bm25.topK(Tables.documents(s, dir),
+        queryMod = 997, maxDfDen = 1)),
+
+    // Retrieval: query-likelihood (Dirichlet-smoothed LM) ranking over
+    // the SAME query log — matched-postings decomposition, so the plan
+    // is the identical broadcast-candidate join (see q_bm25_topk note on
+    // the disabled stop-term guard)
+    "q_ql_topk" -> ((s, dir) =>
+      graft.text.Bm25.queryLikelihoodTopK(Tables.documents(s, dir),
+        queryMod = 997, maxDfDen = 1)),
+
+    // Hybrid retrieval: reciprocal-rank fusion of the lexical (BM25) and
+    // probabilistic (QL) top-10 lists — pure integer 1e6/(60+rank)
+    // contributions over two model-sized inputs
+    "q_hybrid_rrf" -> ((s, dir) => {
+      val docs = Tables.documents(s, dir)
+      graft.text.Bm25.rrfFuse(
+        graft.text.Bm25.topK(docs, queryMod = 997, maxDfDen = 1),
+        graft.text.Bm25.queryLikelihoodTopK(docs, queryMod = 997,
+          maxDfDen = 1))
+    }),
 
     // Data mixing: EXACT-SIZE token-weighted sample without replacement
     // (Efraimidis-Spirakis hash-exponential keys: one scan + one bounded
@@ -1510,6 +1535,16 @@ object SparkEntry {
     // balance-band) quasi-identifier — one hash agg, QI-domain output
     "q_k_anonymity" -> ((s, dir) =>
       graft.ops.Privacy.kAnonymity(Tables.customer(s, dir))),
+
+    // Leakage-safe split: train/val/test assigned per NEAR-DUP CLUSTER
+    // (hash of the cluster root), so correlated documents never straddle
+    // the eval boundary; unclustered docs hash on their own id
+    "q_leakage_safe_split" -> ((s, dir) => {
+      val docs = Tables.documents(s, dir)
+      graft.text.TrainingPrep.leakageSafeSplit(docs,
+        Dedup.dupClusters(Dedup.ngramJaccardPairs(
+          docs, JaccardThreshold, JaccardMaxDocId)))
+    }),
 
     // Tokenizer training: BPE merge statistics — corpus collapsed to
     // (distinct word, freq) first, then frequency-weighted adjacent
@@ -2202,6 +2237,54 @@ object SparkEntry {
        |), keep AS (
        |  SELECT min(doc_id) AS doc_id FROM documents WHERE $docFilter GROUP BY lower(trim(text))
        |)""".stripMargin
+
+  /** Shared retrieval CTE chain (the materialized postings index, the
+    * rarest-16 / mod-997 keyword query log, and BOTH rankers — BM25 as
+    * `bmr`, query-likelihood as `qlr`), replaying [[graft.text.Bm25]]
+    * expression for expression: every transcendental is a single
+    * elementwise `ln` floored to integer micro units, the BM25 tf
+    * normalization is a HUGEINT floor division (≡ Spark DECIMAL(38,0)
+    * `div` on positives), and the QL per-doc Dirichlet constant is
+    * floored BEFORE the integer qlen multiply. Composed by the
+    * q_bm25_topk / q_ql_topk / q_hybrid_rrf oracles. */
+  private lazy val sqlRetrievalCtes: String =
+    """t AS (SELECT doc_id, unnest(string_split(text, ' ')) AS term FROM documents),
+      |tf AS MATERIALIZED (SELECT doc_id, term, CAST(count(*) AS BIGINT) AS tf FROM t GROUP BY 1, 2),
+      |dl AS (SELECT doc_id, CAST(sum(tf) AS BIGINT) AS dl FROM tf GROUP BY 1),
+      |tot AS (SELECT CAST(sum(dl) AS BIGINT) AS tt, CAST(count(*) AS BIGINT) AS nd FROM dl),
+      |voc AS (SELECT term, CAST(count(*) AS BIGINT) AS df, CAST(sum(tf) AS BIGINT) AS ctf FROM tf GROUP BY 1),
+      |qsel AS (SELECT tf.doc_id AS query_id, tf.term, ctf,
+      |        row_number() OVER (PARTITION BY tf.doc_id
+      |          ORDER BY df ASC, tf.term ASC) AS r
+      |      FROM tf JOIN voc USING (term) WHERE tf.doc_id % 997 = 0),
+      |qt AS (SELECT query_id, term, ctf FROM qsel WHERE r <= 16),
+      |qlen AS (SELECT query_id, CAST(count(*) AS BIGINT) AS qlen FROM qt GROUP BY 1),
+      |bmidf AS (SELECT term,
+      |        CAST(floor(ln(1 + (nd - df + 0.5) / (df + 0.5)) * 1e6) AS BIGINT) AS idf_micro
+      |      FROM voc CROSS JOIN tot),
+      |bms AS (SELECT qt.query_id, tf.doc_id,
+      |        CAST((CAST(idf_micro AS HUGEINT) * 22 * tt * tf) //
+      |             (CAST(10 AS HUGEINT) * tt * tf + 3 * tt + 9 * dl * nd) AS BIGINT) AS sc_micro
+      |      FROM tf JOIN qt USING (term) JOIN bmidf USING (term)
+      |        JOIN dl USING (doc_id) CROSS JOIN tot),
+      |bmp AS (SELECT query_id, doc_id, CAST(count(*) AS BIGINT) AS n_terms,
+      |         CAST(sum(sc_micro) AS BIGINT) AS score_micro
+      |       FROM bms GROUP BY 1, 2),
+      |bmr AS (SELECT *, CAST(row_number() OVER (PARTITION BY query_id
+      |          ORDER BY score_micro DESC, doc_id ASC) AS BIGINT) AS doc_rank
+      |       FROM bmp),
+      |qls AS (SELECT qt.query_id, tf.doc_id,
+      |        CAST(floor(ln(1.0 + (CAST(tf AS DOUBLE) * tt) / (2000 * CAST(ctf AS DOUBLE))) * 1e6) AS BIGINT) AS m_micro
+      |      FROM tf JOIN qt USING (term) CROSS JOIN tot),
+      |qlp AS (SELECT query_id, doc_id, CAST(count(*) AS BIGINT) AS n_terms,
+      |         CAST(sum(m_micro) AS BIGINT) AS msum
+      |       FROM qls GROUP BY 1, 2),
+      |qld AS (SELECT query_id, qlp.doc_id, n_terms,
+      |        msum + qlen * CAST(floor(ln(CAST(2000 AS DOUBLE) / (dl + 2000)) * 1e6) AS BIGINT) AS score_micro
+      |      FROM qlp JOIN dl USING (doc_id) JOIN qlen USING (query_id)),
+      |qlr AS (SELECT *, CAST(row_number() OVER (PARTITION BY query_id
+      |          ORDER BY score_micro DESC, doc_id ASC) AS BIGINT) AS doc_rank
+      |       FROM qld)""".stripMargin
 
   /** DuckDB CTEs replaying [[graft.functions.WinnowHelper]]: base-257
     * polynomial k-gram hashes (the rolling update is an optimization of
@@ -4406,31 +4489,31 @@ object SparkEntry {
     // normalization — 22·T·tf / (10·T·tf + 3·T + 9·dl·N) with HUGEINT
     // floor division ≡ Spark's DECIMAL(38,0) `div` on positive operands
     "q_bm25_topk" ->
-      """WITH t AS (SELECT doc_id, unnest(string_split(text, ' ')) AS term FROM documents),
-        |tf AS (SELECT doc_id, term, CAST(count(*) AS BIGINT) AS tf FROM t GROUP BY 1, 2),
-        |dl AS (SELECT doc_id, CAST(count(*) AS BIGINT) AS dl FROM t GROUP BY 1),
-        |tot AS (SELECT CAST(sum(dl) AS BIGINT) AS tt, CAST(count(*) AS BIGINT) AS nd FROM dl),
-        |dfr AS (SELECT term, CAST(count(*) AS BIGINT) AS df FROM tf GROUP BY 1),
-        |idf AS (SELECT term, df,
-        |          CAST(floor(ln(1 + (nd - df + 0.5) / (df + 0.5)) * 1e6) AS BIGINT) AS idf_micro
-        |        FROM dfr CROSS JOIN tot),
-        |q AS (SELECT tf.doc_id AS query_id, tf.term, idf_micro,
-        |        row_number() OVER (PARTITION BY tf.doc_id
-        |          ORDER BY df ASC, tf.term ASC) AS r
-        |      FROM tf JOIN idf USING (term) WHERE tf.doc_id % 97 = 0),
-        |qt AS (SELECT query_id, term, idf_micro FROM q WHERE r <= 16),
-        |s AS (SELECT qt.query_id, tf.doc_id,
-        |        CAST((CAST(idf_micro AS HUGEINT) * 22 * tt * tf) //
-        |             (CAST(10 AS HUGEINT) * tt * tf + 3 * tt + 9 * dl * nd) AS BIGINT) AS sc_micro
-        |      FROM tf JOIN qt USING (term) JOIN dl USING (doc_id) CROSS JOIN tot),
-        |pd AS (SELECT query_id, doc_id, CAST(count(*) AS BIGINT) AS n_terms,
-        |         CAST(sum(sc_micro) AS BIGINT) AS score_micro
-        |       FROM s GROUP BY 1, 2),
-        |r AS (SELECT *, CAST(row_number() OVER (PARTITION BY query_id
-        |         ORDER BY score_micro DESC, doc_id ASC) AS BIGINT) AS doc_rank
-        |      FROM pd)
-        |SELECT query_id, doc_id, n_terms, score_micro, doc_rank
-        |FROM r WHERE doc_rank <= 10""".stripMargin,
+      s"""WITH $sqlRetrievalCtes
+         |SELECT query_id, doc_id, n_terms, score_micro, doc_rank
+         |FROM bmr WHERE doc_rank <= 10""".stripMargin,
+
+    // query likelihood: matched-postings micro-nats + qlen × the per-doc
+    // Dirichlet constant floored BEFORE the integer multiply
+    "q_ql_topk" ->
+      s"""WITH $sqlRetrievalCtes
+         |SELECT query_id, doc_id, n_terms, score_micro, doc_rank
+         |FROM qlr WHERE doc_rank <= 10""".stripMargin,
+
+    // RRF: integer 1000000 // (60 + rank) over the two top-10 lists,
+    // full-join-merged; absent list membership contributes 0
+    "q_hybrid_rrf" ->
+      s"""WITH $sqlRetrievalCtes,
+         |fa AS (SELECT query_id, doc_id, doc_rank AS ra FROM bmr WHERE doc_rank <= 10),
+         |fb AS (SELECT query_id, doc_id, doc_rank AS rb FROM qlr WHERE doc_rank <= 10),
+         |fu AS (SELECT query_id, doc_id,
+         |         coalesce(1000000 // (60 + ra), 0) + coalesce(1000000 // (60 + rb), 0) AS rrf_micro
+         |       FROM fa FULL JOIN fb USING (query_id, doc_id)),
+         |fr AS (SELECT *, CAST(row_number() OVER (PARTITION BY query_id
+         |          ORDER BY rrf_micro DESC, doc_id ASC) AS BIGINT) AS fused_rank
+         |       FROM fu)
+         |SELECT query_id, doc_id, CAST(rrf_micro AS BIGINT) AS rrf_micro, fused_rank
+         |FROM fr WHERE fused_rank <= 10""".stripMargin,
 
     // A-ES weighted sample: xxh64(doc_id) replayed step-for-step, then
     // the key is elementwise IEEE (cast, power-of-two scale, one ln, one
@@ -4449,6 +4532,32 @@ object SparkEntry {
          |      FROM k)
          |SELECT doc_id, n_tokens, key_micro, sample_rank
          |FROM r WHERE sample_rank <= 500""".stripMargin
+    },
+
+    // leakage-safe split: the recursive-CTE transitive closure (the
+    // q_dedup_clusters oracle) feeds a LEFT JOIN + coalesce group key,
+    // then xxh64(group_key) is replayed step-for-step into the 90/5/5 gate
+    "q_leakage_safe_split" -> {
+      val clusterSql = sqlJaccardCtes.replace("WITH ", "WITH RECURSIVE ") + s""",
+         |edges AS (SELECT doc_a AS s, doc_b AS d FROM jpairs
+         |          UNION ALL SELECT doc_b, doc_a FROM jpairs),
+         |reach(node, r) AS (
+         |  SELECT s, s FROM (SELECT DISTINCT s FROM edges) t
+         |  UNION
+         |  SELECT re.node, e.d FROM reach re JOIN edges e ON e.s = re.r
+         |)
+         |SELECT node AS doc_id, min(r) AS cluster_id FROM reach GROUP BY node""".stripMargin
+      val (steps, hCol) = SqlHash.xxh64LongSteps("group_key::HUGEINT", "42", "__ls")
+      val inner = SqlHash.applySteps(
+        s"""SELECT d.doc_id, coalesce(c.cluster_id, d.doc_id) AS group_key
+           |FROM documents d LEFT JOIN ($clusterSql) c ON d.doc_id = c.doc_id""".stripMargin,
+        steps)
+      s"""SELECT doc_id, group_key,
+         |  CAST(((hv % 100) + 100) % 100 AS BIGINT) AS split_key,
+         |  CASE WHEN ((hv % 100) + 100) % 100 < 90 THEN 'train'
+         |       WHEN ((hv % 100) + 100) % 100 < 95 THEN 'val'
+         |       ELSE 'test' END AS split
+         |FROM (SELECT doc_id, group_key, ${SqlHash.toSigned(hCol)} AS hv FROM ($inner))""".stripMargin
     },
 
     "q_k_anonymity" ->

@@ -33,15 +33,17 @@ import org.apache.spark.sql.functions._
   *     cannot overflow 2^63 at any SF; the per-doc score is then an
   *     order-independent integer SUM.
   *
-  * Scale shape (the sharded-BM25 plan): one corpus tokenize feeding three
-  * map-side-combined aggregations (tf, dl, df); the (query, term) table
-  * is model-sized and BROADCAST into the postings scan, so only postings
-  * of SELECTED terms shuffle — and selection is rarest-first (df ASC), so
-  * candidate volume is Σ_{chosen terms} df(t), the minimum any df-bounded
-  * keyword choice allows (on a Zipf vocabulary the chosen terms are the
-  * tail, never the stopword mass); the final per-query top-k is
-  * `row_number ≤ k`, planned by [[graft.plans.BoundedTopKStrategy]] as a
-  * two-phase bounded heap (no global sort). Nothing here is all-pairs.
+  * Scale shape (the sharded-BM25 plan): ONE corpus tokenize builds the
+  * (doc, term, tf) inverted index, persisted and reused by every branch
+  * (df, doc lengths, the query slice, the candidate join) — the batch
+  * analogue of a retrieval system's materialized postings; the (query,
+  * term) table is model-sized and BROADCAST into the postings scan, so
+  * only postings of SELECTED terms shuffle — selection is rarest-first
+  * (df ASC) and the `maxDfDen` stop-term guard hard-bounds candidate
+  * volume at queries · queryTerms · N/maxDfDen; the final per-query
+  * top-k is `row_number ≤ k`, planned by
+  * [[graft.plans.BoundedTopKStrategy]] as a two-phase bounded heap (no
+  * global sort). Nothing here is all-pairs.
   *
   * Reference behavior anchor: the reference exposes no retrieval surface;
   * this extends the training-data-pipeline family (SURVEY §2 additions)
@@ -50,18 +52,31 @@ import org.apache.spark.sql.functions._
 object Bm25 {
 
   /** Top `k` documents per query with exact integer BM25 micro-scores.
-    * Output: (query_id, doc_id, n_terms, score_micro, doc_rank). */
+    * Output: (query_id, doc_id, n_terms, score_micro, doc_rank).
+    *
+    * `maxDfDen` is the stop-term guard: terms with df > N/maxDfDen never
+    * enter query-term selection OR scoring — the candidate join's volume
+    * bound (Σ df over chosen terms ≤ queries · queryTerms · N/maxDfDen).
+    * On a Zipf vocabulary the guard is nearly free (rarest-first
+    * selection avoids the head anyway); on a degenerate small-vocabulary
+    * corpus it is what keeps candidates from approaching queries × N.
+    * `maxDfDen = 1` disables it. */
   def topK(documents: DataFrame, queryMod: Long = 97, queryTerms: Int = 16,
-      k: Int = 10): DataFrame = {
+      k: Int = 10, maxDfDen: Long = 4L): DataFrame = {
     val terms = documents.select(col("doc_id"),
       explode(split(col("text"), " ")).as("term"))
+    // the inverted index: ONE tokenize pass, materialized and reused by
+    // every downstream branch (df, dl, query slice, candidate join) —
+    // the batch analogue of retrieval's precomputed postings artifact
     val tf = terms.groupBy("doc_id", "term").agg(count(lit(1)).as("tf"))
-    val dl = terms.groupBy("doc_id").agg(count(lit(1)).as("dl"))
-    // corpus totals derived from the doc-length table, not a second scan
+      .persist()
+    // doc lengths and corpus totals derived FROM the index, not a rescan
+    val dl = tf.groupBy("doc_id").agg(sum(col("tf")).as("dl"))
     val totals = dl.agg(sum(col("dl")).as("tt"), count(lit(1)).as("nd"))
     // df from the per-doc-distinct tf table: one vocab-sized agg
     val dfr = tf.groupBy("term").agg(count(lit(1)).as("df"))
     val idf = dfr.crossJoin(broadcast(totals))
+      .filter(col("df") * maxDfDen <= col("nd")) // stop-term guard
       // Lucene's floored idf: strictly positive for every df
       .withColumn("idf_micro",
         floor(log(lit(1.0) +
@@ -97,5 +112,93 @@ object Bm25 {
           .orderBy(col("score_micro").desc, col("doc_id").asc)).cast("long"))
       .filter(col("doc_rank") <= k)
       .select("query_id", "doc_id", "n_terms", "score_micro", "doc_rank")
+  }
+
+  /** Query-likelihood retrieval (Ponte–Croft language-model ranking,
+    * Dirichlet smoothing with mass `mu`) — the probabilistic complement
+    * of [[topK]], over the SAME query log and postings shape. The naive
+    * score Σ_{t∈q} ln((tf + μ·p(t|C)) / (dl + μ)) touches every
+    * (query, doc) pair; the standard decomposition
+    *
+    *   Σ_{t∈q∩d} ln(1 + tf·T/(μ·ctf(t)))  +  |q| · ln(μ/(dl+μ))
+    *
+    * confines real work to MATCHED postings (first sum) plus a per-doc
+    * constant — so the plan is the same broadcast-query candidate join
+    * as BM25, and only candidate docs (≥1 matched term) are ranked, as
+    * sharded retrieval does. Exactness: each matched term's contribution
+    * and the per-doc constant are separately truncated to INTEGER
+    * micro-nats (one elementwise ln each), the doc constant multiplies
+    * by the integer query length AFTER flooring, and the per-doc score
+    * is an order-independent integer sum.
+    *
+    * Output: (query_id, doc_id, n_terms, score_micro, doc_rank) — scores
+    * are negative log-probabilities (micro-nats), larger = better. */
+  def queryLikelihoodTopK(documents: DataFrame, queryMod: Long = 97,
+      queryTerms: Int = 16, k: Int = 10, mu: Long = 2000L,
+      maxDfDen: Long = 4L): DataFrame = {
+    val terms = documents.select(col("doc_id"),
+      explode(split(col("text"), " ")).as("term"))
+    val tf = terms.groupBy("doc_id", "term").agg(count(lit(1)).as("tf"))
+      .persist()
+    val dl = tf.groupBy("doc_id").agg(sum(col("tf")).as("dl"))
+    val totals = dl.agg(sum(col("dl")).as("tt"), count(lit(1)).as("nd"))
+    val vocab = tf.groupBy("term")
+      .agg(count(lit(1)).as("df"), sum(col("tf")).as("ctf"))
+    val eligible = vocab.crossJoin(broadcast(totals))
+      .filter(col("df") * maxDfDen <= col("nd")) // stop-term guard
+    // identical rarest-first keyword selection as BM25 (df depends only
+    // on the corpus, so both rankers see the same queries)
+    val qterms = eligible.join(broadcast(
+        tf.filter(col("doc_id") % queryMod === 0)
+          .select(col("doc_id").as("query_id"), col("term"))), "term")
+      .withColumn("__r", row_number().over(
+        Window.partitionBy("query_id")
+          .orderBy(col("df").asc, col("term").asc)))
+      .filter(col("__r") <= queryTerms)
+      .select("query_id", "term", "ctf")
+    val qlen = qterms.groupBy("query_id").agg(count(lit(1)).as("qlen"))
+
+    val cand = tf.join(broadcast(qterms), "term")
+      .crossJoin(broadcast(totals))
+      .withColumn("__m",
+        floor(log(lit(1.0) +
+          (col("tf").cast("double") * col("tt")) /
+            (lit(mu) * col("ctf").cast("double"))) * 1e6).cast("long"))
+    cand.groupBy("query_id", "doc_id")
+      .agg(count(lit(1)).as("n_terms"), sum(col("__m")).as("__msum"))
+      .join(dl, "doc_id")
+      .join(broadcast(qlen), "query_id")
+      .withColumn("score_micro", col("__msum") + col("qlen") *
+        floor(log(lit(mu).cast("double") / (col("dl") + lit(mu))) * 1e6)
+          .cast("long"))
+      .withColumn("doc_rank", row_number().over(
+        Window.partitionBy("query_id")
+          .orderBy(col("score_micro").desc, col("doc_id").asc)).cast("long"))
+      .filter(col("doc_rank") <= k)
+      .select("query_id", "doc_id", "n_terms", "score_micro", "doc_rank")
+  }
+
+  /** Reciprocal-rank fusion (Cormack et al. 2009) of two ranked lists —
+    * the standard hybrid-retrieval combiner (lexical + semantic, or any
+    * two rankers whose scores live on incomparable scales). Pure integer:
+    * each list contributes `1000000 div (k0 + rank)` micro-units (0 when
+    * the doc is absent from a list), summed and re-ranked. Inputs need
+    * (query_id, doc_id, doc_rank); one full outer join on the two
+    * model-sized top-k lists — nothing corpus-sized. */
+  def rrfFuse(a: DataFrame, b: DataFrame, k0: Long = 60L,
+      k: Int = 10): DataFrame = {
+    val aa = a.select(col("query_id"), col("doc_id"),
+      col("doc_rank").as("__ra"))
+    val bb = b.select(col("query_id"), col("doc_id"),
+      col("doc_rank").as("__rb"))
+    aa.join(bb, Seq("query_id", "doc_id"), "full")
+      .withColumn("rrf_micro",
+        coalesce(expr(s"1000000L div ($k0 + __ra)"), lit(0L)) +
+          coalesce(expr(s"1000000L div ($k0 + __rb)"), lit(0L)))
+      .withColumn("fused_rank", row_number().over(
+        Window.partitionBy("query_id")
+          .orderBy(col("rrf_micro").desc, col("doc_id").asc)).cast("long"))
+      .filter(col("fused_rank") <= k)
+      .select("query_id", "doc_id", "rrf_micro", "fused_rank")
   }
 }

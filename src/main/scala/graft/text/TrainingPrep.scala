@@ -310,6 +310,36 @@ object TrainingPrep {
       .filter(col("sample_rank") <= n)
       .select("doc_id", "n_tokens", "key_micro", "sample_rank")
 
+  /** Leakage-safe train/val/test split: the split key is the document's
+    * near-duplicate CLUSTER, not the document itself — so near-dups of an
+    * eval document can never land in train. This closes the
+    * contamination path that exact dedup misses (non-verbatim rewrites)
+    * and n-gram decontamination only catches after the fact: if
+    * correlated documents straddle the split, eval is compromised no
+    * matter how the training side is cleaned. `clusters` is any
+    * (doc_id, cluster_id) map ([[graft.dedup.Dedup.dupClusters]] /
+    * `dupClustersStar`); unclustered documents fall back to their own id.
+    *
+    * Assignment is the same deterministic hash-gate discipline as
+    * [[mixtureSample]]: split_key = pmod(xxhash64(group_key), 100) with
+    * the standing [[TrainPct]]/[[ValPct]] cuts — group-keyed, so every
+    * cluster lands WHOLLY inside one split (spec-pinned invariant).
+    *
+    * Scale shape: one co-partitioned left join of the corpus ids against
+    * the cluster map (cluster rows exist only for documents with at
+    * least one near-dup pair — AQE broadcasts when small), then
+    * scan-stage hash arithmetic. The text column is never touched. */
+  def leakageSafeSplit(documents: DataFrame, clusters: DataFrame): DataFrame =
+    documents.select(col("doc_id"))
+      .join(clusters, Seq("doc_id"), "left")
+      .withColumn("group_key", coalesce(col("cluster_id"), col("doc_id")))
+      .withColumn("split_key", pmod(xxhash64(col("group_key")), lit(100)))
+      .withColumn("split",
+        when(col("split_key") < TrainPct, "train")
+          .when(col("split_key") < TrainPct + ValPct, "val")
+          .otherwise("test"))
+      .select("doc_id", "group_key", "split_key", "split")
+
   /** The end-to-end training manifest — the composition a data pipeline
     * actually ships to the trainer, built entirely from operators that
     * are individually oracle-verified: curation gates (language ∧

@@ -12,7 +12,8 @@ class Bm25Spec extends SparkSpecBase {
     * rational k1=6/5, b=3/4 normalization 22·T·tf/(10·T·tf+3·T+9·dl·N),
     * BigInt floor division, rarest-first query-term selection. */
   private def model(corpus: Seq[(Long, String)], queryMod: Long,
-      queryTerms: Int, k: Int): Set[(Long, Long, Long, Long, Long)] = {
+      queryTerms: Int, k: Int,
+      maxDfDen: Long = 1L): Set[(Long, Long, Long, Long, Long)] = {
     val toks = corpus.map { case (id, t) => id -> t.split(" ").toSeq }.toMap
     val tf = toks.toSeq.flatMap { case (id, ts) =>
       ts.groupBy(identity).map { case (t, g) => (id, t, g.size.toLong) }
@@ -21,12 +22,12 @@ class Bm25Spec extends SparkSpecBase {
     val bigT = dl.values.sum
     val n = dl.size.toLong
     val df = tf.groupBy(_._2).map { case (t, g) => t -> g.size.toLong }
-    val idf = df.map { case (t, d) =>
+    val idf = df.collect { case (t, d) if d * maxDfDen <= n =>
       t -> math.floor(math.log(1.0 + (n - d + 0.5) / (d + 0.5)) * 1e6).toLong
     }
     val scores = for {
       qid <- toks.keys.toSeq if qid % queryMod == 0
-      qt = tf.filter(_._1 == qid).map(_._2)
+      qt = tf.filter(_._1 == qid).map(_._2).filter(idf.contains)
         .sortBy(t => (df(t), t)).take(queryTerms).toSet
       (did, t, f) <- tf if qt.contains(t)
     } yield ((qid, did),
@@ -50,7 +51,7 @@ class Bm25Spec extends SparkSpecBase {
     97L -> "rare unicorn scan")
 
   test("BM25 matches the independent scalar model exactly") {
-    val got = Bm25.topK(docs(corpus: _*), queryMod = 97, queryTerms = 2, k = 3)
+    val got = Bm25.topK(docs(corpus: _*), queryMod = 97, queryTerms = 2, k = 3, maxDfDen = 1)
       .as[(Long, Long, Long, Long, Long)].collect().toSet
     assert(got === model(corpus, 97, 2, 3))
     assert(got.nonEmpty)
@@ -58,14 +59,81 @@ class Bm25Spec extends SparkSpecBase {
 
   test("a query document retrieves itself first") {
     // doc 97's query terms are its rarest terms; it carries all of them
-    val got = Bm25.topK(docs(corpus: _*), queryMod = 97, queryTerms = 2, k = 3)
+    val got = Bm25.topK(docs(corpus: _*), queryMod = 97, queryTerms = 2, k = 3, maxDfDen = 1)
       .filter("query_id = 97 AND doc_rank = 1")
       .select("doc_id").as[Long].collect()
     assert(got.toSeq === Seq(97L))
   }
 
+  test("stop-term guard: df > N/maxDfDen terms leave selection and scoring") {
+    // "spark" is in every doc (df 6 of 6); at maxDfDen = 2 it is a
+    // stop term — matches through it alone must vanish
+    val got = Bm25.topK(docs(corpus: _*), queryMod = 1, queryTerms = 16,
+      k = 6, maxDfDen = 2)
+      .as[(Long, Long, Long, Long, Long)].collect().toSet
+    assert(got === model(corpus, 1, 16, 6, maxDfDen = 2))
+    // doc 1 ("spark shuffle join join") shares ONLY capped-or-kept terms
+    // with doc 3 ("spark scan rare extra") via "spark" — no hit either way
+    assert(!got.exists(r => r._1 == 1L && r._2 == 3L))
+    assert(!got.exists(r => r._1 == 3L && r._2 == 1L))
+  }
+
+  /** Scalar replay of the query-likelihood decomposition: matched-term
+    * micro-nats + qlen × the floored per-doc Dirichlet constant. */
+  private def qlModel(corpus: Seq[(Long, String)], queryMod: Long,
+      queryTerms: Int, k: Int, mu: Long = 2000L,
+      maxDfDen: Long = 1L): Set[(Long, Long, Long, Long, Long)] = {
+    val toks = corpus.map { case (id, t) => id -> t.split(" ").toSeq }.toMap
+    val tf = toks.toSeq.flatMap { case (id, ts) =>
+      ts.groupBy(identity).map { case (t, g) => (id, t, g.size.toLong) }
+    }
+    val dl = toks.map { case (id, ts) => id -> ts.size.toLong }
+    val bigT = dl.values.sum
+    val n = dl.size.toLong
+    val df = tf.groupBy(_._2).map { case (t, g) => t -> g.size.toLong }
+    val ctf = tf.groupBy(_._2).map { case (t, g) => t -> g.map(_._3).sum }
+    val eligible = df.filter { case (_, d) => d * maxDfDen <= n }.keySet
+    val scores = for {
+      qid <- toks.keys.toSeq if qid % queryMod == 0
+      qt = tf.filter(_._1 == qid).map(_._2).filter(eligible.contains)
+        .sortBy(t => (df(t), t)).take(queryTerms).toSet
+      (did, t, f) <- tf if qt.contains(t)
+    } yield ((qid, did, qt.size.toLong),
+      math.floor(math.log(1.0 +
+        (f.toDouble * bigT) / (mu * ctf(t).toDouble)) * 1e6).toLong)
+    scores.groupBy(_._1).toSeq.map { case ((qid, did, qn), ss) =>
+      val docPart =
+        math.floor(math.log(mu.toDouble / (dl(did) + mu)) * 1e6).toLong
+      (qid, did, ss.size.toLong, ss.map(_._2).sum + qn * docPart)
+    }.groupBy(_._1).toSeq.flatMap { case (qid, rows) =>
+      rows.sortBy(r => (-r._4, r._2)).zipWithIndex.take(k)
+        .map { case ((q, d, nt, sc), i) => (q, d, nt, sc, i + 1L) }
+    }.toSet
+  }
+
+  test("query likelihood matches the scalar Dirichlet model exactly") {
+    val got = Bm25.queryLikelihoodTopK(docs(corpus: _*), queryMod = 97,
+      queryTerms = 2, k = 3, maxDfDen = 1)
+      .as[(Long, Long, Long, Long, Long)].collect().toSet
+    assert(got === qlModel(corpus, 97, 2, 3))
+    assert(got.nonEmpty)
+  }
+
+  test("RRF fuses ranked lists with integer 1e6/(60+rank) contributions") {
+    val a = Seq((1L, 10L, 1L), (1L, 20L, 2L))
+      .toDF("query_id", "doc_id", "doc_rank")
+    val b = Seq((1L, 20L, 1L), (1L, 30L, 2L))
+      .toDF("query_id", "doc_id", "doc_rank")
+    val got = Bm25.rrfFuse(a, b)
+      .as[(Long, Long, Long, Long)].collect().toSet
+    assert(got === Set(
+      (1L, 20L, 1000000L / 62 + 1000000L / 61, 1L), // in both lists
+      (1L, 10L, 1000000L / 61, 2L),                 // bm25-only
+      (1L, 30L, 1000000L / 62, 3L)))                // ql-only
+  }
+
   test("top-k bound and rank totality hold per query") {
-    val got = Bm25.topK(docs(corpus: _*), queryMod = 1, queryTerms = 16, k = 2)
+    val got = Bm25.topK(docs(corpus: _*), queryMod = 1, queryTerms = 16, k = 2, maxDfDen = 1)
       .as[(Long, Long, Long, Long, Long)].collect()
     val byQ = got.groupBy(_._1)
     assert(byQ.keySet === corpus.map(_._1).toSet) // every doc is a query

@@ -305,6 +305,31 @@ class TrainingPrepSpec extends SparkSpecBase {
     assert(got === expected)
   }
 
+  test("leakage-safe split: every cluster lands wholly inside one split") {
+    import org.apache.spark.sql.functions.{col, pmod, xxhash64}
+    val d = docs((1L to 200L).map(i => i -> "x"): _*)
+    // clusters: {1,2,101}, {3,4}; everything else unclustered
+    val clusters = Seq((1L, 1L), (2L, 1L), (101L, 1L), (3L, 3L), (4L, 3L))
+      .toDF("doc_id", "cluster_id")
+    val got = TrainingPrep.leakageSafeSplit(d, clusters)
+      .as[(Long, Long, Long, String)].collect()
+    assert(got.length === 200)
+    val byDoc = got.map(r => r._1 -> r).toMap
+    // cluster members share group key AND split
+    assert(Set(byDoc(1L), byDoc(2L), byDoc(101L)).map(r => (r._2, r._4)).size === 1)
+    assert(Set(byDoc(3L), byDoc(4L)).map(r => (r._2, r._4)).size === 1)
+    // unclustered docs key on their own id with the standard hash gate
+    val k7 = d.filter(col("doc_id") === 7)
+      .select(pmod(xxhash64(col("doc_id")), org.apache.spark.sql.functions.lit(100)))
+      .as[Long].head()
+    assert(byDoc(7L)._3 === k7)
+    val expected7 =
+      if (k7 < 90) "train" else if (k7 < 95) "val" else "test"
+    assert(byDoc(7L)._4 === expected7)
+    // all three splits materialize over 200 group keys w.h.p.
+    assert(got.map(_._4).toSet === Set("train", "val", "test"))
+  }
+
   test("weighted sample with n >= corpus returns every document") {
     val d = docs((1L, "a"), (2L, "a b"), (3L, "a b c"))
     val got = TrainingPrep.weightedSample(d, n = 100)
