@@ -313,4 +313,80 @@ object DocStream {
       out.result().iterator
     }
   }
+
+  case class WSampleDocRow(bucket: Long, doc_id: Long, n_tokens: Long,
+      key_micro: Long)
+  case class WSamplePartialRow(bucket: Long, n_seen: Long,
+      doc_ids: Array[Long], n_tokens: Array[Long], keys: Array[Long])
+
+  /** Continuously-maintained weighted reservoir — the streaming twin of
+    * [[graft.text.TrainingPrep.weightedSample]] (Efraimidis–Spirakis
+    * A-ES keys ARE the streaming-reservoir algorithm: the top-n keys
+    * over everything ingested so far are an exact n-item weighted
+    * sample without replacement, at any point in the stream's life).
+    *
+    * Same two-level shape as [[concurrencyPartials]]-style merge-on-read
+    * twins: documents hash into `nBuckets` state groups, each group
+    * keeps its own top-n (bounded: ≤ n (doc, weight, key) triples per
+    * bucket, FIXED size for the stream's lifetime — no watermark/TTL
+    * needed, like the sketch states above), and [[mergeWeightedPartials]]
+    * folds the bucket reservoirs into the global top-n at read time.
+    * Top-n-by-key merge is associative and commutative, so batch
+    * boundaries and bucket placement cannot change the result — the
+    * merged last emissions equal the batch operator (spec-pinned).
+    *
+    * Input: (doc_id, text) rows; key derivation is IDENTICAL to the
+    * batch operator (xxhash64 → exact-double uniform → ln(u)/w micro). */
+  def weightedReservoir(spark: SparkSession, docs: DataFrame, n: Int,
+      nBuckets: Int = 32): Dataset[WSamplePartialRow] = {
+    import spark.implicits._
+    docs.select(col("doc_id"),
+        size(split(col("text"), " ")).cast("long").as("n_tokens"),
+        xxhash64(col("doc_id")).as("__h"))
+      .withColumn("__u",
+        col("__h").cast("double") /
+          expr("CAST(18446744073709551616 AS DOUBLE)") + 0.5)
+      .withColumn("key_micro",
+        floor(log(col("__u") + 1e-12) / col("n_tokens") * 1e6).cast("long"))
+      .withColumn("bucket", pmod(col("doc_id"), lit(nBuckets.toLong)))
+      .select("bucket", "doc_id", "n_tokens", "key_micro")
+      .as[WSampleDocRow]
+      .groupByKey(_.bucket)
+      .flatMapGroupsWithState(OutputMode.Append,
+        GroupStateTimeout.NoTimeout)(wsampleProcess(n))
+  }
+
+  private[graft] def wsampleProcess(n: Int)(bucket: Long,
+      rows: Iterator[WSampleDocRow],
+      state: GroupState[(Array[Long], Array[Long], Array[Long], Long)])
+      : Iterator[WSamplePartialRow] = {
+    val (ids0, ws0, ks0, n0) = state.getOption
+      .getOrElse((Array.empty[Long], Array.empty[Long], Array.empty[Long], 0L))
+    val buf = scala.collection.mutable.ArrayBuffer.empty[(Long, Long, Long)]
+    var i = 0
+    while (i < ids0.length) { buf += ((ids0(i), ws0(i), ks0(i))); i += 1 }
+    var seen = n0
+    rows.foreach { r => buf += ((r.doc_id, r.n_tokens, r.key_micro)); seen += 1 }
+    val top = buf.sortBy { case (id, _, k) => (-k, id) }.take(n).toArray
+    state.update((top.map(_._1), top.map(_._2), top.map(_._3), seen))
+    Iterator.single(WSamplePartialRow(bucket, seen,
+      top.map(_._1), top.map(_._2), top.map(_._3)))
+  }
+
+  /** Merge-on-read for [[weightedReservoir]]: fold the per-bucket
+    * reservoirs (the LAST emission per bucket) into the global top-n —
+    * output schema == the batch operator's
+    * (doc_id, n_tokens, key_micro, sample_rank). Partials-sized input
+    * (≤ nBuckets × n rows), one bounded top-k. */
+  def mergeWeightedPartials(partials: DataFrame, n: Int): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    partials
+      .select(explode(arrays_zip(col("doc_ids").as("doc_id"),
+        col("n_tokens").as("n_tokens"), col("keys").as("key_micro")))
+        .as("z"))
+      .select(col("z.doc_id"), col("z.n_tokens"), col("z.key_micro"))
+      .withColumn("sample_rank", row_number().over(
+        Window.orderBy(col("key_micro").desc, col("doc_id").asc)).cast("long"))
+      .filter(col("sample_rank") <= n)
+  }
 }

@@ -299,4 +299,34 @@ class DocStreamSpec extends SparkSpecBase {
     assert(got.toSet === want)
     assert(got.length === got.toSet.size, "each doc scored exactly once")
   }
+
+  test("streaming weighted reservoir: merged last emissions == batch weightedSample") {
+    implicit val ctx = spark.sqlContext
+    val docs = (1L to 90L).map(i => (i, ("w " * (1 + (i % 7)).toInt).trim))
+    val batches = docs.grouped(30).toSeq
+
+    val input = MemoryStream[(Long, String)]
+    val stream = DocStream.weightedReservoir(spark,
+      input.toDF().toDF("doc_id", "text"), n = 12, nBuckets = 4)
+    val q = stream.writeStream.format("memory").queryName("ws_live")
+      .outputMode("append").start()
+    try batches.foreach { b => input.addData(b); q.processAllAvailable() }
+    finally q.stop()
+
+    // last emission per bucket (max n_seen) = the live bucket reservoir
+    val lastPerBucket = spark.table("ws_live").collect()
+      .groupBy(_.getLong(0)).values.map(_.maxBy(_.getLong(1))).toSeq
+    val live = graft.streaming.DocStream.mergeWeightedPartials(
+        spark.createDataFrame(
+          spark.sparkContext.parallelize(lastPerBucket),
+          spark.table("ws_live").schema), n = 12)
+      .as[(Long, Long, Long, Long)].collect().sortBy(_._4)
+
+    val batch = graft.text.TrainingPrep.weightedSample(
+        docs.toDF("doc_id", "text"), n = 12)
+      .as[(Long, Long, Long, Long)].collect().sortBy(_._4)
+    assert(live.toSeq === batch.toSeq)
+    // every bucket reservoir stayed bounded at n
+    assert(lastPerBucket.forall(_.getSeq[Long](2).length <= 12))
+  }
 }
