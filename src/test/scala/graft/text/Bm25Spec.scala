@@ -132,6 +132,28 @@ class Bm25Spec extends SparkSpecBase {
       (1L, 30L, 1000000L / 62, 3L)))                // ql-only
   }
 
+  test("randomized corpora: BM25 and QL match the scalar models") {
+    val rnd = new scala.util.Random(1137L)
+    val words = Vector("a", "b", "c", "dd", "ee", "ff", "gg",
+      "rare1", "rare2", "zz")
+    for (trial <- 1 to 5) {
+      val corpus = (0L until (10 + rnd.nextInt(20)).toLong).map { id =>
+        id -> Seq.fill(1 + rnd.nextInt(12))(
+          words(rnd.nextInt(words.size))).mkString(" ")
+      }
+      val gotB = Bm25.topK(docs(corpus: _*), queryMod = 3,
+        queryTerms = 4, k = 5, maxDfDen = 2)
+        .as[(Long, Long, Long, Long, Long)].collect().toSet
+      assert(gotB === model(corpus, 3, 4, 5, maxDfDen = 2),
+        s"bm25 trial $trial")
+      val gotQ = Bm25.queryLikelihoodTopK(docs(corpus: _*), queryMod = 3,
+        queryTerms = 4, k = 5, maxDfDen = 2)
+        .as[(Long, Long, Long, Long, Long)].collect().toSet
+      assert(gotQ === qlModel(corpus, 3, 4, 5, maxDfDen = 2),
+        s"ql trial $trial")
+    }
+  }
+
   test("top-k bound and rank totality hold per query") {
     val got = Bm25.topK(docs(corpus: _*), queryMod = 1, queryTerms = 16, k = 2, maxDfDen = 1)
       .as[(Long, Long, Long, Long, Long)].collect()
