@@ -1536,6 +1536,22 @@ object SparkEntry {
     "q_k_anonymity" -> ((s, dir) =>
       graft.ops.Privacy.kAnonymity(Tables.customer(s, dir))),
 
+    // Retrieval eval: per-query nDCG@10 of the hybrid (RRF) ranking
+    // judged by QL-derived grades (rel = 11 - ql_rank) — the offline
+    // eval metric shape; model-sized inputs, natural-log discount,
+    // integer micro units end to end
+    "q_retrieval_ndcg" -> ((s, dir) => {
+      val docs = Tables.documents(s, dir)
+      val bm = graft.text.Bm25.topK(docs, queryMod = 997, maxDfDen = 1)
+      val ql = graft.text.Bm25.queryLikelihoodTopK(docs, queryMod = 997,
+        maxDfDen = 1)
+      graft.text.Bm25.ndcgAtK(
+        graft.text.Bm25.rrfFuse(bm, ql)
+          .withColumnRenamed("fused_rank", "doc_rank"),
+        ql.select(col("query_id"), col("doc_id"),
+          (lit(11L) - col("doc_rank")).as("rel")))
+    }),
+
     // Leakage-safe split: train/val/test assigned per NEAR-DUP CLUSTER
     // (hash of the cluster root), so correlated documents never straddle
     // the eval boundary; unclustered docs hash on their own id
@@ -4533,6 +4549,34 @@ object SparkEntry {
          |SELECT doc_id, n_tokens, key_micro, sample_rank
          |FROM r WHERE sample_rank <= 500""".stripMargin
     },
+
+    // nDCG: floored natural-log-discounted micro gains, integer sums,
+    // one HUGEINT floor division for the ratio
+    "q_retrieval_ndcg" ->
+      s"""WITH $sqlRetrievalCtes,
+         |fa AS (SELECT query_id, doc_id, doc_rank AS ra FROM bmr WHERE doc_rank <= 10),
+         |fb AS (SELECT query_id, doc_id, doc_rank AS rb FROM qlr WHERE doc_rank <= 10),
+         |fu AS (SELECT query_id, doc_id,
+         |         coalesce(1000000 // (60 + ra), 0) + coalesce(1000000 // (60 + rb), 0) AS rrf_micro
+         |       FROM fa FULL JOIN fb USING (query_id, doc_id)),
+         |fr AS (SELECT *, CAST(row_number() OVER (PARTITION BY query_id
+         |          ORDER BY rrf_micro DESC, doc_id ASC) AS BIGINT) AS fused_rank
+         |       FROM fu),
+         |hk AS (SELECT query_id, doc_id, fused_rank AS doc_rank FROM fr WHERE fused_rank <= 10),
+         |rel AS (SELECT query_id, doc_id, 11 - doc_rank AS rel FROM qlr WHERE doc_rank <= 10),
+         |g AS (SELECT hk.query_id,
+         |        CAST(floor(coalesce(rel, 0) * 1e6 / ln(doc_rank + 1)) AS BIGINT) AS gmic
+         |      FROM hk LEFT JOIN rel USING (query_id, doc_id)),
+         |dcg AS (SELECT query_id, CAST(sum(gmic) AS BIGINT) AS dcg_micro FROM g GROUP BY 1),
+         |ig AS (SELECT query_id, rel, doc_id,
+         |        row_number() OVER (PARTITION BY query_id ORDER BY rel DESC, doc_id ASC) AS ir
+         |      FROM rel),
+         |idcg AS (SELECT query_id,
+         |          CAST(sum(CAST(floor(rel * 1e6 / ln(ir + 1)) AS BIGINT)) AS BIGINT) AS idcg_micro
+         |        FROM ig WHERE ir <= 10 GROUP BY 1)
+         |SELECT query_id, dcg_micro, idcg_micro,
+         |  CAST((CAST(dcg_micro AS HUGEINT) * 1000000) // idcg_micro AS BIGINT) AS ndcg_micro
+         |FROM dcg JOIN idcg USING (query_id)""".stripMargin,
 
     // leakage-safe split: the recursive-CTE transitive closure (the
     // q_dedup_clusters oracle) feeds a LEFT JOIN + coalesce group key,

@@ -183,6 +183,51 @@ object Bm25 {
       .select("query_id", "doc_id", "n_terms", "score_micro", "doc_rank")
   }
 
+  /** Offline retrieval evaluation: nDCG@k of a candidate ranking against
+    * a graded relevance list — the metric an eval pipeline computes per
+    * query over millions of queries (the lexical-family counterpart of
+    * [[graft.sim]]'s RecallProbe). Discounted-cumulative-gain uses the
+    * NATURAL-log discount (gain / ln(rank+1)): nDCG is invariant to the
+    * log base up to flooring, and a base-2 constant would have to
+    * constant-fold identically in two engines' libm — the natural form
+    * keeps every term one elementwise ln like the rest of the library.
+    *
+    * Exactness: each position's discounted gain is floored to INTEGER
+    * micro units before the per-query sum (order-independent); the final
+    * ratio is one integer floor division, `dcg·1e6 div idcg`. Missing
+    * docs carry gain 0; the ideal ranking is relevance DESC, doc_id ASC
+    * over the SAME grade list, cut at k.
+    *
+    * Scale shape: both inputs are model-sized top-k lists (queries × k
+    * rows); one left join + two per-query aggregations — nothing
+    * corpus-sized. Output: (query_id, dcg_micro, idcg_micro, ndcg_micro). */
+  def ndcgAtK(ranking: DataFrame, relevance: DataFrame,
+      k: Int = 10): DataFrame = {
+    val gains = ranking.select(col("query_id"), col("doc_id"),
+        col("doc_rank"))
+      .join(relevance.select(col("query_id"), col("doc_id"),
+        col("rel")), Seq("query_id", "doc_id"), "left")
+      .withColumn("__g",
+        floor(coalesce(col("rel"), lit(0L)) * 1e6 /
+          log(col("doc_rank") + 1)).cast("long"))
+      .groupBy("query_id").agg(sum(col("__g")).as("dcg_micro"))
+    val ideal = relevance
+      .withColumn("__ir", row_number().over(
+        Window.partitionBy("query_id")
+          .orderBy(col("rel").desc, col("doc_id").asc)))
+      .filter(col("__ir") <= k)
+      .withColumn("__g",
+        floor(col("rel") * 1e6 / log(col("__ir") + 1)).cast("long"))
+      .groupBy("query_id").agg(sum(col("__g")).as("idcg_micro"))
+    // inner join: a query with no positive grades has no defined ideal
+    // (callers feed positive-graded lists, e.g. rel = k+1-rank)
+    gains.join(ideal, "query_id")
+      .withColumn("ndcg_micro",
+        expr("CAST(dcg_micro AS DECIMAL(38,0)) * 1000000 div " +
+          "CAST(idcg_micro AS DECIMAL(38,0))"))
+      .select("query_id", "dcg_micro", "idcg_micro", "ndcg_micro")
+  }
+
   /** Reciprocal-rank fusion (Cormack et al. 2009) of two ranked lists —
     * the standard hybrid-retrieval combiner (lexical + semantic, or any
     * two rankers whose scores live on incomparable scales). Pure integer:

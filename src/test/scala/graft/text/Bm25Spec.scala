@@ -154,6 +154,26 @@ class Bm25Spec extends SparkSpecBase {
     }
   }
 
+  test("nDCG: perfect ranking scores exactly 1e6, degradations less") {
+    val rel = Seq((1L, 10L, 3L), (1L, 20L, 2L), (1L, 30L, 1L))
+      .toDF("query_id", "doc_id", "rel")
+    def rank(order: Seq[Long]) =
+      order.zipWithIndex.map { case (d, i) => (1L, d, i + 1L) }
+        .toDF("query_id", "doc_id", "doc_rank")
+    val perfect = Bm25.ndcgAtK(rank(Seq(10L, 20L, 30L)), rel)
+      .as[(Long, Long, Long, Long)].head()
+    assert(perfect._2 === perfect._3) // dcg == idcg
+    assert(perfect._4 === 1000000L)
+    // worst order scores strictly less; unknown doc contributes zero
+    val worst = Bm25.ndcgAtK(rank(Seq(30L, 99L, 10L)), rel)
+      .as[(Long, Long, Long, Long)].head()
+    assert(worst._4 < 1000000L && worst._4 > 0L)
+    // scalar replay of the worst-order dcg: rel 1 at r1, 0 at r2, 3 at r3
+    val expDcg = math.floor(1 * 1e6 / math.log(2)).toLong +
+      math.floor(3 * 1e6 / math.log(4)).toLong
+    assert(worst._2 === expDcg)
+  }
+
   test("top-k bound and rank totality hold per query") {
     val got = Bm25.topK(docs(corpus: _*), queryMod = 1, queryTerms = 16, k = 2, maxDfDen = 1)
       .as[(Long, Long, Long, Long, Long)].collect()
