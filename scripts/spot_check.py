@@ -183,10 +183,12 @@ check('k-core: surviving degrees respect the pre-peel bound',
 bm = sp('q_bm25_topk')
 nq = con.sql("SELECT count(*) FROM documents WHERE doc_id % 997 = 0").fetchone()[0]
 check('bm25: every eval doc is a query, <=10 ranked hits each, scores '
-      'positive and rank-ordered',
+      'non-negative and rank-ordered',
       bm.query_id.nunique() == nq
       and bool((bm.groupby('query_id').doc_rank.max() <= 10).all())
-      and bool((bm.score_micro > 0).all())
+      # >= 0, not > 0: idf_micro is clamped to >= 1, but the per-term
+      # floor division can still reach 0 for long docs on huge corpora
+      and bool((bm.score_micro >= 0).all())
       # within each query, rank order == (score DESC, doc_id ASC) order
       and bool(bm.sort_values(['query_id', 'doc_rank'])
                .groupby('query_id').score_micro

@@ -31,4 +31,25 @@ object Privacy {
         floor(col("c_acctbal") / 1000.0).cast("long").as("acctbal_band"))
       .agg(count(lit(1)).as("group_n"))
       .withColumn("at_risk", col("group_n") < k)
+
+  /** Distinct l-diversity (Machanavajjhala et al. 2007): k-anonymity's
+    * complement — a group can be large (k-anonymous) yet still leak if
+    * everyone in it shares the SAME sensitive value, so each QI group
+    * must also contain at least `l` DISTINCT sensitive values. QI tuple
+    * as [[kAnonymity]]; the sensitive attribute is the EXACT account
+    * balance (the banding that coarsens it into the QI is precisely
+    * what makes the residual exact value the sensitive remainder).
+    *
+    * Scale shape: count(DISTINCT) over one grouping = Spark's two-level
+    * expand-then-agg, both levels map-side combined — linear in rows,
+    * output bounded by the QI domain. Same cheapest-full-table-statement
+    * posture as [[kAnonymity]]. */
+  def lDiversity(customer: DataFrame, l: Long = 3L): DataFrame =
+    customer.groupBy(
+        col("c_nationkey").cast("long").as("nationkey"),
+        col("c_mktsegment").as("mktsegment"),
+        floor(col("c_acctbal") / 1000.0).cast("long").as("acctbal_band"))
+      .agg(count(lit(1)).as("group_n"),
+        countDistinct(col("c_acctbal")).as("n_sensitive"))
+      .withColumn("at_risk", col("n_sensitive") < l)
 }

@@ -374,13 +374,23 @@ object DocStream {
   }
 
   /** Merge-on-read for [[weightedReservoir]]: fold the per-bucket
-    * reservoirs (the LAST emission per bucket) into the global top-n —
-    * output schema == the batch operator's
-    * (doc_id, n_tokens, key_micro, sample_rank). Partials-sized input
-    * (≤ nBuckets × n rows), one bounded top-k. */
+    * reservoirs into the global top-n — output schema == the batch
+    * operator's (doc_id, n_tokens, key_micro, sample_rank).
+    *
+    * Accepts the RAW append-sink output (every historical emission):
+    * the live reservoir is the LAST emission per bucket, and this
+    * selects it itself (max `n_seen` per bucket — `n_seen` is strictly
+    * increasing within a bucket, so the max IS the latest) rather than
+    * trusting callers to pre-filter; feeding all emissions unfiltered
+    * would otherwise silently rank stale duplicates into the top-n.
+    * Emissions-sized input (emissions × n rows), one window + one
+    * bounded top-k. */
   def mergeWeightedPartials(partials: DataFrame, n: Int): DataFrame = {
     import org.apache.spark.sql.expressions.Window
     partials
+      .withColumn("__last", row_number().over(
+        Window.partitionBy("bucket").orderBy(col("n_seen").desc)))
+      .filter(col("__last") === 1)
       .select(explode(arrays_zip(col("doc_ids").as("doc_id"),
         col("n_tokens").as("n_tokens"), col("keys").as("key_micro")))
         .as("z"))
@@ -388,5 +398,59 @@ object DocStream {
       .withColumn("sample_rank", row_number().over(
         Window.orderBy(col("key_micro").desc, col("doc_id").asc)).cast("long"))
       .filter(col("sample_rank") <= n)
+  }
+
+  case class TermTfRow(doc_id: Long, term: String, tf: Long)
+  case class VocabStateRow(term: String, df: Long, ctf: Long)
+
+  /** Continuously-maintained retrieval-index vocabulary — the streaming
+    * maintenance twin of [[graft.text.PostingsIndex]]'s `vocab` relation
+    * (per-term document frequency + collection term frequency, the
+    * inputs to BM25's idf and query-likelihood's collection LM). Under
+    * document APPENDS both statistics only grow, so the GroupState per
+    * term is two counters: `df += 1` and `ctf += tf` per arriving
+    * (doc, term, tf) row — FIXED-size, vocabulary-keyed state, exactly
+    * the shape of the standing index table it mirrors (no TTL: an index
+    * never forgets a document). `df` is strictly increasing per term, so
+    * the LAST emission per term (max df) equals the batch `vocab` over
+    * everything ingested — counter merge is associative and commutative,
+    * so batch boundaries cannot change the result (spec-pinned).
+    *
+    * The index's other per-document relations need no state at all under
+    * appends: a document arrives WHOLE exactly once, so its postings
+    * rows ([[docTermFreqs]]) and its `dl` (their sum) are stateless
+    * per-batch derivations, and `totals`/`idf` fold from `vocab` at
+    * read time — this per-term state is the only stateful piece of
+    * continuous index maintenance. */
+  def vocabMaintained(spark: SparkSession,
+      docs: DataFrame): Dataset[VocabStateRow] = {
+    import spark.implicits._
+    docTermFreqs(spark, docs)
+      .groupByKey(_.term)
+      .flatMapGroupsWithState(OutputMode.Append,
+        GroupStateTimeout.NoTimeout)(vocabProcess)
+  }
+
+  /** Stateless per-document postings rows — (doc_id, term, tf), equal to
+    * the batch postings relation because each document arrives whole in
+    * exactly one row (a typed flatMap, not a streaming aggregation). */
+  def docTermFreqs(spark: SparkSession, docs: DataFrame): Dataset[TermTfRow] = {
+    import spark.implicits._
+    docs.select(col("doc_id").cast("long"), col("text"))
+      .as[(Long, String)]
+      .flatMap { case (id, text) =>
+        text.split(" ").groupBy(identity).map { case (t, g) =>
+          TermTfRow(id, t, g.length.toLong)
+        }
+      }
+  }
+
+  private[graft] def vocabProcess(term: String,
+      rows: Iterator[TermTfRow],
+      state: GroupState[(Long, Long)]): Iterator[VocabStateRow] = {
+    var (df, ctf) = state.getOption.getOrElse((0L, 0L))
+    rows.foreach { r => df += 1; ctf += r.tf }
+    state.update((df, ctf))
+    Iterator.single(VocabStateRow(term, df, ctf))
   }
 }

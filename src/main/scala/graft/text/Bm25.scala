@@ -16,12 +16,14 @@ import org.apache.spark.sql.functions._
   * extraction a retrieval service would do before hitting the index.
   *
   * Exactness (the DuckDB oracle replays bit-for-bit):
-  *   - idf is truncated to INTEGER micro-nats, `floor(ln(1 + (N − df +
-  *     0.5) / (df + 0.5)) · 1e6)` — Lucene BM25Similarity's floored
-  *     variant of the Robertson idf, strictly positive for every df so
-  *     common-term contributions stay small but never negative (the
-  *     classic unfloored form zeroes out entirely on a small-vocabulary
-  *     corpus). One transcendental per DISTINCT term, the same
+  *   - idf is truncated to INTEGER micro-nats, `max(floor(ln(1 + (N −
+  *     df + 0.5) / (df + 0.5)) · 1e6), 1)` — Lucene BM25Similarity's
+  *     floored variant of the Robertson idf (non-negative for every df,
+  *     unlike the classic form which zeroes out on a small-vocabulary
+  *     corpus), clamped to ≥ 1: the unfloored value is strictly
+  *     positive but its FLOOR hits 0 once df ~ N past ~5e5 docs, and
+  *     the clamp keeps common-term contributions monotone non-zero at
+  *     any corpus size. One transcendental per DISTINCT term, the same
   *     single-`ln`-then-floor discipline as the LM-scoring family.
   *   - the tf normalization is EXACT RATIONAL arithmetic: with k1 = 6/5
   *     and b = 3/4 multiplied through by `10·T` (T = total corpus tokens,
@@ -33,17 +35,17 @@ import org.apache.spark.sql.functions._
   *     cannot overflow 2^63 at any SF; the per-doc score is then an
   *     order-independent integer SUM.
   *
-  * Scale shape (the sharded-BM25 plan): the (doc, term, tf) inverted
-  * index is derived once and reused by every branch (df, doc lengths,
-  * the query slice, the candidate join). It is deliberately NOT
-  * `persist()`ed: Spark's CacheManager substitutes cached fragments into
-  * ANY later query whose plan contains a canonically-equal subtree
-  * (e.g. TF-IDF builds the same tf aggregation), breaking that query's
-  * whole-stage pipeline and leaking session-lifetime memory — measured
-  * as a 2.6× slowdown on q_tfidf_terms and a 15% whole-bench drag. The
-  * optimizer re-derives the cheap aggregation per branch instead; at
-  * production scale the index is a materialized TABLE (written once,
-  * scanned by every query), not a runtime cache. The (query,
+  * Scale shape (the sharded-BM25 plan): both rankers consume the
+  * [[InvIndex]] relations — in production the MATERIALIZED
+  * [[PostingsIndex]] table (written once, scanned by every retrieval
+  * query; the registered queries use `PostingsIndex.ensure`), for
+  * ad-hoc corpora the inline derivation. The index is deliberately
+  * never `persist()`ed: Spark's CacheManager substitutes cached
+  * fragments into ANY later query whose plan contains a
+  * canonically-equal subtree (e.g. TF-IDF builds the same tf
+  * aggregation), breaking that query's whole-stage pipeline and leaking
+  * session-lifetime memory — measured as a 2.6× slowdown on
+  * q_tfidf_terms and a 15% whole-bench drag. The (query,
   * term) table is model-sized and BROADCAST into the postings scan, so
   * only postings of SELECTED terms shuffle — selection is rarest-first
   * (df ASC) and the `maxDfDen` stop-term guard hard-bounds candidate
@@ -69,25 +71,30 @@ object Bm25 {
     * corpus it is what keeps candidates from approaching queries × N.
     * `maxDfDen = 1` disables it. */
   def topK(documents: DataFrame, queryMod: Long = 97, queryTerms: Int = 16,
-      k: Int = 10, maxDfDen: Long = 4L): DataFrame = {
-    val terms = documents.select(col("doc_id"),
-      explode(split(col("text"), " ")).as("term"))
-    // the inverted index, reused by every downstream branch (df, dl,
-    // query slice, candidate join); see the object doc for why it is
-    // re-derived per branch rather than persist()ed
-    val tf = terms.groupBy("doc_id", "term").agg(count(lit(1)).as("tf"))
-    // doc lengths and corpus totals derived FROM the index, not a rescan
-    val dl = tf.groupBy("doc_id").agg(sum(col("tf")).as("dl"))
-    val totals = dl.agg(sum(col("dl")).as("tt"), count(lit(1)).as("nd"))
-    // df from the per-doc-distinct tf table: one vocab-sized agg
-    val dfr = tf.groupBy("term").agg(count(lit(1)).as("df"))
-    val idf = dfr.crossJoin(broadcast(totals))
+      k: Int = 10, maxDfDen: Long = 4L): DataFrame =
+    topKIndexed(PostingsIndex.derive(documents), queryMod, queryTerms, k,
+      maxDfDen)
+
+  /** [[topK]] over a pre-built (usually materialized — see
+    * [[PostingsIndex]]) inverted index: the production call shape, where
+    * the index is written once and scanned by every retrieval query
+    * instead of re-derived from the corpus per query. */
+  def topKIndexed(idx: InvIndex, queryMod: Long, queryTerms: Int,
+      k: Int, maxDfDen: Long): DataFrame = {
+    val tf = idx.postings
+    val dl = idx.doclen
+    val totals = idx.totals
+    val idf = idx.vocab.crossJoin(broadcast(totals))
       .filter(col("df") * maxDfDen <= col("nd")) // stop-term guard
-      // Lucene's floored idf: strictly positive for every df
+      // Lucene's floored idf, clamped to >= 1 micro-nat: the unfloored
+      // form is positive for every df, but the FLOOR reaches 0 once
+      // df ~ N on a corpus past ~5e5 docs — the clamp keeps common-term
+      // contributions monotone non-zero at every corpus size (a no-op at
+      // the test SFs, where the smallest floored idf is well above 1)
       .withColumn("idf_micro",
-        floor(log(lit(1.0) +
+        greatest(floor(log(lit(1.0) +
           (col("nd") - col("df") + 0.5) / (col("df") + 0.5)) * 1e6)
-          .cast("long"))
+          .cast("long"), lit(1L)))
       .select("term", "df", "idf_micro")
 
     // keyword extraction: each query doc's rarest informative terms
@@ -141,15 +148,18 @@ object Bm25 {
     * are negative log-probabilities (micro-nats), larger = better. */
   def queryLikelihoodTopK(documents: DataFrame, queryMod: Long = 97,
       queryTerms: Int = 16, k: Int = 10, mu: Long = 2000L,
-      maxDfDen: Long = 4L): DataFrame = {
-    val terms = documents.select(col("doc_id"),
-      explode(split(col("text"), " ")).as("term"))
-    val tf = terms.groupBy("doc_id", "term").agg(count(lit(1)).as("tf"))
-    val dl = tf.groupBy("doc_id").agg(sum(col("tf")).as("dl"))
-    val totals = dl.agg(sum(col("dl")).as("tt"), count(lit(1)).as("nd"))
-    val vocab = tf.groupBy("term")
-      .agg(count(lit(1)).as("df"), sum(col("tf")).as("ctf"))
-    val eligible = vocab.crossJoin(broadcast(totals))
+      maxDfDen: Long = 4L): DataFrame =
+    queryLikelihoodTopKIndexed(PostingsIndex.derive(documents), queryMod,
+      queryTerms, k, mu, maxDfDen)
+
+  /** [[queryLikelihoodTopK]] over a pre-built index — see
+    * [[topKIndexed]]. */
+  def queryLikelihoodTopKIndexed(idx: InvIndex, queryMod: Long,
+      queryTerms: Int, k: Int, mu: Long, maxDfDen: Long): DataFrame = {
+    val tf = idx.postings
+    val dl = idx.doclen
+    val totals = idx.totals
+    val eligible = idx.vocab.crossJoin(broadcast(totals))
       .filter(col("df") * maxDfDen <= col("nd")) // stop-term guard
     // identical rarest-first keyword selection as BM25 (df depends only
     // on the corpus, so both rankers see the same queries)
@@ -219,13 +229,51 @@ object Bm25 {
       .withColumn("__g",
         floor(col("rel") * 1e6 / log(col("__ir") + 1)).cast("long"))
       .groupBy("query_id").agg(sum(col("__g")).as("idcg_micro"))
-    // inner join: a query with no positive grades has no defined ideal
-    // (callers feed positive-graded lists, e.g. rel = k+1-rank)
+    // inner join, then an explicit idcg > 0 guard: a query whose grades
+    // are all <= 0 has no defined ideal, and an unguarded ratio diverges
+    // across engines (Spark's non-ANSI div nulls, DuckDB's `//` errors) —
+    // degenerate queries are dropped identically in both
     gains.join(ideal, "query_id")
+      .filter(col("idcg_micro") > 0)
       .withColumn("ndcg_micro",
         expr("CAST(dcg_micro AS DECIMAL(38,0)) * 1000000 div " +
           "CAST(idcg_micro AS DECIMAL(38,0))"))
       .select("query_id", "dcg_micro", "idcg_micro", "ndcg_micro")
+  }
+
+  /** Ranking-independent graded relevance labels — the qrels a retrieval
+    * eval judges against. Real evals use human judgments; this stand-in
+    * derives the grade from CONTENT ONLY (distinct-token overlap between
+    * the query document and the candidate), so unlike grades derived
+    * from one of the evaluated rankers' own ranks it cannot favor either
+    * system under test — the independence a real eval requires.
+    *
+    * Pool: candidates within `window` of the query doc_id (the bounded
+    * judging pool human evals also use — nobody grades the full corpus).
+    * Grade: `max(|distinct tokens(query) ∩ distinct tokens(doc)| −
+    * relFloor, 0)`, positives only. Exact integers end to end.
+    *
+    * Scale shape: the query slice is model-sized and BROADCAST into the
+    * doc_id-range pool join; grading is one distinct-pair count over
+    * pool × shared-term rows (pool is queries × (2·window+1), never
+    * corpus²). Output: (query_id, doc_id, rel), rel >= 1. */
+  def tokenOverlapQrels(documents: DataFrame, queryMod: Long = 97,
+      window: Long = 150L, relFloor: Long = 13L): DataFrame = {
+    val toks = documents.select(col("doc_id"),
+      explode(split(col("text"), " ")).as("term")).distinct()
+    val qtoks = toks.filter(col("doc_id") % queryMod === 0)
+      .select(col("doc_id").as("query_id"), col("term"))
+    val pool = documents.select(col("doc_id"))
+      .join(broadcast(qtoks.select("query_id").distinct()),
+        col("doc_id") >= col("query_id") - window &&
+          col("doc_id") <= col("query_id") + window)
+    pool.join(toks, "doc_id")
+      .join(broadcast(qtoks), Seq("query_id", "term"))
+      .groupBy("query_id", "doc_id")
+      .agg(count(lit(1)).as("__shared"))
+      .withColumn("rel", greatest(col("__shared") - relFloor, lit(0L)))
+      .filter(col("rel") > 0)
+      .select("query_id", "doc_id", "rel")
   }
 
   /** Reciprocal-rank fusion (Cormack et al. 2009) of two ranked lists —

@@ -22,6 +22,25 @@ class PrivacySpec extends SparkSpecBase {
       (2L, "BLDG", 0L, 5L, false)))
   }
 
+  test("l-diversity flags large-but-uniform groups k-anonymity misses") {
+    // group (2, BLDG, band 0): 5 members (k-anonymous at k=5) but only
+    // ONE distinct balance -> at risk at l=3; group (1, AUTO, band 2):
+    // 3 members, 3 distinct balances -> diverse
+    val c = customers(
+      (1L, 1, 2100.0, "AUTO"), (2L, 1, 2500.0, "AUTO"), (3L, 1, 2999.0, "AUTO"),
+      (4L, 2, 10.0, "BLDG"), (5L, 2, 10.0, "BLDG"), (6L, 2, 10.0, "BLDG"),
+      (7L, 2, 10.0, "BLDG"), (8L, 2, 10.0, "BLDG"))
+    val got = Privacy.lDiversity(c, l = 3)
+      .as[(Long, String, Long, Long, Long, Boolean)].collect().toSet
+    assert(got === Set(
+      (1L, "AUTO", 2L, 3L, 3L, false),
+      (2L, "BLDG", 0L, 5L, 1L, true)))
+    // ...and k-anonymity alone calls the uniform group safe
+    val ka = Privacy.kAnonymity(c, k = 5)
+      .as[(Long, String, Long, Long, Boolean)].collect().toSet
+    assert(ka.contains((2L, "BLDG", 0L, 5L, false)))
+  }
+
   test("negative balances band with floor semantics and counts partition the table") {
     val c = customers(
       (1L, 1, -999.99, "AUTO"), // floor(-0.99999) = -1

@@ -300,6 +300,35 @@ class DocStreamSpec extends SparkSpecBase {
     assert(got.length === got.toSet.size, "each doc scored exactly once")
   }
 
+  test("streaming vocab maintenance: last emissions == materialized index vocab") {
+    implicit val ctx = spark.sqlContext
+    val docs = (1L to 60L).map(i =>
+      (i, s"w${i % 7} w${i % 7} w${i % 11} shared tail${i % 3}"))
+    val input = MemoryStream[(Long, String)]
+    val out = run(
+      DocStream.vocabMaintained(spark,
+        input.toDF().toDF("doc_id", "text")).toDF(), "vocab_live")(
+      docs.grouped(20).toSeq.map(c => { () => input.addData(c); () }): _*)
+
+    // last emission per term = max df (df is strictly increasing per term)
+    val live = out.as[(String, Long, Long)].collect()
+      .groupBy(_._1).map { case (t, es) =>
+        val m = es.maxBy(_._2); (t, m._2, m._3)
+      }.toSet
+    val batch = graft.text.PostingsIndex
+      .derive(docs.toDF("doc_id", "text")).vocab
+      .as[(String, Long, Long)].collect().toSet
+    assert(live === batch)
+
+    // the stateless postings derivation equals the batch postings too
+    val streamTf = DocStream.docTermFreqs(spark, docs.toDF("doc_id", "text"))
+      .as[(Long, String, Long)].collect().toSet
+    val batchTf = graft.text.PostingsIndex
+      .derive(docs.toDF("doc_id", "text")).postings
+      .as[(Long, String, Long)].collect().toSet
+    assert(streamTf === batchTf)
+  }
+
   test("streaming weighted reservoir: merged last emissions == batch weightedSample") {
     implicit val ctx = spark.sqlContext
     val docs = (1L to 90L).map(i => (i, ("w " * (1 + (i % 7)).toInt).trim))
@@ -313,14 +342,13 @@ class DocStreamSpec extends SparkSpecBase {
     try batches.foreach { b => input.addData(b); q.processAllAvailable() }
     finally q.stop()
 
-    // last emission per bucket (max n_seen) = the live bucket reservoir
+    // the merge takes the RAW append-sink output (all historical
+    // emissions) and selects the last emission per bucket itself
+    val live = graft.streaming.DocStream.mergeWeightedPartials(
+        spark.table("ws_live"), n = 12)
+      .as[(Long, Long, Long, Long)].collect().sortBy(_._4)
     val lastPerBucket = spark.table("ws_live").collect()
       .groupBy(_.getLong(0)).values.map(_.maxBy(_.getLong(1))).toSeq
-    val live = graft.streaming.DocStream.mergeWeightedPartials(
-        spark.createDataFrame(
-          spark.sparkContext.parallelize(lastPerBucket),
-          spark.table("ws_live").schema), n = 12)
-      .as[(Long, Long, Long, Long)].collect().sortBy(_._4)
 
     val batch = graft.text.TrainingPrep.weightedSample(
         docs.toDF("doc_id", "text"), n = 12)

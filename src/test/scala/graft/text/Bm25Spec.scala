@@ -23,7 +23,11 @@ class Bm25Spec extends SparkSpecBase {
     val n = dl.size.toLong
     val df = tf.groupBy(_._2).map { case (t, g) => t -> g.size.toLong }
     val idf = df.collect { case (t, d) if d * maxDfDen <= n =>
-      t -> math.floor(math.log(1.0 + (n - d + 0.5) / (d + 0.5)) * 1e6).toLong
+      // Lucene-floored idf clamped to >= 1 micro-nat (the clamp only
+      // binds past ~5e5 docs; a no-op on these corpora)
+      t -> math.max(
+        math.floor(math.log(1.0 + (n - d + 0.5) / (d + 0.5)) * 1e6).toLong,
+        1L)
     }
     val scores = for {
       qid <- toks.keys.toSeq if qid % queryMod == 0
@@ -172,6 +176,50 @@ class Bm25Spec extends SparkSpecBase {
     val expDcg = math.floor(1 * 1e6 / math.log(2)).toLong +
       math.floor(3 * 1e6 / math.log(4)).toLong
     assert(worst._2 === expDcg)
+  }
+
+  test("materialized index round-trip: indexed rankers == inline rankers") {
+    val tmp = java.nio.file.Files.createTempDirectory("bm25idx").toString
+    PostingsIndex.write(PostingsIndex.derive(docs(corpus: _*)), tmp)
+    val idx = PostingsIndex.read(spark, tmp)
+    val bmInline = Bm25.topK(docs(corpus: _*), queryMod = 1,
+      queryTerms = 16, k = 3, maxDfDen = 1)
+      .as[(Long, Long, Long, Long, Long)].collect().toSet
+    val bmIdx = Bm25.topKIndexed(idx, queryMod = 1, queryTerms = 16,
+      k = 3, maxDfDen = 1)
+      .as[(Long, Long, Long, Long, Long)].collect().toSet
+    assert(bmIdx === bmInline)
+    val qlInline = Bm25.queryLikelihoodTopK(docs(corpus: _*), queryMod = 1,
+      queryTerms = 16, k = 3, maxDfDen = 1)
+      .as[(Long, Long, Long, Long, Long)].collect().toSet
+    val qlIdx = Bm25.queryLikelihoodTopKIndexed(idx, queryMod = 1,
+      queryTerms = 16, k = 3, mu = 2000L, maxDfDen = 1)
+      .as[(Long, Long, Long, Long, Long)].collect().toSet
+    assert(qlIdx === qlInline)
+  }
+
+  test("token-overlap qrels: content-derived grades, independent of rank") {
+    // query doc 0; window covers all docs; floor 1 => rel = shared - 1
+    val c = Seq(
+      0L -> "a b c d",
+      1L -> "a b c x",   // shares 3 -> rel 2
+      2L -> "a b y z",   // shares 2 -> rel 1
+      3L -> "p q r s")   // shares 0 -> dropped
+    val got = Bm25.tokenOverlapQrels(docs(c: _*), queryMod = 991,
+        window = 10, relFloor = 1)
+      .as[(Long, Long, Long)].collect().toSet
+    assert(got === Set((0L, 0L, 3L), (0L, 1L, 2L), (0L, 2L, 1L)))
+  }
+
+  test("nDCG drops queries whose grades are all non-positive") {
+    val rel = Seq((1L, 10L, 2L), (2L, 10L, 0L))
+      .toDF("query_id", "doc_id", "rel")
+    val rank = Seq((1L, 10L, 1L), (2L, 10L, 1L))
+      .toDF("query_id", "doc_id", "doc_rank")
+    val got = Bm25.ndcgAtK(rank, rel).as[(Long, Long, Long, Long)].collect()
+    // query 2's ideal gain floors to 0 -> dropped, not a null/error
+    assert(got.map(_._1).toSet === Set(1L))
+    assert(got.head._4 === 1000000L)
   }
 
   test("top-k bound and rank totality hold per query") {
