@@ -1,0 +1,33 @@
+#!/usr/bin/env python3
+"""Merge N full-surface idle bench JSONs into the committed per-query idle
+reference (BENCH_IDLE_REF.tsv): element-wise MIN across runs — the
+measurement procedure the r11 host note established (per-run minima spread
+across runs under a noisy hypervisor; the element-wise min is the stable
+idle estimate). Usage:
+  python3 scripts/merge_idle_ref.py BENCH_IDLE_a.json BENCH_IDLE_b.json ...
+Writes BENCH_IDLE_REF.tsv (with the #sf header taken from the first run;
+all runs must share it) and prints the merged total.
+"""
+import json, sys, os
+
+runs = [json.load(open(p)) for p in sys.argv[1:]]
+assert runs, "pass at least one bench json"
+sfs = {os.path.basename(r.get("sf", "")) for r in runs}
+assert len(sfs) == 1, f"mixed SFs: {sfs}"
+sf = sfs.pop()
+keys = set()
+for r in runs:
+    keys |= set(r["queries"].keys())
+merged = {}
+for k in sorted(keys):
+    vals = [r["queries"][k] for r in runs if k in r["queries"]
+            and r["queries"][k] >= 0]
+    assert vals, f"{k} failed in every run"
+    merged[k] = min(vals)
+with open("BENCH_IDLE_REF.tsv", "w") as f:
+    f.write(f"#sf\t{sf}\n")
+    for k, v in merged.items():
+        f.write(f"{k}\t{v:.3f}\n")
+total = sum(merged.values())
+print(f"merged {len(runs)} runs, {len(merged)} queries, "
+      f"total {total:.1f}s = {total/len(merged):.3f} s/query at {sf}")

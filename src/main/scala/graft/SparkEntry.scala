@@ -1,6 +1,6 @@
 package graft
 
-import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.{Column, DataFrame, SparkSession}
 import org.apache.spark.sql.functions._
 
 import graft.cdc.{DimensionCdc, EnvelopeOps, SnapshotDiff}
@@ -88,6 +88,14 @@ object SparkEntry {
   val LargeOrderQty      = 300L   // Q18-shaped HAVING cut (~top 0.1% of
                                   // orders; corpus avg order qty ~103)
   val BoilerplateMinDocs = 5L     // segment-frequency boilerplate cut
+
+  /** Decode the parity-encoded bipartite node id (customer 2k ↔ "c<k>",
+    * supplier 2k+1 ↔ "s<k>") back to the oracle's string name — the
+    * graph queries iterate on fixed-width longs and stringify only here
+    * (r12; see the q_triangles registration note). */
+  private def bipartiteNodeName(node: Column): Column =
+    when(node % 2 === 0, concat(lit("c"), (node / 2).cast("long")))
+      .otherwise(concat(lit("s"), ((node - 1) / 2).cast("long")))
 
   /** Flagship query on /root/testdata/sf0.001; driver smoke-checks rows>0. */
   def entry(spark: SparkSession): DataFrame =
@@ -741,15 +749,22 @@ object SparkEntry {
     // replays every iteration as chained CTEs). Per pass: one
     // co-partitioned ranks⋈edges shuffle + one map-side-combined per-dst
     // sum; rank frame localCheckpoint-truncated each round
+    // The bipartite namespace lives in the id's PARITY (customer 2k,
+    // supplier 2k+1) so all four rank passes shuffle longs, and the
+    // "c"/"s" node strings are decoded only in the final projection
+    // (same r12 change as q_triangles — fixed-width keys through every
+    // per-pass shuffle)
     "q_pagerank" -> ((s, dir) => {
       val e0 = Tables.table(s, dir, "lineitem").select("l_orderkey", "l_suppkey")
         .join(Tables.table(s, dir, "orders").select("o_orderkey", "o_custkey"),
           col("l_orderkey") === col("o_orderkey"))
-        .select(concat(lit("c"), col("o_custkey")).as("src"),
-          concat(lit("s"), col("l_suppkey")).as("dst"))
+        .select((col("o_custkey").cast("long") * 2).as("src"),
+          (col("l_suppkey").cast("long") * 2 + 1).as("dst"))
         .distinct()
       graft.graph.PageRank.ranks(
-        e0.union(e0.select(col("dst").as("src"), col("src").as("dst"))))
+          e0.union(e0.select(col("dst").as("src"), col("src").as("dst"))))
+        .select(bipartiteNodeName(col("node")).as("node"),
+          col("rank_scaled"))
     }),
 
     // TrustRank over the same graph: ALL teleport mass seeded at the
@@ -760,47 +775,61 @@ object SparkEntry {
       val e0 = Tables.table(s, dir, "lineitem").select("l_orderkey", "l_suppkey")
         .join(Tables.table(s, dir, "orders").select("o_orderkey", "o_custkey"),
           col("l_orderkey") === col("o_orderkey"))
-        .select(concat(lit("c"), col("o_custkey")).as("src"),
-          concat(lit("s"), col("l_suppkey")).as("dst"))
+        .select((col("o_custkey").cast("long") * 2).as("src"),
+          (col("l_suppkey").cast("long") * 2 + 1).as("dst"))
         .distinct()
       val seeds = Tables.table(s, dir, "customer")
         .filter(col("c_mktsegment") === "BUILDING")
-        .select(concat(lit("c"), col("c_custkey")).as("node"))
+        .select((col("c_custkey").cast("long") * 2).as("node"))
       graft.graph.PageRank.trustRanks(
-        e0.union(e0.select(col("dst").as("src"), col("src").as("dst"))), seeds)
+          e0.union(e0.select(col("dst").as("src"), col("src").as("dst"))), seeds)
+        .select(bipartiteNodeName(col("node")).as("node"),
+          col("rank_scaled"))
     }),
 
     // Exact per-node triangle counts over the part↔part co-purchase
     // graph (parts sharing an order; ≤C(7,2) pairs per order, so the
     // edge build is bounded per group). Degree-ordered orientation caps
     // the wedge join at O(√(2m)) per apex — the skew-proof formulation;
-    // the oracle is the direct triple self-join
+    // the oracle is the direct triple self-join. The graph computes on
+    // LONG node ids (the raw partkey) and stringifies only in the final
+    // projection: the r12 sf1 spill adjudication measured the
+    // string-keyed pipeline shuffling 7.9 GB and spilling 44 GB at an
+    // 8 GB heap — dictionary-width keys through every sort/join are the
+    // kind of cost that compounds at 100 TB. Undirected edge SET and
+    // per-node counts are canonicalization-order-independent, so numeric
+    // a<b vs the oracle's string x.pn<y.pn yield identical results.
     "q_triangles" -> ((s, dir) => {
       val lp = Tables.table(s, dir, "lineitem")
         .select(col("l_orderkey").as("ok"),
-          concat(lit("p"), col("l_partkey")).as("pn"))
+          col("l_partkey").cast("long").as("pk"))
         .distinct()
       val e = lp.as("x").join(lp.as("y"),
-          col("x.ok") === col("y.ok") && col("x.pn") < col("y.pn"))
-        .select(col("x.pn").as("a"), col("y.pn").as("b"))
+          col("x.ok") === col("y.ok") && col("x.pk") < col("y.pk"))
+        .select(col("x.pk").as("a"), col("y.pk").as("b"))
         .distinct()
       graft.graph.Triangles.perNode(e)
+        .select(concat(lit("p"), col("node")).as("node"),
+          col("deg"), col("tri_cnt"))
     }),
 
     // k-core of the part co-purchase graph: exactly 6 peels at k=80 —
     // the dense-region cohesion filter; per round one map-side-combined
     // degree agg + two node-sized semi-joins, edges localCheckpoint-
     // truncated (fixed-pass contract, chained-CTE oracle)
+    // Long node ids through all six peels, strings only in the final
+    // projection (same r12 change as q_triangles — see its note)
     "q_kcore" -> ((s, dir) => {
       val lp = Tables.table(s, dir, "lineitem")
         .select(col("l_orderkey").as("ok"),
-          concat(lit("p"), col("l_partkey")).as("pn"))
+          col("l_partkey").cast("long").as("pk"))
         .distinct()
       val e = lp.as("x").join(lp.as("y"),
-          col("x.ok") === col("y.ok") && col("x.pn") < col("y.pn"))
-        .select(col("x.pn").as("a"), col("y.pn").as("b"))
+          col("x.ok") === col("y.ok") && col("x.pk") < col("y.pk"))
+        .select(col("x.pk").as("a"), col("y.pk").as("b"))
         .distinct()
       graft.graph.KCore.survivors(e, k = 80, rounds = 6)
+        .select(concat(lit("p"), col("node")).as("node"), col("deg"))
     }),
 
     // Market-basket frequent pairs over order baskets: joint + marginal
