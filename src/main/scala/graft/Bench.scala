@@ -124,19 +124,10 @@ object Bench {
     try {
       java.nio.file.Files.write(java.nio.file.Paths.get(outName),
         (full + "\n").getBytes("UTF-8"))
-      // the idle gate run (explicit BENCH_OUT, full surface) refreshes the
-      // committed per-query reference the contended check reads
-      // Only an sf0.1 idle run refreshes it — the per-round driver run is
-      // pinned to sf0.1, so a reference at any other SF would make every
-      // subsequent driver run skip the contention check.
-      if (sys.env.contains("SPARK_GRAFT_BENCH_OUT") && only.isEmpty
-          && sfBase == "sf0.1") {
-        java.nio.file.Files.write(
-          java.nio.file.Paths.get("BENCH_IDLE_REF.tsv"),
-          (s"#sf\t$sfBase\n" +
-            results.map { case (n, v) => s"$n\t${d3(v)}" }
-              .mkString("", "\n", "\n")).getBytes("UTF-8"))
-      }
+      // BENCH_IDLE_REF.tsv is deliberately NOT written here: a single
+      // run's in-JVM min is not the committed idle reference (the r12
+      // defect — one contended run became the standing budget). The only
+      // writer is scripts/merge_idle_ref.py, fed >= 3 separate-JVM runs.
     } catch { case e: Throwable =>
       System.err.println(s"[bench] could not write $outName: ${e.getMessage}")
     }

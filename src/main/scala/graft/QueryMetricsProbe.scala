@@ -15,8 +15,10 @@ import org.apache.spark.scheduler.{SparkListener, SparkListenerTaskEnd}
   *
   * Run: `sbt "runMain graft.QueryMetricsProbe <sfDir> <q1,q2> [runs]"`.
   * One PROBE line per (query, run): wall seconds + the aggregated
-  * metrics for exactly that run's jobs (the listener is drained between
-  * runs; onTaskEnd is synchronous within `collect`-free noop writes).
+  * metrics for exactly that run's jobs. Listener events are posted
+  * ASYNC on the bus; between runs the probe blocks on the bus drain
+  * (`waitUntilEmpty` via [[org.apache.spark.GraftListenerBusDrain]])
+  * so a late task-end event can never be attributed to the next run.
   */
 object QueryMetricsProbe {
   def main(args: Array[String]): Unit = {
@@ -54,8 +56,10 @@ object QueryMetricsProbe {
         SparkEntry.queries(name)(spark, sfDir)
           .write.format("noop").mode("overwrite").save()
         val sec = (System.nanoTime() - t0) / 1e9
-        // listener events are posted async: give the bus a beat to drain
-        Thread.sleep(500)
+        // listener events are posted async: block until the bus has
+        // dispatched everything this run queued (deterministic, vs the
+        // fixed sleep that mis-attributed slow-arriving events)
+        org.apache.spark.GraftListenerBusDrain.drain(spark.sparkContext)
         println(f"PROBE $name run=$i sec=$sec%.2f " +
           s"spill_mem_mb=${mb(spillMem.sum)} spill_disk_mb=${mb(spillDisk.sum)} " +
           s"gc_ms=${gcMs.sum} shuf_read_mb=${mb(shufRead.sum)} " +

@@ -171,6 +171,28 @@ object ScaleProbe {
         .as("text"))
     time("bm25_topk")(text.Bm25.topK(bmDocs, queryMod = 997))
 
+    // Postings-index maintenance (r13): the materialized-index build must
+    // be linear in postings (one explode + three folded aggs + the
+    // range-partitioned sorted write), and the INDEXED query's cost must
+    // track Σ df(chosen rare terms) — together they are the retrieval
+    // path's scale contract (the r12 inline probe measured derive-per-
+    // query; this measures the production write-once/scan-many shape).
+    if (only.forall(o => "postings_index_build".contains(o) ||
+        "bm25_topk_indexed".contains(o))) {
+      val idxDir = java.nio.file.Paths.get(
+        System.getProperty("java.io.tmpdir"),
+        s"graft-probe-index-$n").toString
+      val buildRuns = (1 to 2).map { _ =>
+        val t0 = System.nanoTime()
+        text.PostingsIndex.write(text.PostingsIndex.derive(bmDocs), idxDir)
+        (System.nanoTime() - t0) / 1e9
+      }
+      println(f"PROBE postings_index_build rows=$n min_sec=${buildRuns.min}%.2f")
+      val idx = text.PostingsIndex.read(spark, idxDir)
+      time("bm25_topk_indexed")(text.Bm25.topKIndexed(idx,
+        queryMod = 997, queryTerms = 16, k = 10, maxDfDen = 4L))
+    }
+
     time("rfm_select_cuts")(ops.EventAnalytics.rfmScores(accounts))
     time("rfm_hist_cuts") {
       import org.apache.spark.sql.expressions.Window

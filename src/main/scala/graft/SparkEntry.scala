@@ -94,8 +94,10 @@ object SparkEntry {
     * graph queries iterate on fixed-width longs and stringify only here
     * (r12; see the q_triangles registration note). */
   private def bipartiteNodeName(node: Column): Column =
-    when(node % 2 === 0, concat(lit("c"), (node / 2).cast("long")))
-      .otherwise(concat(lit("s"), ((node - 1) / 2).cast("long")))
+    // shiftRight, not `/`: Column `/` is double division + cast, exact
+    // only below 2^53 — the shift keeps the decode exact at any id width
+    when(node % 2 === 0, concat(lit("c"), shiftright(node, 1)))
+      .otherwise(concat(lit("s"), shiftright(node, 1)))
 
   /** Flagship query on /root/testdata/sf0.001; driver smoke-checks rows>0. */
   def entry(spark: SparkSession): DataFrame =
@@ -1561,6 +1563,28 @@ object SparkEntry {
           k = 10, maxDfDen = 1),
         graft.text.Bm25.queryLikelihoodTopKIndexed(idx, queryMod = 997,
           queryTerms = 16, k = 10, mu = 2000L, maxDfDen = 1))
+    }),
+
+    // Index maintenance: the materialized postings-index BUILD job
+    // itself, first-class (r13) — previously its ~seconds cost was
+    // visible only as contamination of the first retrieval query's
+    // warm-up sample. Forces a FRESH build (never the session cache)
+    // through the atomic staging path into a unique temp dir, then
+    // digests the round-tripped index into one summary row, so the
+    // oracle verifies the whole written index content (vocab, postings,
+    // doclen totals) against a from-scratch derivation.
+    "q_postings_build" -> ((s, dir) => {
+      val out = java.nio.file.Paths.get(
+        System.getProperty("java.io.tmpdir"), "graft-postings-build",
+        "idx-" + java.util.UUID.randomUUID.toString.take(8)).toString
+      val idx = graft.text.PostingsIndex.buildAtomic(
+        Tables.documents(s, dir), s, out)
+      idx.vocab.agg(
+          count(lit(1)).as("n_terms"),
+          max(col("df")).as("max_df"),
+          sum(col("ctf")).as("sum_ctf"))
+        .crossJoin(idx.postings.agg(count(lit(1)).as("n_postings")))
+        .crossJoin(idx.totals.select(col("nd"), col("tt")))
     }),
 
     // Data mixing: EXACT-SIZE token-weighted sample without replacement
@@ -4579,6 +4603,19 @@ object SparkEntry {
          |       FROM fu)
          |SELECT query_id, doc_id, CAST(rrf_micro AS BIGINT) AS rrf_micro, fused_rank
          |FROM fr WHERE fused_rank <= 10""".stripMargin,
+
+    // postings-index build digest: the index is a pure function of the
+    // corpus, so the oracle re-derives tf/dl/voc/tot from documents and
+    // digests them — any drift in the written index's content (a lost
+    // posting, a wrong df/ctf, a truncated shard) breaks the hash
+    "q_postings_build" ->
+      s"""WITH $sqlRetrievalCtes
+         |SELECT (SELECT CAST(count(*) AS BIGINT) FROM voc) AS n_terms,
+         |       (SELECT max(df) FROM voc) AS max_df,
+         |       (SELECT CAST(sum(ctf) AS BIGINT) FROM voc) AS sum_ctf,
+         |       (SELECT CAST(count(*) AS BIGINT) FROM tf) AS n_postings,
+         |       (SELECT nd FROM tot) AS nd,
+         |       (SELECT tt FROM tot) AS tt""".stripMargin,
 
     // A-ES weighted sample: xxh64(doc_id) replayed step-for-step, then
     // the key is elementwise IEEE (cast, power-of-two scale, one ln, one

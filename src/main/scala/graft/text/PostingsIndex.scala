@@ -75,8 +75,15 @@ object PostingsIndex {
       .repartitionByRange(col("doc_id"))
       .sortWithinPartitions("doc_id")
       .write.mode("overwrite").parquet(s"$dir/doclen")
-    // model-sized: one file each
-    idx.vocab.coalesce(1).write.mode("overwrite").parquet(s"$dir/vocab")
+    // vocab is sharded like postings (range-partitioned + sorted on term):
+    // it is model-sized on the test corpus but VOCABULARY-sized in general
+    // (a web-scale corpus has 1e8-1e9 distinct terms), and the sort keeps
+    // term-filtered lookups row-group-skippable
+    idx.vocab
+      .repartitionByRange(col("term"))
+      .sortWithinPartitions("term")
+      .write.mode("overwrite").parquet(s"$dir/vocab")
+    // totals is a genuine 1-row constant: one file
     idx.totals.coalesce(1).write.mode("overwrite").parquet(s"$dir/totals")
   }
 
@@ -95,31 +102,95 @@ object PostingsIndex {
     read(spark, dir)
   }
 
-  // one build per (JVM, corpus dir): the first retrieval query pays the
-  // index build, every later query in the session scans the table —
-  // the amortization the bench measures
-  private val builtDirs =
-    scala.collection.concurrent.TrieMap.empty[String, String]
+  /** Build at a fresh staging path next to `dest`, then atomically rename
+    * into place — a crashed or concurrent build can never leave `dest`
+    * half-written or clobber a directory another reader is scanning. The
+    * staging dir carries a random suffix so two builders never collide;
+    * the rename is same-filesystem (sibling path) so ATOMIC_MOVE holds. */
+  def buildAtomic(documents: DataFrame, spark: SparkSession,
+      dest: String): InvIndex = {
+    val destPath = Paths.get(dest).toAbsolutePath.normalize
+    Files.createDirectories(destPath.getParent)
+    val staging = destPath.resolveSibling(
+      destPath.getFileName.toString + ".tmp-" +
+        java.util.UUID.randomUUID.toString.take(8))
+    write(derive(documents), staging.toString)
+    try Files.move(staging, destPath,
+      java.nio.file.StandardCopyOption.ATOMIC_MOVE)
+    catch { // a concurrent builder won the rename: its index is equivalent
+      case _: java.nio.file.FileAlreadyExistsException
+           | _: java.nio.file.FileSystemException if Files.exists(destPath) =>
+        deleteRecursively(staging)
+    }
+    read(spark, destPath.toString)
+  }
+
+  private def deleteRecursively(p: java.nio.file.Path): Unit = {
+    import scala.jdk.CollectionConverters._
+    if (Files.exists(p)) {
+      Files.walk(p).iterator.asScala.toSeq.reverse.foreach(Files.delete)
+    }
+  }
+
+  /** Fingerprint of the corpus behind `sfDir`'s documents table: the
+    * sorted (name, size, mtime) listing of its parquet files, hashed.
+    * Cheap (one directory listing, no data read) and changes whenever
+    * the corpus is regenerated in place — the session cache below keys
+    * on it so a mutated corpus triggers a rebuild, never a stale serve. */
+  def corpusFingerprint(sfDir: String): String = {
+    val docs = Paths.get(sfDir, "documents.parquet")
+    val listing =
+      if (!Files.exists(docs)) "absent"
+      else if (Files.isRegularFile(docs))
+        s"${Files.size(docs)}:${Files.getLastModifiedTime(docs).toMillis}"
+      else {
+        import scala.jdk.CollectionConverters._
+        Files.list(docs).iterator.asScala
+          .filter(Files.isRegularFile(_))
+          .map(f => s"${f.getFileName}:${Files.size(f)}:" +
+            s"${Files.getLastModifiedTime(f).toMillis}")
+          .toSeq.sorted.mkString(",")
+      }
+    java.lang.Long.toHexString(
+      scala.util.hashing.MurmurHash3.stringHash(listing).toLong & 0xffffffffL)
+  }
+
+  // one build per (JVM, corpus dir, corpus fingerprint): the first
+  // retrieval query pays the index build, every later query in the
+  // session scans the table — the amortization the bench measures.
+  // Builds run under a lock (TrieMap.getOrElseUpdate may evaluate the
+  // builder concurrently) and land in a per-JVM-nonce directory, so a
+  // second JVM running the same corpus concurrently (parallel sbt test +
+  // bench) builds its OWN index instead of overwriting the directory the
+  // first JVM is actively scanning.
+  private val builtDirs = scala.collection.mutable.Map.empty[String, String]
+  private val jvmNonce = java.util.UUID.randomUUID.toString.take(8)
 
   /** The shared session index for the standard documents corpus at
-    * `sfDir`: built (overwritten) on first use in this JVM under the
-    * JVM temp dir, reopened thereafter. Deterministic content — the
-    * index is a pure function of the corpus — so rebuild-vs-reuse can
-    * never change results, only cost. */
+    * `sfDir`: built on first use in this JVM under the JVM temp dir,
+    * reopened thereafter. Deterministic content — the index is a pure
+    * function of the corpus — so rebuild-vs-reuse can never change
+    * results, only cost. Cache key includes [[corpusFingerprint]]: a
+    * corpus regenerated in place mid-session gets a fresh build. */
   def ensure(spark: SparkSession, sfDir: String): InvIndex = {
-    val key = Paths.get(sfDir).toAbsolutePath.normalize.toString
-    val dir = builtDirs.getOrElseUpdate(key, {
-      val root = Paths.get(System.getProperty("java.io.tmpdir"),
-        "graft-postings-index")
-      Files.createDirectories(root)
-      // dir name: sanitized corpus-dir basename + the (deterministic)
-      // string hash of the full path — unique per corpus, stable per JVM
-      val out = root.resolve(
-        key.replaceAll("[^A-Za-z0-9._-]", "_").takeRight(48) +
-          "-" + java.lang.Integer.toHexString(key.hashCode)).toString
-      write(derive(graft.Tables.documents(spark, sfDir)), out)
-      out
-    })
+    val abs = Paths.get(sfDir).toAbsolutePath.normalize.toString
+    val key = abs + "@" + corpusFingerprint(abs)
+    val dir = builtDirs.synchronized {
+      builtDirs.getOrElseUpdate(key, {
+        val root = Paths.get(System.getProperty("java.io.tmpdir"),
+          "graft-postings-index")
+        Files.createDirectories(root)
+        // dir name: sanitized corpus-dir basename + hash of the keyed
+        // (path, fingerprint) + this JVM's nonce — unique per corpus
+        // state AND per JVM
+        val out = root.resolve(
+          abs.replaceAll("[^A-Za-z0-9._-]", "_").takeRight(48) +
+            "-" + java.lang.Integer.toHexString(key.hashCode) +
+            "-" + jvmNonce).toString
+        buildAtomic(graft.Tables.documents(spark, abs), spark, out)
+        out
+      })
+    }
     read(spark, dir)
   }
 }

@@ -198,6 +198,22 @@ class Bm25Spec extends SparkSpecBase {
     assert(qlIdx === qlInline)
   }
 
+  test("ensure: content-keyed cache rebuilds when the corpus changes in place") {
+    val sfDir = java.nio.file.Files.createTempDirectory("graftcorpus").toString
+    val p = s"$sfDir/documents.parquet"
+    docs(1L -> "a b", 2L -> "a c").write.mode("overwrite").parquet(p)
+    val first = PostingsIndex.ensure(spark, sfDir)
+    assert(first.totals.select("nd").as[Long].head() === 2L)
+    // regenerate the corpus IN PLACE (same path, new content): the
+    // session cache must key on corpus content, not path, so this
+    // triggers a rebuild instead of serving the stale 2-doc index
+    docs(1L -> "a b", 2L -> "a c", 3L -> "d e f")
+      .write.mode("overwrite").parquet(p)
+    val second = PostingsIndex.ensure(spark, sfDir)
+    assert(second.totals.select("nd").as[Long].head() === 3L)
+    assert(second.vocab.count() === 6L) // a b c d e f
+  }
+
   test("token-overlap qrels: content-derived grades, independent of rank") {
     // query doc 0; window covers all docs; floor 1 => rel = shared - 1
     val c = Seq(
