@@ -198,6 +198,29 @@ class Bm25Spec extends SparkSpecBase {
     assert(qlIdx === qlInline)
   }
 
+  test("buildAtomic: concurrent builders to one dest both get a valid index") {
+    val root = java.nio.file.Files.createTempDirectory("bm25race")
+    val dest = root.resolve("idx").toString
+    val corpus = docs(1L -> "a b c", 2L -> "b c d", 3L -> "c d e")
+    import scala.concurrent.{Await, Future}
+    import scala.concurrent.duration._
+    implicit val ec: scala.concurrent.ExecutionContext =
+      scala.concurrent.ExecutionContext.global
+    val both = Await.result(Future.sequence(Seq(
+      Future(PostingsIndex.buildAtomic(corpus, spark, dest)),
+      Future(PostingsIndex.buildAtomic(corpus, spark, dest)))), 120.seconds)
+    // whichever rename won, BOTH callers read a complete equivalent index
+    both.foreach { idx =>
+      assert(idx.totals.select("nd").as[Long].head() === 3L)
+      assert(idx.postings.count() === 9L)
+    }
+    // no staging residue: the loser's .tmp- dir was cleaned up
+    import scala.jdk.CollectionConverters._
+    val leftovers = java.nio.file.Files.list(root).iterator.asScala
+      .map(_.getFileName.toString).filter(_.contains(".tmp-")).toSeq
+    assert(leftovers.isEmpty, s"staging residue: $leftovers")
+  }
+
   test("ensure: content-keyed cache rebuilds when the corpus changes in place") {
     val sfDir = java.nio.file.Files.createTempDirectory("graftcorpus").toString
     val p = s"$sfDir/documents.parquet"
