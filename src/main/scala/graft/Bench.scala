@@ -52,16 +52,6 @@ object Bench {
     val names = SparkEntry.queries.keys.toSeq.sorted
       .filter(n => only.forall(_.contains(n)))
     val thirdPass = sys.env.getOrElse("SPARK_GRAFT_PASSES", "3") != "2"
-    val pairs = names.map(n => n -> Seq(runOnce(n), runOnce(n))).toMap
-    val passC =
-      if (thirdPass) names.map(n => n -> runOnce(n)).toMap
-      else Map.empty[String, Double]
-    val samples = names.map(n => n -> (pairs(n) ++ passC.get(n)).filter(_ >= 0))
-    val results = names.map { n =>
-      n -> (if (samples.toMap.apply(n).isEmpty) -1.0
-            else samples.toMap.apply(n).min) // -1 only if ALL runs failed
-    }
-    val total = results.map(_._2).sum
     // Self-adjudicating contention: compare each query's min against the
     // COMMITTED idle reference (BENCH_IDLE_REF.tsv, written by the idle
     // gate run and committed with it) — the exact comparison the
@@ -93,23 +83,30 @@ object Bench {
         }}.toMap
       } else "none" -> Map.empty[String, Double]
     }
-    val refApplies = refSf == sfBase
-    val resultMap = results.toMap
-    val contended = if (!refApplies) Seq.empty[String] else names.filter { n =>
-      idleRef.get(n).exists(idle =>
-        resultMap(n) > idle * 1.5 && resultMap(n) - idle > 0.2)
-    }
+    // Freshness guard (round 14): the committed idle reference only
+    // adjudicates a run if it actually covers the current query registry.
+    // A reference missing more than 25% of registered queries predates
+    // the surface and would silently exempt every new query from the
+    // contended check — refuse it (treat as not applicable) and say so;
+    // smaller gaps are warned per-count and the affected queries simply
+    // have no idle row (same as today). Procedure note in BASELINE.md.
+    val refMissing =
+      if (refSf != sfBase) Seq.empty[String]
+      else names.filterNot(idleRef.contains)
+    val refStale = refSf == sfBase && names.nonEmpty &&
+      refMissing.size * 4 > names.size
+    if (refMissing.nonEmpty)
+      System.err.println(s"[bench] idle reference $refSf lacks " +
+        s"${refMissing.size}/${names.size} registered queries" +
+        (if (refStale) " (>25% — STALE: contended adjudication disabled; " +
+          "rebuild via >=3 idle JVM runs + scripts/merge_idle_ref.py)"
+         else s": ${refMissing.take(8).mkString(", ")}"))
+    val refApplies = refSf == sfBase && !refStale
 
     // Locale.ROOT: the default-locale f"" interpolator would print a comma
     // decimal separator on e.g. de_DE hosts and break the JSON contract
     def d3(v: Double): String =
       String.format(java.util.Locale.ROOT, "%.3f", Double.box(v))
-
-    val contendedJson = contended.map(n => s""""$n"""").mkString("[", ",", "]")
-    def record(qs: Seq[(String, Double)], extra: String = ""): String = {
-      val m = qs.map { case (k, v) => s""""$k":${d3(v)}""" }.mkString("{", ",", "}")
-      s"""{"metric":"total","value":${d3(total)},"unit":"sec","n_queries":${results.size},"queries":$m,"contended":$contendedJson,"contended_ref":"$refSf"$extra,"sf":"$sfDir"}"""
-    }
 
     // Artifact hygiene: subset runs (SPARK_GRAFT_ONLY) must not clobber
     // the committed full-surface artifact; idle gate runs override the
@@ -117,26 +114,86 @@ object Bench {
     // idle run stay distinct files.
     val outName = sys.env.getOrElse("SPARK_GRAFT_BENCH_OUT",
       if (only.isDefined) "BENCH_SUBSET.json" else "BENCH_FULL.json")
-    val sampleMap = samples.map { case (n, ss) =>
-      s""""$n":${ss.map(d3).mkString("[", ",", "]")}""" }.mkString("{", ",", "}")
-    val full = record(results, extra = s""","samples":$sampleMap""")
-    println(full)
-    try {
-      java.nio.file.Files.write(java.nio.file.Paths.get(outName),
+
+    // ---- measurement loop (round 14: incremental + contention-aware) ----
+    // The r13 driver run was timeout-killed (rc=124) with zero parseable
+    // output even though all 177 queries had completed: the one summary
+    // line printed at the END never ran. Two structural fixes:
+    //   1. CHECKPOINT after every query — rewrite the artifact file AND
+    //      print the current compact summary line (flagged "partial")
+    //      so ANY truncated run still leaves a parseable record with
+    //      per-query provenance in the harness's bounded output tail.
+    //      The final, non-partial line still prints last and wins.
+    //   2. SKIP the back-to-back repeat sample when the first sample is
+    //      >5x the committed idle reference (and >10s): the pair min is
+    //      already contention-contaminated, so a second 100+s sample has
+    //      zero information value — it is what pushed the r13 run past
+    //      the driver's window (q_triangles 144s + 243s). The temporally
+    //      separated pass C still runs: minutes later it is the sample
+    //      that can actually rescue the min.
+    val samples = scala.collection.mutable.LinkedHashMap[String, Vector[Double]]()
+    val skipped = scala.collection.mutable.ArrayBuffer[String]()
+
+    def currentResults: Seq[(String, Double)] =
+      samples.toSeq.map { case (n, ss) =>
+        val ok = ss.filter(_ >= 0)
+        n -> (if (ok.isEmpty) -1.0 else ok.min) // -1 only if ALL runs failed
+      }
+    def record(qs: Seq[(String, Double)], total: Double, nDone: Int,
+        finalRec: Boolean, extra: String = ""): String = {
+      val m = qs.map { case (k, v) => s""""$k":${d3(v)}""" }.mkString("{", ",", "}")
+      val contended = if (!refApplies) Seq.empty[String]
+        else qs.collect { case (n, v)
+          if idleRef.get(n).exists(i => v > i * 1.5 && v - i > 0.2) => n }
+      val contendedJson = contended.map(n => s""""$n"""").mkString("[", ",", "]")
+      val partial = if (!finalRec) s""","partial":true,"n_done":$nDone""" else ""
+      s"""{"metric":"total","value":${d3(total)},"unit":"sec","n_queries":${names.size},"queries":$m,"contended":$contendedJson,"contended_ref":"${if (refApplies) refSf else "none"}"$partial$extra,"sf":"$sfDir"}"""
+    }
+    def checkpoint(done: Int, finalRec: Boolean = false): Unit = {
+      val rs = currentResults
+      val total = rs.map(_._2).sum
+      val sampleMap = samples.map { case (n, ss) =>
+        s""""$n":${ss.map(d3).mkString("[", ",", "]")}""" }.mkString("{", ",", "}")
+      val skippedJson = skipped.map(n => s""""$n"""").mkString("[", ",", "]")
+      val full = record(rs, total, done, finalRec,
+        extra = s""","samples":$sampleMap,"skipped_repeat":$skippedJson""")
+      try java.nio.file.Files.write(java.nio.file.Paths.get(outName),
         (full + "\n").getBytes("UTF-8"))
+      catch { case e: Throwable =>
+        System.err.println(s"[bench] could not write $outName: ${e.getMessage}")
+      }
       // BENCH_IDLE_REF.tsv is deliberately NOT written here: a single
       // run's in-JVM min is not the committed idle reference (the r12
       // defect — one contended run became the standing budget). The only
       // writer is scripts/merge_idle_ref.py, fed >= 3 separate-JVM runs.
-    } catch { case e: Throwable =>
-      System.err.println(s"[bench] could not write $outName: ${e.getMessage}")
+      val heaviest = rs.sortBy { case (_, v) => -v }.take(20)
+      println(record(heaviest, total, done, finalRec,
+        extra = s""","queries_full":"$outName""""))
+    }
+
+    // pass A,A (with the contamination skip), checkpointing per query
+    for ((n, i) <- names.zipWithIndex) {
+      val t1 = runOnce(n)
+      val contaminated = refApplies && t1 > 10.0 &&
+        idleRef.get(n).exists(idle => t1 > idle * 5)
+      if (contaminated) {
+        skipped += n
+        System.err.println(s"[bench] $n first sample ${d3(t1)}s > 5x idle " +
+          s"${d3(idleRef(n))}s — skipping repeat (pass C still runs)")
+        samples(n) = Vector(t1)
+      } else samples(n) = Vector(t1, runOnce(n))
+      checkpoint(i + 1)
+    }
+    // temporally-separated pass C over all queries
+    if (thirdPass) for (n <- names) {
+      samples(n) = samples(n) :+ runOnce(n)
+      checkpoint(names.size)
     }
 
     // final line: heaviest queries only, capped so the line stays < ~1200
     // chars — complete per-query detail (incl. raw samples) is in the
-    // file / the full line above
-    val heaviest = results.sortBy { case (_, v) => -v }.take(20)
-    println(record(heaviest, extra = s""","queries_full":"$outName""""))
+    // file / the full partial lines above. checkpoint() prints it.
+    checkpoint(names.size, finalRec = true)
     spark.stop()
   }
 }

@@ -193,6 +193,39 @@ object ScaleProbe {
         queryMod = 997, queryTerms = 16, k = 10, maxDfDen = 4L))
     }
 
+    // Incremental index maintenance (r14): the delta-append contract is
+    // that landing a FIXED-size arrival batch costs the same regardless
+    // of how big the standing corpus is (the append scans only the new
+    // docs) — compare postings_delta_append across n: it must stay flat
+    // while postings_index_build above grows linearly. The merged-read
+    // query must stay within a small factor of the single-segment one
+    // (its extra cost is one vocabulary-sized agg).
+    if (only.forall("postings_delta_append".contains)) {
+      val segRoot = java.nio.file.Paths.get(
+        System.getProperty("java.io.tmpdir"),
+        s"graft-probe-segidx-$n")
+      text.PostingsIndex.deleteRecursively(segRoot)
+      text.PostingsSegments.init(bmDocs, spark, segRoot.toString)
+      // fixed 20k-doc arrival batch, ids disjoint from bmDocs (negative)
+      val deltaDocs = spark.range(20000).select(
+        (-col("id") - 1).as("doc_id"),
+        expr(s"""concat_ws(' ', transform(sequence(0, 19), i ->
+          |  concat('t', pmod(xxhash64(-id - 1, i),
+          |    pmod(xxhash64(i, id + 7), $bmVocab) + 1))))""".stripMargin)
+          .as("text"))
+      val deltaRuns = (1 to 2).map { _ =>
+        val t0 = System.nanoTime()
+        text.PostingsSegments.appendDelta(deltaDocs, spark, segRoot.toString)
+        (System.nanoTime() - t0) / 1e9
+      }
+      println(f"PROBE postings_delta_append rows=$n " +
+        f"min_sec=${deltaRuns.min}%.2f")
+      time("bm25_topk_merged")(text.Bm25.topKIndexed(
+        text.PostingsSegments.readMerged(spark, segRoot.toString),
+        queryMod = 997, queryTerms = 16, k = 10, maxDfDen = 4L))
+      text.PostingsIndex.deleteRecursively(segRoot)
+    }
+
     time("rfm_select_cuts")(ops.EventAnalytics.rfmScores(accounts))
     time("rfm_hist_cuts") {
       import org.apache.spark.sql.expressions.Window

@@ -114,6 +114,40 @@ object SparkEntry {
   private def completed(s: SparkSession, dir: String): DataFrame =
     upserts(s, dir).filter(Predicates.isCompleted(col("status")))
 
+  /** One-row content digest of a written postings index: EVERY relation
+    * contributes aggregated content, not just a row count — vocab
+    * (count, max df, Σctf), postings (count, Σtf), doclen (count, Σdl),
+    * totals (nd, tt) — so a truncated shard or a corrupted value in any
+    * of the four relations breaks the oracle hash. The crossJoins are
+    * all 1-row aggregates (model-sized by construction). Shared by
+    * `q_postings_build` and `q_postings_build_incremental`, whose DuckDB
+    * oracle re-derives the same nine quantities from scratch. */
+  private def indexDigest(idx: graft.text.InvIndex): DataFrame =
+    idx.vocab.agg(
+        count(lit(1)).as("n_terms"),
+        max(col("df")).as("max_df"),
+        sum(col("ctf")).as("sum_ctf"))
+      .crossJoin(idx.postings.agg(
+        count(lit(1)).as("n_postings"),
+        sum(col("tf")).as("sum_tf")))
+      .crossJoin(idx.doclen.agg(
+        count(lit(1)).as("n_docs"),
+        sum(col("dl")).as("sum_dl")))
+      .crossJoin(idx.totals.select(col("nd"), col("tt")))
+
+  /** Materialize a tiny (model-sized, here one-row) result eagerly, then
+    * delete the throwaway directory it was derived from — the index-
+    * build queries' cleanup: without it, bench/correctness harnesses
+    * re-running the query accumulate full index copies under tmpdir.
+    * Returns the rows as a local-relation DataFrame so the caller's
+    * lazy-DataFrame contract is preserved after the files are gone. */
+  private def materializeThenDelete(s: SparkSession, df: DataFrame,
+      dir: java.nio.file.Path): DataFrame = {
+    val rows = df.collect()
+    scala.util.Try(graft.text.PostingsIndex.deleteRecursively(dir))
+    s.createDataFrame(java.util.Arrays.asList(rows: _*), df.schema)
+  }
+
   /** Deterministic synthetic boilerplate: an 8-word header (two variants)
     * prepended to 4 of 5 documents — the corpus itself has no repeated
     * segments, so the strip operator needs planted ones, exactly as the
@@ -1571,20 +1605,45 @@ object SparkEntry {
     // warm-up sample. Forces a FRESH build (never the session cache)
     // through the atomic staging path into a unique temp dir, then
     // digests the round-tripped index into one summary row, so the
-    // oracle verifies the whole written index content (vocab, postings,
-    // doclen totals) against a from-scratch derivation.
+    // oracle verifies the whole written index content against a
+    // from-scratch derivation. r14: the digest now aggregates EVERY
+    // relation's content (postings tf sum, doclen count+sum — not just
+    // their row counts), so a truncated doclen shard or a corrupted tf
+    // value inside a postings row breaks the hash; and the one-row
+    // digest is materialized eagerly so the throwaway index dir is
+    // deleted before the query returns (bench/correctness harnesses run
+    // each query several times — without the eager cleanup, full
+    // sf-sized index copies accumulated unbounded under tmpdir).
     "q_postings_build" -> ((s, dir) => {
       val out = java.nio.file.Paths.get(
         System.getProperty("java.io.tmpdir"), "graft-postings-build",
-        "idx-" + java.util.UUID.randomUUID.toString.take(8)).toString
+        "idx-" + java.util.UUID.randomUUID.toString.take(8))
       val idx = graft.text.PostingsIndex.buildAtomic(
-        Tables.documents(s, dir), s, out)
-      idx.vocab.agg(
-          count(lit(1)).as("n_terms"),
-          max(col("df")).as("max_df"),
-          sum(col("ctf")).as("sum_ctf"))
-        .crossJoin(idx.postings.agg(count(lit(1)).as("n_postings")))
-        .crossJoin(idx.totals.select(col("nd"), col("tt")))
+        Tables.documents(s, dir), s, out.toString)
+      materializeThenDelete(s, indexDigest(idx), out)
+    }),
+
+    // Index maintenance, INCREMENTAL (r14): the production posture where
+    // corpus growth costs a DELTA, not a rebuild. Splits the corpus into
+    // a standing part (6/7 of docs) and an arrival batch (1/7), builds
+    // the standing segmented index, lands the arrivals via
+    // PostingsSegments.appendDelta — which scans ONLY the new docs —
+    // then compacts (generation flip) and digests the compacted index.
+    // The oracle is the SAME from-scratch full-corpus derivation as
+    // q_postings_build: delta + merge + compaction must equal a full
+    // rebuild bit-for-bit on every relation's aggregated content.
+    "q_postings_build_incremental" -> ((s, dir) => {
+      val out = java.nio.file.Paths.get(
+        System.getProperty("java.io.tmpdir"), "graft-postings-incr",
+        "idx-" + java.util.UUID.randomUUID.toString.take(8))
+      val docs = Tables.documents(s, dir)
+      graft.text.PostingsSegments.init(
+        docs.filter(col("doc_id") % 7 =!= 0), s, out.toString)
+      graft.text.PostingsSegments.appendDelta(
+        docs.filter(col("doc_id") % 7 === 0), s, out.toString)
+      graft.text.PostingsSegments.compact(s, out.toString)
+      val idx = graft.text.PostingsSegments.readMerged(s, out.toString)
+      materializeThenDelete(s, indexDigest(idx), out)
     }),
 
     // Data mixing: EXACT-SIZE token-weighted sample without replacement
@@ -2336,6 +2395,21 @@ object SparkEntry {
     * `div` on positives), and the QL per-doc Dirichlet constant is
     * floored BEFORE the integer qlen multiply. Composed by the
     * q_bm25_topk / q_ql_topk / q_hybrid_rrf oracles. */
+  /** From-scratch re-derivation of [[indexDigest]]'s nine quantities —
+    * the shared oracle of both index-build jobs (full and incremental).
+    * Column names/order must match indexDigest positionally. */
+  private lazy val sqlIndexDigest: String =
+    s"""WITH $sqlRetrievalCtes
+       |SELECT (SELECT CAST(count(*) AS BIGINT) FROM voc) AS n_terms,
+       |       (SELECT max(df) FROM voc) AS max_df,
+       |       (SELECT CAST(sum(ctf) AS BIGINT) FROM voc) AS sum_ctf,
+       |       (SELECT CAST(count(*) AS BIGINT) FROM tf) AS n_postings,
+       |       (SELECT CAST(sum(tf) AS BIGINT) FROM tf) AS sum_tf,
+       |       (SELECT CAST(count(*) AS BIGINT) FROM dl) AS n_docs,
+       |       (SELECT CAST(sum(dl) AS BIGINT) FROM dl) AS sum_dl,
+       |       (SELECT nd FROM tot) AS nd,
+       |       (SELECT tt FROM tot) AS tt""".stripMargin
+
   private lazy val sqlRetrievalCtes: String =
     """t AS (SELECT doc_id, unnest(string_split(text, ' ')) AS term FROM documents),
       |tf AS MATERIALIZED (SELECT doc_id, term, CAST(count(*) AS BIGINT) AS tf FROM t GROUP BY 1, 2),
@@ -3572,27 +3646,33 @@ object SparkEntry {
         |GROUP BY 1""".stripMargin,
 
     "q_pagerank" ->
-      (s"""WITH eo AS (SELECT DISTINCT 'c' || o_custkey AS src, 's' || l_suppkey AS dst
+      (s"""WITH eo AS MATERIALIZED (
+          |  SELECT DISTINCT 'c' || o_custkey AS src, 's' || l_suppkey AS dst
           |  FROM lineitem JOIN orders ON l_orderkey = o_orderkey),
-          |e AS (SELECT src, dst FROM eo UNION ALL SELECT dst, src FROM eo),
+          |e AS MATERIALIZED (
+          |  SELECT src, dst FROM eo UNION ALL SELECT dst, src FROM eo),
           |""".stripMargin +
         graft.graph.PageRank.oracleSql() +
         "\nSELECT node, r AS rank_scaled FROM r4"),
 
     "q_trustrank" ->
-      (s"""WITH eo AS (SELECT DISTINCT 'c' || o_custkey AS src, 's' || l_suppkey AS dst
+      (s"""WITH eo AS MATERIALIZED (
+          |  SELECT DISTINCT 'c' || o_custkey AS src, 's' || l_suppkey AS dst
           |  FROM lineitem JOIN orders ON l_orderkey = o_orderkey),
-          |e AS (SELECT src, dst FROM eo UNION ALL SELECT dst, src FROM eo),
-          |seeds AS (SELECT DISTINCT 'c' || c_custkey AS node FROM customer
-          |          WHERE c_mktsegment = 'BUILDING'),
+          |e AS MATERIALIZED (
+          |  SELECT src, dst FROM eo UNION ALL SELECT dst, src FROM eo),
+          |seeds AS MATERIALIZED (
+          |  SELECT DISTINCT 'c' || c_custkey AS node FROM customer
+          |  WHERE c_mktsegment = 'BUILDING'),
           |""".stripMargin +
         graft.graph.PageRank.oracleSqlTrust() +
         "\nSELECT node, r AS rank_scaled FROM r4"),
 
     "q_triangles" ->
-      ("""WITH lp AS (SELECT DISTINCT l_orderkey AS ok, 'p' || l_partkey AS pn
+      ("""WITH lp AS MATERIALIZED (
+         |  SELECT DISTINCT l_orderkey AS ok, 'p' || l_partkey AS pn
          |  FROM lineitem),
-         |e AS (SELECT DISTINCT x.pn AS a, y.pn AS b
+         |e AS MATERIALIZED (SELECT DISTINCT x.pn AS a, y.pn AS b
          |      FROM lp x JOIN lp y ON x.ok = y.ok AND x.pn < y.pn),
          |""".stripMargin + graft.graph.Triangles.oracleSql),
 
@@ -4607,15 +4687,12 @@ object SparkEntry {
     // postings-index build digest: the index is a pure function of the
     // corpus, so the oracle re-derives tf/dl/voc/tot from documents and
     // digests them — any drift in the written index's content (a lost
-    // posting, a wrong df/ctf, a truncated shard) breaks the hash
-    "q_postings_build" ->
-      s"""WITH $sqlRetrievalCtes
-         |SELECT (SELECT CAST(count(*) AS BIGINT) FROM voc) AS n_terms,
-         |       (SELECT max(df) FROM voc) AS max_df,
-         |       (SELECT CAST(sum(ctf) AS BIGINT) FROM voc) AS sum_ctf,
-         |       (SELECT CAST(count(*) AS BIGINT) FROM tf) AS n_postings,
-         |       (SELECT nd FROM tot) AS nd,
-         |       (SELECT tt FROM tot) AS tt""".stripMargin,
+    // posting, a wrong df/ctf/tf/dl, a truncated shard in ANY of the
+    // four relations) breaks the hash. The incremental build shares the
+    // digest: delta + merge + compaction must equal the from-scratch
+    // derivation exactly.
+    "q_postings_build" -> sqlIndexDigest,
+    "q_postings_build_incremental" -> sqlIndexDigest,
 
     // A-ES weighted sample: xxh64(doc_id) replayed step-for-step, then
     // the key is elementwise IEEE (cast, power-of-two scale, one ln, one

@@ -122,10 +122,17 @@ object PageRank {
   /** The chained-CTE rounds shared by both oracles, iterating over a
     * caller-provided CTE `b(node, base, r0)` — kept HERE so operator and
     * oracle share one formula (change together or not at all). Needs
-    * `e(src, dst)` and `b` in scope. */
+    * `e(src, dst)` and `b` in scope.
+    *
+    * Every CTE is `MATERIALIZED`: DuckDB (the replay engine) inlines
+    * plain CTEs, so without the hint round k's tree re-embeds b (and,
+    * through it, the whole edge derivation) once per round — the r13
+    * sf1 replay spilled ~50 GB and paced ~35 min/query from exactly
+    * this. Materialized per-round temp results replay sf1 in ~20 s.
+    * Callers must mark their `e` and `b` inputs MATERIALIZED too. */
   def oracleRounds(iters: Int, dampingMicro: Long): String = {
     val rounds = (1 to iters).map { k =>
-      s"""r$k AS (SELECT b.node,
+      s"""r$k AS MATERIALIZED (SELECT b.node,
          |    b.base + $dampingMicro * coalesce(inc.s, 0) // $MicroOne AS r
          |  FROM b LEFT JOIN (
          |    SELECT e.dst AS node, CAST(sum(r${k - 1}.r // od.deg) AS BIGINT) AS s
@@ -133,18 +140,19 @@ object PageRank {
          |           JOIN od ON e.src = od.src
          |    GROUP BY 1) inc ON b.node = inc.node)""".stripMargin
     }.mkString(",\n")
-    s"""od AS (SELECT src, CAST(count(*) AS BIGINT) AS deg FROM e GROUP BY 1),
-       |r0 AS (SELECT node, r0 AS r FROM b),
+    s"""od AS MATERIALIZED (
+       |  SELECT src, CAST(count(*) AS BIGINT) AS deg FROM e GROUP BY 1),
+       |r0 AS MATERIALIZED (SELECT node, r0 AS r FROM b),
        |$rounds""".stripMargin
   }
 
   /** Uniform-teleport oracle: builds `b` from the node set, then the
     * shared rounds. Needs `e(src, dst)` in scope. */
   def oracleSql(iters: Int = 4, dampingMicro: Long = 850000L): String =
-    s"""nodes AS (SELECT DISTINCT node FROM (
+    s"""nodes AS MATERIALIZED (SELECT DISTINCT node FROM (
        |  SELECT src AS node FROM e UNION ALL SELECT dst FROM e)),
        |nn AS (SELECT CAST(count(*) AS BIGINT) AS n FROM nodes),
-       |b AS (SELECT node,
+       |b AS MATERIALIZED (SELECT node,
        |    ($Scale // n) * (${MicroOne} - $dampingMicro) // ${MicroOne} AS base,
        |    $Scale // n AS r0 FROM nodes CROSS JOIN nn),
        |${oracleRounds(iters, dampingMicro)}""".stripMargin
@@ -152,11 +160,12 @@ object PageRank {
   /** Seeded-teleport oracle: `b` gives all mass to seeds. Needs
     * `e(src, dst)` and `seeds(node)` in scope. */
   def oracleSqlTrust(iters: Int = 4, dampingMicro: Long = 850000L): String =
-    s"""nodes AS (SELECT DISTINCT node FROM (
+    s"""nodes AS MATERIALIZED (SELECT DISTINCT node FROM (
        |  SELECT src AS node FROM e UNION ALL SELECT dst FROM e)),
-       |sd AS (SELECT DISTINCT nodes.node FROM nodes JOIN seeds USING (node)),
+       |sd AS MATERIALIZED (
+       |  SELECT DISTINCT nodes.node FROM nodes JOIN seeds USING (node)),
        |ns AS (SELECT CAST(count(*) AS BIGINT) AS n FROM sd),
-       |b AS (SELECT nodes.node,
+       |b AS MATERIALIZED (SELECT nodes.node,
        |    CASE WHEN sd.node IS NOT NULL
        |      THEN ($Scale // n) * (${MicroOne} - $dampingMicro) // ${MicroOne}
        |      ELSE 0 END AS base,

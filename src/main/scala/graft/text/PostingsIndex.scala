@@ -106,29 +106,65 @@ object PostingsIndex {
     * into place — a crashed or concurrent build can never leave `dest`
     * half-written or clobber a directory another reader is scanning. The
     * staging dir carries a random suffix so two builders never collide;
-    * the rename is same-filesystem (sibling path) so ATOMIC_MOVE holds. */
+    * the rename is same-filesystem (sibling path) so ATOMIC_MOVE holds.
+    *
+    * CONTRACT: `dest` must be content-unique — derived from the corpus
+    * identity (path + fingerprint, as [[ensure]] does) or freshly random
+    * (as `q_postings_build` does). An existing `dest` is served as-is on
+    * rename collision, which is only correct because under this contract
+    * any concurrent builder of the same `dest` derived the same index.
+    * Whatever the move outcome, the staging dir never outlives the call
+    * (deleted in `finally` unless it became `dest`). */
   def buildAtomic(documents: DataFrame, spark: SparkSession,
       dest: String): InvIndex = {
+    writeAtomic(derive(documents), dest)
+    read(spark, Paths.get(dest).toAbsolutePath.normalize.toString)
+  }
+
+  /** The staged-write half of [[buildAtomic]] (same contract), for
+    * callers that already hold derived relations — e.g.
+    * [[PostingsSegments]] landing a delta segment or a compacted
+    * generation. */
+  def writeAtomic(idx: InvIndex, dest: String): Unit = {
     val destPath = Paths.get(dest).toAbsolutePath.normalize
     Files.createDirectories(destPath.getParent)
     val staging = destPath.resolveSibling(
       destPath.getFileName.toString + ".tmp-" +
         java.util.UUID.randomUUID.toString.take(8))
-    write(derive(documents), staging.toString)
-    try Files.move(staging, destPath,
-      java.nio.file.StandardCopyOption.ATOMIC_MOVE)
-    catch { // a concurrent builder won the rename: its index is equivalent
-      case _: java.nio.file.FileAlreadyExistsException
-           | _: java.nio.file.FileSystemException if Files.exists(destPath) =>
-        deleteRecursively(staging)
-    }
-    read(spark, destPath.toString)
+    var moved = false
+    try {
+      write(idx, staging.toString)
+      try {
+        Files.move(staging, destPath,
+          java.nio.file.StandardCopyOption.ATOMIC_MOVE)
+        moved = true
+      } catch {
+        // ONLY the concurrent-equivalent-builder race is swallowed: the
+        // other builder's index is the same content (see contract above).
+        // The guard must be dest-EXISTS + FileSystemException, not a
+        // narrower subclass: the JDK's UnixCopyFile surfaces an
+        // ATOMIC_MOVE onto an existing dir as a PLAIN FileSystemException
+        // ("Directory not empty"), not DirectoryNotEmptyException
+        // (verified by the Bm25Spec race test). Any failure while dest
+        // does NOT exist (permissions, cross-device, disk full)
+        // propagates — and the staging dir is removed in finally either
+        // way, so no path leaks it.
+        case _: java.nio.file.FileAlreadyExistsException
+             | _: java.nio.file.FileSystemException
+            if Files.exists(destPath) => ()
+      }
+    } finally if (!moved) deleteRecursively(staging)
   }
 
-  private def deleteRecursively(p: java.nio.file.Path): Unit = {
+  /** Remove a directory tree (no-op if absent). The walk stream is
+    * closed explicitly — java.nio stream-returning APIs hold an open
+    * directory fd until closed, and this runs on every build/cleanup. */
+  def deleteRecursively(p: java.nio.file.Path): Unit = {
     import scala.jdk.CollectionConverters._
     if (Files.exists(p)) {
-      Files.walk(p).iterator.asScala.toSeq.reverse.foreach(Files.delete)
+      val walk = Files.walk(p)
+      val all = try walk.iterator.asScala.toSeq finally walk.close()
+      all.reverse.foreach(Files.delete)
     }
   }
 
@@ -145,11 +181,14 @@ object PostingsIndex {
         s"${Files.size(docs)}:${Files.getLastModifiedTime(docs).toMillis}"
       else {
         import scala.jdk.CollectionConverters._
-        Files.list(docs).iterator.asScala
+        val ls = Files.list(docs) // close explicitly: runs per ensure()
+        val entries = try ls.iterator.asScala
           .filter(Files.isRegularFile(_))
           .map(f => s"${f.getFileName}:${Files.size(f)}:" +
             s"${Files.getLastModifiedTime(f).toMillis}")
-          .toSeq.sorted.mkString(",")
+          .toSeq
+        finally ls.close()
+        entries.sorted.mkString(",")
       }
     java.lang.Long.toHexString(
       scala.util.hashing.MurmurHash3.stringHash(listing).toLong & 0xffffffffL)
@@ -165,6 +204,13 @@ object PostingsIndex {
   // first JVM is actively scanning.
   private val builtDirs = scala.collection.mutable.Map.empty[String, String]
   private val jvmNonce = java.util.UUID.randomUUID.toString.take(8)
+  // this JVM's nonce dirs are garbage the moment the JVM exits (no other
+  // JVM can ever cache-hit them) — reap them at shutdown so repeated
+  // test/bench JVMs don't accumulate full index copies under tmpdir
+  sys.addShutdownHook {
+    builtDirs.synchronized { builtDirs.values.toSeq }
+      .foreach(d => scala.util.Try(deleteRecursively(Paths.get(d))))
+  }
 
   /** The shared session index for the standard documents corpus at
     * `sfDir`: built on first use in this JVM under the JVM temp dir,
