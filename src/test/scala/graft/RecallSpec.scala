@@ -98,4 +98,28 @@ class RecallSpec extends SparkSpecBase {
     info(s"ivfpq recall@$K sf1 = $r")
     assert(r >= 0.9, s"IVF-PQ sf1 recall regressed: $r")
   }
+
+  // r14: the LSH and OPQ tiers get sf1 floors too — before this, a
+  // 10x-data recall regression in either tier would pass the build
+  // (their floors existed only at sf0.1). Values are the r14 measured
+  // recalls minus a small margin; deterministic pipelines, so any drift
+  // is a semantic change.
+  test("LSH multi-probe recall@5 >= 0.8 at sf1 (measured 0.86 — denser buckets)") {
+    assume(new java.io.File(sf1Dir).isDirectory, "repo-local sf1 corpus absent")
+    val r = recallSf1(sim.Similarity.lshTopK(embSf1, Q, K))
+    info(s"lsh recall@$K sf1 = $r")
+    assert(r >= 0.8, s"LSH sf1 recall regressed: $r")
+  }
+
+  test("OPQ recall@5 >= plain PQ and >= 0.95 at sf1 (both measured 1.00)") {
+    assume(new java.io.File(sf1Dir).isDirectory, "repo-local sf1 corpus absent")
+    val pq = recallSf1(sim.PQ.topKQuery(embSf1, Q, K, m = SparkEntry.PqM,
+      ksub = SparkEntry.PqKsub, rerankFactor = SparkEntry.PqRerank))
+    val opq = recallSf1(sim.Opq.topKQuery(embSf1, Q, K, m = SparkEntry.PqM,
+      ksub = SparkEntry.PqKsub, rerankFactor = SparkEntry.PqRerank,
+      grid = SparkEntry.PqOpqGrid))
+    info(s"opq recall@$K sf1 = $opq vs pq $pq")
+    assert(opq >= pq, s"OPQ sf1 recall $opq below plain PQ $pq")
+    assert(opq >= 0.95, s"OPQ sf1 recall floor: $opq")
+  }
 }
