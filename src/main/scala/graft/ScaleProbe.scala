@@ -200,7 +200,8 @@ object ScaleProbe {
     // while postings_index_build above grows linearly. The merged-read
     // query must stay within a small factor of the single-segment one
     // (its extra cost is one vocabulary-sized agg).
-    if (only.forall("postings_delta_append".contains)) {
+    if (only.forall(o => "postings_delta_append".contains(o) ||
+        "bm25_topk_merged".contains(o))) {
       val segRoot = java.nio.file.Paths.get(
         System.getProperty("java.io.tmpdir"),
         s"graft-probe-segidx-$n")
