@@ -99,6 +99,18 @@ object SparkEntry {
     when(node % 2 === 0, concat(lit("c"), shiftright(node, 1)))
       .otherwise(concat(lit("s"), shiftright(node, 1)))
 
+  /** Symmetrize a directed (src, dst) edge frame by emitting BOTH
+    * orientations of each row through one 1→2 explode — plan-equivalent
+    * to `e.union(e.select(dst, src))` but the upstream derivation (for
+    * the graph queries a join + distinct) sits UNDER a single operator
+    * instead of under both union branches, so it computes once per
+    * materialization (r14, guide §2.4). */
+  private def symmetrized(e0: DataFrame): DataFrame =
+    e0.select(explode(array(
+        struct(col("src").as("src"), col("dst").as("dst")),
+        struct(col("dst").as("src"), col("src").as("dst")))).as("__e"))
+      .select(col("__e.src").as("src"), col("__e.dst").as("dst"))
+
   /** Flagship query on /root/testdata/sf0.001; driver smoke-checks rows>0. */
   def entry(spark: SparkSession): DataFrame =
     queries("q_high_value_enrich")(spark, "/root/testdata/sf0.001")
@@ -797,8 +809,11 @@ object SparkEntry {
         .select((col("o_custkey").cast("long") * 2).as("src"),
           (col("l_suppkey").cast("long") * 2 + 1).as("dst"))
         .distinct()
-      graft.graph.PageRank.ranks(
-          e0.union(e0.select(col("dst").as("src"), col("src").as("dst"))))
+      // symmetrize via a 1→2 explode instead of union-with-self: the
+      // join+distinct above is computed ONCE per materialization (the
+      // union's two branches each re-derived it — guide §2.4); same edge
+      // set, same ranks
+      graft.graph.PageRank.ranks(symmetrized(e0))
         .select(bipartiteNodeName(col("node")).as("node"),
           col("rank_scaled"))
     }),
@@ -817,8 +832,8 @@ object SparkEntry {
       val seeds = Tables.table(s, dir, "customer")
         .filter(col("c_mktsegment") === "BUILDING")
         .select((col("c_custkey").cast("long") * 2).as("node"))
-      graft.graph.PageRank.trustRanks(
-          e0.union(e0.select(col("dst").as("src"), col("src").as("dst"))), seeds)
+      // single-compute symmetrization — see the q_pagerank note
+      graft.graph.PageRank.trustRanks(symmetrized(e0), seeds)
         .select(bipartiteNodeName(col("node")).as("node"),
           col("rank_scaled"))
     }),

@@ -48,17 +48,28 @@ object PageRank {
   }
 
   /** The shared iteration over a prepared node frame carrying per-node
-    * (base, r0) teleport columns. */
+    * (base, r0) teleport columns.
+    *
+    * r14 (optimization guide §2.4): the out-degree join is loop-INVARIANT
+    * — it is attached to the edge list ONCE, outside the pass loop, and
+    * the (src, dst, deg) frame is hash-repartitioned on `src` BEFORE
+    * persisting, so every pass's ranks⋈edges join reuses the cached
+    * partitioning (the edge side never re-exchanges; only the node-sized
+    * rank frame shuffles per pass). Previously each pass paid an
+    * edge-sized exchange for the join plus a second one for the
+    * per-pass outdeg join: 2 edge shuffles × iters → 1 total. */
   private def iterate(edges: DataFrame, nodesB: DataFrame, iters: Int,
       dampingMicro: Long): DataFrame = {
-    val e = edges.select(col("src"), col("dst")).persist()
-    val outdeg = e.groupBy("src").agg(count(lit(1)).as("deg")).persist()
+    val e = edges.select(col("src"), col("dst"))
+    val ed = e
+      .join(e.groupBy("src").agg(count(lit(1)).as("deg")), "src")
+      .repartition(col("src"))
+      .persist()
     val nb = nodesB.persist()
     var ranks = nb.select(col("node"), col("r0").as("r")).localCheckpoint()
     for (_ <- 1 to iters) {
-      val contrib = e
+      val contrib = ed
         .join(ranks.withColumnRenamed("node", "src"), "src")
-        .join(outdeg, "src")
         .select(col("dst"), expr("r div deg").as("c"))
         .groupBy("dst").agg(sum("c").as("inc"))
       ranks = nb
@@ -69,7 +80,7 @@ object PageRank {
         .localCheckpoint()
     }
     val out = ranks.select(col("node"), col("r").as("rank_scaled"))
-    e.unpersist(); outdeg.unpersist(); nb.unpersist()
+    ed.unpersist(); nb.unpersist()
     out
   }
 
@@ -85,14 +96,22 @@ object PageRank {
   def ranks(edges: DataFrame, iters: Int = 4,
       dampingMicro: Long = 850000L): DataFrame = {
     checkParams(iters, dampingMicro)
-    val nodes = nodeSet(edges)
+    // the edge frame feeds the node set, the degree agg AND the join
+    // side of iterate's one-time (src, dst, deg) build — persist so the
+    // caller's derivation (often a join+distinct) runs once, not 4-6×
+    val e = edges.select(col("src"), col("dst")).persist()
+    val nodes = nodeSet(e)
     val nn = nodes.count()
     require(nn > 0, "empty graph")
     val r0 = Scale / nn // div: both positive
     val base = ((Scale / nn) * (MicroOne - dampingMicro)) / MicroOne
-    iterate(edges,
+    val out = iterate(e,
       nodes.withColumn("base", lit(base)).withColumn("r0", lit(r0)),
       iters, dampingMicro)
+    // iterate's eager per-pass checkpoints have already materialized
+    // everything that reads e by the time it returns
+    e.unpersist()
+    out
   }
 
   /** TrustRank: identical iteration, but ALL teleport mass (initial rank
@@ -103,7 +122,9 @@ object PageRank {
   def trustRanks(edges: DataFrame, seeds: DataFrame, iters: Int = 4,
       dampingMicro: Long = 850000L): DataFrame = {
     checkParams(iters, dampingMicro)
-    val nodes = nodeSet(edges)
+    // same single-pass edge persist as [[ranks]]
+    val e = edges.select(col("src"), col("dst")).persist()
+    val nodes = nodeSet(e)
     val sd = nodes.join(seeds.select("node").distinct(), "node").persist()
     val ns = sd.count()
     require(ns > 0, "no seed is a node of the graph")
@@ -114,8 +135,8 @@ object PageRank {
       .select(col("node"),
         when(col("__s").isNotNull, lit(base)).otherwise(lit(0L)).as("base"),
         when(col("__s").isNotNull, lit(r0)).otherwise(lit(0L)).as("r0"))
-    val out = iterate(edges, nodesB, iters, dampingMicro)
-    sd.unpersist()
+    val out = iterate(e, nodesB, iters, dampingMicro)
+    sd.unpersist(); e.unpersist()
     out
   }
 

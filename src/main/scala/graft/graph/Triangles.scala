@@ -46,9 +46,13 @@ object Triangles {
     * (node, deg, tri_cnt) for every node on ≥1 triangle. */
   def perNode(edges: DataFrame): DataFrame = {
     val e = edges.select(col("a"), col("b")).persist()
+    // deg feeds BOTH endpoint joins and the final projection join —
+    // persist the node-sized frame so the degree aggregation over the
+    // edge list runs once, not three times (r14, guide §1.2)
     val deg = e.select(col("a").as("node"))
       .union(e.select(col("b").as("node")))
       .groupBy("node").agg(count(lit(1)).as("deg"))
+      .persist()
     // orient low (deg, node) -> high; ties broken by the node id so the
     // orientation is a strict total order (a == b is excluded upstream)
     val lowFirst = col("da") < col("db") ||
@@ -74,7 +78,7 @@ object Triangles {
       .join(deg, "node")
       .select(col("node"), col("deg"), col("tri_cnt"))
       .localCheckpoint()
-    e.unpersist(); oriented.unpersist()
+    e.unpersist(); oriented.unpersist(); deg.unpersist()
     out
   }
 

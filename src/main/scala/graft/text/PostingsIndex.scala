@@ -87,6 +87,42 @@ object PostingsIndex {
     idx.totals.coalesce(1).write.mode("overwrite").parquet(s"$dir/totals")
   }
 
+  /** Write the index OF `documents` under `dir`, corpus scanned once
+    * (r14, guide §1.2 step 1 — don't recompute what you already wrote):
+    * `write(derive(documents), dir)` re-derived the corpus-sized
+    * explode+agg for EVERY relation write and every
+    * `repartitionByRange` sampling pass (doclen, vocab and totals all
+    * fold from the tf aggregation — up to 8 corpus scans per build).
+    * Here only the postings write touches the corpus; doclen/vocab then
+    * fold from the WRITTEN postings parquet (column-pruned scans of the
+    * just-written table — the invariant dl = Σtf per doc, (df, ctf) =
+    * per-term (count, Σtf) is the definition of a derived index), and
+    * totals folds from the written doclen. A cache-based variant
+    * (persist the tf frame across the four writes) was measured
+    * SLOWER at sf0.1 (+30% on q_postings_build: cache materialization
+    * cost exceeds the saved recompute) and holds corpus-sized state in
+    * executor memory at scale; the read-back costs three extra scans of
+    * already-columnar, already-local output instead. */
+  def writeDerived(documents: DataFrame, spark: SparkSession,
+      dir: String): Unit = {
+    derive(documents).postings
+      .repartitionByRange(col("term"), col("doc_id"))
+      .sortWithinPartitions("term", "doc_id")
+      .write.mode("overwrite").parquet(s"$dir/postings")
+    val p = spark.read.parquet(s"$dir/postings")
+    p.groupBy("doc_id").agg(sum(col("tf")).as("dl"))
+      .repartitionByRange(col("doc_id"))
+      .sortWithinPartitions("doc_id")
+      .write.mode("overwrite").parquet(s"$dir/doclen")
+    p.groupBy("term").agg(count(lit(1)).as("df"), sum(col("tf")).as("ctf"))
+      .repartitionByRange(col("term"))
+      .sortWithinPartitions("term")
+      .write.mode("overwrite").parquet(s"$dir/vocab")
+    spark.read.parquet(s"$dir/doclen")
+      .agg(sum(col("dl")).as("tt"), count(lit(1)).as("nd"))
+      .coalesce(1).write.mode("overwrite").parquet(s"$dir/totals")
+  }
+
   /** Open a written index: four plain parquet scans (pruning/pushdown
     * stay available to Catalyst; nothing is cached). */
   def read(spark: SparkSession, dir: String): InvIndex = InvIndex(
@@ -117,15 +153,26 @@ object PostingsIndex {
     * (deleted in `finally` unless it became `dest`). */
   def buildAtomic(documents: DataFrame, spark: SparkSession,
       dest: String): InvIndex = {
-    writeAtomic(derive(documents), dest)
+    writeDerivedAtomic(documents, spark, dest)
     read(spark, Paths.get(dest).toAbsolutePath.normalize.toString)
   }
 
   /** The staged-write half of [[buildAtomic]] (same contract), for
-    * callers that already hold derived relations — e.g.
-    * [[PostingsSegments]] landing a delta segment or a compacted
-    * generation. */
-  def writeAtomic(idx: InvIndex, dest: String): Unit = {
+    * callers that already hold independent relations — e.g.
+    * [[PostingsSegments]] compacting a merged generation (whose four
+    * relations are separate parquet scans, so the [[writeDerived]]
+    * shared-subtree recompute issue does not arise). */
+  def writeAtomic(idx: InvIndex, dest: String): Unit =
+    stagedWrite(dest)(staging => write(idx, staging))
+
+  /** [[writeDerived]] through the same staged atomic rename — the
+    * derive-from-corpus callers ([[buildAtomic]],
+    * [[PostingsSegments.init]]/`appendDelta`). */
+  def writeDerivedAtomic(documents: DataFrame, spark: SparkSession,
+      dest: String): Unit =
+    stagedWrite(dest)(staging => writeDerived(documents, spark, staging))
+
+  private def stagedWrite(dest: String)(doWrite: String => Unit): Unit = {
     val destPath = Paths.get(dest).toAbsolutePath.normalize
     Files.createDirectories(destPath.getParent)
     val staging = destPath.resolveSibling(
@@ -133,7 +180,7 @@ object PostingsIndex {
         java.util.UUID.randomUUID.toString.take(8))
     var moved = false
     try {
-      write(idx, staging.toString)
+      doWrite(staging.toString)
       try {
         Files.move(staging, destPath,
           java.nio.file.StandardCopyOption.ATOMIC_MOVE)

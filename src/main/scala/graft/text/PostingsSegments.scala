@@ -81,7 +81,7 @@ object PostingsSegments {
     * generation 0, one segment. Fails if `dir` already holds one. */
   def init(documents: DataFrame, spark: SparkSession, dir: String): Unit = {
     require(currentGen(dir).isEmpty, s"segmented index already exists at $dir")
-    PostingsIndex.writeAtomic(PostingsIndex.derive(documents),
+    PostingsIndex.writeDerivedAtomic(documents, spark,
       root(dir).resolve(GenPrefix + "0").resolve(SegPrefix + "0").toString)
   }
 
@@ -93,7 +93,7 @@ object PostingsSegments {
     val gen = currentGen(dir).getOrElse(
       throw new IllegalStateException(s"no index at $dir — init() first"))
     val next = numbered(gen, SegPrefix).lastOption.map(_._1 + 1).getOrElse(0)
-    PostingsIndex.writeAtomic(PostingsIndex.derive(newDocs),
+    PostingsIndex.writeDerivedAtomic(newDocs, spark,
       gen.resolve(SegPrefix + next).toString)
   }
 
