@@ -111,6 +111,31 @@ object SparkEntry {
         struct(col("dst").as("src"), col("src").as("dst")))).as("__e"))
       .select(col("__e.src").as("src"), col("__e.dst").as("dst"))
 
+  /** Canonical part↔part co-purchase edges (a < b, distinct, long ids)
+    * — the graph substrate of q_triangles and q_kcore.
+    *
+    * r14 (guide §2.4): per-basket pairs are generated by a groupBy-
+    * collect + in-row combination expression instead of the previous
+    * (ok, pk)-distinct SELF-JOIN on the order key. Same edge set —
+    * collect_set is the per-order distinct, sort_array + index-slice
+    * emits exactly the x < y combinations — but the plan drops from
+    * three exchanges + a join (distinct(ok, pk), join-on-ok, distinct
+    * pairs) to two exchanges and no join (groupBy ok with map-side
+    * partial collect, distinct pairs); the ≤C(7,2)-per-order expansion
+    * happens AFTER the shuffle, inside the scan stage. */
+  private[graft] def partPairEdges(s: SparkSession, dir: String): DataFrame =
+    Tables.table(s, dir, "lineitem")
+      .select(col("l_orderkey").as("ok"),
+        col("l_partkey").cast("long").as("pk"))
+      .groupBy("ok").agg(sort_array(collect_set(col("pk"))).as("ps"))
+      .select(explode(expr(
+        """flatten(transform(ps, (x, i) ->
+          |  transform(slice(ps, i + 2, size(ps)),
+          |            y -> named_struct('a', x, 'b', y))))""".stripMargin))
+        .as("p"))
+      .select(col("p.a").as("a"), col("p.b").as("b"))
+      .distinct()
+
   /** Flagship query on /root/testdata/sf0.001; driver smoke-checks rows>0. */
   def entry(spark: SparkSession): DataFrame =
     queries("q_high_value_enrich")(spark, "/root/testdata/sf0.001")
@@ -850,19 +875,10 @@ object SparkEntry {
     // kind of cost that compounds at 100 TB. Undirected edge SET and
     // per-node counts are canonicalization-order-independent, so numeric
     // a<b vs the oracle's string x.pn<y.pn yield identical results.
-    "q_triangles" -> ((s, dir) => {
-      val lp = Tables.table(s, dir, "lineitem")
-        .select(col("l_orderkey").as("ok"),
-          col("l_partkey").cast("long").as("pk"))
-        .distinct()
-      val e = lp.as("x").join(lp.as("y"),
-          col("x.ok") === col("y.ok") && col("x.pk") < col("y.pk"))
-        .select(col("x.pk").as("a"), col("y.pk").as("b"))
-        .distinct()
-      graft.graph.Triangles.perNode(e)
+    "q_triangles" -> ((s, dir) =>
+      graft.graph.Triangles.perNode(partPairEdges(s, dir))
         .select(concat(lit("p"), col("node")).as("node"),
-          col("deg"), col("tri_cnt"))
-    }),
+          col("deg"), col("tri_cnt"))),
 
     // k-core of the part co-purchase graph: exactly 6 peels at k=80 —
     // the dense-region cohesion filter; per round one map-side-combined
@@ -870,18 +886,9 @@ object SparkEntry {
     // truncated (fixed-pass contract, chained-CTE oracle)
     // Long node ids through all six peels, strings only in the final
     // projection (same r12 change as q_triangles — see its note)
-    "q_kcore" -> ((s, dir) => {
-      val lp = Tables.table(s, dir, "lineitem")
-        .select(col("l_orderkey").as("ok"),
-          col("l_partkey").cast("long").as("pk"))
-        .distinct()
-      val e = lp.as("x").join(lp.as("y"),
-          col("x.ok") === col("y.ok") && col("x.pk") < col("y.pk"))
-        .select(col("x.pk").as("a"), col("y.pk").as("b"))
-        .distinct()
-      graft.graph.KCore.survivors(e, k = 80, rounds = 6)
-        .select(concat(lit("p"), col("node")).as("node"), col("deg"))
-    }),
+    "q_kcore" -> ((s, dir) =>
+      graft.graph.KCore.survivors(partPairEdges(s, dir), k = 80, rounds = 6)
+        .select(concat(lit("p"), col("node")).as("node"), col("deg"))),
 
     // Market-basket frequent pairs over order baskets: joint + marginal
     // counts and integer-scaled lift/confidence for every part pair

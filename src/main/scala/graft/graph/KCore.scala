@@ -35,7 +35,16 @@ object KCore {
       requireConverged: Boolean = false): DataFrame = {
     require(k >= 1, s"k $k must be >= 1")
     require(rounds >= 1 && rounds <= 16, s"rounds $rounds out of [1, 16]")
-    var e = edges.select(col("a"), col("b")).localCheckpoint()
+    // r14: checkpoints are LAZY (eager = false) — the logical plan is
+    // truncated to a LogicalRDD immediately (each round's plan stays two
+    // joins + one agg, the same bound as before), but materialization is
+    // deferred to the caller's single action instead of paying one
+    // blocking job + one full edge-list block write per round. Each
+    // round's RDD still persists on first compute, so the agg and both
+    // semi-join probes of round r+1 read round r's stored blocks, not
+    // its lineage. The convergence path still forces per-round actions
+    // through its own count()s.
+    var e = edges.select(col("a"), col("b")).localCheckpoint(eager = false)
     for (r <- 1 to rounds) {
       val alive = e.select(col("a").as("node"))
         .union(e.select(col("b").as("node")))
@@ -51,7 +60,7 @@ object KCore {
         .join(alive.withColumnRenamed("node", "a"), Seq("a"), "left_semi")
         .join(alive.withColumnRenamed("node", "b"), Seq("b"), "left_semi")
         .select(col("a"), col("b"))
-        .localCheckpoint()
+        .localCheckpoint(eager = false)
       if (checkHere) {
         val lastRemoved = before - e.count()
         require(lastRemoved == 0L,

@@ -68,4 +68,22 @@ class TrianglesSpec extends SparkSpecBase {
       assert(got(es) == model(es), s"trial $trial")
     }
   }
+
+  test("partPairEdges (groupBy-collect pair generation) == the self-join " +
+    "formulation on sf0.001") {
+    // r14 rewrote the co-purchase edge build from an (ok, pk) self-join
+    // to collect_set + in-row combinations; pin set equality
+    import org.apache.spark.sql.functions._
+    val lp = graft.Tables.table(spark, sf0001, "lineitem")
+      .select(col("l_orderkey").as("ok"), col("l_partkey").cast("long").as("pk"))
+      .distinct()
+    val ref = lp.as("x").join(lp.as("y"),
+        col("x.ok") === col("y.ok") && col("x.pk") < col("y.pk"))
+      .select(col("x.pk").as("a"), col("y.pk").as("b"))
+      .distinct()
+      .collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+    val got = graft.SparkEntry.partPairEdges(spark, sf0001)
+      .collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+    assert(got == ref && got.nonEmpty)
+  }
 }
