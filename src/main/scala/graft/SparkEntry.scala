@@ -128,11 +128,8 @@ object SparkEntry {
       .select(col("l_orderkey").as("ok"),
         col("l_partkey").cast("long").as("pk"))
       .groupBy("ok").agg(sort_array(collect_set(col("pk"))).as("ps"))
-      .select(explode(expr(
-        """flatten(transform(ps, (x, i) ->
-          |  transform(slice(ps, i + 2, size(ps)),
-          |            y -> named_struct('a', x, 'b', y))))""".stripMargin))
-        .as("p"))
+      .select(explode(
+        graft.ops.Association.pairCombinations("ps")).as("p"))
       .select(col("p.a").as("a"), col("p.b").as("b"))
       .distinct()
 

@@ -34,18 +34,39 @@ object Association {
 
   private val Micro = 1000000L
 
+  /** All x < y combinations of a SORTED-distinct array column (named
+    * `arrCol`) as an array of (a, b) structs — the in-row pair generator
+    * shared by the basket pair count here and the co-purchase edge
+    * builds (graft.SparkEntry.partPairEdges). Index-slice over the
+    * sorted array, so pair order equals the element type's natural `<`. */
+  def pairCombinations(arrCol: String): org.apache.spark.sql.Column =
+    expr(s"""flatten(transform($arrCol, (x, i) ->
+            |  transform(slice($arrCol, i + 2, size($arrCol)),
+            |            y -> named_struct('a', x, 'b', y))))""".stripMargin)
+
   /** `baskets`: (basket, item) rows, distinct per pair. Returns frequent
     * item pairs (a < b) with joint/marginal counts and micro-scaled
-    * lift/confidence. */
+    * lift/confidence.
+    *
+    * r14 (guide §2.4): baskets collapse to one sorted item-set row per
+    * basket (groupBy with map-side-combined collect_set); the pair
+    * expansion is an in-row combination expression AFTER that shuffle,
+    * and the marginals/basket total fold from the same collapsed frame —
+    * replacing the previous basket-keyed SELF-JOIN (which shuffled the
+    * postings twice and re-derived them per use). Same result: the join
+    * generated exactly the x < y item pairs per basket that the sorted
+    * combination emits. */
   def frequentPairs(baskets: DataFrame, minSupport: Long = 2): DataFrame = {
     require(minSupport >= 1, s"minSupport $minSupport must be >= 1")
-    val bk = baskets.select(col("basket"), col("item")).distinct().persist()
-    val nBaskets = bk.select(col("basket")).distinct()
-      .agg(count(lit(1)).as("n_baskets"))
-    val itemCnt = bk.groupBy("item").agg(count(lit(1)).as("cnt"))
-    val pairs = bk.as("x").join(bk.as("y"),
-        col("x.basket") === col("y.basket") && col("x.item") < col("y.item"))
-      .groupBy(col("x.item").as("a"), col("y.item").as("b"))
+    val bk = baskets.select(col("basket"), col("item"))
+      .groupBy("basket").agg(sort_array(collect_set(col("item"))).as("items"))
+      .persist()
+    val nBaskets = bk.agg(count(lit(1)).as("n_baskets"))
+    val itemCnt = bk.select(explode(col("items")).as("item"))
+      .groupBy("item").agg(count(lit(1)).as("cnt"))
+    val pairs = bk
+      .select(explode(pairCombinations("items")).as("p"))
+      .groupBy(col("p.a").as("a"), col("p.b").as("b"))
       .agg(count(lit(1)).as("pair_cnt"))
       .filter(col("pair_cnt") >= minSupport)
     val out = pairs
