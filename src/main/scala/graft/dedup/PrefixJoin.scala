@@ -52,18 +52,29 @@ object PrefixJoin {
     * (doc_a, doc_b, len_a, len_b, inter, jaccard_micro), doc_a < doc_b. */
   def jaccardJoinOnSets(tokenPostings: DataFrame, tPct: Long): DataFrame = {
     require(tPct >= 1 && tPct <= 100, s"tPct $tPct out of [1, 100]")
-    val tokens = tokenPostings.select(col("doc_id"), col("term"))
+    // r14 (guide §2.3/§2.4): the corpus is collapsed ONCE to a per-doc
+    // sorted token-set row; `len` rides the array (size()), so the
+    // separate doc-length aggregation + join of the previous shape are
+    // gone, and the verify stage attaches the two arrays to each
+    // CANDIDATE pair and counts the overlap in-row (array_intersect —
+    // set semantics, both arrays distinct by construction) instead of
+    // exploding candidates × |doc_a| tokens through a second exchange
+    // and re-aggregating. Same integers, same pairs — only the plan
+    // changed.
+    val docSets = tokenPostings.select(col("doc_id"), col("term"))
       .distinct()
+      .groupBy("doc_id").agg(sort_array(collect_set(col("term"))).as("ts"))
+      .withColumn("len", size(col("ts")).cast("long"))
       .persist()
-    val docLen = tokens.groupBy("doc_id").agg(count(lit(1)).as("len"))
-    val freq = tokens.groupBy("term").agg(count(lit(1)).as("freq"))
+    val freq = docSets.select(explode(col("ts")).as("term"))
+      .groupBy("term").agg(count(lit(1)).as("freq"))
     // prefix size |x| - ceil(t|x|) + 1, via integer ceil: (t*len+99) div 100
-    val ranked = tokens
+    val ranked = docSets
+      .select(col("doc_id"), col("len"), explode(col("ts")).as("term"))
       .join(freq, "term")
       .withColumn("__rn", row_number().over(
         Window.partitionBy(col("doc_id"))
           .orderBy(col("freq"), col("term"))))
-      .join(docLen, "doc_id")
     val prefix = ranked
       .filter(col("__rn") <= col("len") -
         expr(s"($tPct * len + 99) div 100") + 1)
@@ -77,13 +88,13 @@ object PrefixJoin {
       .select(col("x.doc_id").as("doc_a"), col("y.doc_id").as("doc_b"),
         col("x.len").as("len_a"), col("y.len").as("len_b"))
       .distinct()
-    val inter = candidates
-      .join(tokens.select(col("doc_id").as("doc_a"), col("term")), "doc_a")
-      .join(tokens.select(col("doc_id").as("doc_b"), col("term")),
-        Seq("doc_b", "term"))
-      .groupBy("doc_a", "doc_b", "len_a", "len_b")
-      .agg(count(lit(1)).as("inter"))
-    val out = inter
+    val out = candidates
+      .join(docSets.select(col("doc_id").as("doc_a"), col("ts").as("__ta")),
+        "doc_a")
+      .join(docSets.select(col("doc_id").as("doc_b"), col("ts").as("__tb")),
+        "doc_b")
+      .withColumn("inter",
+        size(array_intersect(col("__ta"), col("__tb"))).cast("long"))
       .filter(col("inter") * 100 >=
         lit(tPct) * (col("len_a") + col("len_b") - col("inter")))
       .select(col("doc_a"), col("doc_b"), col("len_a"), col("len_b"),
@@ -91,7 +102,7 @@ object PrefixJoin {
         expr("inter * 1000000L div (len_a + len_b - inter)")
           .as("jaccard_micro"))
       .localCheckpoint()
-    tokens.unpersist()
+    docSets.unpersist()
     out
   }
 
