@@ -77,8 +77,17 @@ object DupSpans {
     * in at least one other document (gram-granular at the edges). */
   def dupSpans(documents: DataFrame, n: Int = 8,
       verifyExact: Boolean = false): DataFrame = {
-    val grams = positionalGrams(documents, n)
-    val keys = duplicatedGramKeys(grams)
+    // r14 (guide §8 — compute the fingerprint proxy once): the df
+    // aggregation AND the hit join both consume the positional gram
+    // hashes; without a cache the tokenize + gram-concat + fnv64 scan
+    // (the family's hottest kernel, ~2/3 of this query) ran twice.
+    // The persisted frame is the PRUNED (doc_id, pos, gh) proxy — 24
+    // bytes per gram, no gram strings; ownership: cached until LRU
+    // eviction, the candidatePairs policy.
+    val gramsP = positionalGrams(documents, n)
+      .select("doc_id", "pos", "gh").persist()
+    val grams = if (verifyExact) positionalGrams(documents, n) else gramsP
+    val keys = duplicatedGramKeys(gramsP)
     val hits =
       if (!verifyExact)
         grams.select("doc_id", "pos", "gh").join(keys, "gh")
@@ -139,7 +148,10 @@ object DupSpans {
     * after a semi-join on the df=1 key set, so no executor ever
     * materializes a high-df list even transiently. */
   def gramIndex(documents: DataFrame, n: Int = 8): DataFrame = {
+    // persisted for the same two-consumer reason as dupSpans (df agg +
+    // the df=1 exemplar collect)
     val occ = positionalGrams(documents, n).select("gh", "doc_id", "pos")
+      .persist()
     val dfFrame = occ.select("gh", "doc_id").distinct()
       .groupBy("gh").agg(count(lit(1)).as("df"))
     val singles = occ
@@ -177,6 +189,7 @@ object DupSpans {
   def dupPositionsIncremental(index: DataFrame, batch: DataFrame,
       n: Int = 8): DataFrame = {
     val bg = positionalGrams(batch, n).select("doc_id", "pos", "gh")
+      .persist() // two consumers: the batch-df agg + the hit join
     val bdf = bg.select("gh", "doc_id").distinct()
       .groupBy("gh").agg(count(lit(1)).as("bdf"))
     val merged = bdf.join(index, Seq("gh"), "left")
@@ -218,7 +231,8 @@ object DupSpans {
     * contract. */
   def duplicatedPositions(documents: DataFrame, n: Int = 8): DataFrame = {
     val grams = positionalGrams(documents, n)
-    grams.select("doc_id", "pos", "gh")
+      .select("doc_id", "pos", "gh").persist() // two consumers, as above
+    grams
       .join(duplicatedGramKeys(grams), "gh")
       .select("doc_id", "pos").distinct()
   }
