@@ -193,6 +193,15 @@ object Dedup {
       .truncated
     var round = 0
     var changed = 1L
+    // r14 (guide §1.2): the fixpoint test was TWO exceptAll jobs per
+    // round (each a full hash-partition of both edge frames). Multiset
+    // logic gives a counts-first short circuit: |A| ≠ |B| proves the
+    // round changed something with one cheap count over checkpointed
+    // blocks (the previous round's count is carried forward, so it is
+    // ONE count job per round, not two); only a round that preserves
+    // the edge COUNT — usually just the terminal identity round — pays
+    // a single one-sided exceptAll (|A| = |B| ∧ A∖B = ∅ ⇒ A = B).
+    var prevCount = edges.count()
     while (changed > 0 && round < maxRounds) {
       val sym = edges.union(edges.select(col("v").as("u"), col("u").as("v")))
       // LARGE-STAR: per node u, hang every strictly-larger neighbor onto
@@ -221,10 +230,12 @@ object Dedup {
         .filter(col("u") =!= col("v"))
         .distinct()
         .truncated
-      // fixpoint = the round was an identity on the edge set (both
-      // directions of difference — counts can move either way)
-      changed = afterSmall.exceptAll(edges).count() +
-        edges.exceptAll(afterSmall).count()
+      // fixpoint = the round was an identity on the edge set
+      val nAfter = afterSmall.count()
+      changed =
+        if (nAfter != prevCount) 1L
+        else afterSmall.exceptAll(edges).count()
+      prevCount = nAfter
       edges = afterSmall
       round += 1
     }
