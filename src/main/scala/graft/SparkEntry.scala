@@ -1100,15 +1100,19 @@ object SparkEntry {
     // fact-size self-joins (the decorrelation a 100 TB plan needs — the
     // EXISTS pair would scan lineitem three times).
     "q_waiting_supplier" -> ((s, dir) => {
-      val li = Tables.table(s, dir, "lineitem")
-      val perOrder = li.groupBy("l_orderkey").agg(
-        countDistinct(col("l_suppkey")).as("n_supp"),
-        countDistinct(when(col("l_returnflag") === "R", col("l_suppkey")))
-          .as("n_flagged_supp"))
-      val flaggedLines = li.filter(col("l_returnflag") === "R")
-        .select("l_orderkey", "l_suppkey").distinct()
-      flaggedLines.join(perOrder, "l_orderkey")
-        .filter(col("n_supp") > 1 && col("n_flagged_supp") === 1)
+      // r14 (guide §2.4): one per-order aggregation carries the flagged
+      // supplier SET alongside the distinct counts — when exactly one
+      // supplier is flagged, that set has one element and IS the
+      // waiting supplier, so the former second fact scan + fact-fact
+      // join on l_orderkey are gone (collect_set drops the non-R nulls;
+      // per-order cardinality is basket-bounded). Same numwait rows.
+      Tables.table(s, dir, "lineitem")
+        .groupBy("l_orderkey").agg(
+          collect_set(col("l_suppkey")).as("__ss"),
+          collect_set(when(col("l_returnflag") === "R", col("l_suppkey")))
+            .as("__fs"))
+        .filter(size(col("__ss")) > 1 && size(col("__fs")) === 1)
+        .select(element_at(col("__fs"), 1).as("l_suppkey"))
         .join(broadcast(Tables.table(s, dir, "supplier")),
           col("l_suppkey") === col("s_suppkey"))
         .groupBy(col("s_name"))
