@@ -835,7 +835,7 @@ object SparkEntry {
       // join+distinct above is computed ONCE per materialization (the
       // union's two branches each re-derived it — guide §2.4); same edge
       // set, same ranks
-      graft.graph.PageRank.ranks(symmetrized(e0))
+      graft.graph.PageRank.ranks(symmetrized(e0), symmetric = true)
         .select(bipartiteNodeName(col("node")).as("node"),
           col("rank_scaled"))
     }),
@@ -855,7 +855,8 @@ object SparkEntry {
         .filter(col("c_mktsegment") === "BUILDING")
         .select((col("c_custkey").cast("long") * 2).as("node"))
       // single-compute symmetrization — see the q_pagerank note
-      graft.graph.PageRank.trustRanks(symmetrized(e0), seeds)
+      graft.graph.PageRank.trustRanks(symmetrized(e0), seeds,
+          symmetric = true)
         .select(bipartiteNodeName(col("node")).as("node"),
           col("rank_scaled"))
     }),

@@ -85,22 +85,25 @@ object PageRank {
   }
 
   /** Every src and every dst is a node (symmetric graphs: src suffices,
-    * but directed sinks must exist too). */
-  private def nodeSet(edges: DataFrame): DataFrame =
-    edges.select(col("src").as("node"))
+    * but directed sinks must exist too — callers that KNOW the edge set
+    * is symmetrized pass `symmetric = true` to halve the distinct's
+    * input; identical node set by definition there). */
+  private def nodeSet(edges: DataFrame, symmetric: Boolean): DataFrame =
+    if (symmetric) edges.select(col("src").as("node")).distinct()
+    else edges.select(col("src").as("node"))
       .union(edges.select(col("dst").as("node"))).distinct()
 
   /** PageRank over directed `edges` (cols `src`, `dst`, string node ids;
     * parallel edges count once — dedup upstream if needed). Returns
     * (node, rank_scaled) after exactly `iters` passes. */
   def ranks(edges: DataFrame, iters: Int = 4,
-      dampingMicro: Long = 850000L): DataFrame = {
+      dampingMicro: Long = 850000L, symmetric: Boolean = false): DataFrame = {
     checkParams(iters, dampingMicro)
     // the edge frame feeds the node set, the degree agg AND the join
     // side of iterate's one-time (src, dst, deg) build — persist so the
     // caller's derivation (often a join+distinct) runs once, not 4-6×
     val e = edges.select(col("src"), col("dst")).persist()
-    val nodes = nodeSet(e)
+    val nodes = nodeSet(e, symmetric)
     val nn = nodes.count()
     require(nn > 0, "empty graph")
     val r0 = Scale / nn // div: both positive
@@ -120,11 +123,11 @@ object PageRank {
     * fail-loud if none remain). Non-seed nodes earn rank only through
     * in-edges from the trusted region. */
   def trustRanks(edges: DataFrame, seeds: DataFrame, iters: Int = 4,
-      dampingMicro: Long = 850000L): DataFrame = {
+      dampingMicro: Long = 850000L, symmetric: Boolean = false): DataFrame = {
     checkParams(iters, dampingMicro)
     // same single-pass edge persist as [[ranks]]
     val e = edges.select(col("src"), col("dst")).persist()
-    val nodes = nodeSet(e)
+    val nodes = nodeSet(e, symmetric)
     val sd = nodes.join(seeds.select("node").distinct(), "node").persist()
     val ns = sd.count()
     require(ns > 0, "no seed is a node of the graph")
