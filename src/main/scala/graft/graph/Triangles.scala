@@ -64,21 +64,31 @@ object Triangles {
         when(lowFirst, col("a")).otherwise(col("b")).as("u"),
         when(lowFirst, col("b")).otherwise(col("a")).as("v"))
       .persist()
-    val wedges = oriented.as("e1")
-      .join(oriented.as("e2"),
-        col("e1.u") === col("e2.u") && col("e1.v") < col("e2.v"))
-      .select(col("e1.u").as("u"), col("e1.v").as("x"), col("e2.v").as("y"))
-    // the closing pair (x, y) is already canonical (x < y lexicographically)
-    val tris = wedges
-      .join(e, col("x") === col("a") && col("y") === col("b"))
-      .select(col("u"), col("x"), col("y"))
+    // r14 (guide §2.3 — shuffle the proxy, not the expansion): triangles
+    // are counted by ADJACENCY-ARRAY INTERSECTION per oriented edge
+    // instead of materializing the wedge expansion through an exchange
+    // and closing it against the edge list. For each oriented edge
+    // (u→x), every w ∈ N⁺(u) ∩ N⁺(x) closes exactly one triangle —
+    // apex u (two out-edges u→x, u→w) with the third edge oriented
+    // x→w — so each triangle still surfaces exactly once, from its
+    // apex's lowest-ordered out-edge. Shuffled bytes are now bounded by
+    // the adjacency lists (edge-sized, √(2m)-capped per node) rather
+    // than the wedge count (output ≫ input); the intersection itself is
+    // in-row hash-set work inside the join stage.
+    val adj = oriented.groupBy(col("u"))
+      .agg(collect_list(col("v")).as("nb")).persist()
+    val tris = oriented
+      .join(adj.select(col("u"), col("nb").as("__nu")), "u")
+      .join(adj.select(col("u").as("v"), col("nb").as("__nv")), "v")
+      .select(col("u"), col("v").as("x"),
+        explode(array_intersect(col("__nu"), col("__nv"))).as("y"))
     val out = tris
       .select(explode(array(col("u"), col("x"), col("y"))).as("node"))
       .groupBy("node").agg(count(lit(1)).as("tri_cnt"))
       .join(deg, "node")
       .select(col("node"), col("deg"), col("tri_cnt"))
       .localCheckpoint()
-    e.unpersist(); oriented.unpersist(); deg.unpersist()
+    e.unpersist(); oriented.unpersist(); deg.unpersist(); adj.unpersist()
     out
   }
 
