@@ -24,11 +24,17 @@ object Dedup {
     * lost executor kills the whole iteration, so production sets
     * `spark.sparkContext.setCheckpointDir(<dfs path>)` and pays one DFS
     * write per round; local[*] runs skip the dir and keep the fast path.
-    * Both paths are eager (the checkpoint IS each round's action). */
+    * The reliable path stays EAGER (a lazy reliable checkpoint
+    * recomputes its lineage once for the action and again for the
+    * checkpoint write); the local path is LAZY as of r14 — the RDD
+    * persists on first compute, and every loop that truncates also
+    * counts each round (the convergence test), so that count is the
+    * materializing action: one job per round instead of a blocking
+    * checkpoint job PLUS the count. */
   private def truncateLineage(df: DataFrame): DataFrame =
     if (df.sparkSession.sparkContext.getCheckpointDir.isDefined)
       df.checkpoint()
-    else df.localCheckpoint()
+    else df.localCheckpoint(eager = false)
 
   private implicit class TruncOps(private val df: DataFrame) {
     def truncated: DataFrame = truncateLineage(df)
