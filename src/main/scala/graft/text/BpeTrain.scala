@@ -29,10 +29,16 @@ import org.apache.spark.sql.functions._
   */
 object BpeTrain {
 
+  // local path lazy as of r14: each round's argmax collect is the
+  // materializing action, so the eager per-round checkpoint job is
+  // saved — and the LAST round's merged table (which nothing reads;
+  // the loop output is the merge list) is never computed at all. The
+  // reliable path stays eager (a lazy reliable checkpoint recomputes
+  // its lineage for the checkpoint write).
   private def truncateLineage(df: DataFrame): DataFrame =
     if (df.sparkSession.sparkContext.getCheckpointDir.isDefined)
       df.checkpoint()
-    else df.localCheckpoint()
+    else df.localCheckpoint(eager = false)
 
   /** The initial symbol table: distinct `[a-z]+` words with corpus
     * frequency and their character-split symbol string (space-joined,
