@@ -53,13 +53,30 @@ object PlanAudit {
         // batch side small — but labels cannot broadcast at 100 TB, so
         // the static plan keeps the scalar-id SMJ; AQE broadcasts at
         // runtime for small corpora
-        "q_dedup_clusters_incremental" -> "endpoint label-lookup id joins (x2: doc_a+doc_b sides)")
+        "q_dedup_clusters_incremental" -> "endpoint label-lookup id joins (x2: doc_a+doc_b sides)",
+        // RRF fuses the BM25 and QL top-k lists with a FULL OUTER join
+        // (a doc ranked by only one side must still score): Spark cannot
+        // broadcast a full-outer side, so the static plan is one SMJ
+        // over two model-sized (queries × k) lists
+        "q_hybrid_rrf" -> "RRF full-outer list fusion (model-sized)",
+        // the same full-outer fusion + the LEFT OUTER qrels attach + the
+        // per-query ideal-DCG inner join — all model-sized list frames
+        // whose post-window stats are unknown statically; AQE broadcasts
+        // at runtime where they fit
+        "q_retrieval_ndcg" -> "RRF fusion + qrels + idcg list joins (x3, model-sized)",
+        // the cluster-label attach: labels are corpus-sized at 100 TB
+        // (one row per pair-touched doc), so the static plan keeps the
+        // scale-safe SMJ; AQE converts to broadcast for small corpora —
+        // the q_dedup_clusters_incremental rationale
+        "q_leakage_safe_split" -> "cluster-label attach (corpus-sized at scale)")
       // formatted explain prints each node once as a "(N) SortMergeJoin"
       // heading — count headings, not substring occurrences
       val smjCount = "\\(\\d+\\) SortMergeJoin".r.findAllIn(plan).size
       val expectedCounts = Map(
         "q_interval_join" -> 1, "q_importance_resample" -> 2,
-        "q_dedup_incremental" -> 2, "q_dedup_clusters_incremental" -> 2)
+        "q_dedup_incremental" -> 2, "q_dedup_clusters_incremental" -> 2,
+        "q_hybrid_rrf" -> 1, "q_retrieval_ndcg" -> 3,
+        "q_leakage_safe_split" -> 1)
       val smjUnexpected = smjCount > expectedCounts.getOrElse(name, 0)
       val flags = Seq(
         "CartesianProduct" -> plan.contains("CartesianProduct"),
